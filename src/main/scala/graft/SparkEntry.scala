@@ -11,6 +11,7 @@ import graft.queries._
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CorePack,
+    ProjectionPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

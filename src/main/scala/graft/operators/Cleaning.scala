@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cleaning / normalization operators — the reference's WHERE clause and
+  * scalar expressions (SURVEY §2.5 C1–C7). One normal form throughout:
+  * blank means `trim(c) = ''` OR NULL (the reference conflates '',
+  * whitespace, and missing — src/storage.py:103,149-152).
+  */
+object Cleaning {
+
+  /** C1 (reference dags/processing_etl.py:64-69 et al.): drop rows whose
+    * key is missing or blank after trim. */
+  def requireNonBlank(df: DataFrame, key: String): DataFrame =
+    df.filter(col(key).isNotNull && trim(col(key)) =!= "")
+
+  /** C2: trim a key in place (dags/processing_etl.py:65-69). */
+  def trimmed(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
+
+  /** C4 (reference src/storage.py:149-152): ''-after-trim → NULL. */
+  def emptyToNull(c: Column): Column = nullif(trim(c), lit(""))
+
+  /** C5 (reference src/storage.py:146-147): null collection → []. */
+  def nullToEmptyArray(c: Column): Column = coalesce(c, array())
+
+  /** C6 (reference configs/colombia.yml:72-78, peru.yml:65-67): date parse
+    * accepting several formats; try_to_date keeps ANSI mode non-throwing. */
+  def parseDate(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => try_to_date(c, f)): _*)
+
+  /** C7 (reference list_parser.py:65, detail_parser.py:100-106): URL
+    * absolutize + force-https. */
+  def absolutize(base: String, href: Column): Column =
+    when(href.startsWith("http"), href).otherwise(concat(lit(base), href))
+
+  def forceHttps(url: Column): Column =
+    regexp_replace(url, "^http:", "https:")
+}

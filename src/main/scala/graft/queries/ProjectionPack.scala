@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, Projection}
+
+/** Projection / extraction / cleaning queries — SURVEY §2.2 (P1–P11) and
+  * §2.5 (C1–C7). All pure row-local expressions: filters and projections
+  * push down to the parquet scan; no shuffles besides the final
+  * deterministic ORDER BY (verification-only — not part of the operator).
+  */
+object ProjectionPack extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // S1: full scan + projection (column pruning reaches the scan).
+    "q01_scan_project" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"), col("l_returnflag")))),
+
+    // S6: keyed point-lookup scan (isin → In pushdown to parquet).
+    "q02_filter_isin" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .filter(col("o_custkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))),
+
+    // P1 + C3: positional projection with trim and rename.
+    "q03_project_trim" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "customer").select(
+        col("c_custkey"),
+        Projection.cell(col("c_name"), "name"),
+        col("c_mktsegment").as("segment")))),
+
+    // P2/P3: malformed-row + header-row compound predicate filter.
+    "q04_filter_pred" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "part")
+        .filter(col("p_name").isNotNull && trim(col("p_name")) =!= "" &&
+          lower(col("p_name")) =!= "p_name" &&
+          col("p_size") > 10 && col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_type")))),
+
+    // P4: first array element passing an exclusion predicate.
+    "q05_array_first_match" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        Projection.firstMatch(split(col("text"), " "),
+          t => length(t) >= 5 && !t.endsWith("e")).as("first_tok")))),
+
+    // P5/P10: regex capture with fallback chain ('' capture = miss).
+    "q06_regexp_extract" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        Projection.extractWithFallback(col("text"), "the ([a-z]+)", 1,
+          col("lang")).as("extracted")))),
+
+    // P7: multi-valued extraction → explode → distinct.
+    "q07_explode_distinct" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct())),
+
+    // P8 + P9: indexed findall and block-anchored regex.
+    "q08_regexp_extract_all" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        Projection.indexedFindAll(col("text"), "([a-z]{5,})", 1, 2).as("third_long"),
+        Projection.blockAfter(col("text"), "data", "([a-z]{4,})", 1).as("after_data")))),
+
+    // C1/C2: require-nonblank-key filter after trim (key derived so the
+    // filter actually discriminates: all-zero customer 0 strips to '').
+    "q11_notblank" -> ((s, dir) => Q.ordered(
+      Cleaning.requireNonBlank(
+        Q.t(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_replace(col("c_name"), "^Customer#0*", "").as("biz_key")),
+        "biz_key"))),
+
+    // C4: ''-after-trim → NULL normalization.
+    "q12_nullif_norm" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders").select(
+        col("o_orderkey"),
+        Cleaning.emptyToNull(regexp_extract(col("o_orderpriority"), "NOT ([A-Z]+)", 1))
+          .as("not_kind")))),
+
+    // C6: multi-format date parse + date arithmetic.
+    "q13_to_date" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Cleaning.parseDate(date_format(col("l_shipdate"), "dd/MM/yyyy"),
+          Seq("yyyy-MM-dd", "dd/MM/yyyy")).as("ship_date"))
+        .withColumn("ship_plus30", date_add(col("ship_date"), 30))
+        .withColumn("age_days",
+          datediff(to_date(lit("1998-12-01")), col("ship_date")).cast("long")))),
+
+    // C7: URL absolutize + force-https + host extraction.
+    "q14_url_norm" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        Cleaning.forceHttps(
+          concat(lit("http://"), col("source"), lit(".example.com/"),
+            col("doc_id").cast("string"))).as("url"))
+        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1)))),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_returnflag
+         FROM lineitem ORDER BY ALL NULLS FIRST""",
+
+    "q02_filter_isin" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+         WHERE o_custkey IN (1,2,3,5,8,13,21,34,55,89) ORDER BY ALL NULLS FIRST""",
+
+    "q03_project_trim" ->
+      """SELECT c_custkey, trim(c_name) AS name, c_mktsegment AS segment
+         FROM customer ORDER BY ALL NULLS FIRST""",
+
+    "q04_filter_pred" ->
+      """SELECT p_partkey, p_name, p_size, p_type FROM part
+         WHERE p_name IS NOT NULL AND trim(p_name) <> '' AND lower(p_name) <> 'p_name'
+           AND p_size > 10 AND p_type <> 'PROMO' ORDER BY ALL NULLS FIRST""",
+
+    "q05_array_first_match" ->
+      """SELECT doc_id,
+                list_filter(str_split(text, ' '),
+                            t -> len(t) >= 5 AND NOT ends_with(t, 'e'))[1] AS first_tok
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q06_regexp_extract" ->
+      """SELECT doc_id,
+                coalesce(nullif(regexp_extract(text, 'the ([a-z]+)', 1), ''), lang) AS extracted
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q07_explode_distinct" ->
+      """SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q08_regexp_extract_all" ->
+      """SELECT doc_id,
+                regexp_extract_all(text, '([a-z]{5,})', 1)[3] AS third_long,
+                CASE WHEN instr(text, 'data') > 0
+                     THEN regexp_extract(substr(text, instr(text, 'data') + 4), '([a-z]{4,})', 1)
+                END AS after_data
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q11_notblank" ->
+      """SELECT c_custkey, regexp_replace(c_name, '^Customer#0*', '') AS biz_key
+         FROM customer
+         WHERE regexp_replace(c_name, '^Customer#0*', '') IS NOT NULL
+           AND trim(regexp_replace(c_name, '^Customer#0*', '')) <> ''
+         ORDER BY ALL NULLS FIRST""",
+
+    "q12_nullif_norm" ->
+      """SELECT o_orderkey,
+                nullif(trim(regexp_extract(o_orderpriority, 'NOT ([A-Z]+)', 1)), '') AS not_kind
+         FROM orders ORDER BY ALL NULLS FIRST""",
+
+    "q13_to_date" ->
+      """SELECT l_orderkey, l_linenumber,
+                try_strptime(strftime(l_shipdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE AS ship_date,
+                try_strptime(strftime(l_shipdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE + 30 AS ship_plus30,
+                date_diff('day', try_strptime(strftime(l_shipdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE,
+                          DATE '1998-12-01') AS age_days
+         FROM lineitem ORDER BY ALL NULLS FIRST""",
+
+    "q14_url_norm" ->
+      """SELECT doc_id,
+                regexp_replace('http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR),
+                               '^http:', 'https:') AS url,
+                regexp_extract(regexp_replace('http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR),
+                               '^http:', 'https:'), 'https://([^/]+)/', 1) AS host
+         FROM documents ORDER BY ALL NULLS FIRST""",
+  )
+}

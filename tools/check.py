@@ -19,10 +19,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # canonicalize cell values so dtype-representation differences
     # (datetime64[us] vs [ns], float32 vs 64 lists) don't mask real diffs
     def cell(v):
+        import datetime
+        import numpy as np
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
-        if isinstance(v, float):
-            return v.hex()  # bit-exact float compare
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (float, np.floating)):
+            return float(v).hex()  # bit-exact float compare
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, (bool, np.bool_)):
+            return bool(v)
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return tuple(cell(x) for x in v)
         return v
@@ -50,7 +58,7 @@ def main():
             continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files])
-            duck_df = con.sql(oracle[name]).df()
+            duck_df = con.sql(oracle[name]).arrow().to_pandas()
             a, b = norm(spark_df), norm(duck_df)
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
