@@ -12,6 +12,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CorePack,
     ProjectionPack,
+    JoinPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -16,5 +16,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else read(spark, dir, name)
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright; read nanos as long and re-derive a proper
+    * TimestampType column (the corpus is µs-aligned, so the division is
+    * exact). DuckDB reads the same column as TIMESTAMP_NS natively. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Enrich, Upsert}
+
+/** Join / union / set-op / dedup queries — SURVEY §2.4 (J3/J4), §2.1
+  * (S2/S3), §2.7 (W2) and §2.8 G4/G5/G8.
+  *
+  * Scale notes: dimension sides (customer, nation) are broadcast — no
+  * shuffle of the fact side; the band join keeps its small side tiny and
+  * broadcast (BroadcastNestedLoop is quadratic — never feed it two large
+  * inputs); set ops and dedup shuffle once on their keys.
+  */
+object JoinPack extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J3: union-merge of two disjointly-filtered branches.
+    "q10_union" -> ((s, dir) => Q.ordered {
+      val o = Q.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      o.filter(col("o_orderstatus") === "F").withColumn("branch", lit("final"))
+        .unionByName(
+          o.filter(col("o_orderpriority") === "1-URGENT").withColumn("branch", lit("urgent")))
+    }),
+
+    // W2: PK keep-first dedup with explicit deterministic tiebreaker.
+    "q18_upsert_keep_first" -> ((s, dir) => Q.ordered(
+      Upsert.keepFirst(Q.t(s, dir, "events"),
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value")))),
+
+    // S2/J4: left-join enrichment, dimension broadcast.
+    "q20_left_join_enrich" -> ((s, dir) => Q.ordered(
+      Enrich.leftJoin(Q.t(s, dir, "orders"), Q.t(s, dir, "customer"),
+        "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment")))),
+
+    // S3: conditional fallback after a left join against a partial source.
+    "q21_coalesce_enrich" -> ((s, dir) => Q.ordered {
+      val partial = Q.t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      Enrich.leftJoin(Q.t(s, dir, "orders"), partial, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Enrich.coalesceEnrich(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+    }),
+
+    // G4: 3-way join, both dimensions broadcast.
+    "q33_join_3way" -> ((s, dir) => Q.ordered {
+      val o = Q.t(s, dir, "orders")
+      val c = broadcast(Q.t(s, dir, "customer"))
+      val n = broadcast(Q.t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("o_orderkey"), col("c_name"), col("n_name"))
+    }),
+
+    // G4: semi join (EXISTS) — right side never materialized in output.
+    "q34_semi" -> ((s, dir) => Q.ordered {
+      val big = Q.t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      Q.t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // G4: anti join (NOT EXISTS) — the delta primitive in isolation.
+    "q35_anti" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "customer")
+        .join(Q.t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")))),
+
+    // G5: band (theta) join — small side kept tiny and broadcast.
+    "q36_range_join" -> ((s, dir) => Q.ordered {
+      val probes = broadcast(
+        Q.t(s, dir, "orders").filter(col("o_orderkey") % 499 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") / 1000.0).as("center")))
+      Q.t(s, dir, "events").join(probes,
+          col("value") >= col("center") - 1.0 && col("value") <= col("center") + 1.0)
+        .select(col("o_orderkey"), col("event_id"), col("value"))
+    }),
+
+    // G8: INTERSECT (distinct) on key sets.
+    "q40_intersect" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(Q.t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey"))))),
+
+    // G8: EXCEPT (distinct) — keys never ordered.
+    "q41_except" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+        .except(Q.t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey"))))),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q10_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, 'final' AS branch
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_orderpriority, 'urgent' AS branch
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY ALL NULLS FIRST""",
+
+    "q18_upsert_keep_first" ->
+      """SELECT user_id, event_type, event_id, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) = 1
+         ORDER BY ALL NULLS FIRST""",
+
+    "q20_left_join_enrich" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY ALL NULLS FIRST""",
+
+    "q21_coalesce_enrich" ->
+      """SELECT o_orderkey, o_custkey,
+                coalesce(nullif(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
+         FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+           ON o_custkey = c_custkey
+         ORDER BY ALL NULLS FIRST""",
+
+    "q33_join_3way" ->
+      """SELECT o_orderkey, c_name, n_name
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY ALL NULLS FIRST""",
+
+    "q34_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q35_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q36_range_join" ->
+      """SELECT o_orderkey, event_id, value
+         FROM events
+         JOIN (SELECT o_orderkey, o_totalprice / 1000.0 AS center
+               FROM orders WHERE o_orderkey % 499 = 0) p
+           ON value >= center - 1.0 AND value <= center + 1.0
+         ORDER BY ALL NULLS FIRST""",
+
+    "q40_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY ALL NULLS FIRST""",
+
+    "q41_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+         ORDER BY ALL NULLS FIRST""",
+  )
+}
