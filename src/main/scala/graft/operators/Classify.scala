@@ -1,0 +1,90 @@
+package graft.operators
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Classification operators (SURVEY §2.6 K1–K4, reference
+  * src/classifier.py:52-156 + configs/classifier.yml).
+  *
+  * K1 first-match rule semantics are exactly ordered CASE WHEN: the first
+  * rule whose case-insensitive regex matches wins; no match → ''. K2's LLM
+  * fallback is isolated behind [[BatchClient]]; the production-shaped path
+  * batches calls inside `mapPartitions` (the reference batches 20 rows per
+  * call, classifier.py:140-142) with per-batch failure → default label
+  * (classifier.py:98-100,145). The oracle-checked stub is a pure
+  * md5-bucket expression so DuckDB can replay it.
+  */
+object Classify {
+
+  /** One classification rule: Java∩RE2-safe regex (use inline (?i) for
+    * case-insensitivity — both engines support it) → category. */
+  final case class Rule(pattern: String, category: String)
+
+  val DefaultLabel = "otros"
+
+  /** K1: ordered first-match rule classifier; '' when nothing matches. */
+  def byRules(text: Column, rules: Seq[Rule]): Column =
+    rules.foldRight(lit("")) { (r, acc) =>
+      when(text.rlike(r.pattern), lit(r.category)).otherwise(acc)
+    }
+
+  /** K2 stub: deterministic md5-bucket classifier — the testable stand-in
+    * for the LLM batch path, identical in Spark and ANSI SQL. */
+  def stub(text: Column, categories: Seq[String]): Column =
+    element_at(
+      array(categories.map(lit): _*),
+      (((locate_hex(text) - 1) % categories.size) + 1).cast("int"))
+
+  private def locate_hex(text: Column): Column =
+    locate_in(substring(md5(text), 1, 1))
+
+  private def locate_in(c: Column): Column =
+    expr(s"locate(${c.expr.sql}, '0123456789abcdef')")
+
+  /** K4 routing: rule-resolved rows keep their label; unresolved ('') fall
+    * through to the fallback (classifier.py:125-137). */
+  def route(ruleLabel: Column, fallback: Column): Column =
+    coalesce(nullif(ruleLabel, lit("")), fallback)
+
+  /** K3: domain validation — anything outside `allowed` coerced to
+    * [[DefaultLabel]] (classifier.py:147-154). */
+  def domainCoerce(label: Column, allowed: Seq[String]): Column =
+    when(label.isin(allowed: _*), label).otherwise(lit(DefaultLabel))
+
+  /** External batch classifier: ids+texts in, id→label out. Production
+    * implementations call an LLM; tests inject deterministic fakes. */
+  trait BatchClient extends Serializable {
+    def classify(batch: Seq[(String, String)]): Map[String, String]
+  }
+
+  /** K2 production shape: batched foreign calls inside mapPartitions —
+    * the partition is the natural batch boundary; `batchSize` bounds each
+    * call exactly like the reference's BATCH_SIZE=20. A failed batch
+    * yields [[DefaultLabel]] for all its rows instead of failing the task
+    * (per-batch isolation, classifier.py:98-100).
+    *
+    * Scale: no shuffle — each task streams its partition through the
+    * client; concurrency = task parallelism. Rate limits are the client's
+    * concern. This is the (d) `mapPartitions` tier of the preference
+    * order: justified because the operator IS a foreign call. */
+  def classifyBatched(df: DataFrame, idCol: String, textCol: String,
+                      out: String, client: BatchClient,
+                      batchSize: Int = 20): DataFrame = {
+    val schema = df.schema.add(out, StringType)
+    val (idIdx, textIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(textCol))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val keyed = batch.map(r => (String.valueOf(r.get(idIdx)), r.getString(textIdx)))
+        val labels =
+          try client.classify(keyed)
+          catch { case NonFatal(_) => Map.empty[String, String] }
+        batch.lazyZip(keyed).map { case (r, (id, _)) =>
+          Row.fromSeq(r.toSeq :+ labels.getOrElse(id, DefaultLabel))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}
