@@ -13,6 +13,7 @@ object SparkEntry {
     CorePack,
     ProjectionPack,
     JoinPack,
+    ClassifyPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -32,17 +32,25 @@ object Classify {
     }
 
   /** K2 stub: deterministic md5-bucket classifier — the testable stand-in
-    * for the LLM batch path, identical in Spark and ANSI SQL. */
+    * for the LLM batch path, identical in Spark and ANSI SQL. Bucket =
+    * position of md5's first hex digit in '0123456789abcdef' (1..16),
+    * wrapped into the category list. */
   def stub(text: Column, categories: Seq[String]): Column =
     element_at(
       array(categories.map(lit): _*),
       (((locate_hex(text) - 1) % categories.size) + 1).cast("int"))
 
+  /** 1-based position of md5(text)'s first hex char — `call_function`
+    * reaches the registry's Column-substr `locate` overload (the Scala
+    * wrapper only takes a literal String substr). */
   private def locate_hex(text: Column): Column =
-    locate_in(substring(md5(text), 1, 1))
+    call_function("locate", substring(md5(text), 1, 1), lit("0123456789abcdef"))
 
-  private def locate_in(c: Column): Column =
-    expr(s"locate(${c.expr.sql}, '0123456789abcdef')")
+  /** Oracle-SQL fragment computing the same bucket, DuckDB dialect. */
+  def stubSql(textSql: String, categories: Seq[String]): String = {
+    val list = categories.map(c => s"'$c'").mkString("[", ", ", "]")
+    s"$list[(((strpos('0123456789abcdef', substr(md5($textSql), 1, 1)) - 1) % ${categories.size}) + 1)::INT]"
+  }
 
   /** K4 routing: rule-resolved rows keep their label; unresolved ('') fall
     * through to the fallback (classifier.py:125-137). */
