@@ -14,6 +14,8 @@ object SparkEntry {
     ProjectionPack,
     JoinPack,
     ClassifyPack,
+    AggPack,
+    ScalarPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

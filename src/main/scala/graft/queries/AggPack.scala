@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fingerprint
+
+/** Aggregation / window / sort queries — SURVEY §2.8 G1–G3, G6, G7, G11 and
+  * §2.7 W5 (head-sample, reference dags/scraping_etl.py:44).
+  *
+  * Float-parity rule (SURVEY §7.4.7): any `sum` over doubles is computed
+  * over DECIMAL(28,10) casts and cast back to double — decimal addition is
+  * exact, so Spark's partial/final aggregation order and DuckDB's cannot
+  * diverge. Window orderings always carry a unique tiebreaker column and
+  * explicit NULLS FIRST/LAST on both engines.
+  *
+  * Scale notes: groupBy aggregations plan partial (map-side) + final
+  * HashAggregate — one shuffle on the group keys; rollup adds the grouping-
+  * set expansion before the same shuffle. Windows shuffle once on the
+  * partition key then sort within partitions. Top-k per group is the
+  * window + filter form (no global sort); the global order+limit plans as
+  * TakeOrderedAndProject (per-partition top-k, no full sort at scale).
+  * q45's collect_list holds one group's hashes in memory — fine for bounded
+  * groups; an incremental Aggregator is the swap-in if group cardinality
+  * is unbounded (SURVEY §4).
+  */
+object AggPack extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast("decimal(28,10)")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W5/G7: deterministic head-sample — ORDER BY with unique tiebreak + LIMIT.
+    "q19_limit_topn" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+        .limit(50)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))),
+
+    // G1: TPC-H Q1-shape hash aggregation (partial+final, filter pushed).
+    "q30_group_agg" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Q.sumExact(col("l_quantity")).as("sum_qty"),
+          Q.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          Q.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order")))),
+
+    // G2: exact distinct-count per group (approx_count_distinct is the
+    // non-oracle scale variant — HLL sketch, no exact shuffle of values).
+    "q31_count_distinct" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n_orders")))),
+
+    // G3: rollup over two grouping axes (subtotals + grand total).
+    "q32_rollup" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             Q.sumExact(col("o_totalprice")).as("total")))),
+
+    // G6: rank within group (rank, not row_number — tie-stable).
+    "q37_window_rank" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc_nulls_last,
+                   col("o_orderkey").asc_nulls_first)).as("rnk")))),
+
+    // G6: running sum with an explicit frame (decimal-exact accumulation).
+    "q38_window_running" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        sum(dec(col("value"))).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(28,4)").cast("double").as("running_value")))),
+
+    // G7: top-k per group — window row_number + filter, no global sort.
+    "q39_topk_per_group" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc_nulls_last,
+                     col("o_orderkey").asc_nulls_first)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn")))),
+
+    // G11: order-insensitive group fingerprint — the reference's checksum
+    // kernel (H1) lifted to aggregate form (SURVEY §2.8 G11).
+    "q45_udaf_checksum_agg" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .select(col("o_custkey"),
+          Fingerprint.rowHash(Seq(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"))).as("h"))
+        .groupBy(col("o_custkey"))
+        .agg(md5(array_join(sort_array(collect_list(col("h"))), "|")).as("group_hash"),
+             count(lit(1)).as("n")))),
+  )
+
+  private val rowHashSql =
+    Fingerprint.sqlExpr(Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+
+  override val oracleSql: Map[String, String] = Map(
+    "q19_limit_topn" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+           LIMIT 50)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q30_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+                count(*) AS count_order,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) / count(*) AS avg_qty
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY ALL NULLS FIRST""",
+
+    "q31_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""",
+
+    "q32_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q37_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                rank() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC NULLS LAST,
+                                      o_orderkey ASC NULLS FIRST) AS rnk
+         FROM orders ORDER BY ALL NULLS FIRST""",
+
+    "q38_window_running" ->
+      """SELECT user_id, event_id, value,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,4)) AS DOUBLE)
+                  AS running_value
+         FROM events ORDER BY ALL NULLS FIRST""",
+
+    "q39_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC NULLS LAST,
+                                              o_orderkey ASC NULLS FIRST) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY ALL NULLS FIRST""",
+
+    "q45_udaf_checksum_agg" ->
+      s"""SELECT o_custkey,
+                 md5(string_agg(h, '|' ORDER BY h)) AS group_hash,
+                 count(*) AS n
+          FROM (SELECT o_custkey, $rowHashSql AS h FROM orders)
+          GROUP BY o_custkey ORDER BY ALL NULLS FIRST""",
+  )
+}

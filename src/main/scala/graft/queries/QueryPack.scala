@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A pack of declared queries plus their DuckDB-oracle SQL (SURVEY §2).
@@ -22,4 +22,18 @@ object Q {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
+
+  /** Engine-portable exact sum over doubles: accumulate in DECIMAL(28,10)
+    * (exact — association order can't matter), then recast through
+    * DECIMAL(28,4) before the double output. The narrower scale matters:
+    * decimal→double conversion of a 10-scale value rounds differently in
+    * DuckDB (int128→double, then /1e10 — two roundings) vs the JVM's
+    * correctly-rounded BigDecimal.doubleValue; at scale 4 the scaled
+    * integer stays < 2^53 so both engines convert exactly. */
+  def sumExact(c: Column): Column =
+    sum(c.cast("decimal(28,10)")).cast("decimal(28,4)").cast("double")
+
+  /** DuckDB fragment computing the same exact sum. */
+  def sumExactSql(e: String): String =
+    s"CAST(CAST(sum(CAST($e AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE)"
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar JSON / date-math / time-bucket queries — SURVEY §2.8 G9/G10
+  * (batch form). Seeds: `events.props` JSON strings ≙ the reference's
+  * `documentos` JSONB sink (src/storage.py:146-147); daily micro-batch
+  * schedule ≙ tumbling-bucket aggregation (dags/master_etl.py:22).
+  *
+  * All row-local codegen'd built-ins; q44's bucket agg is one partial+final
+  * hash aggregate shuffled on (bucket, event_type) — the batch-equivalent
+  * of the Structured Streaming tumbling window (graft.streaming).
+  */
+object ScalarPack extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast("decimal(28,10)")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G9: JSON field extraction — string and typed forms.
+    "q42_json_extract" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("k_missing")))),
+
+    // G9: date part extraction + truncation + arithmetic.
+    "q43_datemath" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mon"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"),
+        date_add(to_date(col("l_shipdate")), 30).as("ship_plus30"),
+        datediff(to_date(lit("1998-12-01")), to_date(col("l_shipdate")))
+          .cast("long").as("days_to_cutoff")))),
+
+    // G10 batch form: tumbling-hour bucket aggregation over the event stream.
+    "q44_tumbling_batch" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             Q.sumExact(col("value")).as("sum_value")))),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q42_json_extract" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                json_extract_string(props, '$.missing') AS k_missing
+         FROM events ORDER BY ALL NULLS FIRST""",
+
+    "q43_datemath" ->
+      """SELECT l_orderkey, l_linenumber,
+                year(l_shipdate) AS yr,
+                month(l_shipdate) AS mon,
+                date_trunc('month', l_shipdate) AS ship_month,
+                l_shipdate::DATE + 30 AS ship_plus30,
+                date_diff('day', l_shipdate::DATE, DATE '1998-12-01') AS days_to_cutoff
+         FROM lineitem ORDER BY ALL NULLS FIRST""",
+
+    "q44_tumbling_batch" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+                count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""",
+  )
+}
