@@ -16,6 +16,7 @@ object SparkEntry {
     ClassifyPack,
     AggPack,
     ScalarPack,
+    LlmPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

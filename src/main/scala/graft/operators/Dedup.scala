@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection — SURVEY §2.9 L1 (seeded by the reference's
+  * checksum dedup, dags/scraping_etl.py:51-74 and src/storage.py:108-117,
+  * generalized from exact-hash identity to token-set similarity).
+  *
+  * Three tiers, increasing scale:
+  *  - [[jaccardPairs]] — exact all-pairs Jaccard via a token equi-join.
+  *    O(sum over tokens of df(t)^2) pairs: correct, but only viable on a
+  *    bounded candidate set. This is the oracle-checked form.
+  *  - [[minhashSignature]] — per-doc MinHash signatures (k independent
+  *    hash permutations approximated by md5(seed||token) minima). Banding
+  *    those signatures ([[lshBuckets]]) gives the 100 TB path: candidate
+  *    pairs come from equi-joining on (band, band-hash) buckets — a single
+  *    shuffle on the bucket key, no quadratic blowup; exact Jaccard is then
+  *    re-verified only within buckets.
+  *  - [[simhash]] — 32-bit SimHash over tokens for Hamming-style near-dup.
+  *
+  * All hash primitives are md5-derived so DuckDB can replay them exactly
+  * (engine-portable oracles); xxhash64 is the cheaper swap-in when oracle
+  * parity is not needed.
+  */
+object Dedup {
+
+  /** Distinct (id, token) pairs from a token-array column. */
+  def tokens(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol), explode(tokensCol).as("token")).distinct()
+
+  /** L1 exact: all-pairs token-set Jaccard ≥ tau over a candidate set.
+    * One shuffle for the token join, one for the pair aggregation, one
+    * broadcast-friendly join back for sizes. */
+  def jaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                   tau: Double): DataFrame = {
+    val tok = tokens(df, idCol, tokensCol).cache()
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = tok.select(col(idCol).as("id_a"), col("token"))
+    val b = tok.select(col(idCol).as("id_b"), col("token"))
+    val inter = a.join(b, Seq("token")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Engine-portable token hash for permutation `seed`: first 8 hex chars
+    * of md5(seed||'|'||token) read as an unsigned 32-bit int. */
+  def tokenHash(token: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString), token)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: for each of `k` seeds, the minimum [[tokenHash]]
+    * over the doc's tokens. Row-local over the token array — no shuffle. */
+  def minhashSignature(tokensCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(tokensCol, t => tokenHash(t, seed)))
+    }: _*)
+
+  /** LSH banding over a MinHash signature: rows (id, band, bucket-hash).
+    * Docs sharing any (band, bucket) are candidate near-dups; joining on
+    * these keys replaces the all-pairs join at scale. */
+  def lshBuckets(df: DataFrame, idCol: String, sigCol: Column,
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        array((0 until bands).map { b =>
+          md5(concat_ws("|",
+            (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => element_at(sigCol, i + 1).cast("string")): _*))
+        }: _*)).as(Seq("band", "bucket")))
+
+  /** 32-bit SimHash: per-token md5-derived bits, majority-voted per bit
+    * position, weighted by token frequency in the doc. */
+  def simhash(tokensCol: Column): Column = {
+    val bits = (0 until 32).map { i =>
+      // bit i of the token's 32-bit hash → +1 / -1 vote, summed over tokens
+      val vote = aggregate(tokensCol, lit(0L),
+        (acc, t) => acc + when(shiftright(tokenHash(t, 0), i) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * pow(lit(2L), lit(i)).cast("long")).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+}

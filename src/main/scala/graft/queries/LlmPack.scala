@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** LLM-data-pipeline queries — SURVEY §2.9 L1–L4 (BASELINE north star):
+  * near-dedup, vector similarity search, multimodal doc-array columns,
+  * text analysis. Seeds: the reference's checksum dedup (scraping_etl.py:51-74),
+  * the `documentos` array-of-{label,url} column (detail_parser.py:26-62,
+  * storage.py:146-147), and its regex text fields.
+  *
+  * Scale notes per query:
+  *  - q50 exact Jaccard runs on a bounded candidate set; the unbounded-corpus
+  *    path is MinHash+LSH banding (graft.operators.Dedup) where candidates
+  *    come from one shuffle on (band, bucket) — exercised by q54+ and tests.
+  *  - q51 brute-force cosine is the correctness baseline; orderBy+limit plans
+  *    TakeOrderedAndProject (per-partition top-k). The ANN path is
+  *    Similarity.ivfAssign bucket pruning.
+  *  - q52/q53 are explode + hash-agg pipelines — shuffle only on group keys.
+  */
+object LlmPack extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1: exact token-set Jaccard near-dup pairs over a candidate set.
+    "q50_jaccard_pairs" -> ((s, dir) => Q.ordered(
+      Dedup.jaccardPairs(
+        Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", split(col("text"), " "), tau = 0.5))),
+
+    // L2: brute-force cosine top-20 against the vec_id=1 query vector.
+    "q51_cosine_topk" -> ((s, dir) => Q.ordered(
+      Similarity.cosineTopK(
+        Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", k = 20))),
+
+    // L3: multimodal doc-ref array (label,url structs) built per row and
+    // exploded with position — the reference's `documentos` shape; the
+    // third entry is conditional (C5-style variable-length collections).
+    "q52_explode_docs" -> ((s, dir) => Q.ordered {
+      def url(suffix: String) =
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("doc_id").cast("string"), lit(suffix))
+      val full = array(
+        struct(lit("pdf").as("label"), url(".pdf").as("url")),
+        struct(lit("html").as("label"), url(".html").as("url")),
+        struct(lit("xml").as("label"), url(".xml").as("url")))
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(full, lit(1),
+            when(col("n_chars") > 300, 3).otherwise(2))).as(Seq("pos", "doc")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("doc.label").as("label"), col("doc.url").as("url"))
+    }),
+
+    // L4: per-language token statistics — top-5 terms by frequency.
+    "q53_token_stats" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc_nulls_last, col("token").asc_nulls_first)))
+        .filter(col("rn") <= 5))),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q50_jaccard_pairs" ->
+      """WITH cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM cand),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.doc_id
+         JOIN sizes sb ON i.id_b = sb.doc_id
+         WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
+         ORDER BY ALL NULLS FIRST""",
+
+    "q51_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1)
+         SELECT * FROM (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+                        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 6) AS score
+           FROM embeddings, q
+           ORDER BY score DESC NULLS LAST, vec_id ASC
+           LIMIT 20)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q52_explode_docs" ->
+      """WITH u AS (SELECT doc_id, 'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS base, n_chars
+                    FROM documents)
+         SELECT doc_id, 0 AS pos, 'pdf' AS label, base || '.pdf' AS url FROM u
+         UNION ALL
+         SELECT doc_id, 1, 'html', base || '.html' FROM u
+         UNION ALL
+         SELECT doc_id, 2, 'xml', base || '.xml' FROM u WHERE n_chars > 300
+         ORDER BY ALL NULLS FIRST""",
+
+    "q53_token_stats" ->
+      """SELECT lang, token, cnt, rn FROM (
+           SELECT lang, token, cnt,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC NULLS LAST,
+                                              token ASC NULLS FIRST) AS rn
+           FROM (SELECT lang, token, count(*) AS cnt
+                 FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
+                 GROUP BY lang, token))
+         WHERE rn <= 5 ORDER BY ALL NULLS FIRST""",
+  )
+}
