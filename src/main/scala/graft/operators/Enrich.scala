@@ -10,15 +10,16 @@ import org.apache.spark.sql.functions._
   * — exactly LEFT JOIN null-handling. The secondary "expediente" source is
   * a conditional fallback after the join (detail_parser.py:97-119).
   *
-  * Scale: detail/dimension sides are broadcast when small (the common
-  * case: dimensions ≪ facts); callers pass `broadcastDim = false` to let
-  * AQE decide for comparable-size sides.
+  * Scale: AQE picks the join strategy by default — a hard-forced broadcast
+  * of a dimension that grows with the corpus (e.g. customer) is a
+  * driver/executor OOM at the 100 TB design point. Callers pass
+  * `broadcastDim = true` only for provably bounded dims (nation, region).
   */
 object Enrich {
 
   /** S2/J4: left-join enrichment keyed on the row's lookup key. */
   def leftJoin(rows: DataFrame, details: DataFrame, rowKey: String,
-               detailKey: String, broadcastDim: Boolean = true): DataFrame = {
+               detailKey: String, broadcastDim: Boolean = false): DataFrame = {
     val d = if (broadcastDim) broadcast(details) else details
     rows.join(d, rows(rowKey) === d(detailKey), "left")
   }

@@ -28,10 +28,16 @@ object Upsert {
   }
 
   /** MERGE INTO emulation over plain parquet state: union existing+incoming,
-    * keep the winning row per PK (incoming beats existing on ties via the
-    * `version` column the caller supplies — e.g. a batch sequence number). */
+    * keep the winning row per PK — highest `version` wins, and incoming
+    * beats existing when versions tie (an explicit source-precedence sort
+    * key; ordering by version alone would make the winner
+    * non-deterministic on ties). */
   def merge(existing: DataFrame, incoming: DataFrame, pk: Seq[String],
             version: Column): DataFrame =
-    keepFirst(existing.unionByName(incoming, allowMissingColumns = true),
-      pk, Seq(version.desc))
+    keepFirst(
+      existing.withColumn("__src", lit(0))
+        .unionByName(incoming.withColumn("__src", lit(1)),
+          allowMissingColumns = true),
+      pk, Seq(version.desc, col("__src").desc))
+      .drop("__src")
 }

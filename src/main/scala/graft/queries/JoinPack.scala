@@ -3,15 +3,16 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Enrich, Upsert}
+import graft.operators.{Enrich, RangeJoin, Upsert}
 
 /** Join / union / set-op / dedup queries — SURVEY §2.4 (J3/J4), §2.1
   * (S2/S3), §2.7 (W2) and §2.8 G4/G5/G8.
   *
-  * Scale notes: dimension sides (customer, nation) are broadcast — no
-  * shuffle of the fact side; the band join keeps its small side tiny and
-  * broadcast (BroadcastNestedLoop is quadratic — never feed it two large
-  * inputs); set ops and dedup shuffle once on their keys.
+  * Scale notes: only provably bounded dims (nation: 25 rows at any SF)
+  * force a broadcast; growing dims (customer) are left to AQE so the plan
+  * survives a 100× corpus. The band join is the bucketized equi-join form
+  * (RangeJoin) — no BroadcastNestedLoop. Set ops and dedup shuffle once on
+  * their keys.
   */
 object JoinPack extends QueryPack {
 
@@ -25,10 +26,12 @@ object JoinPack extends QueryPack {
           o.filter(col("o_orderpriority") === "1-URGENT").withColumn("branch", lit("urgent")))
     }),
 
-    // W2: PK keep-first dedup with explicit deterministic tiebreaker.
+    // W2: PK keep-first dedup with explicit deterministic tiebreaker
+    // (asc_nulls_first spelled out — DuckDB defaults nulls LAST).
     "q18_upsert_keep_first" -> ((s, dir) => Q.ordered(
       Upsert.keepFirst(Q.t(s, dir, "events"),
-        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        Seq("user_id", "event_type"),
+        Seq(col("ts").asc_nulls_first, col("event_id").asc_nulls_first))
         .select(col("user_id"), col("event_type"), col("event_id"), col("value")))),
 
     // S2/J4: left-join enrichment, dimension broadcast.
@@ -45,10 +48,11 @@ object JoinPack extends QueryPack {
           Enrich.coalesceEnrich(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
     }),
 
-    // G4: 3-way join, both dimensions broadcast.
+    // G4: 3-way join — nation is a bounded dim (25 rows at any SF) so its
+    // broadcast is forced; customer grows with the corpus, AQE decides.
     "q33_join_3way" -> ((s, dir) => Q.ordered {
       val o = Q.t(s, dir, "orders")
-      val c = broadcast(Q.t(s, dir, "customer"))
+      val c = Q.t(s, dir, "customer")
       val n = broadcast(Q.t(s, dir, "nation"))
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
@@ -70,13 +74,13 @@ object JoinPack extends QueryPack {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name")))),
 
-    // G5: band (theta) join — small side kept tiny and broadcast.
+    // G5: band (theta) join — bucketized equi-join + refine (RangeJoin):
+    // linear in match count, no BroadcastNestedLoop, survives both sides
+    // growing with the corpus.
     "q36_range_join" -> ((s, dir) => Q.ordered {
-      val probes = broadcast(
-        Q.t(s, dir, "orders").filter(col("o_orderkey") % 499 === 0)
-          .select(col("o_orderkey"), (col("o_totalprice") / 1000.0).as("center")))
-      Q.t(s, dir, "events").join(probes,
-          col("value") >= col("center") - 1.0 && col("value") <= col("center") + 1.0)
+      val probes = Q.t(s, dir, "orders").filter(col("o_orderkey") % 499 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") / 1000.0).as("center"))
+      RangeJoin.bandJoin(Q.t(s, dir, "events"), "value", probes, "center", 1.0)
         .select(col("o_orderkey"), col("event_id"), col("value"))
     }),
 
@@ -106,7 +110,7 @@ object JoinPack extends QueryPack {
     "q18_upsert_keep_first" ->
       """SELECT user_id, event_type, event_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-                                    ORDER BY ts, event_id) = 1
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) = 1
          ORDER BY ALL NULLS FIRST""",
 
     "q20_left_join_enrich" ->

@@ -14,11 +14,18 @@ trait QueryPack {
 }
 
 object Q {
+  /** When set (Bench only), [[ordered]] becomes identity: the total sort
+    * exists solely so the driver's hash-compare sees deterministic row
+    * order — it is not part of any operator's semantics, and benchmarking
+    * it would measure the verification harness instead of the engine. */
+  val NoOrderProp = "graft.bench.noorder"
+
   /** Total deterministic order: all output columns asc, NULLS FIRST —
     * mirrored on the oracle side by `ORDER BY ALL NULLS FIRST` (DuckDB's
     * default null order is LAST; Spark's asc default is FIRST). */
   def ordered(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.map(c => col(c).asc_nulls_first): _*)
+    if (sys.props.get(NoOrderProp).contains("true")) df
+    else df.orderBy(df.columns.map(c => col(c).asc_nulls_first): _*)
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
