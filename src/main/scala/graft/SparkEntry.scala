@@ -17,6 +17,8 @@ object SparkEntry {
     AggPack,
     ScalarPack,
     LlmPack,
+    TextPack,
+    NearDupPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -75,13 +75,14 @@ object Dedup {
         }: _*)).as(Seq("band", "bucket")))
 
   /** 32-bit SimHash: per-token md5-derived bits, majority-voted per bit
-    * position, weighted by token frequency in the doc. */
+    * position, weighted by token frequency in the doc (ties → 0 bit). */
   def simhash(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => tokenHash(t, 0))
     val bits = (0 until 32).map { i =>
-      // bit i of the token's 32-bit hash → +1 / -1 vote, summed over tokens
-      val vote = aggregate(tokensCol, lit(0L),
-        (acc, t) => acc + when(shiftright(tokenHash(t, 0), i) % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * pow(lit(2L), lit(i)).cast("long")).otherwise(0L)
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines — SURVEY §2.9 L4
+  * (seeded by the reference's regex text fields P8–P10 and lang-tagged
+  * corpus). Language-ID, quality scoring, token counting, and document
+  * fingerprinting — all row-local codegen-friendly built-ins, no UDFs, so
+  * they run at full scan speed on any corpus size.
+  */
+object TextStats {
+
+  /** Number of tokens that belong to a marker/stopword profile. */
+  def profileHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers: _*))).cast("long")
+
+  /** n-gram-heuristic language ID: score each candidate profile by marker
+    * hits; highest score wins, ties broken by profile order. */
+  def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scored = profiles.map { case (lang, markers) =>
+      (lang, profileHits(tokens, markers))
+    }
+    // first profile with score >= all others wins (stable tie-break)
+    scored.zipWithIndex.foldRight(lit(scored.last._1)) {
+      case (((lang, score), i), acc) =>
+        val rest = scored.drop(i + 1).map(_._2)
+        if (rest.isEmpty) acc
+        else when(rest.map(score >= _).reduce(_ && _), lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, " ")).cast("long")
+
+  /** BPE-ish regex token count: alnum runs as units. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+
+  /** Char-length LLM token estimate (~4 chars/token). */
+  def estTokenCount(nChars: Column): Column =
+    ceil(nChars / lit(4.0)).cast("long")
+
+  /** Exact document fingerprint (full text). */
+  def fullFingerprint(text: Column): Column = md5(text)
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set — stable under token reordering (near-dup prefilter). */
+  def contentFingerprint(tokens: Column): Column =
+    md5(array_join(sort_array(array_distinct(tokens)), " "))
+
+  /** Prefix fingerprint over the first `n` tokens — the rolling-hash-style
+    * fast prefilter (two docs sharing a long prefix hash are candidates). */
+  def prefixFingerprint(tokens: Column, n: Int): Column =
+    md5(array_join(slice(tokens, 1, n), " "))
+
+  /** Shard bucket from a fingerprint: first 8 hex chars as uint32 mod m. */
+  def hashBucket(fingerprint: Column, m: Int): Column =
+    (conv(substring(fingerprint, 1, 8), 16, 10).cast("long") % m).cast("long")
+
+  /** Token bigram shingles: w1_w2 pairs (n-gram dedup / LM features). */
+  def bigrams(tokens: Column): Column =
+    zip_with(
+      slice(tokens, lit(1), size(tokens) - 1),
+      slice(tokens, lit(2), size(tokens) - 1),
+      (a, b) => concat(a, lit("_"), b))
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextStats}
+
+/** Near-duplicate detection at scale — SURVEY §2.9 L1/L2 extended.
+  * Four mechanisms, each the oracle-checked form of a 100 TB design:
+  *
+  *  - q58 MinHash+LSH: signatures are row-local; candidate pairs come from
+  *    ONE equi-join on (band, bucket) — the shuffle is linear in corpus
+  *    size, never all-pairs. Exact Jaccard is then verified only within
+  *    candidates (array_intersect on the already-carried token arrays).
+  *  - q59 SimHash: one 32-bit row-local signature; the top-byte bucket is
+  *    the banding key for Hamming-style candidate grouping.
+  *  - q60 n-gram (bigram) Jaccard: shingling makes features rare, so the
+  *    token equi-join stays sparse where unigrams would be dense.
+  *  - q61 embedding cosine near-dup: brute-force on a candidate set; the
+  *    unbounded path is Similarity.ivfAssign bucket pruning.
+  *
+  * All hash primitives are md5-derived (Dedup.tokenHash) so DuckDB replays
+  * them bit-for-bit; swap xxhash64 in when oracle parity is not required.
+  */
+object NearDupPack extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1 scale path: MinHash signatures → LSH banding → verified Jaccard.
+    "q58_minhash_lsh" -> ((s, dir) => Q.ordered {
+      val docs = Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("toks"), k = 8).as("sig"))
+      val buckets = Dedup.lshBuckets(sigs, "doc_id", col("sig"),
+        bands = 4, rowsPerBand = 2)
+      val cand = buckets.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+        .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (inter.cast("double") / (size(col("ta")) + size(col("tb")) - inter))
+            .as("jaccard"))
+    }),
+
+    // L1: SimHash signature + top-byte candidate bucket.
+    "q59_simhash" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        Dedup.simhash(split(col("text"), " ")).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 24)))),
+
+    // L1: bigram-shingle Jaccard pairs (sparse features → sparse join).
+    "q60_ngram_jaccard" -> ((s, dir) => Q.ordered(
+      Dedup.jaccardPairs(
+        Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06))),
+
+    // L2: embedding-cosine near-dup pairs over a candidate set.
+    "q61_embedding_neardup" -> ((s, dir) => Q.ordered {
+      val e = Q.t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+    }),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q58_minhash_lsh" ->
+      """WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+                       FROM documents WHERE doc_id % 5 = 0),
+         tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+         mh AS (SELECT doc_id, s,
+                       min(CAST('0x' || substr(md5(CAST(s AS VARCHAR) || '|' || token), 1, 8) AS BIGINT)) AS mv
+                FROM tok, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS s) seeds
+                GROUP BY doc_id, s),
+         bands AS (SELECT doc_id, s // 2 AS band,
+                          md5(string_agg(CAST(mv AS VARCHAR), '|' ORDER BY s)) AS bucket
+                   FROM mh GROUP BY doc_id, s // 2),
+         cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE)
+                / (len(da.toks) + len(db.toks)
+                   - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) AS jaccard
+         FROM cand c
+         JOIN docs da ON c.id_a = da.doc_id
+         JOIN docs db ON c.id_b = db.doc_id
+         ORDER BY ALL NULLS FIRST""",
+
+    "q59_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+         th AS (SELECT doc_id,
+                       CAST('0x' || substr(md5('0|' || token), 1, 8) AS BIGINT) AS h
+                FROM tok),
+         bits AS (SELECT doc_id, b,
+                         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM th, (SELECT unnest(range(0, 32)) AS b) bs
+                  GROUP BY doc_id, b),
+         sh AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+         SELECT doc_id, simhash, simhash >> 24 AS bucket
+         FROM sh ORDER BY ALL NULLS FIRST""",
+
+    "q60_ngram_jaccard" ->
+      """WITH cand AS (SELECT doc_id, str_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id % 10 = 0),
+         sh AS (SELECT doc_id,
+                       list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) AS shingles
+                FROM cand),
+         tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.id_a = sa.doc_id
+         JOIN sizes sb ON i.id_b = sb.doc_id
+         WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.06
+         ORDER BY ALL NULLS FIRST""",
+
+    "q61_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.3
+         ORDER BY ALL NULLS FIRST""",
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextStats
+
+/** Text-analysis queries — SURVEY §2.9 L4 extended: the per-document
+  * scoring/counting/fingerprinting surface a 100 TB training-data pipeline
+  * filters on. Every query is row-local expression work — filters and
+  * projections push to the parquet scan; no shuffles.
+  */
+object TextPack extends QueryPack {
+
+  /** Marker-token profiles for the heuristic language ID (profile order is
+    * the tie-break order). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small", "big"),
+    "es" -> Seq("data", "query", "table", "row", "column"),
+    "de" -> Seq("spark", "stream", "vector", "batch", "window"))
+
+  private def inListSql(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  private def hitsSql(lang: String): String = {
+    val markers = profiles.find(_._1 == lang).get._2
+    s"len(list_filter(str_split(text, ' '), t -> list_contains(${inListSql(markers)}, t)))"
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L4: language ID — argmax of marker-profile scores, first-tie-break.
+    "q54_langid" -> ((s, dir) => Q.ordered {
+      val toks = split(col("text"), " ")
+      Q.t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextStats.profileHits(toks, profiles(0)._2).as("s_en"),
+        TextStats.profileHits(toks, profiles(1)._2).as("s_es"),
+        TextStats.profileHits(toks, profiles(2)._2).as("s_de"),
+        TextStats.langId(toks, profiles).as("pred_lang"))
+    }),
+
+    // L4: quality scoring — type/token ratio, stopword ratio, length score.
+    "q55_quality_score" -> ((s, dir) => Q.ordered {
+      val toks = split(col("text"), " ")
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        TextStats.profileHits(toks, profiles(0)._2).as("stop_hits"))
+        .withColumn("ttr", col("n_distinct") / col("n_tok"))
+        .withColumn("quality", round(
+          lit(0.3) * (col("n_distinct") / col("n_tok")) +
+          lit(0.4) * (col("stop_hits") / col("n_tok")) +
+          lit(0.3) * least(col("n_tok") / lit(100.0), lit(1.0)), 6))
+    }),
+
+    // L4: token counting — whitespace, BPE-ish regex, char-estimate.
+    "q56_token_count" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+        TextStats.regexTokenCount(col("text")).as("re_tokens"),
+        TextStats.estTokenCount(col("n_chars")).as("est_tokens")))),
+
+    // L4: document fingerprinting — exact, order-insensitive content,
+    // prefix (rolling-style), and a shard bucket for distribution.
+    "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
+      val toks = split(col("text"), " ")
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.fullFingerprint(col("text")).as("full_fp"),
+        TextStats.contentFingerprint(toks).as("content_fp"),
+        TextStats.prefixFingerprint(toks, 16).as("prefix_fp"),
+        TextStats.hashBucket(TextStats.fullFingerprint(col("text")), 1024).as("bucket"))
+    }),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q54_langid" ->
+      s"""SELECT doc_id, lang,
+                 ${hitsSql("en")} AS s_en,
+                 ${hitsSql("es")} AS s_es,
+                 ${hitsSql("de")} AS s_de,
+                 CASE WHEN ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("de")} THEN 'en'
+                      WHEN ${hitsSql("es")} >= ${hitsSql("de")} THEN 'es'
+                      ELSE 'de' END AS pred_lang
+          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q55_quality_score" ->
+      s"""SELECT doc_id, n_tok, n_distinct, stop_hits,
+                 n_distinct / n_tok AS ttr,
+                 round(0.3 * (n_distinct / n_tok) +
+                       0.4 * (stop_hits / n_tok) +
+                       0.3 * least(n_tok / 100.0, 1.0), 6) AS quality
+          FROM (SELECT doc_id,
+                       len(str_split(text, ' ')) AS n_tok,
+                       len(list_distinct(str_split(text, ' '))) AS n_distinct,
+                       ${hitsSql("en")} AS stop_hits
+                FROM documents)
+          ORDER BY ALL NULLS FIRST""",
+
+    "q56_token_count" ->
+      """SELECT doc_id,
+                len(str_split(text, ' ')) AS ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+                CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q57_doc_fingerprint" ->
+      """SELECT doc_id,
+                md5(text) AS full_fp,
+                md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS content_fp,
+                md5(array_to_string(str_split(text, ' ')[1:16], ' ')) AS prefix_fp,
+                CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1024 AS bucket
+         FROM documents ORDER BY ALL NULLS FIRST""",
+  )
+}
