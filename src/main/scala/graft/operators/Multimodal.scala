@@ -1,0 +1,110 @@
+package graft.operators
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support — SURVEY §2.9 L3 extended: image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample stages a training-data
+  * pipeline runs over them.
+  *
+  * The decode step is STUBBED behind [[MediaDecoder]] with a deterministic
+  * fake ([[ByteHistogramDecoder]]) — image/audio codecs are not available
+  * in this environment. Everything Spark-side is real and tested: the
+  * schema, the bounded-batch mapPartitions shape (the Scala analog of
+  * `mapInPandas` batches), the feature-column contract feeding
+  * [[Similarity]] search, and the pure-column metadata ops.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (no driver collect); decode
+  * is embarrassingly parallel per partition; feature vectors are fixed-dim
+  * `array<float>` so downstream ANN join/bucket plans apply unchanged.
+  */
+object Multimodal {
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Deterministic synthetic media table derived from `documents`: payload
+    * = UTF-8 text bytes (an opaque stand-in), kind cycles image/audio/video,
+    * metadata derived from n_chars. Gives the binary-column pipeline a real
+    * distributed input without shipping codecs. */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ((col("doc_id") % 3) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("synthetic").as("format"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+
+  /** Decoded per-item features: fixed-dim vector + frame count. */
+  final case class MediaFeatures(ok: Boolean, features: Array[Float], nFrames: Int)
+
+  /** The foreign decode boundary. Production implementations wrap a codec
+    * library; tests and this environment use the deterministic fake. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(kind: String, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB decoder — deterministic byte-histogram "features" (NOT a real
+    * codec; the decode internals are the only fake part of this pipeline). */
+  final class ByteHistogramDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): MediaFeatures = {
+      val hist = new Array[Float](featureDim)
+      payload.foreach(b => hist((b & 0xff) % featureDim) += 1f)
+      val n = math.max(payload.length, 1).toFloat
+      MediaFeatures(ok = true, hist.map(_ / n), nFrames = payload.length / 64 + 1)
+    }
+  }
+
+  /** Decode in bounded batches inside mapPartitions (no shuffle; the batch
+    * bound caps peak native-decoder memory exactly like the reference's
+    * BATCH_SIZE — classifier.py:140-142). A failed batch yields ok=false
+    * zero-features rows instead of failing the task. */
+  def decodeBatched(df: DataFrame, decoder: MediaDecoder,
+                    kindCol: String = "kind", payloadCol: String = "payload",
+                    batchSize: Int = 32): DataFrame = {
+    val schema = df.schema
+      .add("ok", BooleanType).add("features", ArrayType(FloatType))
+      .add("n_frames", IntegerType)
+    val (kindIdx, payloadIdx) = (schema.fieldIndex(kindCol), schema.fieldIndex(payloadCol))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val decoded =
+            try decoder.decode(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
+            catch { case NonFatal(_) =>
+              MediaFeatures(ok = false, new Array[Float](decoder.featureDim), 0)
+            }
+          Row.fromSeq(r.toSeq ++ Seq(decoded.ok, decoded.features.toSeq, decoded.nFrames))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Pure-column metadata resize — no decode needed, pushes to the scan. */
+  def resizeMeta(meta: Column2, maxW: Int, maxH: Int): Column2 = {
+    val scale = least(
+      lit(maxW) / meta.getField("width"), lit(maxH) / meta.getField("height"), lit(1.0))
+    meta
+      .withField("width", floor(meta.getField("width") * scale).cast("int"))
+      .withField("height", floor(meta.getField("height") * scale).cast("int"))
+  }
+  private type Column2 = org.apache.spark.sql.Column
+
+  /** Frame-sample timestamps: every `strideMs` within duration (bounded). */
+  def frameSampleMs(meta: Column2, strideMs: Long, maxFrames: Int): Column2 =
+    slice(sequence(lit(0L), meta.getField("duration_ms"), lit(strideMs)), 1, maxFrames)
+}

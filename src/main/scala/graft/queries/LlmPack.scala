@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** LLM-data-pipeline queries — SURVEY §2.9 L1–L4 (BASELINE north star):
   * near-dedup, vector similarity search, multimodal doc-array columns,
@@ -56,6 +56,17 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("doc.label").as("label"), col("doc.url").as("url"))
     }),
+
+    // L3: multimodal binary-column pipeline — synthesize opaque payloads,
+    // decode in bounded batches (stub decoder), emit fixed-dim features.
+    // No DuckDB oracle (binary + foreign decode): driver rows-only check;
+    // full behavior covered by MultimodalSpec.
+    "q62_multimodal_decode" -> ((s, dir) => Q.ordered(
+      Multimodal.decodeBatched(
+        Multimodal.synthesizeMedia(Q.t(s, dir, "documents")),
+        new Multimodal.ByteHistogramDecoder())
+        .select(col("media_id"), col("kind"), col("ok"), col("n_frames"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0")))),
 
     // L4: per-language token statistics — top-5 terms by frequency.
     "q53_token_stats" -> ((s, dir) => Q.ordered(

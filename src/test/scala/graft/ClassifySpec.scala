@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Classify
+import graft.operators.Classify.Rule
+import graft.queries.ClassifyPack
+
+/** Rule-classifier kernel tests — first-match order, case handling, miss →
+  * '', domain coercion (reference src/classifier.py:52-72,147-154, covered
+  * by its tests/test_classifier.py:75-114). */
+class ClassifySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rules = Seq(
+    Rule("software|tecnolog", "tecnología"),
+    Rule("servicio", "servicios"),
+    Rule("salud", "salud"))
+
+  private def classify(text: String, rs: Seq[Rule] = rules): String =
+    Seq(text).toDF("t")
+      .select(Classify.byRules(lower(col("t")), rs)).as[String].head()
+
+  test("first matching rule wins (list order = CASE order)") {
+    assert(classify("software de servicio") == "tecnología")
+    assert(classify("servicio de salud") == "servicios")
+  }
+
+  test("case-insensitive via lowercased input") {
+    assert(classify("SOFTWARE LIBRE") == "tecnología")
+  }
+
+  test("no match yields empty string") {
+    assert(classify("nada relevante") == "")
+  }
+
+  test("rule order is load-bearing: swapped rules change the winner") {
+    val swapped = Seq(rules(1), rules(0), rules(2))
+    assert(classify("software de servicio", swapped) == "servicios")
+  }
+
+  test("domainCoerce keeps valid labels, coerces unknown to otros, idempotent") {
+    val allowed = Seq("salud", "servicios")
+    val df = Seq("salud", "desconocido", "").toDF("l")
+    val once = df.select(Classify.domainCoerce(col("l"), allowed).as("l"))
+    assert(once.as[String].collect().toSeq == Seq("salud", "otros", "otros"))
+    val twice = once.select(Classify.domainCoerce(col("l"), allowed))
+    assert(twice.as[String].collect().toSeq == Seq("salud", "otros", "otros"))
+  }
+
+  test("stub is deterministic and lands inside the category list") {
+    val cats = ClassifyPack.categories
+    val df = Seq("texto uno", "texto dos", "texto uno").toDF("t")
+    val got = df.select(Classify.stub(col("t"), cats)).as[String].collect()
+    assert(got(0) == got(2))
+    assert(got.forall(cats.contains))
+  }
+
+  test("route prefers the rule label, falls back on ''") {
+    val df = Seq(("salud", "fallback"), ("", "fallback")).toDF("r", "f")
+    val got = df.select(Classify.route(col("r"), col("f"))).as[String].collect()
+    assert(got.toSeq == Seq("salud", "fallback"))
+  }
+
+  test("classifyBatched applies client labels; failed batch defaults all rows") {
+    val ok = new Classify.BatchClient {
+      def classify(batch: Seq[(String, String)]): Map[String, String] =
+        batch.map { case (id, text) => id -> s"label-$id" }.toMap
+    }
+    val df = Seq(("1", "a"), ("2", "b")).toDF("id", "text")
+    val got = Classify.classifyBatched(df, "id", "text", "sector", ok)
+      .select("id", "sector").as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "label-1", "2" -> "label-2"))
+
+    val failing = new Classify.BatchClient {
+      def classify(batch: Seq[(String, String)]): Map[String, String] =
+        throw new RuntimeException("llm down")
+    }
+    val defaulted = Classify.classifyBatched(df, "id", "text", "sector", failing)
+      .select("sector").as[String].collect()
+    assert(defaulted.forall(_ == Classify.DefaultLabel))
+  }
+}

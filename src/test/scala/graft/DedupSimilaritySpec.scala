@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, RangeJoin, Similarity, TextStats}
+
+/** Near-dup + similarity + band-join kernels. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("jaccardPairs computes exact token-set Jaccard") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", split(col("text"), " "), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+    assert(got == Set((1L, 2L, 0.6)))
+  }
+
+  test("minhash signatures: identical token sets → identical signatures") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "q r s")).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      Dedup.minhashSignature(array_distinct(split(col("text"), " ")), 4).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L)) // order-insensitive
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 4)
+  }
+
+  test("lshBuckets: identical signatures share every band bucket") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      Dedup.minhashSignature(split(col("text"), " "), 4).as("sig"))
+    val buckets = Dedup.lshBuckets(sigs, "id", col("sig"), bands = 2, rowsPerBand = 2)
+    val byId = buckets.as[(Long, Int, String)].collect().groupBy(_._1)
+    assert(byId(1L).map(t => (t._2, t._3)).toSet == byId(2L).map(t => (t._2, t._3)).toSet)
+    assert(byId(1L).length == 2) // one row per band
+  }
+
+  test("simhash: equal docs equal, disjoint docs differ") {
+    val df = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "p q r s")).toDF("id", "text")
+    val got = df.select(col("id"), Dedup.simhash(split(col("text"), " ")))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got(1L) >= 0L && got(1L) < (1L << 32))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 1f), Seq(1f, 1f))
+    ).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 6))
+      .as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(got(1) == 1.0)
+  }
+
+  test("cosineTopK returns k best with deterministic tiebreak") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1f, 0f))).toDF("qvec")
+    val got = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, "qvec", k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L)) // both score 1.0; id asc breaks the tie
+  }
+
+  test("bandJoin equals the naive theta join") {
+    val left = Seq((1L, 10.2), (2L, 11.7), (3L, 25.0)).toDF("lid", "value")
+    val right = Seq((100L, 10.9), (200L, 24.1)).toDF("rid", "center")
+    val got = RangeJoin.bandJoin(left, "value", right, "center", 1.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.crossJoin(right)
+      .filter(col("value") >= col("center") - 1.0 && col("value") <= col("center") + 1.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 200L)))
+  }
+
+  test("bigrams builds adjacent-token shingles") {
+    val got = Seq("w x y z").toDF("t")
+      .select(TextStats.bigrams(split(col("t"), " "))).as[Seq[String]].head()
+    assert(got == Seq("w_x", "x_y", "y_z"))
+  }
+}

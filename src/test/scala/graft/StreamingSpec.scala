@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.KeyedRecord
+
+/** Structured Streaming semantics via MemoryStream — the non-oracle SURVEY
+  * deliverable (G10): watermarked tumbling windows, bounded-state dedup,
+  * and the stateful delta stream. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  final case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+  test("tumblingCounts emits closed windows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingJobs.tumblingCounts(in.toDF(), "ts", "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1, 1.0), Ev(ts(2), "a", 1, 2.0), Ev(ts(11), "b", 2, 3.0))
+      q.processAllAvailable()
+      // watermark far past the first window → it closes and emits
+      in.addData(Ev(ts(59), "c", 3, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("bucket").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "a", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:10:00", "b", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops repeated keys while state is live") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingJobs.dedupWithinWatermark(in.toDF(), "ts", "10 minutes",
+      Seq("user_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1, 1.0), Ev(ts(2), "a", 1, 9.0), Ev(ts(3), "b", 1, 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(4), "a", 1, 7.0)) // still within watermark → dropped
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("event_type", "value")
+        .as[(String, Double)].collect().toSet
+      assert(rows == Set(("a", 1.0), ("b", 2.0)))
+    } finally q.stop()
+  }
+
+  test("deltaStream emits only new-or-changed fingerprints per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedRecord]
+    val out = StreamingJobs.deltaStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("delta")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(KeyedRecord("k1", "h1", "v1"))
+      q.processAllAvailable()
+      in.addData(KeyedRecord("k1", "h1", "v1-again"), KeyedRecord("k2", "h2", "w1"))
+      q.processAllAvailable()
+      in.addData(KeyedRecord("k1", "h9", "v2"))
+      q.processAllAvailable()
+      val rows = spark.table("delta").as[KeyedRecord].collect().toSet
+      assert(rows == Set(
+        KeyedRecord("k1", "h1", "v1"),
+        KeyedRecord("k2", "h2", "w1"),
+        KeyedRecord("k1", "h9", "v2")))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextStats
+
+/** Text-analysis kernels: language ID, counts, fingerprints. */
+class TextStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val profiles = Seq(
+    "en" -> Seq("the", "and"),
+    "es" -> Seq("el", "la"),
+    "de" -> Seq("der", "und"))
+
+  private def langOf(text: String): String =
+    Seq(text).toDF("t")
+      .select(TextStats.langId(split(col("t"), " "), profiles)).as[String].head()
+
+  test("langId picks the highest-scoring profile") {
+    assert(langOf("el la el perro") == "es")
+    assert(langOf("der hund und katze") == "de")
+    assert(langOf("the cat and dog") == "en")
+  }
+
+  test("langId ties break to the earlier profile") {
+    assert(langOf("the el") == "en")   // 1-1 tie: first profile wins
+    assert(langOf("x y z") == "en")    // 0-0-0 tie
+  }
+
+  test("token counts") {
+    val df = Seq(("ab cd3 ef", 9L)).toDF("text", "n_chars")
+    val got = df.select(
+      TextStats.wsTokenCount(col("text")),
+      TextStats.regexTokenCount(col("text")),
+      TextStats.estTokenCount(col("n_chars"))).as[(Long, Long, Long)].head()
+    assert(got == ((3L, 4L, 3L))) // regex splits cd3 into cd + 3
+  }
+
+  test("content fingerprint is order-insensitive; full fingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val (fx, fy, cx, cy) = df.select(
+      TextStats.fullFingerprint(col("x")), TextStats.fullFingerprint(col("y")),
+      TextStats.contentFingerprint(split(col("x"), " ")),
+      TextStats.contentFingerprint(split(col("y"), " ")))
+      .as[(String, String, String, String)].head()
+    assert(fx != fy)
+    assert(cx == cy)
+  }
+
+  test("prefix fingerprint depends only on the first n tokens") {
+    val df = Seq(("a b c d", "a b x y")).toDF("x", "y")
+    val (p2x, p2y, p3x, p3y) = df.select(
+      TextStats.prefixFingerprint(split(col("x"), " "), 2),
+      TextStats.prefixFingerprint(split(col("y"), " "), 2),
+      TextStats.prefixFingerprint(split(col("x"), " "), 3),
+      TextStats.prefixFingerprint(split(col("y"), " "), 3))
+      .as[(String, String, String, String)].head()
+    assert(p2x == p2y)
+    assert(p3x != p3y)
+  }
+
+  test("hashBucket lands in [0, m)") {
+    val got = Seq("anything").toDF("t")
+      .select(TextStats.hashBucket(TextStats.fullFingerprint(col("t")), 1024))
+      .as[Long].head()
+    assert(got >= 0L && got < 1024L)
+  }
+}
