@@ -74,10 +74,16 @@ object Dedup {
               .map(i => element_at(sigCol, i + 1).cast("string")): _*))
         }: _*)).as(Seq("band", "bucket")))
 
-  /** 32-bit SimHash: per-token md5-derived bits, majority-voted per bit
+  /** Per-token 32-bit hash array — materialize this ONCE (e.g. via
+    * `withColumn`) before [[simhashOf]]: the md5 per token is the expensive
+    * part, and the 32 per-bit aggregates must reference the computed
+    * attribute, not re-evaluate the hash expression 32×. */
+  def tokenHashes(tokensCol: Column): Column =
+    transform(tokensCol, t => tokenHash(t, 0))
+
+  /** 32-bit SimHash from a precomputed hash array: majority vote per bit
     * position, weighted by token frequency in the doc (ties → 0 bit). */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => tokenHash(t, 0))
+  def simhashOf(hashes: Column): Column = {
     val bits = (0 until 32).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc +
@@ -86,4 +92,8 @@ object Dedup {
     }
     bits.reduce(_ + _)
   }
+
+  /** Convenience single-expression form — prefer tokenHashes+simhashOf in
+    * hot paths (see [[tokenHashes]]). */
+  def simhash(tokensCol: Column): Column = simhashOf(tokenHashes(tokensCol))
 }

@@ -40,4 +40,13 @@ object Delta {
     * detailed branch may carry extra columns (detail-stage fields). */
   def merge(detailed: DataFrame, bypass: DataFrame): DataFrame =
     detailed.unionByName(bypass, allowMissingColumns = true)
+
+  /** J2 key-presence gate (reference ShortCircuit/Branch,
+    * dags/scraping_etl.py:76-80, dags/master_etl.py:35-49): run the
+    * downstream plan only when the delta is non-empty. `isEmpty` is a
+    * LIMIT-1 job — O(first non-empty partition), not a full scan; within a
+    * single plan Catalyst's PropagateEmptyRelation handles this for free,
+    * so the gate exists for cross-job boundaries only. */
+  def gate[T](toDetail: DataFrame)(ifNonEmpty: => T)(ifEmpty: => T): T =
+    if (toDetail.isEmpty) ifEmpty else ifNonEmpty
 }

@@ -58,6 +58,16 @@ object AggPack extends QueryPack {
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
              count(lit(1)).as("n_orders")))),
 
+    // G2 scale variant: HLL approximate distinct — constant-size sketch
+    // per group instead of shuffling distinct values; the 100 TB form of
+    // q31. No DuckDB oracle (sketch internals are engine-specific):
+    // driver rows-only check; exactness is q31's job.
+    "q63_approx_distinct" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"),
+             count(lit(1)).as("n_orders")))),
+
     // G3: rollup over two grouping axes (subtotals + grand total).
     "q32_rollup" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders")

@@ -42,13 +42,19 @@ object CorePack extends QueryPack {
   private def hashSql(cols: String*) = Fingerprint.sqlExpr(cols)
 
   /** Flagship end-to-end pipeline shape (scan → fingerprint → delta split →
-    * union-merge), used by SparkEntry.entry. */
+    * J2 gate → union-merge), used by SparkEntry.entry. When the delta is
+    * empty the detail stage is short-circuited entirely (the reference's
+    * ShortCircuit branch, dags/scraping_etl.py:76-80). */
   def pipeline(s: SparkSession, dir: String): DataFrame = {
     val (toDetail, bypass) = Delta.split(
       freshLineitem(s, dir), stateLineitem(s, dir),
       Seq("l_orderkey", "l_linenumber"))
-    Delta.merge(toDetail.withColumn("route", lit("detail")),
-                bypass.withColumn("route", lit("bypass")))
+    Delta.gate(toDetail) {
+      Delta.merge(toDetail.withColumn("route", lit("detail")),
+                  bypass.withColumn("route", lit("bypass")))
+    } {
+      bypass.withColumn("route", lit("bypass"))
+    }
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

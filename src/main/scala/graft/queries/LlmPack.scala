@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Cleaning, Dedup, Multimodal, Similarity}
 
 /** LLM-data-pipeline queries — SURVEY §2.9 L1–L4 (BASELINE north star):
   * near-dedup, vector similarity search, multimodal doc-array columns,
@@ -39,8 +39,10 @@ object LlmPack extends QueryPack {
         "qvec", k = 20))),
 
     // L3: multimodal doc-ref array (label,url structs) built per row and
-    // exploded with position — the reference's `documentos` shape; the
-    // third entry is conditional (C5-style variable-length collections).
+    // exploded with position — the reference's `documentos` shape. The
+    // third entry is conditional (variable-length collections); src0 rows
+    // carry a NULL collection normalized to [] first (C5,
+    // reference src/storage.py:146-147) so they explode to zero rows.
     "q52_explode_docs" -> ((s, dir) => Q.ordered {
       def url(suffix: String) =
         concat(lit("https://"), col("source"), lit(".example.com/"),
@@ -49,10 +51,11 @@ object LlmPack extends QueryPack {
         struct(lit("pdf").as("label"), url(".pdf").as("url")),
         struct(lit("html").as("label"), url(".html").as("url")),
         struct(lit("xml").as("label"), url(".xml").as("url")))
+      val documentos = Cleaning.nullToEmptyArray(
+        when(col("source") =!= "src0",
+          slice(full, lit(1), when(col("n_chars") > 300, 3).otherwise(2))))
       Q.t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(slice(full, lit(1),
-            when(col("n_chars") > 300, 3).otherwise(2))).as(Seq("pos", "doc")))
+        .select(col("doc_id"), posexplode(documentos).as(Seq("pos", "doc")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("doc.label").as("label"), col("doc.url").as("url"))
     }),
@@ -109,7 +112,7 @@ object LlmPack extends QueryPack {
 
     "q52_explode_docs" ->
       """WITH u AS (SELECT doc_id, 'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS base, n_chars
-                    FROM documents)
+                    FROM documents WHERE source <> 'src0')
          SELECT doc_id, 0 AS pos, 'pdf' AS label, base || '.pdf' AS url FROM u
          UNION ALL
          SELECT doc_id, 1, 'html', base || '.html' FROM u

@@ -47,11 +47,14 @@ object NearDupPack extends QueryPack {
             .as("jaccard"))
     }),
 
-    // L1: SimHash signature + top-byte candidate bucket.
+    // L1: SimHash signature + top-byte candidate bucket. The token-hash
+    // array is materialized in its own projection so the 32 bit-vote
+    // aggregates reuse it instead of recomputing md5 per bit.
     "q59_simhash" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "documents").select(
-        col("doc_id"),
-        Dedup.simhash(split(col("text"), " ")).as("simhash"))
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.tokenHashes(split(col("text"), " ")).as("__h"))
+        .select(col("doc_id"), Dedup.simhashOf(col("__h")).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 24)))),
 
     // L1: bigram-shingle Jaccard pairs (sparse features → sparse join).
@@ -60,14 +63,19 @@ object NearDupPack extends QueryPack {
         Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06))),
 
-    // L2: embedding-cosine near-dup pairs over a candidate set.
+    // L2: embedding-cosine near-dup pairs over a candidate set. Norms are
+    // precomputed per side (O(n)) so the O(n²) pair stage does one dot
+    // product, not three.
     "q61_embedding_neardup" -> ((s, dir) => Q.ordered {
       val e = Q.t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        Similarity.norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        Similarity.norm(col("embedding")).as("nb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+          round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cos"))
         .filter(col("cos") >= 0.3)
     }),
   )

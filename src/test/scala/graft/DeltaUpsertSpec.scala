@@ -42,6 +42,14 @@ class DeltaUpsertSpec extends AnyFunSuite {
            toDetail.select("key").as[String].collect().toSet)
   }
 
+  test("gate short-circuits downstream when the delta is empty (J2)") {
+    val unchanged = Seq(("k1", "h1", "same")).toDF("key", "row_hash", "payload")
+    val (toDetail, _) = Delta.split(unchanged, state, Seq("key"))
+    assert(Delta.gate(toDetail)("ran")("skipped") == "skipped")
+    val (toDetail2, _) = Delta.split(fresh, state, Seq("key"))
+    assert(Delta.gate(toDetail2)("ran")("skipped") == "ran")
+  }
+
   test("keepFirst picks the deterministic winner under the explicit order") {
     val df = Seq(
       ("k", 2L, "second"), ("k", 1L, "first"), ("k", 3L, "third"),
