@@ -42,6 +42,17 @@ object ScalarPack extends QueryPack {
         .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
              Q.sumExact(col("value")).as("sum_value")))),
+
+    // G10 batch form: session windows (gap-merged per user). The oracle
+    // replays Spark's session semantics — a new session starts when the
+    // gap since the previous event is >= the timeout — via lag + running
+    // sum of boundaries (the classic SQL sessionization).
+    "q64_session_batch" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n")))),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -66,5 +77,22 @@ object ScalarPack extends QueryPack {
                 count(*) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""",
+
+    "q64_session_batch" ->
+      """WITH m AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT min(ts) AS session_start, user_id, count(*) AS n
+         FROM s GROUP BY user_id, sid
+         ORDER BY ALL NULLS FIRST""",
   )
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.Upsert
+
+/** Sink surface — SURVEY §2.7 (W1–W3). The reference upserts into
+  * Postgres with `INSERT … ON CONFLICT (pk) DO UPDATE`
+  * (src/storage.py:41-53,126-131); over immutable parquet the same
+  * semantics are a versioned state rewrite: read the latest state, MERGE
+  * with the incoming batch (PK keep-winner), write the next version.
+  *
+  * Scale notes: [[partitioned]] chooses the pruning key — date/tenant-like
+  * low-cardinality columns, never the PK (one file per row). The merge
+  * rewrite shuffles once on the PK; on a real deployment the same operator
+  * pair targets a table format with MERGE INTO (Delta/Iceberg) instead of
+  * directory versions — the operator semantics (Upsert.merge) are
+  * unchanged, only the commit protocol differs.
+  */
+object Writers {
+
+  /** Partitioned parquet write — `partitionBy` columns become directory
+    * pruning keys for every downstream scan. */
+  def partitioned(df: DataFrame, path: String,
+                  partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  private def versionOf(p: java.nio.file.Path): Option[Long] = {
+    val n = p.getFileName.toString
+    if (n.startsWith("v")) n.drop(1).toLongOption else None
+  }
+
+  /** Latest committed state version under `stateDir`, if any. */
+  def latestVersion(stateDir: String): Option[Long] = {
+    val dir = Paths.get(stateDir)
+    if (!Files.isDirectory(dir)) None
+    else {
+      val it = Files.list(dir)
+      try {
+        val vs = it.iterator()
+        var best = Option.empty[Long]
+        while (vs.hasNext) versionOf(vs.next()).foreach { v =>
+          if (best.forall(_ < v)) best = Some(v)
+        }
+        best
+      } finally it.close()
+    }
+  }
+
+  /** Read the latest state version (None when uninitialized). */
+  def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestVersion(stateDir).map(v => spark.read.parquet(s"$stateDir/v$v"))
+
+  /** W2/W3: upsert `incoming` into the stored state — union + PK
+    * keep-winner (highest version value, incoming beats existing on ties)
+    * — and commit as the next version directory. Returns the new state.
+    * Writing a NEW directory (never in-place) keeps readers of the old
+    * version consistent — the parquet analog of the reference's
+    * transactional ON CONFLICT statement. */
+  def mergeState(spark: SparkSession, stateDir: String, incoming: DataFrame,
+                 pk: Seq[String], version: Column): DataFrame = {
+    val next = latestVersion(stateDir).getOrElse(-1L) + 1
+    val merged = readState(spark, stateDir) match {
+      case Some(existing) => Upsert.merge(existing, incoming, pk, version)
+      case None => Upsert.keepFirst(incoming, pk, Seq(version.desc))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$next")
+    spark.read.parquet(s"$stateDir/v$next")
+  }
+}
