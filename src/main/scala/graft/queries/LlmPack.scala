@@ -60,6 +60,21 @@ object LlmPack extends QueryPack {
           col("doc.label").as("label"), col("doc.url").as("url"))
     }),
 
+    // L2 native-expression variant of q51: the custom codegen DotProduct
+    // (graft.functions.DotProduct) instead of aggregate/zip_with — same
+    // semantics bit-for-bit, so the same oracle applies; the bench delta
+    // between q51 and q65 measures the codegen win.
+    "q65_cosine_topk_native" -> ((s, dir) => Q.ordered {
+      val q = Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+        .select(col("embedding").as("qvec"))
+      Q.t(s, dir, "embeddings").crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosineNative(
+            col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc_nulls_last, col("vec_id").asc_nulls_first)
+        .limit(20)
+    }),
+
     // L3: multimodal binary-column pipeline — synthesize opaque payloads,
     // decode in bounded batches (stub decoder), emit fixed-dim features.
     // No DuckDB oracle (binary + foreign decode): driver rows-only check;
@@ -99,6 +114,18 @@ object LlmPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q51_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1)
+         SELECT * FROM (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+                        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 6) AS score
+           FROM embeddings, q
+           ORDER BY score DESC NULLS LAST, vec_id ASC
+           LIMIT 20)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q65_cosine_topk_native" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1)
          SELECT * FROM (
            SELECT vec_id,
