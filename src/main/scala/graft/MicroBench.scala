@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Micro-benchmark: higher-order-function dot product vs the native
+  * codegen DotProduct expression, at a volume where per-row cost
+  * dominates (the declared-query corpus is too small to separate them).
+  * Run: sbt "runMain graft.MicroBench [rows] [dim]" */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val dim = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def vec(seed: Int) = transform(sequence(lit(1), lit(dim)),
+      i => ((i * (col("id") + seed)) % 97).cast("float"))
+    val df = spark.range(rows).select(vec(1).as("a"), vec(2).as("b")).cache()
+    df.count() // materialize
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[microbench] $label%-8s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    // warmup both
+    df.limit(1000).select(sum(Similarity.dot(col("a"), col("b")))).collect()
+    df.limit(1000).select(sum(VectorFunctions.dotNative(col("a"), col("b")))).collect()
+    time("hof") { df.select(sum(Similarity.dot(col("a"), col("b")))).collect() }
+    time("native") { df.select(sum(VectorFunctions.dotNative(col("a"), col("b")))).collect() }
+    spark.stop()
+  }
+}
