@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys — the manual fallback when AQE's
+  * skew-join splitting isn't applicable (e.g. a broadcast-ineligible dim
+  * joined on a power-law key at the 100 TB design point).
+  *
+  * The big side is salted into `buckets` sub-keys (deterministically, from
+  * a hash of the full row, so replays are stable); the dimension side is
+  * replicated once per bucket. The shuffle then spreads each hot key over
+  * `buckets` reducers at the cost of a `buckets`× dim replication — cheap
+  * when dim ≪ fact, which is the only regime where this is needed.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ dim` on `keys`, spreading each key over `buckets`
+    * partitions. Result equals the unsalted join (salt is internal). */
+  def saltedJoin(big: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+    val dimS = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    bigS.join(dimS, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Enrich, RangeJoin, Upsert}
+import graft.operators.{AsOf, Enrich, RangeJoin, Upsert}
 
 /** Join / union / set-op / dedup queries — SURVEY §2.4 (J3/J4), §2.1
   * (S2/S3), §2.7 (W2) and §2.8 G4/G5/G8.
@@ -84,6 +84,22 @@ object JoinPack extends QueryPack {
         .select(col("o_orderkey"), col("event_id"), col("value"))
     }),
 
+    // G5 extended: as-of join — each event enriched with the most recent
+    // order at-or-before its timestamp per customer (merge-join form: one
+    // shuffle+sort, no quadratic theta join). Oracle: DuckDB native ASOF.
+    "q66_asof_join" -> ((s, dir) => Q.ordered {
+      val orders = Upsert.keepFirst(
+        Q.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").asc_nulls_first))
+      AsOf.asofJoin(
+        Q.t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        "ts",
+        orders.withColumnRenamed("o_custkey", "user_id"), "o_orderdate",
+        Seq("user_id"), Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // G8: INTERSECT (distinct) on key sets.
     "q40_intersect" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -150,6 +166,17 @@ object JoinPack extends QueryPack {
          JOIN (SELECT o_orderkey, o_totalprice / 1000.0 AS center
                FROM orders WHERE o_orderkey % 499 = 0) p
            ON value >= center - 1.0 AND value <= center + 1.0
+         ORDER BY ALL NULLS FIRST""",
+
+    "q66_asof_join" ->
+      """WITH r AS (
+           SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+           FROM orders
+           QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey NULLS FIRST) = 1)
+         SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+         FROM events e
+         ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
          ORDER BY ALL NULLS FIRST""",
 
     "q40_intersect" ->

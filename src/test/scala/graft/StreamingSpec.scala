@@ -60,6 +60,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionCounts merges events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingJobs.sessionCounts(in.toDF(), "ts", "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: 10:01, 10:05, 10:08 → one session; 10:45 → separate session
+      in.addData(Ev(ts(1), "a", 1, 1.0), Ev(ts(5), "a", 1, 1.0),
+        Ev(ts(8), "a", 1, 1.0), Ev(ts(45), "a", 1, 1.0))
+      q.processAllAvailable()
+      // two watermark advances: the second session ends at 10:55, so the
+      // watermark must pass 10:55 (batch N's watermark uses batch N-1's max)
+      in.addData(Ev(ts(59), "a", 9, 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "a", 9, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("session_start").cast("string"), col("user_id"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:01:00", 1L, 3L)))
+      assert(rows.contains(("2024-01-01 10:45:00", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("deltaStream emits only new-or-changed fingerprints per key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedRecord]
