@@ -86,6 +86,24 @@ object LlmPack extends QueryPack {
         .select(col("media_id"), col("kind"), col("ok"), col("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0")))),
 
+    // W3: final-sink JSONB wrap (reference src/storage.py:146-147) — the
+    // documentos array serialized to a JSON string column, NULL → '[]'.
+    // Spark's and DuckDB's compact to_json formats agree byte-for-byte.
+    "q67_jsonb_wrap" -> ((s, dir) => Q.ordered {
+      def url(suffix: String) =
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("doc_id").cast("string"), lit(suffix))
+      val full = array(
+        struct(lit("pdf").as("label"), url(".pdf").as("url")),
+        struct(lit("html").as("label"), url(".html").as("url")),
+        struct(lit("xml").as("label"), url(".xml").as("url")))
+      val documentos = Cleaning.nullToEmptyArray(
+        when(col("source") =!= "src0",
+          slice(full, lit(1), when(col("n_chars") > 300, 3).otherwise(2))))
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"), to_json(documentos).as("documentos_json"))
+    }),
+
     // L4: per-language token statistics — top-5 terms by frequency.
     "q53_token_stats" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "documents")
@@ -146,6 +164,23 @@ object LlmPack extends QueryPack {
          UNION ALL
          SELECT doc_id, 2, 'xml', base || '.xml' FROM u WHERE n_chars > 300
          ORDER BY ALL NULLS FIRST""",
+
+    "q67_jsonb_wrap" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+                           'https://' || source || '.example.com/' || CAST(doc_id AS VARCHAR) AS base
+                    FROM documents)
+         SELECT doc_id,
+                to_json(CASE WHEN source <> 'src0' THEN
+                          CASE WHEN n_chars > 300
+                               THEN [{'label': 'pdf', 'url': base || '.pdf'},
+                                     {'label': 'html', 'url': base || '.html'},
+                                     {'label': 'xml', 'url': base || '.xml'}]
+                               ELSE [{'label': 'pdf', 'url': base || '.pdf'},
+                                     {'label': 'html', 'url': base || '.html'}]
+                          END
+                        ELSE []::STRUCT(label VARCHAR, url VARCHAR)[]
+                        END)::VARCHAR AS documentos_json
+         FROM u ORDER BY ALL NULLS FIRST""",
 
     "q53_token_stats" ->
       """SELECT lang, token, cnt, rn FROM (

@@ -43,6 +43,18 @@ object ScalarPack extends QueryPack {
         .agg(count(lit(1)).as("n"),
              Q.sumExact(col("value")).as("sum_value")))),
 
+    // P6: real XPath extraction (xpath_string) over XML assembled from
+    // corpus columns. The oracle is the independent ground truth (the
+    // values the XML was built from), not a DuckDB xpath replay.
+    "q68_xpath" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents")
+        .withColumn("xml", concat(
+          lit("<doc><title>"), col("lang"), lit("</title><n>"),
+          col("n_chars").cast("string"), lit("</n></doc>")))
+        .select(col("doc_id"),
+          xpath_string(col("xml"), lit("/doc/title")).as("title"),
+          xpath_string(col("xml"), lit("/doc/n")).cast("long").as("n")))),
+
     // G10 batch form: session windows (gap-merged per user). The oracle
     // replays Spark's session semantics — a new session starts when the
     // gap since the previous event is >= the timeout — via lag + running
@@ -77,6 +89,10 @@ object ScalarPack extends QueryPack {
                 count(*) AS n,
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""",
+
+    "q68_xpath" ->
+      """SELECT doc_id, lang AS title, n_chars AS n
+         FROM documents ORDER BY ALL NULLS FIRST""",
 
     "q64_session_batch" ->
       """WITH m AS (
