@@ -103,6 +103,18 @@ object AggPack extends QueryPack {
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn")))),
 
+    // G11 scale form: custom typed Aggregator — incremental XOR group
+    // fingerprint, one-long buffer per group (vs q45's collect_list).
+    "q69_xor_fingerprint" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .select(col("o_custkey"),
+          graft.functions.XorFingerprint.rowHash60(
+            Fingerprint.rowHash(Seq(col("o_orderkey"), col("o_orderstatus"),
+              col("o_orderpriority")))).as("h60"))
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.XorFingerprint.agg(col("h60")).as("xor_hash"),
+             count(lit(1)).as("n")))),
+
     // G11: order-insensitive group fingerprint — the reference's checksum
     // kernel (H1) lifted to aggregate form (SURVEY §2.8 G11).
     "q45_udaf_checksum_agg" -> ((s, dir) => Q.ordered(
@@ -172,6 +184,12 @@ object AggPack extends QueryPack {
                                               o_orderkey ASC NULLS FIRST) AS rn
            FROM orders) WHERE rn <= 3
          ORDER BY ALL NULLS FIRST""",
+
+    "q69_xor_fingerprint" ->
+      s"""SELECT o_custkey,
+                 bit_xor(CAST('0x' || substr(md5($rowHashSql), 1, 15) AS BIGINT)) AS xor_hash,
+                 count(*) AS n
+          FROM orders GROUP BY o_custkey ORDER BY ALL NULLS FIRST""",
 
     "q45_udaf_checksum_agg" ->
       s"""SELECT o_custkey,

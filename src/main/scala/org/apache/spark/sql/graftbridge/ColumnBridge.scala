@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression under a SQL-callable name on an
+    * existing session (SparkSessionExtensions covers only sessions built
+    * with the extension config; this reaches the session registry
+    * directly for library-style opt-in registration). */
+  def registerExpression(spark: org.apache.spark.sql.SparkSession, name: String,
+                         builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

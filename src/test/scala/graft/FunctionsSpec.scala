@@ -42,6 +42,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 
+  test("graft_dot is SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+                          CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))""")
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+
+  test("XorFingerprint aggregator: order-insensitive, partial-merge-safe") {
+    import graft.functions.XorFingerprint
+    val df = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("h", "a")).toDF("k", "v")
+      .repartition(4) // force partial aggregation across partitions
+      .select(col("k"), XorFingerprint.rowHash60(col("v")).as("h"))
+    val fwd = df.groupBy("k").agg(XorFingerprint.agg(col("h")).as("x"))
+      .as[(String, Long)].collect().toMap
+    val rev = df.orderBy(col("h").desc).groupBy("k")
+      .agg(XorFingerprint.agg(col("h")).as("x"))
+      .as[(String, Long)].collect().toMap
+    assert(fwd == rev)           // order-insensitive
+    assert(fwd("g") != fwd("h")) // discriminates different groups
+  }
+
   test("cosineNative matches Similarity.cosine after rounding") {
     val nonZero = Seq(
       (Seq(1.5f, -2.25f, 3.125f), Seq(0.5f, 4.0f, -1.75f)),
