@@ -54,6 +54,10 @@ object StreamingJobs {
   /** A fingerprinted record flowing through the delta stream. */
   final case class KeyedRecord(key: String, hash: String, payload: String)
 
+  /** A fingerprinted record with event time, for the bounded-state form. */
+  final case class TimedRecord(key: String, hash: String, payload: String,
+                               ts: java.sql.Timestamp)
+
   /** J1 streaming: per-key last-hash state; emit only rows whose
     * fingerprint is absent or changed (the reference's to_detail branch,
     * dags/scraping_etl.py:66-69, with streaming state instead of the raw
@@ -70,6 +74,39 @@ object StreamingJobs {
           }
           cur.foreach(state.update)
           out.result().iterator
+        })
+  }
+
+  /** [[deltaStream]] with BOUNDED state: per-key fingerprints expire
+    * `ttlMs` after the key's last event (event-time timeout against the
+    * watermark). At 100 TB keys are unbounded — without a TTL the state
+    * store grows forever; with it, a key silent past its TTL re-emits on
+    * return (at-least-once delta, the documented trade for bounded state —
+    * SURVEY §7.4.10). */
+  def deltaStreamBounded(ds: Dataset[TimedRecord], delay: String,
+                         ttlMs: Long): Dataset[TimedRecord] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[TimedRecord], state: GroupState[String]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[TimedRecord]
+            var cur = state.getOption
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (!cur.contains(r.hash)) { out += r; cur = Some(r.hash) }
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            cur.foreach(state.update)
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, maxTs + ttlMs))
+            out.result().iterator
+          }
         })
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamingJobs
-import graft.streaming.StreamingJobs.KeyedRecord
+import graft.streaming.StreamingJobs.{KeyedRecord, TimedRecord}
 
 /** Structured Streaming semantics via MemoryStream — the non-oracle SURVEY
   * deliverable (G10): watermarked tumbling windows, bounded-state dedup,
@@ -82,6 +82,33 @@ class StreamingSpec extends AnyFunSuite {
         .as[(String, Long, Long)].collect().toSet
       assert(rows.contains(("2024-01-01 10:01:00", 1L, 3L)))
       assert(rows.contains(("2024-01-01 10:45:00", 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("deltaStreamBounded expires state after the TTL (key re-emits on return)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedRecord]
+    val out = StreamingJobs.deltaStreamBounded(in.toDS(), "1 minute",
+      ttlMs = 10 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("deltab")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(TimedRecord("k1", "h1", "v1", ts(0)))
+      q.processAllAvailable()
+      // same hash within TTL → suppressed
+      in.addData(TimedRecord("k1", "h1", "v1-dup", ts(2)))
+      q.processAllAvailable()
+      // push the watermark far past k1's timeout (10:02 + 10min)
+      in.addData(TimedRecord("zz", "hz", "w", Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData(TimedRecord("zz2", "hz2", "w2", Timestamp.valueOf("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // k1's state expired → identical hash re-emits
+      in.addData(TimedRecord("k1", "h1", "v1-back", Timestamp.valueOf("2024-01-01 11:31:00")))
+      q.processAllAvailable()
+      val payloads = spark.table("deltab").as[TimedRecord].collect()
+        .filter(_.key == "k1").map(_.payload).toSet
+      assert(payloads == Set("v1", "v1-back"))
     } finally q.stop()
   }
 

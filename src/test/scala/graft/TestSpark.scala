@@ -8,6 +8,8 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     .config("spark.ui.enabled", "false")
