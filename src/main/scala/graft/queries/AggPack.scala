@@ -75,6 +75,13 @@ object AggPack extends QueryPack {
         .agg(count(lit(1)).as("n"),
              Q.sumExact(col("o_totalprice")).as("total")))),
 
+    // G3: cube — all grouping-set combinations + grouping_id metadata.
+    "q70_cube" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             grouping_id().cast("long").as("gid")))),
+
     // G6: rank within group (rank, not row_number — tie-stable).
     "q37_window_rank" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(
@@ -158,6 +165,12 @@ object AggPack extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY ALL NULLS FIRST""",
+
+    "q70_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY ALL NULLS FIRST""",
 
     "q37_window_rank" ->
