@@ -68,6 +68,15 @@ object AggPack extends QueryPack {
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"),
              count(lit(1)).as("n_orders")))),
 
+    // G1/G9: exact interpolated percentiles per group (rounded before
+    // compare — both engines use linear interpolation but may associate
+    // the float blend differently).
+    "q72_percentile" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+             round(percentile(col("value"), lit(0.9)), 6).as("p90")))),
+
     // G3: rollup over two grouping axes (subtotals + grand total).
     "q32_rollup" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders")
@@ -172,6 +181,12 @@ object AggPack extends QueryPack {
                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY ALL NULLS FIRST""",
+
+    "q72_percentile" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events GROUP BY event_type ORDER BY ALL NULLS FIRST""",
 
     "q37_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

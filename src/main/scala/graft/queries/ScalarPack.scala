@@ -51,9 +51,12 @@ object ScalarPack extends QueryPack {
         .withColumn("xml", concat(
           lit("<doc><title>"), col("lang"), lit("</title><n>"),
           col("n_chars").cast("string"), lit("</n></doc>")))
+        // one xpath() call = one XML parse per row (xpath_string per field
+        // would re-parse the document for every extracted field)
+        .withColumn("parts", xpath(col("xml"), lit("/doc/*/text()")))
         .select(col("doc_id"),
-          xpath_string(col("xml"), lit("/doc/title")).as("title"),
-          xpath_string(col("xml"), lit("/doc/n")).cast("long").as("n")))),
+          element_at(col("parts"), 1).as("title"),
+          element_at(col("parts"), 2).cast("long").as("n")))),
 
     // G10 batch form: session windows (gap-merged per user). The oracle
     // replays Spark's session semantics — a new session starts when the

@@ -62,6 +62,21 @@ object TextPack extends QueryPack {
         TextStats.regexTokenCount(col("text")).as("re_tokens"),
         TextStats.estTokenCount(col("n_chars")).as("est_tokens")))),
 
+    // L4: tf-idf-lite — tf per (doc, token), df per token, idf = ln(N/df).
+    // Two hash aggregations + one token equi-join + a 1-row broadcast for
+    // N; no all-pairs anything.
+    "q71_tfidf" -> ((s, dir) => Q.ordered {
+      val tok = Q.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfc = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val total = Q.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.join(dfc, "token").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -105,6 +120,17 @@ object TextPack extends QueryPack {
                 len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
                 CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q71_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfc AS (SELECT token, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT t.doc_id, t.token, t.tf, d.df,
+                round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
+         FROM tf t JOIN dfc d USING (token), tot
+         ORDER BY ALL NULLS FIRST""",
 
     "q57_doc_fingerprint" ->
       """SELECT doc_id,

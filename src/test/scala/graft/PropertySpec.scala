@@ -1,0 +1,78 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Classify, Delta, Fingerprint, Upsert}
+
+/** Property-style invariants over generated inputs (fixed seed → stable
+  * CI): the SURVEY §5.2 properties — checksum determinism and field-subset
+  * invariance, delta-split partition property, domain-coerce idempotence,
+  * keep-first = minimum-under-order. */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private def randStr(): String = {
+    val pool = Seq("", " ", "x", "yy", "zzz", "Ab c", "ñé", "0", "p|q")
+    pool(rnd.nextInt(pool.size))
+  }
+
+  test("checksum: deterministic and invariant to extra fields (100 cases)") {
+    val rows = Seq.fill(100)((randStr(), randStr(), randStr()))
+    val base = rows.toDF("a", "b", "junk")
+    val h1 = base.select(Fingerprint.rowHash(Seq(col("a"), col("b")))).as[String].collect()
+    val h2 = base.select(Fingerprint.rowHash(Seq(col("a"), col("b")))).as[String].collect()
+    val h3 = base.drop("junk").select(Fingerprint.rowHash(Seq(col("a"), col("b"))))
+      .as[String].collect()
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.toSeq == h3.toSeq)
+    // sensitivity: different field subset => different hash (for distinct values)
+    val h4 = base.select(Fingerprint.rowHash(Seq(col("a")))).as[String].collect()
+    rows.zipWithIndex.foreach { case ((_, b, _), i) =>
+      if (b.nonEmpty) assert(h1(i) != h4(i))
+    }
+  }
+
+  test("delta split: to_detail ⊎ bypass = fresh, disjoint (20 random tables)") {
+    for (_ <- 1 to 20) {
+      val keys = (1 to 10).map(i => s"k$i")
+      val fresh = Seq.fill(15)((keys(rnd.nextInt(keys.size)), s"h${rnd.nextInt(3)}", rnd.nextInt(100)))
+        .toDF("key", "row_hash", "payload")
+      val state = rnd.shuffle(keys).take(rnd.nextInt(keys.size))
+        .map(k => (k, s"h${rnd.nextInt(3)}")).toDF("key", "row_hash")
+      val (toDetail, bypass) = Delta.split(fresh, state, Seq("key"))
+      val d = toDetail.select("key", "row_hash", "payload").collect().toSet
+      val b = bypass.select("key", "row_hash", "payload").collect().toSet
+      val all = fresh.collect().toSet
+      assert(d.union(b).map(_.toSeq) == all.map(_.toSeq))
+      assert(d.intersect(b).isEmpty)
+    }
+  }
+
+  test("domainCoerce is idempotent and total (200 labels)") {
+    val allowed = Seq("a", "b", "c")
+    val labels = Seq.fill(200)(Seq("a", "b", "c", "", "zz", "otros")(rnd.nextInt(6)))
+    val df = labels.toDF("l")
+    val once = df.select(Classify.domainCoerce(col("l"), allowed).as("l"))
+    val twice = once.select(Classify.domainCoerce(col("l"), allowed).as("l"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+    assert(once.as[String].collect().forall(l => allowed.contains(l) || l == "otros"))
+  }
+
+  test("keepFirst returns exactly the min-under-order row per key (10 tables)") {
+    for (_ <- 1 to 10) {
+      val rows = Seq.fill(30)((s"k${rnd.nextInt(5)}", rnd.nextInt(1000), rnd.nextInt(9)))
+      val df = rows.toDF("key", "seq", "v")
+      val got = Upsert.keepFirst(df, Seq("key"),
+        Seq(col("seq").asc_nulls_first, col("v").asc_nulls_first))
+        .as[(String, Int, Int)].collect().toSet
+      val expected = rows.groupBy(_._1).values
+        .map(_.minBy(r => (r._2, r._3))).toSet
+      assert(got == expected)
+    }
+  }
+}
