@@ -91,6 +91,34 @@ object AggPack extends QueryPack {
         .agg(count(lit(1)).as("n"),
              grouping_id().cast("long").as("gid")))),
 
+    // G3 sibling: pivot with an explicit value list (no extra distinct
+    // scan; deterministic column set). Missing combos coalesced to 0 to
+    // match the FILTER-count oracle.
+    "q73_pivot" -> ((s, dir) => Q.ordered {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val pivoted = Q.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+      pivoted.select(col("o_orderstatus") +:
+        priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
+    }),
+
+    // SQL entry point: the same engine through spark.sql over temp views —
+    // a user can drive every operator from SQL text as well as the
+    // DataFrame API.
+    "q74_sql_api" -> ((s, dir) => Q.ordered {
+      Q.t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Q.t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c.c_mktsegment, count(*) AS n,
+               CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS total
+        FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY c.c_mktsegment
+      """)
+    }),
+
     // G6: rank within group (rank, not row_number — tie-stable).
     "q37_window_rank" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(
@@ -181,6 +209,22 @@ object AggPack extends QueryPack {
                 CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY ALL NULLS FIRST""",
+
+    "q73_pivot" ->
+      """SELECT o_orderstatus,
+                count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+                count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+                count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+         FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""",
+
+    "q74_sql_api" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+                CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus = 'O'
+         GROUP BY c.c_mktsegment ORDER BY ALL NULLS FIRST""",
 
     "q72_percentile" ->
       """SELECT event_type,

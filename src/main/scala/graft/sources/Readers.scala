@@ -32,6 +32,21 @@ object Readers {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** CSV that captures malformed rows instead of dropping or failing —
+    * the source-level form of the malformed-row filter (P2,
+    * list_parser.py:36,41-43): rows that don't parse land with their raw
+    * text in `corruptCol` and nulls elsewhere, so the pipeline can route
+    * them (quarantine, count, retry) instead of silently losing them.
+    * `schema` must include `corruptCol` as a string field. */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType,
+                    corruptCol: String = "_corrupt_record",
+                    header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
   /** JSON-lines with an explicit schema (the reference's XCom rows are
     * exactly row-oriented JSON — W4, dags/scraping_etl.py:49,72-74). */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -33,6 +33,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(gotJ == Set((3L, "gamma")))
   }
 
+  test("csvPermissive quarantines malformed rows instead of dropping them") {
+    val dir = tmp("badcsv")
+    Files.writeString(java.nio.file.Paths.get(dir, "part.csv"),
+      "id,n\n1,10\nnot-a-number-row,xx\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType),
+      StructField("_corrupt_record", StringType)))
+    val df = Readers.csvPermissive(spark, dir, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("id", "n").as[(Long, Long)].collect().toSet
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().toSeq
+    assert(good == Set((1L, 10L), (3L, 30L)))
+    assert(bad == Seq("not-a-number-row,xx"))
+  }
+
   test("keyedLookup: isin and semi-join forms agree") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val byLit = Readers.keyedLookup(df, "k", Seq(1L, 3L))
