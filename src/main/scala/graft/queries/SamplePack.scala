@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling / split queries — reproducible-at-scale
+  * alternatives to RNG sampling (row-local hash filters, no shuffle
+  * except the stratified window).
+  */
+object SamplePack extends QueryPack {
+
+  private val bucketSql =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ~10% reproducible sample by key hash.
+    "q75_hash_sample" -> ((s, dir) => Q.ordered(
+      Sampling.hashSample(Q.t(s, dir, "documents"), col("doc_id"), 10)
+        .select(col("doc_id"), col("lang")))),
+
+    // stable train/val/test labeling (80/10/10).
+    "q76_train_split" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        Sampling.split(col("doc_id"), 80, 10).as("split")))),
+
+    // stratified: 3 docs per language, hash-ordered (engine-portable).
+    "q77_stratified_sample" -> ((s, dir) => Q.ordered(
+      Sampling.stratified(Q.t(s, dir, "documents"), Seq("lang"),
+        col("doc_id"), 3)
+        .select(col("lang"), col("doc_id")))),
+  )
+
+  override val oracleSql: Map[String, String] = Map(
+    "q75_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE $bucketSql < 10 ORDER BY ALL NULLS FIRST""",
+
+    "q76_train_split" ->
+      s"""SELECT doc_id,
+                 CASE WHEN $bucketSql < 80 THEN 'train'
+                      WHEN $bucketSql < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q77_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                                              doc_id NULLS FIRST) AS rn
+           FROM documents) WHERE rn <= 3
+         ORDER BY ALL NULLS FIRST""",
+  )
+}
