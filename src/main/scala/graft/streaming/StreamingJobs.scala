@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
 
 /** Structured Streaming surface — SURVEY §2.8 G10. The reference's daily
   * Airflow micro-batch + checksum delta (dags/master_etl.py:22,
@@ -50,6 +51,21 @@ object StreamingJobs {
                            keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** The reference's storage_etl as a streaming sink: every micro-batch
+    * MERGEs into the versioned parquet state (same Upsert.merge semantics
+    * as the batch path — foreachBatch is the batch-sink escape hatch, so
+    * sink behavior is identical in both modes). Caller `.start()`s the
+    * returned writer. */
+  def mergeStateSink(df: DataFrame, stateDir: String, pk: Seq[String],
+                     version: Column): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Writers.mergeState(
+          batch.sparkSession, stateDir, batch, pk, version)
+        ()
+      }
 
   /** A fingerprinted record flowing through the delta stream. */
   final case class KeyedRecord(key: String, hash: String, payload: String)

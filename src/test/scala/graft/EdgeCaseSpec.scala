@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Delta, Similarity, Upsert}
+
+/** Empty-input and boundary behavior across operators — the cases a
+  * long-running incremental pipeline hits on quiet days. */
+class EdgeCaseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val empty = Seq.empty[(String, String)].toDF("key", "row_hash")
+
+  test("delta split with empty state routes everything to to_detail") {
+    val fresh = Seq(("k1", "h1"), ("k2", "h2")).toDF("key", "row_hash")
+    val (toDetail, bypass) = Delta.split(fresh, empty, Seq("key"))
+    assert(toDetail.count() == 2 && bypass.count() == 0)
+  }
+
+  test("delta split with empty fresh yields two empty branches") {
+    val state = Seq(("k1", "h1")).toDF("key", "row_hash")
+    val (toDetail, bypass) = Delta.split(empty, state, Seq("key"))
+    assert(toDetail.count() == 0 && bypass.count() == 0)
+    assert(Delta.gate(toDetail)("ran")("skipped") == "skipped")
+  }
+
+  test("keepFirst and merge on empty inputs") {
+    assert(Upsert.keepFirst(empty, Seq("key"),
+      Seq(col("row_hash").asc_nulls_first)).count() == 0)
+    val existing = Seq(("k", 1, "v")).toDF("pk", "version", "p")
+    val emptyIncoming = Seq.empty[(String, Int, String)].toDF("pk", "version", "p")
+    val merged = Upsert.merge(existing, emptyIncoming, Seq("pk"), col("version"))
+    assert(merged.select("p").as[String].collect().toSeq == Seq("v"))
+  }
+
+  test("jaccardPairs below threshold and on single-doc input is empty") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(one, "doc_id", split(col("text"), " "), 0.1).count() == 0)
+    val disjoint = Seq((1L, "a b"), (2L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(disjoint, "doc_id", split(col("text"), " "), 0.1).count() == 0)
+  }
+
+  test("cosineTopK with k larger than the table returns all rows") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1f, 1f))).toDF("qvec")
+    assert(Similarity.cosineTopK(vecs, "vec_id", "embedding", q, "qvec", 10)
+      .count() == 2)
+  }
+
+  test("empty-string and null text flow through fingerprints and tokens") {
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fp = df.select(
+      graft.operators.TextStats.fullFingerprint(col("text")).as("f"),
+      graft.operators.TextStats.contentFingerprint(split(col("text"), " ")).as("c"))
+      .collect()
+    assert(fp(0).getString(0) != null) // md5("") is defined
+    assert(fp(1).isNullAt(0))          // md5(null) is null, not a crash
+  }
+}

@@ -85,6 +85,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergeStateSink upserts each micro-batch into the versioned state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-state").toString
+    val in = MemoryStream[(String, Int, String)]
+    val df = in.toDF().toDF("pk", "version", "payload")
+    val q = StreamingJobs.mergeStateSink(df, dir, Seq("pk"), col("version")).start()
+    try {
+      in.addData(("k1", 1, "a"), ("k2", 1, "b"))
+      q.processAllAvailable()
+      in.addData(("k1", 2, "a2"), ("k3", 1, "c"))
+      q.processAllAvailable()
+      val state = graft.sources.Writers.readState(spark, dir).get
+        .select("pk", "payload").as[(String, String)].collect().toMap
+      assert(state == Map("k1" -> "a2", "k2" -> "b", "k3" -> "c"))
+      assert(graft.sources.Writers.latestVersion(dir).contains(1L))
+    } finally q.stop()
+  }
+
   test("deltaStreamBounded expires state after the TTL (key re-emits on return)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedRecord]
