@@ -36,6 +36,25 @@ object ScalarPack extends QueryPack {
         datediff(to_date(lit("1998-12-01")), to_date(col("l_shipdate")))
           .cast("long").as("days_to_cutoff")))),
 
+    // G1/G9: statistical aggregates — correlation and sample stddev per
+    // group, rounded before compare (both engines accumulate float moments
+    // in partition order).
+    "q78_corr_stats" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+             round(stddev_samp(col("l_discount")), 6).as("disc_stddev"),
+             count(lit(1)).as("n")))),
+
+    // G9: JSON object → MAP → exploded key/value rows (the dynamic-keys
+    // form of q42's fixed-path extraction).
+    "q79_map_explode" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING,BIGINT>")))
+            .as(Seq("k", "v"))))),
+
     // G10 batch form: tumbling-hour bucket aggregation over the event stream.
     "q44_tumbling_batch" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "events")
@@ -96,6 +115,19 @@ object ScalarPack extends QueryPack {
     "q68_xpath" ->
       """SELECT doc_id, lang AS title, n_chars AS n
          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q78_corr_stats" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                round(stddev_samp(l_discount), 6) AS disc_stddev,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""",
+
+    "q79_map_explode" ->
+      """SELECT event_id, k,
+                CAST(json_extract_string(props, '$."' || k || '"') AS BIGINT) AS v
+         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+         ORDER BY ALL NULLS FIRST""",
 
     "q64_session_batch" ->
       """WITH m AS (
