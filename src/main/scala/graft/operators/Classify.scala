@@ -62,6 +62,21 @@ object Classify {
   def domainCoerce(label: Column, allowed: Seq[String]): Column =
     when(label.isin(allowed: _*), label).otherwise(lit(DefaultLabel))
 
+  /** Classifier result cache (reference configs/classifier.yml
+    * `cache_path`, a key→label JSON): rows whose key is already labeled
+    * in `cache` skip the classify stage entirely; only misses run
+    * `classify`. Returns (all labeled rows, refreshed cache). The cache
+    * join is the same delta shape as J1 — one shuffle on the key, and at
+    * scale the cache is just another keyed state table.
+    * `cache` must carry exactly (key, out) with unique keys. */
+  def cached(df: DataFrame, cache: DataFrame, key: String, out: String)
+            (classify: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val hits = df.join(cache, Seq(key), "inner")
+    val misses = classify(df.join(cache.select(key), Seq(key), "left_anti"))
+    val all = hits.unionByName(misses)
+    (all, all.select(key, out).distinct())
+  }
+
   /** External batch classifier: ids+texts in, id→label out. Production
     * implementations call an LLM; tests inject deterministic fakes. */
   trait BatchClient extends Serializable {

@@ -64,6 +64,23 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.toSeq == Seq("salud", "fallback"))
   }
 
+  test("cached: hits skip the classify stage, misses refresh the cache") {
+    val df = Seq(("k1", "salud total"), ("k2", "software x"), ("k3", "nada"))
+      .toDF("key", "text")
+    val cache = Seq(("k1", "CACHED")).toDF("key", "sector")
+    var classifiedKeys = Set.empty[String]
+    val (all, newCache) = Classify.cached(df, cache, "key", "sector") { misses =>
+      classifiedKeys = misses.select("key").as[String].collect().toSet
+      misses.withColumn("sector",
+        Classify.domainCoerce(Classify.byRules(lower(col("text")), rules),
+          Seq("tecnología", "salud")))
+    }
+    assert(classifiedKeys == Set("k2", "k3")) // k1 never re-classified
+    val labels = all.select("key", "sector").as[(String, String)].collect().toMap
+    assert(labels == Map("k1" -> "CACHED", "k2" -> "tecnología", "k3" -> "otros"))
+    assert(newCache.count() == 3) // refreshed cache covers all keys
+  }
+
   test("classifyBatched applies client labels; failed batch defaults all rows") {
     val ok = new Classify.BatchClient {
       def classify(batch: Seq[(String, String)]): Map[String, String] =
