@@ -93,13 +93,19 @@ object ProjectionPack extends QueryPack {
         .withColumn("age_days",
           datediff(to_date(lit("1998-12-01")), col("ship_date")).cast("long")))),
 
-    // C7: URL absolutize + force-https + host extraction.
+    // C7: URL absolutize (relative → base-joined, absolute passthrough) +
+    // force-https + host extraction.
     "q14_url_norm" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "documents").select(
         col("doc_id"),
         Cleaning.forceHttps(
           concat(lit("http://"), col("source"), lit(".example.com/"),
-            col("doc_id").cast("string"))).as("url"))
+            col("doc_id").cast("string"))).as("url"),
+        Cleaning.absolutize("https://base.example.com",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("/files/"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("http://other.example.com/"),
+              col("doc_id").cast("string")))).as("abs_url"))
         .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1)))),
   )
 
@@ -168,6 +174,9 @@ object ProjectionPack extends QueryPack {
       """SELECT doc_id,
                 regexp_replace('http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR),
                                '^http:', 'https:') AS url,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'https://base.example.com/files/' || CAST(doc_id AS VARCHAR)
+                     ELSE 'http://other.example.com/' || CAST(doc_id AS VARCHAR) END AS abs_url,
                 regexp_extract(regexp_replace('http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR),
                                '^http:', 'https:'), 'https://([^/]+)/', 1) AS host
          FROM documents ORDER BY ALL NULLS FIRST""",
