@@ -14,14 +14,7 @@ object Bench {
     System.setProperty(graft.queries.Q.NoOrderProp, "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(s"local[$cpus]", cpus)
     // untimed warmup: session/codegen/parquet-footer startup shouldn't be
     // billed to whichever query happens to run first
     try Tables.load(spark, sfDir, "lineitem").limit(1)

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session construction for the engine — the one place the
+  * library's session invariants live:
+  *  - UTC session timezone (date/time parity with any ANSI oracle);
+  *  - nanos-as-long parquet reads (TIMESTAMP(NANOS) sources — Tables);
+  *  - AQE with skew-join splitting (on by default in Spark 4, pinned
+  *    here so a cluster-side default flip can't regress skewed joins);
+  *  - graft native functions registered (SQL-callable graft_dot).
+  *
+  * `shufflePartitions` should be ≈ total executor cores on a real
+  * cluster; the mains pass SPARK_GRAFT_CPUS.
+  */
+object GraftSession {
+  def build(master: String, shufflePartitions: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -14,12 +14,7 @@ object MicroBench {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(2000000L)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("local[8]", "8")
 
     def vec(seed: Int) = transform(sequence(lit(1), lit(dim)),
       i => ((i * (col("id") + seed)) % 97).cast("float"))
