@@ -63,6 +63,20 @@ object NearDupPack extends QueryPack {
         Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06))),
 
+    // L1: edit-distance near-dup — Levenshtein over a bounded candidate
+    // set (classic fuzzy-match; at scale, prefilter by length band +
+    // prefix bucket before any pairwise distance).
+    "q81_levenshtein" -> ((s, dir) => Q.ordered {
+      val cand = Q.t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val a = cand.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = cand.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+    }),
+
     // L2: embedding-cosine near-dup pairs over a candidate set. Norms are
     // precomputed per side (O(n)) so the O(n²) pair stage does one dot
     // product, not three.
@@ -136,6 +150,14 @@ object NearDupPack extends QueryPack {
          JOIN sizes sa ON i.id_a = sa.doc_id
          JOIN sizes sb ON i.id_b = sb.doc_id
          WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.06
+         ORDER BY ALL NULLS FIRST""",
+
+    "q81_levenshtein" ->
+      """WITH cand AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 100 = 0)
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM cand a JOIN cand b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 3
          ORDER BY ALL NULLS FIRST""",
 
     "q61_embedding_neardup" ->

@@ -55,6 +55,19 @@ object ScalarPack extends QueryPack {
             org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING,BIGINT>")))
             .as(Seq("k", "v"))))),
 
+    // G9: array scalar library over token arrays — sort, membership,
+    // position, overlap, bounded slice.
+    "q80_array_funcs" -> ((s, dir) => Q.ordered {
+      val toks = split(col("text"), " ")
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 5), ",").as("first5_sorted"),
+        array_contains(toks, "data").as("has_data"),
+        array_position(toks, "spark").cast("long").as("spark_pos"),
+        arrays_overlap(toks, array(lit("vector"), lit("stream"))).as("has_vec_or_stream"),
+        size(toks).cast("long").as("n_tok"))
+    }),
+
     // G10 batch form: tumbling-hour bucket aggregation over the event stream.
     "q44_tumbling_batch" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "events")
@@ -114,6 +127,15 @@ object ScalarPack extends QueryPack {
 
     "q68_xpath" ->
       """SELECT doc_id, lang AS title, n_chars AS n
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q80_array_funcs" ->
+      """SELECT doc_id,
+                array_to_string(list_sort(list_distinct(str_split(text, ' ')))[1:5], ',') AS first5_sorted,
+                list_contains(str_split(text, ' '), 'data') AS has_data,
+                CAST(coalesce(list_position(str_split(text, ' '), 'spark'), 0) AS BIGINT) AS spark_pos,
+                len(list_intersect(str_split(text, ' '), ['vector', 'stream'])) > 0 AS has_vec_or_stream,
+                len(str_split(text, ' ')) AS n_tok
          FROM documents ORDER BY ALL NULLS FIRST""",
 
     "q78_corr_stats" ->

@@ -15,11 +15,11 @@ class PlanLintSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Intentional bounded cross joins: q51/q65 broadcast a 1-row query
-    * vector, q61 crosses a filtered bounded candidate set, q71 crosses a
+    * vector, q61/q81 cross filtered bounded candidate sets, q71 crosses a
     * 1-row corpus count. */
   private val crossJoinWhitelist = Set(
     "q51_cosine_topk", "q61_embedding_neardup", "q65_cosine_topk_native",
-    "q71_tfidf")
+    "q71_tfidf", "q81_levenshtein")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no unbounded nested-loop or cartesian join") {
