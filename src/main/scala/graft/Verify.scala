@@ -16,18 +16,27 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.duration._
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      scala.concurrent.Future {
+      name -> scala.concurrent.Future {
+        // own job group per query → a hung/timed-out query is cancellable
+        // without losing the rest of the round (round-1 lesson: one bad
+        // query must never zero every other result)
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf)
+    futures.foreach { case (name, f) =>
+      try scala.concurrent.Await.result(f, 10.minutes)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[verify] $name timed out; cancelling its jobs")
+        spark.sparkContext.cancelJobGroup(name)
+      }
+    }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Enrich, RangeJoin, Upsert}
+import graft.operators.{AsOf, Enrich, RangeJoin, Skew, Upsert}
 
 /** Join / union / set-op / dedup queries — SURVEY §2.4 (J3/J4), §2.1
   * (S2/S3), §2.7 (W2) and §2.8 G4/G5/G8.
@@ -100,6 +100,15 @@ object JoinPack extends QueryPack {
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // G4 skew path: salted equi-join — result equals the plain join (the
+    // salt is internal), but each hot key spreads over 8 reducers.
+    "q82_salted_join" -> ((s, dir) => Q.ordered(
+      Skew.saltedJoin(
+        Q.t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        Q.t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"), buckets = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment")))),
+
     // G8: INTERSECT (distinct) on key sets.
     "q40_intersect" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -166,6 +175,11 @@ object JoinPack extends QueryPack {
          JOIN (SELECT o_orderkey, o_totalprice / 1000.0 AS center
                FROM orders WHERE o_orderkey % 499 = 0) p
            ON value >= center - 1.0 AND value <= center + 1.0
+         ORDER BY ALL NULLS FIRST""",
+
+    "q82_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY ALL NULLS FIRST""",
 
     "q66_asof_join" ->
