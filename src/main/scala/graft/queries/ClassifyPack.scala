@@ -57,7 +57,7 @@ object ClassifyPack extends QueryPack {
   private val noisyCategories: Seq[String] =
     categories.take(6) ++ Seq("desconocido", "INVALID") ++ categories.drop(6)
 
-  private def ruleCaseSql(textSql: String): String =
+  def ruleCaseSql(textSql: String): String =
     rules.map(r => s"WHEN regexp_matches($textSql, '${r.pattern}') THEN '${r.category}'")
       .mkString("CASE ", " ", " ELSE '' END")
 

@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Delta, Fingerprint}
+import graft.Pipeline
+import graft.config._
+import graft.operators.{Classify, Delta, Fingerprint}
 
 /** Slice 0 — the reference's soul (SURVEY §7.2.1): canonical fingerprint
   * (H1, reference src/scrapers/scraper.py:53-56) feeding the incremental
@@ -57,7 +59,45 @@ object CorePack extends QueryPack {
     }
   }
 
+  /** q83 config: the reference's per-country YAML semantics instantiated
+    * over the documents corpus — positional cell, regex-with-fallback,
+    * block-anchored extraction, fingerprint subset, rule+stub classifier. */
+  private val e2eConfig = DatasetConfig(
+    name = "docs_e2e",
+    lookupKey = "numero",
+    hashFields = Seq("numero", "titulo", "detail_url"),
+    fields = Seq(
+      FieldSpec("numero", from = "doc_id_str"),
+      FieldSpec("titulo", from = "text", kind = "regex",
+        pattern = "the ([a-z]+)", group = 1, fallbacks = Seq("lang")),
+      FieldSpec("detalle", from = "text", kind = "block_after",
+        anchor = "data", pattern = "([a-z]{4,})"),
+      FieldSpec("detail_url", from = "source")),
+    classifier = Some(ClassifierConfig(
+      rules = ClassifyPack.rules,
+      categories = ClassifyPack.categories,
+      titleCol = "titulo", detailCol = "detalle")))
+
+  private def e2eRaw(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .withColumn("doc_id_str", col("doc_id").cast("string"))
+
+  private def e2eState(s: SparkSession, dir: String): DataFrame = {
+    val staged = Pipeline.fingerprint(
+      Pipeline.clean(Pipeline.project(e2eRaw(s, dir), e2eConfig), e2eConfig),
+      e2eConfig)
+    staged.filter(col("numero").cast("long") % 2 === 0)
+      .select(col("numero"),
+        when(col("numero").cast("long") % 7 === 0, lit("stale"))
+          .otherwise(col("row_hash")).as("row_hash"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The whole reference DAG, oracle-verified: config-driven projection →
+    // cleaning → fingerprint → delta split (gated) → classify → merge.
+    "q83_pipeline_e2e" -> ((s, dir) => Q.ordered(
+      Pipeline.run(e2eRaw(s, dir), e2eState(s, dir), e2eConfig))),
+
     "q09_row_checksum" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -68,7 +108,49 @@ object CorePack extends QueryPack {
         Seq("l_orderkey", "l_linenumber"))._1)),
   )
 
+  private val e2eTextSql = "lower(concat_ws(' ', titulo, detalle))"
+
   override val oracleSql: Map[String, String] = Map(
+    "q83_pipeline_e2e" ->
+      s"""WITH proj AS (
+            SELECT trim(CAST(doc_id AS VARCHAR)) AS numero,
+                   coalesce(nullif(regexp_extract(text, 'the ([a-z]+)', 1), ''), lang) AS titulo,
+                   CASE WHEN instr(text, 'data') > 0
+                        THEN regexp_extract(substr(text, instr(text, 'data') + 4), '([a-z]{4,})', 1) END AS detalle,
+                   trim(source) AS detail_url
+            FROM documents),
+          cln AS (
+            SELECT numero,
+                   nullif(trim(titulo), '') AS titulo,
+                   nullif(trim(detalle), '') AS detalle,
+                   nullif(trim(detail_url), '') AS detail_url
+            FROM proj
+            WHERE numero IS NOT NULL AND trim(numero) <> ''),
+          fp AS (
+            SELECT *, md5(concat_ws('|', coalesce(numero, ''), coalesce(titulo, ''), coalesce(detail_url, ''))) AS row_hash
+            FROM cln),
+          st AS (
+            SELECT numero,
+                   CASE WHEN CAST(numero AS BIGINT) % 7 = 0 THEN 'stale' ELSE row_hash END AS row_hash
+            FROM fp WHERE CAST(numero AS BIGINT) % 2 = 0),
+          j AS (
+            SELECT f.numero, f.titulo, f.detalle, f.detail_url, f.row_hash, s.row_hash AS sh
+            FROM fp f LEFT JOIN st s ON f.numero = s.numero),
+          det AS (
+            SELECT numero, titulo, detalle, detail_url, row_hash,
+                   coalesce(nullif(${ClassifyPack.ruleCaseSql(e2eTextSql)}, ''),
+                            ${Classify.stubSql(e2eTextSql, ClassifyPack.categories)}) AS lab
+            FROM j WHERE sh IS NULL OR sh <> row_hash)
+          SELECT numero, titulo, detalle, detail_url, row_hash,
+                 CASE WHEN lab IN (${ClassifyPack.categories.map(c => s"'$c'").mkString(", ")})
+                      THEN lab ELSE 'otros' END AS sector,
+                 'detail' AS route
+          FROM det
+          UNION ALL
+          SELECT numero, titulo, detalle, detail_url, row_hash, NULL, 'bypass'
+          FROM j WHERE sh = row_hash
+          ORDER BY ALL NULLS FIRST""",
+
     "q09_row_checksum" ->
       s"""SELECT o_orderkey, ${hashSql("o_orderkey", "o_orderstatus", "o_orderpriority")} AS row_hash
           FROM orders ORDER BY ALL NULLS FIRST""",
