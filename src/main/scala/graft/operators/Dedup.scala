@@ -49,11 +49,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Engine-portable token hash for permutation `seed`: first 8 hex chars
-    * of md5(seed||'|'||token) read as an unsigned 32-bit int. */
+  /** Engine-portable token hash for permutation `seed`: an 8-hex window
+    * of md5((seed/4)||'|'||token) read as an unsigned 32-bit int — one
+    * digest serves four seeds (window seed%4), so k=8 signatures cost two
+    * md5 evaluations per token, not eight. Seed 0 is the first window of
+    * md5('0|'||token), identical to the simple first-8-hex hash. */
   def tokenHash(token: Column, seed: Int): Column =
-    conv(substring(md5(concat_ws("|", lit(seed.toString), token)), 1, 8), 16, 10)
-      .cast("long")
+    conv(substring(md5(concat_ws("|", lit((seed / 4).toString), token)),
+      1 + 8 * (seed % 4), 8), 16, 10).cast("long")
 
   /** MinHash signature: for each of `k` seeds, the minimum [[tokenHash]]
     * over the doc's tokens. Row-local over the token array — no shuffle. */

@@ -100,7 +100,7 @@ object NearDupPack extends QueryPack {
                        FROM documents WHERE doc_id % 5 = 0),
          tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
          mh AS (SELECT doc_id, s,
-                       min(CAST('0x' || substr(md5(CAST(s AS VARCHAR) || '|' || token), 1, 8) AS BIGINT)) AS mv
+                       min(CAST('0x' || substr(md5(CAST(s // 4 AS VARCHAR) || '|' || token), 1 + 8 * (s % 4), 8) AS BIGINT)) AS mv
                 FROM tok, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS s) seeds
                 GROUP BY doc_id, s),
          bands AS (SELECT doc_id, s // 2 AS band,
