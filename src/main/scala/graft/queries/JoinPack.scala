@@ -109,6 +109,30 @@ object JoinPack extends QueryPack {
         Seq("o_custkey"), buckets = 8)
         .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment")))),
 
+    // G8: UNION (distinct) — q10 is the ALL form; this is the set form.
+    "q84_union_distinct" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+        .union(Q.t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+        .distinct())),
+
+    // G4: null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys
+    // match NULL keys instead of vanishing, the semantic a dedup-by-
+    // nullable-column needs.
+    "q85_nullsafe_join" -> ((s, dir) => Q.ordered {
+      val o = Q.t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_orderpriority"))
+          .as("prio"))
+      val ref = Q.t(s, dir, "orders")
+        .select(when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+        .distinct()
+        .withColumn("prio_group", coalesce(col("prio"), lit("(none)")))
+      o.join(ref, o("prio") <=> ref("prio"))
+        .select(col("o_orderkey"), col("prio_group"))
+    }),
+
     // G8: INTERSECT (distinct) on key sets.
     "q40_intersect" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -191,6 +215,23 @@ object JoinPack extends QueryPack {
          SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
          FROM events e
          ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+         ORDER BY ALL NULLS FIRST""",
+
+    "q84_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+         UNION
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+         ORDER BY ALL NULLS FIRST""",
+
+    "q85_nullsafe_join" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio
+                    FROM orders),
+          ref AS (SELECT DISTINCT prio, coalesce(prio, '(none)') AS prio_group
+                  FROM (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio
+                        FROM orders))
+         SELECT o.o_orderkey, ref.prio_group
+         FROM o JOIN ref ON o.prio IS NOT DISTINCT FROM ref.prio
          ORDER BY ALL NULLS FIRST""",
 
     "q40_intersect" ->

@@ -32,6 +32,18 @@ class AsOfSkewSpec extends AnyFunSuite {
       4L -> Some("r2"), 5L -> None))
   }
 
+  test("bandJoin handles negative values and band boundaries") {
+    val left = Seq((1L, -2.5), (2L, -0.3), (3L, 0.0), (4L, 1.0)).toDF("lid", "value")
+    val right = Seq((10L, -2.0), (20L, 0.0)).toDF("rid", "center")
+    val got = graft.operators.RangeJoin.bandJoin(left, "value", right, "center", 1.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = left.crossJoin(right)
+      .filter(col("value") >= col("center") - 1.0 && col("value") <= col("center") + 1.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got.contains((4L, 20L))) // inclusive upper boundary
+  }
+
   test("saltedJoin equals the unsalted join (inner and left)") {
     val big = Seq((1L, "hot"), (2L, "hot"), (3L, "cold"), (4L, "missing"))
       .toDF("id", "key")
