@@ -46,6 +46,14 @@ object StreamingJobs {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n"))
 
+  /** S2/J4 streaming: per-row enrichment as a stream-static left join —
+    * the dimension is re-read per micro-batch (so slowly-changing dims
+    * pick up updates), the stream side never buffers. Broadcast/AQE
+    * decisions apply per batch exactly as in the batch path. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(dim, stream(streamKey) === dim(dimKey), "left")
+
   /** W2 streaming: exact dedup with watermark-bounded state. */
   def dedupWithinWatermark(events: DataFrame, tsCol: String, delay: String,
                            keys: Seq[String]): DataFrame =

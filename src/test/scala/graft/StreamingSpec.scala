@@ -85,6 +85,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStream left-joins the stream against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val in = MemoryStream[Ev]
+    val out = StreamingJobs.enrichStream(in.toDF(), dim, "user_id", "cust_id")
+      .select(col("event_type"), col("user_id"), col("tier"))
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1, 0.0), Ev(ts(2), "b", 2, 0.0), Ev(ts(3), "c", 9, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .collect().map(r => (r.getString(0), Option(r.getAs[String]("tier")))).toSet
+      assert(rows == Set(("a", Some("gold")), ("b", Some("silver")), ("c", None)))
+    } finally q.stop()
+  }
+
   test("mergeStateSink upserts each micro-batch into the versioned state") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("stream-state").toString
