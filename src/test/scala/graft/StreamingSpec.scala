@@ -147,6 +147,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full streaming pipeline: delta state filter chained into the merge sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-pipe").toString
+    val in = MemoryStream[KeyedRecord]
+    val deltas = StreamingJobs.deltaStream(in.toDS()).toDF()
+      .withColumn("v", lit(1))
+    val q = StreamingJobs.mergeStateSink(deltas, dir, Seq("key"), col("v")).start()
+    try {
+      in.addData(KeyedRecord("k1", "h1", "v1"), KeyedRecord("k2", "h2", "w1"))
+      q.processAllAvailable()
+      in.addData(KeyedRecord("k1", "h1", "dup-suppressed"))
+      q.processAllAvailable()
+      in.addData(KeyedRecord("k1", "h9", "v2"))
+      q.processAllAvailable()
+      val state = graft.sources.Writers.readState(spark, dir).get
+        .select("key", "hash", "payload").as[(String, String, String)].collect().toSet
+      // k1's dup never reached the sink; its change did and won the merge
+      assert(state == Set(("k1", "h9", "v2"), ("k2", "h2", "w1")))
+    } finally q.stop()
+  }
+
   test("deltaStream emits only new-or-changed fingerprints per key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KeyedRecord]
