@@ -52,6 +52,40 @@ object ScaleSmoke {
         .agg(Q.sumExact(col("l_quantity")).as("s"), count(lit(1)).as("n"))
         .count()
     }
+
+    // LLM-op scale paths: LSH candidates (never all-pairs) over a 10×
+    // documents corpus, and IVF-bucketed cosine pairs over 10× embeddings
+    // (brute force would be |V|²; bucket pruning keeps it linear-ish).
+    val docsBase = Tables.load(spark, sfDir, "documents")
+    val bigDocs = (0 until mult).map { i =>
+      docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    time("minhash-lsh-cands") {
+      val sigs = bigDocs.select(col("doc_id"),
+        operators.Dedup.minhashSignature(col("toks"), 8).as("sig"))
+      val buckets = operators.Dedup.lshBuckets(sigs, "doc_id", col("sig"), 4, 2)
+      // the bucket-size cap is the load-bearing guard: uncapped, this
+      // homogeneous corpus produced 9.6e8 candidate pairs (691 s)
+      operators.Dedup.lshCandidates(buckets, maxBucketSize = 50).count()
+    }
+    val vecBase = Tables.load(spark, sfDir, "embeddings")
+    val bigVecs = (0 until mult).map { i =>
+      vecBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+    time("ivf-cosine-pairs") {
+      val bucketed = bigVecs.select(col("vec_id"), col("embedding"),
+        operators.Similarity.ivfAssign(col("embedding"), 8).as("bkt"),
+        operators.Similarity.norm(col("embedding")).as("nrm"))
+      val a = bucketed.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("bkt"), col("nrm").as("na"))
+      val b = bucketed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("bkt"), col("nrm").as("nb"))
+      a.join(b, Seq("bkt")).filter(col("ida") < col("idb"))
+        .filter(functions.VectorFunctions.dotNative(col("va"), col("vb")) /
+          (col("na") * col("nb")) >= 0.3)
+        .count()
+    }
     spark.stop()
   }
 }

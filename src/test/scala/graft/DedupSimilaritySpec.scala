@@ -40,6 +40,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byId(1L).length == 2) // one row per band
   }
 
+  test("lshCandidates pairs small buckets and drops oversized ones") {
+    // 4 identical docs (one giant bucket) + 2 identical docs (small bucket)
+    val docs = (Seq.fill(4)("a b c") ++ Seq.fill(2)("x y z")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sigs = docs.select(col("id"),
+      Dedup.minhashSignature(split(col("text"), " "), 4).as("sig"))
+    val buckets = Dedup.lshBuckets(sigs, "id", col("sig"), bands = 2, rowsPerBand = 2)
+    val capped = Dedup.lshCandidates(buckets, maxBucketSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((4L, 5L))) // the 4-doc bucket exceeded the cap
+    val uncapped = Dedup.lshCandidates(buckets, maxBucketSize = 10).count()
+    assert(uncapped == 6 + 1) // C(4,2) + C(2,2)
+  }
+
   test("simhash: equal docs equal, disjoint docs differ") {
     val df = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "p q r s")).toDF("id", "text")
     val got = df.select(col("id"), Dedup.simhash(split(col("text"), " ")))
@@ -68,6 +82,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val got = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, "qvec", k = 2)
       .select("vec_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 4L)) // both score 1.0; id asc breaks the tie
+  }
+
+  test("ivfAssign buckets by dominant signed dimension") {
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f)),   // dim 1 positive dominant → bucket +1
+      (2L, Seq(-0.8f, 0.2f)),  // dim 1 negative dominant → bucket -1
+      (3L, Seq(0.1f, 0.7f)),   // dim 2 positive dominant → bucket +2
+      (4L, Seq(0.85f, 0.05f))  // same bucket as vec 1
+    ).toDF("id", "vec")
+    val got = df.select(col("id"), Similarity.ivfAssign(col("vec"), 2).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 1 && got(2L) == -1 && got(3L) == 2)
+    assert(got(4L) == got(1L)) // similar vectors co-bucket
   }
 
   test("bandJoin equals the naive theta join") {
