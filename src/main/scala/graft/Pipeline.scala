@@ -89,7 +89,11 @@ object Pipeline {
     }
 
   /** Upsert-prep stage (W2/W3): prune to stored columns, in-batch PK dedup
-    * keep-first under an explicit arrival order. */
+    * keep-first under an explicit arrival order. The PK here is the
+    * FINGERPRINT, not the lookup key — the reference's raw and final
+    * tables are both `primary_key: row_hash` (configs/colombia.yml:86-93,
+    * storage.py:108-117); two same-lookup-key rows with different content
+    * are distinct physical rows by design, superseded via the delta path. */
   def upsertPrep(df: DataFrame, cfg: DatasetConfig,
                  arrivalOrder: Seq[Column]): DataFrame = {
     val pruned =
@@ -99,18 +103,23 @@ object Pipeline {
   }
 
   /** End-to-end run (SURVEY §3.1 master DAG): returns the merged frame of
-    * enriched to-detail rows and bypass rows, with a `route` marker. Empty
-    * delta short-circuits the classify stage entirely (J2). */
+    * enriched to-detail rows and bypass rows, with a `route` marker.
+    *
+    * `gated = true` reproduces the reference's cross-job ShortCircuit
+    * (J2): an eager isEmpty probe skips the classify stage when the delta
+    * is empty — the right shape when classify is a real foreign call.
+    * `gated = false` keeps everything one lazy plan (no job at
+    * construction; Catalyst's PropagateEmptyRelation provides the
+    * short-circuit inside the plan) — the right shape for declared
+    * queries and benchmarks. */
   def run(raw: DataFrame, state: DataFrame, cfg: DatasetConfig,
-          passthrough: Seq[String] = Nil): DataFrame = {
+          passthrough: Seq[String] = Nil, gated: Boolean = true): DataFrame = {
     val staged = fingerprint(clean(project(raw, cfg, passthrough), cfg), cfg)
     val (toDetail, bypass) = delta(staged, state, cfg)
-    Delta.gate(toDetail) {
-      Delta.merge(
-        classify(toDetail, cfg).withColumn("route", lit("detail")),
-        bypass.withColumn("route", lit("bypass")))
-    } {
-      bypass.withColumn("route", lit("bypass"))
-    }
+    def full = Delta.merge(
+      classify(toDetail, cfg).withColumn("route", lit("detail")),
+      bypass.withColumn("route", lit("bypass")))
+    if (gated) Delta.gate(toDetail)(full)(bypass.withColumn("route", lit("bypass")))
+    else full
   }
 }

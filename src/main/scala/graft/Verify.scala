@@ -37,7 +37,10 @@ object Verify {
         spark.sparkContext.cancelJobGroup(name)
       }
     }
+    // drain the pool before spark.stop(): a late-starting future must not
+    // race the shutdown (its write would die on a stopped context)
     pool.shutdown()
+    pool.awaitTermination(2, java.util.concurrent.TimeUnit.MINUTES)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

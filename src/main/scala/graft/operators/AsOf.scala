@@ -28,16 +28,23 @@ object AsOf {
     val lSide = left
       .withColumn("__ts", col(lTs))
       .withColumn("__side", lit(1))
+    // value columns travel as ONE struct so the fill is atomic: the most
+    // recent right ROW wins as a unit. Filling columns independently with
+    // last(ignoreNulls) would stitch values from different right rows —
+    // and would skip a legitimately-NULL value on the most recent row in
+    // favor of an older one, diverging from ASOF semantics.
     val rSide = right
-      .select(keys.map(col) ++ (col(rTs).as("__ts") +: valueCols.map(col)): _*)
+      .select(keys.map(col) ++ Seq(col(rTs).as("__ts"),
+        struct(valueCols.map(col): _*).as("__vals")): _*)
       .withColumn("__side", lit(0))
     val combined = lSide.unionByName(rSide, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc_nulls_first, col("__side").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(combined) { (d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    val filled = combined
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(v => col(s"__vals.$v").as(v)): _*)
   }
 }

@@ -31,10 +31,13 @@ object Dedup {
 
   /** L1 exact: all-pairs token-set Jaccard ≥ tau over a candidate set.
     * One shuffle for the token join, one for the pair aggregation, one
-    * broadcast-friendly join back for sizes. */
+    * broadcast-friendly join back for sizes. The token frame is reused in
+    * three branches but NOT cached here — Spark's exchange reuse covers
+    * the shared shuffle, and an operator must not leak pinned blocks into
+    * a long-lived session (callers that want caching own it). */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
                    tau: Double): DataFrame = {
-    val tok = tokens(df, idCol, tokensCol).cache()
+    val tok = tokens(df, idCol, tokensCol)
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = tok.select(col(idCol).as("id_a"), col("token"))
     val b = tok.select(col(idCol).as("id_b"), col("token"))

@@ -52,10 +52,14 @@ object Multimodal {
   final case class MediaFeatures(ok: Boolean, features: Array[Float], nFrames: Int)
 
   /** The foreign decode boundary. Production implementations wrap a codec
-    * library; tests and this environment use the deterministic fake. */
+    * library; tests and this environment use the deterministic fake.
+    * `decodeBatch` is the unit the pipeline calls — codecs that amortize
+    * setup over a batch override it; the default delegates per item. */
   trait MediaDecoder extends Serializable {
     def featureDim: Int
     def decode(kind: String, payload: Array[Byte]): MediaFeatures
+    def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[MediaFeatures] =
+      batch.map { case (kind, payload) => decode(kind, payload) }
   }
 
   /** STUB decoder — deterministic byte-histogram "features" (NOT a real
@@ -69,10 +73,13 @@ object Multimodal {
     }
   }
 
-  /** Decode in bounded batches inside mapPartitions (no shuffle; the batch
-    * bound caps peak native-decoder memory exactly like the reference's
-    * BATCH_SIZE — classifier.py:140-142). A failed batch yields ok=false
-    * zero-features rows instead of failing the task. */
+  /** Decode in bounded batches inside mapPartitions (no shuffle): each
+    * [[MediaDecoder.decodeBatch]] call sees at most `batchSize` items, so
+    * the batch bound genuinely caps peak native-decoder memory — the
+    * analog of the reference's BATCH_SIZE (classifier.py:140-142). A
+    * failed (or wrong-arity) batch yields ok=false zero-features rows for
+    * ALL its items instead of failing the task — per-batch isolation,
+    * like the reference's per-batch {} fallback (classifier.py:98-100). */
   def decodeBatched(df: DataFrame, decoder: MediaDecoder,
                     kindCol: String = "kind", payloadCol: String = "payload",
                     batchSize: Int = 32): DataFrame = {
@@ -82,13 +89,18 @@ object Multimodal {
     val (kindIdx, payloadIdx) = (schema.fieldIndex(kindCol), schema.fieldIndex(payloadCol))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val decoded =
-            try decoder.decode(r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
-            catch { case NonFatal(_) =>
-              MediaFeatures(ok = false, new Array[Float](decoder.featureDim), 0)
-            }
-          Row.fromSeq(r.toSeq ++ Seq(decoded.ok, decoded.features.toSeq, decoded.nFrames))
+        val inputs = batch.map(r =>
+          (r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx)))
+        val decoded =
+          try {
+            val out = decoder.decodeBatch(inputs)
+            if (out.length == batch.length) out else throw new IllegalStateException
+          } catch { case NonFatal(_) =>
+            Seq.fill(batch.length)(
+              MediaFeatures(ok = false, new Array[Float](decoder.featureDim), 0))
+          }
+        batch.lazyZip(decoded).map { case (r, d) =>
+          Row.fromSeq(r.toSeq ++ Seq(d.ok, d.features.toSeq, d.nFrames))
         }
       }
     }(Encoders.row(schema))

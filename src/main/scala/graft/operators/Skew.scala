@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ dim` on `keys`, spreading each key over `buckets`
-    * partitions. Result equals the unsalted join (salt is internal). */
+    * partitions. Result equals the unsalted join (salt is internal) for
+    * join types that never emit unmatched DIM rows — right/full outer are
+    * rejected, because the `buckets`× dim replication would surface each
+    * unmatched dim row once per salt. */
   def saltedJoin(big: DataFrame, dim: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin cannot preserve '$joinType' semantics: unmatched dim " +
+        "rows would be replicated once per salt bucket")
     val bigS = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(buckets)))
     val dimS = dim.withColumn("__salt",

@@ -32,6 +32,31 @@ class AsOfSkewSpec extends AnyFunSuite {
       4L -> Some("r2"), 5L -> None))
   }
 
+  test("asofJoin: a NULL value on the most recent right row stays NULL") {
+    val left = Seq((1L, "k", t("10:30"))).toDF("id", "key", "ts")
+    val right = Seq(
+      ("k", t("09:00"), Option("old"), Option("o2")),
+      ("k", t("10:00"), Option.empty[String], Option("n2"))
+    ).toDF("key", "rts", "v1", "v2")
+    val got = AsOf.asofJoin(left, "ts", right, "rts", Seq("key"), Seq("v1", "v2"))
+      .select("v1", "v2").collect().head
+    // the 10:00 row wins atomically: v1 NULL (not back-filled from 09:00),
+    // v2 from the same row (no cross-row stitching)
+    assert(got.isNullAt(0))
+    assert(got.getString(1) == "n2")
+  }
+
+  test("saltedJoin rejects join types that emit unmatched dim rows") {
+    val big = Seq((1L, "a")).toDF("id", "key")
+    val dim = Seq(("a", "x")).toDF("key", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, dim, Seq("key"), 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, dim, Seq("key"), 4, joinType = "full_outer")
+    }
+  }
+
   test("bandJoin handles negative values and band boundaries") {
     val left = Seq((1L, -2.5), (2L, -0.3), (3L, 0.0), (4L, 1.0)).toDF("lid", "value")
     val right = Seq((10L, -2.0), (20L, 0.0)).toDF("rid", "center")

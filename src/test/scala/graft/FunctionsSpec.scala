@@ -42,6 +42,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 
+  test("ragged arrays yield null in BOTH forms (shared oracle contract)") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dotNative(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("hof")).collect().head
+    assert(got.isNullAt(0) && got.isNullAt(1))
+  }
+
   test("graft_dot is SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(

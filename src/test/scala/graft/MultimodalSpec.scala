@@ -43,6 +43,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(run1.forall(r => math.abs(r._3.sum - 1f) < 1e-5))
   }
 
+  test("decodeBatch receives real bounded batches (not per-row calls)") {
+    val acc = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val probe = new Multimodal.MediaDecoder {
+      val featureDim = 2
+      def decode(kind: String, payload: Array[Byte]): Multimodal.MediaFeatures =
+        Multimodal.MediaFeatures(ok = true, new Array[Float](2), 1)
+      override def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Multimodal.MediaFeatures] = {
+        acc.add(batch.size)
+        super.decodeBatch(batch)
+      }
+    }
+    val media = Multimodal.synthesizeMedia(docs).coalesce(1)
+    Multimodal.decodeBatched(media, probe, batchSize = 2).collect()
+    import scala.jdk.CollectionConverters._
+    val sizes = acc.value.asScala.map(_.intValue).toSeq
+    assert(sizes.nonEmpty && sizes.max <= 2 && sizes.contains(2)) // genuinely batched, bounded
+  }
+
   test("a throwing decoder yields ok=false zero rows, not a failed task") {
     val boom = new Multimodal.MediaDecoder {
       val featureDim = 4
