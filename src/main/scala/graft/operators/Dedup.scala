@@ -34,10 +34,29 @@ object Dedup {
     * broadcast-friendly join back for sizes. The token frame is reused in
     * three branches but NOT cached here — Spark's exchange reuse covers
     * the shared shuffle, and an operator must not leak pinned blocks into
-    * a long-lived session (callers that want caching own it). */
+    * a long-lived session (callers that want caching own it).
+    *
+    * `maxDfFrac` is the blow-up guard of this operator (SCALE.md's standing
+    * rule: every candidate-generation step needs one): the pair join costs
+    * Σ over tokens of df(t)², so a token present in most docs makes the
+    * join quadratic in corpus size. Tokens with document frequency above
+    * `maxDfFrac × |docs|` are dropped BEFORE sizes and intersection — i.e.
+    * stop-token removal, mirrored in the oracle — bounding per-token join
+    * fan-out the way the LSH bucket cap bounds [[lshCandidates]]. The
+    * corpus count is a 1-row aggregate broadcast into the df table (the
+    * q71-tfidf pattern), not a driver-side action. */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
-                   tau: Double): DataFrame = {
-    val tok = tokens(df, idCol, tokensCol)
+                   tau: Double, maxDfFrac: Double = 1.0): DataFrame = {
+    val raw = tokens(df, idCol, tokensCol)
+    val tok = if (maxDfFrac >= 1.0) raw else {
+      val total = raw.select(col(idCol)).distinct()
+        .agg(count(lit(1)).cast("double").as("__total"))
+      val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(total))
+        .filter(col("__df") <= col("__total") * maxDfFrac)
+        .select("token")
+      raw.join(kept, Seq("token"))
+    }
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = tok.select(col(idCol).as("id_a"), col("token"))
     val b = tok.select(col(idCol).as("id_b"), col("token"))

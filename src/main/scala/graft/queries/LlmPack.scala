@@ -24,11 +24,15 @@ import graft.operators.{Cleaning, Dedup, Multimodal, Similarity}
 object LlmPack extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // L1: exact token-set Jaccard near-dup pairs over a candidate set.
+    // L1: exact token-set Jaccard near-dup pairs over a candidate set,
+    // with the df-cap guard in-plan: this corpus's unigram vocab is tiny
+    // (31 tokens, max df 44/50 docs), so without the cap the token join is
+    // dense — Σ df(t)² ≈ all-pairs. maxDfFrac=0.5 drops near-universal
+    // tokens before sizes and intersection (mirrored in the oracle).
     "q50_jaccard_pairs" -> ((s, dir) => Q.ordered(
       Dedup.jaccardPairs(
         Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", split(col("text"), " "), tau = 0.5))),
+        "doc_id", split(col("text"), " "), tau = 0.5, maxDfFrac = 0.5))),
 
     // L2: brute-force cosine top-20 against the vec_id=1 query vector.
     "q51_cosine_topk" -> ((s, dir) => Q.ordered(
@@ -119,9 +123,12 @@ object LlmPack extends QueryPack {
     "q50_jaccard_pairs" ->
       """WITH cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
          tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM cand),
-         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         kept AS (SELECT token FROM tok GROUP BY token
+                  HAVING count(*) <= 0.5 * (SELECT count(DISTINCT doc_id) FROM tok)),
+         tok2 AS (SELECT tok.doc_id, tok.token FROM tok JOIN kept USING (token)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                   FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                   FROM tok2 a JOIN tok2 b ON a.token = b.token AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT i.id_a, i.id_b,
                 CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.operators.{Dedup, Similarity, TextStats}
 
 /** Near-duplicate detection at scale — SURVEY §2.9 L1/L2 extended.
@@ -33,11 +34,11 @@ object NearDupPack extends QueryPack {
         Dedup.minhashSignature(col("toks"), k = 8).as("sig"))
       val buckets = Dedup.lshBuckets(sigs, "doc_id", col("sig"),
         bands = 4, rowsPerBand = 2)
-      val cand = buckets.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-        .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
-          Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // The load-bearing scale guard: buckets over 50 docs are dropped
+      // before the self-join (measured 172× on a homogeneous 10× corpus,
+      // SCALE.md). On this corpus the histogram is bimodal — dozens of
+      // <=13-doc buckets plus a few 60–70-doc mega-buckets the cap removes.
+      val cand = Dedup.lshCandidates(buckets, maxBucketSize = 50)
       val inter = size(array_intersect(col("ta"), col("tb")))
       cand
         .join(docs.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
@@ -57,21 +58,35 @@ object NearDupPack extends QueryPack {
         .select(col("doc_id"), Dedup.simhashOf(col("__h")).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 24)))),
 
-    // L1: bigram-shingle Jaccard pairs (sparse features → sparse join).
+    // L1: bigram-shingle Jaccard pairs (sparse features → sparse join),
+    // with the df-cap guard in-plan (maxDfFrac; doesn't bind on this
+    // sparse shingle set — max df 10/50 — but bounds Σ df(t)² at scale).
     "q60_ngram_jaccard" -> ((s, dir) => Q.ordered(
       Dedup.jaccardPairs(
         Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06))),
+        "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06,
+        maxDfFrac = 0.5))),
 
-    // L1: edit-distance near-dup — Levenshtein over a bounded candidate
-    // set (classic fuzzy-match; at scale, prefilter by length band +
-    // prefix bucket before any pairwise distance).
+    // L1: edit-distance near-dup. Scale shape: a LOSSLESS length-band
+    // equi-join prefilter — levenshtein <= 3 forces |Δlen| <= 3, so with
+    // band width 4 a matching pair is at most one band apart; the probe
+    // side explodes to {band-1, band, band+1} and the join is a plain
+    // equi-join on the band (no cartesian, no BNLJ). A prefix bucket is
+    // deliberately NOT a join key: edit distance <= k does not preserve
+    // any fixed-length prefix, so prefix bucketing would drop true pairs.
     "q81_levenshtein" -> ((s, dir) => Q.ordered {
       val cand = Q.t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
-        .select(col("c_custkey"), col("c_name"))
-      val a = cand.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      val b = cand.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-      a.join(b, col("id_a") < col("id_b"))
+        .select(col("c_custkey"), col("c_name"), length(col("c_name")).as("ln"))
+      val band = floor(col("ln") / 4).cast("int")
+      val probe = cand.select(col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"), col("ln").as("ln_a"),
+        explode(array(band - 1, band, band + 1)).as("band"))
+      val build = cand.select(col("c_custkey").as("id_b"),
+        col("c_name").as("name_b"), col("ln").as("ln_b"), band.as("band"))
+      probe.join(build, Seq("band"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("ln_a") - col("ln_b")) <= 3)
+        .select("id_a", "name_a", "id_b", "name_b").distinct()
         .select(col("id_a"), col("id_b"),
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
         .filter(col("dist") <= 3)
@@ -92,6 +107,29 @@ object NearDupPack extends QueryPack {
             .as("cos"))
         .filter(col("cos") >= 0.3)
     }),
+
+    // L2 scale form of q61: IVF coarse bucketing (Similarity.ivfAssign —
+    // argmax |component| over the first 8 dims, signed) turns the pair
+    // stage into ONE equi-join on the bucket key: 16 buckets over this
+    // corpus cut raw pairs 16× vs all-pairs, and the reduction grows with
+    // bucket count. Within-bucket refine uses the codegen native dot
+    // (34× vs the HoF fold per SCALE.md); norms are precomputed per side
+    // (O(n)) so the pair stage does one dot product. The bucket expression
+    // is deterministic, so DuckDB replays it exactly (list_max over
+    // [mag, signed-index] pairs = Spark's struct array_max ordering).
+    "q86_ivf_neardup" -> ((s, dir) => Q.ordered {
+      val e = Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        Similarity.ivfAssign(col("embedding"), probeDims = 8).as("bucket"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        Similarity.norm(col("embedding")).as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        Similarity.norm(col("embedding")).as("nb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorFunctions.dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.3)
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -106,8 +144,10 @@ object NearDupPack extends QueryPack {
          bands AS (SELECT doc_id, s // 2 AS band,
                           md5(string_agg(CAST(mv AS VARCHAR), '|' ORDER BY s)) AS bucket
                    FROM mh GROUP BY doc_id, s // 2),
+         capped AS (SELECT * FROM bands
+                    QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 50),
          cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                  FROM bands x JOIN bands y
+                  FROM capped x JOIN capped y
                     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
          SELECT c.id_a, c.id_b,
                 CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE)
@@ -140,9 +180,12 @@ object NearDupPack extends QueryPack {
                        list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) AS shingles
                 FROM cand),
          tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
-         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         kept AS (SELECT token FROM tok GROUP BY token
+                  HAVING count(*) <= 0.5 * (SELECT count(DISTINCT doc_id) FROM tok)),
+         tok2 AS (SELECT tok.doc_id, tok.token FROM tok JOIN kept USING (token)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                   FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                   FROM tok2 a JOIN tok2 b ON a.token = b.token AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
          SELECT i.id_a, i.id_b,
                 CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
@@ -153,11 +196,18 @@ object NearDupPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q81_levenshtein" ->
-      """WITH cand AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 100 = 0)
-         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-         FROM cand a JOIN cand b ON a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 3
+      """WITH cand AS (SELECT c_custkey, c_name, length(c_name) AS ln
+                       FROM customer WHERE c_custkey % 100 = 0),
+         probe AS (SELECT c_custkey, c_name, ln,
+                          unnest([ln // 4 - 1, ln // 4, ln // 4 + 1]) AS band FROM cand),
+         build AS (SELECT c_custkey, c_name, ln, ln // 4 AS band FROM cand),
+         pairs AS (SELECT DISTINCT a.c_custkey AS id_a, a.c_name AS name_a,
+                                   b.c_custkey AS id_b, b.c_name AS name_b
+                   FROM probe a JOIN build b
+                     ON a.band = b.band AND a.c_custkey < b.c_custkey
+                   WHERE abs(a.ln - b.ln) <= 3)
+         SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         FROM pairs WHERE levenshtein(name_a, name_b) <= 3
          ORDER BY ALL NULLS FIRST""",
 
     "q61_embedding_neardup" ->
@@ -168,6 +218,22 @@ object NearDupPack extends QueryPack {
                         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
                          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.3
+         ORDER BY ALL NULLS FIRST""",
+
+    "q86_ivf_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+                CAST(list_max(list_transform(range(1, 9), i ->
+                       [abs(CAST(embedding[i] AS DOUBLE)),
+                        CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)]))[2]
+                     AS INT) AS bucket
+                FROM embeddings)
+         SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          WHERE cos >= 0.3
          ORDER BY ALL NULLS FIRST""",
   )

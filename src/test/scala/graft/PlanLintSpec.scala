@@ -15,11 +15,14 @@ class PlanLintSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Intentional bounded cross joins: q51/q65 broadcast a 1-row query
-    * vector, q61/q81 cross filtered bounded candidate sets, q71 crosses a
-    * 1-row corpus count. */
+    * vector, q61 crosses a filtered bounded candidate set (kept as the
+    * small-N oracle twin of the IVF-bucketed q86), q71 crosses a 1-row
+    * corpus count, q50/q60 broadcast a 1-row corpus count for the
+    * jaccardPairs df-cap guard. q81 is deliberately NOT here anymore —
+    * its length-band prefilter made it a plain equi-join. */
   private val crossJoinWhitelist = Set(
     "q51_cosine_topk", "q61_embedding_neardup", "q65_cosine_topk_native",
-    "q71_tfidf", "q81_levenshtein")
+    "q71_tfidf", "q50_jaccard_pairs", "q60_ngram_jaccard")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no unbounded nested-loop or cartesian join") {
@@ -30,5 +33,16 @@ class PlanLintSpec extends AnyFunSuite {
       if (crossJoinWhitelist.contains(name)) assert(true)
       else assert(!offending, s"scale-killer join shape in $name:\n$plan")
     }
+  }
+
+  test("q58 LSH candidate join is guarded by the bucket-size cap") {
+    // Dedup.lshCandidates implements the cap as a count window over
+    // (band, bucket) before the self-join; an unguarded inline bucket
+    // self-join (the shape that measured 172× slower on a homogeneous
+    // corpus, SCALE.md) has no Window operator in its physical plan.
+    val plan = SparkEntry.queries("q58_minhash_lsh")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"q58 lost its LSH bucket-size cap (no Window in plan):\n$plan")
   }
 }
