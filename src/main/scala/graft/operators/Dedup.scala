@@ -49,8 +49,7 @@ object Dedup {
                    tau: Double, maxDfFrac: Double = 1.0): DataFrame = {
     val raw = tokens(df, idCol, tokensCol)
     val tok = if (maxDfFrac >= 1.0) raw else {
-      val total = raw.select(col(idCol)).distinct()
-        .agg(count(lit(1)).cast("double").as("__total"))
+      val total = raw.agg(countDistinct(col(idCol)).cast("double").as("__total"))
       val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
         .crossJoin(broadcast(total))
         .filter(col("__df") <= col("__total") * maxDfFrac)

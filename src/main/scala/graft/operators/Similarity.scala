@@ -40,14 +40,50 @@ object Similarity {
       .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)
       .limit(k)
 
-  /** IVF-style coarse bucketing: bucket = argmax |component| over the first
-    * `probeDims` dimensions, signed. Vectors and queries bucketed the same
-    * way; ANN search joins on the bucket then ranks within it. */
-  def ivfAssign(vec: Column, probeDims: Int): Column = {
-    val idx = (1 to probeDims).map { i =>
+  /** IVF-style coarse bucketing: composite key of the `keyDims` dominant
+    * dimensions (by |component|, signed) among the first `probeDims`.
+    * Vectors and queries bucketed the same way; ANN search joins on the
+    * bucket then ranks within it.
+    *
+    * `keyDims = 1` is the classic argmax — but it admits at most
+    * 2×probeDims distinct buckets, so within-bucket candidate pairs stay
+    * O(n²/2p) and a globally dominant dimension (common for normalized
+    * embeddings) collapses toward all-pairs. `keyDims = 2` (the default)
+    * grows the key space to 2p×(2p−2) ordered pairs — 224 for p=8 —
+    * and the space keeps growing with p, so the bucket count scales with
+    * the tuning knob instead of saturating.
+    *
+    * Rows whose embedding is shorter than `probeDims` get a NULL bucket
+    * (dropped by any inner bucket join) instead of an ANSI index error —
+    * mirroring the oracle's NULL semantics on ragged data. */
+  def ivfAssign(vec: Column, probeDims: Int, keyDims: Int = 2): Column = {
+    require(keyDims >= 1 && keyDims <= probeDims)
+    val entries = (1 to probeDims).map { i =>
       struct(abs(d(element_at(vec, i))).as("mag"),
              (lit(i) * signum(d(element_at(vec, i)))).cast("int").as("b"))
     }
-    array_max(array(idx: _*)).getField("b")
+    // asc lexicographic sort + reverse = (mag desc, b desc) — the same
+    // tie-break DuckDB's list_reverse_sort applies to [mag, b] pairs.
+    val sorted = reverse(array_sort(array(entries: _*)))
+    val radix = 2 * probeDims + 1
+    val key = (0 until keyDims)
+      .map(j => element_at(sorted, j + 1).getField("b") + lit(probeDims))
+      .reduce((acc, b) => acc * radix + b)
+    when(size(vec) >= probeDims, key.cast("int"))
   }
+
+  /** The standing blow-up guard (SCALE.md) for bucketed candidate
+    * generation: DROP buckets larger than `maxBucketSize` before any
+    * within-bucket self-join. A skewed embedding distribution (one
+    * dominant direction) funnels a constant fraction of the corpus into
+    * one bucket and the pair stage goes quadratic — same failure mode as
+    * LSH mega-buckets (measured 172×, SCALE.md). Oversized buckets mean
+    * "these vectors are all alike"; route them to clustering/exact-dup
+    * handling, not pairwise comparison. One count-window shuffle on the
+    * bucket key — the same shuffle the candidate join needs anyway. */
+  def capBuckets(df: DataFrame, bucketCol: String, maxBucketSize: Int): DataFrame =
+    df.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(bucketCol)))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
 }

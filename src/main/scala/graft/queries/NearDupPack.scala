@@ -94,9 +94,12 @@ object NearDupPack extends QueryPack {
 
     // L2: embedding-cosine near-dup pairs over a candidate set. Norms are
     // precomputed per side (O(n)) so the O(n²) pair stage does one dot
-    // product, not three.
+    // product, not three. The candidate set is bounded ABSOLUTELY
+    // (vec_id < 200), not proportionally: this is the small-N oracle twin
+    // of q86, and an all-pairs stage over a constant fraction of the
+    // corpus would still grow quadratically with corpus size.
     "q61_embedding_neardup" -> ((s, dir) => Q.ordered {
-      val e = Q.t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val e = Q.t(s, dir, "embeddings").filter(col("vec_id") < 200)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         Similarity.norm(col("embedding")).as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -109,17 +112,24 @@ object NearDupPack extends QueryPack {
     }),
 
     // L2 scale form of q61: IVF coarse bucketing (Similarity.ivfAssign —
-    // argmax |component| over the first 8 dims, signed) turns the pair
-    // stage into ONE equi-join on the bucket key: 16 buckets over this
-    // corpus cut raw pairs 16× vs all-pairs, and the reduction grows with
-    // bucket count. Within-bucket refine uses the codegen native dot
+    // composite key of the top-2 signed dominant dims among the first 8)
+    // turns the pair stage into ONE equi-join on the bucket key: 224
+    // buckets over this corpus (max 20 vectors/bucket at sf0.1) vs 16 for
+    // the old argmax key, and the key space grows with probeDims instead
+    // of saturating. The standing blow-up guard (SCALE.md): buckets over
+    // 100 vectors are DROPPED before the self-join (Similarity.capBuckets
+    // — doesn't bind on this corpus, bounds the worst case on a skewed
+    // one), mirrored in the oracle via QUALIFY and asserted in
+    // PlanLintSpec. Within-bucket refine uses the codegen native dot
     // (34× vs the HoF fold per SCALE.md); norms are precomputed per side
     // (O(n)) so the pair stage does one dot product. The bucket expression
-    // is deterministic, so DuckDB replays it exactly (list_max over
-    // [mag, signed-index] pairs = Spark's struct array_max ordering).
+    // is deterministic, so DuckDB replays it exactly (list_reverse_sort
+    // over [mag, signed-index] pairs = Spark's reversed struct sort).
     "q86_ivf_neardup" -> ((s, dir) => Q.ordered {
-      val e = Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        Similarity.ivfAssign(col("embedding"), probeDims = 8).as("bucket"))
+      val e = Similarity.capBuckets(
+        Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+          Similarity.ivfAssign(col("embedding"), probeDims = 8).as("bucket")),
+        "bucket", maxBucketSize = 100)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         Similarity.norm(col("embedding")).as("na"), col("bucket"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -211,7 +221,7 @@ object NearDupPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q61_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
          SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
@@ -222,18 +232,23 @@ object NearDupPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q86_ivf_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding,
-                CAST(list_max(list_transform(range(1, 9), i ->
-                       [abs(CAST(embedding[i] AS DOUBLE)),
-                        CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)]))[2]
-                     AS INT) AS bucket
-                FROM embeddings)
+      """WITH s AS (SELECT vec_id, embedding,
+                list_reverse_sort(list_transform(range(1, 9), i ->
+                  [abs(CAST(embedding[i] AS DOUBLE)),
+                   CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)])) AS st
+                FROM embeddings),
+         e AS (SELECT vec_id, embedding,
+                CASE WHEN len(embedding) >= 8 THEN
+                  (CAST(st[1][2] AS INT) + 8) * 17 + (CAST(st[2][2] AS INT) + 8) END AS bucket
+               FROM s),
+         capped AS (SELECT vec_id, embedding, bucket FROM e WHERE bucket IS NOT NULL
+                    QUALIFY count(*) OVER (PARTITION BY bucket) <= 100)
          SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
                         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
                          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          WHERE cos >= 0.3
          ORDER BY ALL NULLS FIRST""",
   )

@@ -84,17 +84,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L, 4L)) // both score 1.0; id asc breaks the tie
   }
 
-  test("ivfAssign buckets by dominant signed dimension") {
+  test("ivfAssign(keyDims=1) buckets by dominant signed dimension") {
     val df = Seq(
-      (1L, Seq(0.9f, 0.1f)),   // dim 1 positive dominant → bucket +1
-      (2L, Seq(-0.8f, 0.2f)),  // dim 1 negative dominant → bucket -1
-      (3L, Seq(0.1f, 0.7f)),   // dim 2 positive dominant → bucket +2
-      (4L, Seq(0.85f, 0.05f))  // same bucket as vec 1
+      (1L, Seq(0.9f, 0.1f)),   // dim 1 positive dominant
+      (2L, Seq(-0.8f, 0.2f)),  // dim 1 negative dominant
+      (3L, Seq(0.1f, 0.7f)),   // dim 2 positive dominant
+      (4L, Seq(0.85f, 0.05f))  // same dominant dim as vec 1
     ).toDF("id", "vec")
-    val got = df.select(col("id"), Similarity.ivfAssign(col("vec"), 2).as("b"))
+    // keyDims=1, probeDims=2: key = (b + 2), b ∈ {-2,-1,1,2} signed dim.
+    val got = df.select(col("id"), Similarity.ivfAssign(col("vec"), 2, keyDims = 1).as("b"))
       .as[(Long, Int)].collect().toMap
-    assert(got(1L) == 1 && got(2L) == -1 && got(3L) == 2)
+    assert(got(1L) == 3 && got(2L) == 1 && got(3L) == 4) // +1→3, -1→1, +2→4
     assert(got(4L) == got(1L)) // similar vectors co-bucket
+  }
+
+  test("ivfAssign composite key separates same-argmax vectors by runner-up") {
+    val df = Seq(
+      (1L, Seq(0.9f, 0.3f, 0.1f)),  // top dims (+1, +2)
+      (2L, Seq(0.9f, 0.1f, 0.3f)),  // top dims (+1, +3) — different bucket
+      (3L, Seq(0.8f, 0.4f, 0.0f)),  // top dims (+1, +2) — same as vec 1
+      (4L, Seq(0.9f, -0.3f, 0.1f))  // top dims (+1, -2) — different again
+    ).toDF("id", "vec")
+    val got = df.select(col("id"), Similarity.ivfAssign(col("vec"), 3).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == got(3L))
+    assert(Set(got(1L), got(2L), got(4L)).size == 3)
+  }
+
+  test("ivfAssign yields NULL (not an ANSI error) on short embeddings") {
+    val df = Seq((1L, Seq(0.9f, 0.1f, 0.2f)), (2L, Seq(0.5f))).toDF("id", "vec")
+    val got = df.select(col("id"), Similarity.ivfAssign(col("vec"), 3).as("b"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(1L).isDefined && got(2L).isEmpty)
+  }
+
+  test("capBuckets drops oversized buckets before candidate generation") {
+    val df = (Seq.fill(5)(10) ++ Seq.fill(2)(20)).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("id", "bucket")
+    val kept = Similarity.capBuckets(df, "bucket", maxBucketSize = 3)
+      .select("bucket").as[Int].collect()
+    assert(kept.toSet == Set(20) && kept.length == 2) // 5-row bucket dropped
   }
 
   test("bandJoin equals the naive theta join") {

@@ -15,11 +15,11 @@ class PlanLintSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Intentional bounded cross joins: q51/q65 broadcast a 1-row query
-    * vector, q61 crosses a filtered bounded candidate set (kept as the
-    * small-N oracle twin of the IVF-bucketed q86), q71 crosses a 1-row
-    * corpus count, q50/q60 broadcast a 1-row corpus count for the
-    * jaccardPairs df-cap guard. q81 is deliberately NOT here anymore —
-    * its length-band prefilter made it a plain equi-join. */
+    * vector, q61 crosses an ABSOLUTELY bounded candidate set (vec_id <
+    * 200 — the corpus-independent small-N oracle twin of the IVF-bucketed
+    * q86), q71 crosses a 1-row corpus count, q50/q60 broadcast a 1-row
+    * corpus count for the jaccardPairs df-cap guard. q81 is deliberately
+    * NOT here — its length-band prefilter made it a plain equi-join. */
   private val crossJoinWhitelist = Set(
     "q51_cosine_topk", "q61_embedding_neardup", "q65_cosine_topk_native",
     "q71_tfidf", "q50_jaccard_pairs", "q60_ngram_jaccard")
@@ -30,19 +30,34 @@ class PlanLintSpec extends AnyFunSuite {
       val offending =
         plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin")
-      if (crossJoinWhitelist.contains(name)) assert(true)
+      if (crossJoinWhitelist.contains(name))
+        // A whitelisted query must actually HAVE the cross-join shape —
+        // otherwise the entry is stale and would silently mask a future
+        // unbounded cartesian/BNLJ regression in that query.
+        assert(offending,
+          s"$name is cross-join-whitelisted but its plan has no " +
+            s"CartesianProduct/BroadcastNestedLoopJoin — stale whitelist entry")
       else assert(!offending, s"scale-killer join shape in $name:\n$plan")
     }
   }
 
-  test("q58 LSH candidate join is guarded by the bucket-size cap") {
-    // Dedup.lshCandidates implements the cap as a count window over
-    // (band, bucket) before the self-join; an unguarded inline bucket
-    // self-join (the shape that measured 172× slower on a homogeneous
-    // corpus, SCALE.md) has no Window operator in its physical plan.
-    val plan = SparkEntry.queries("q58_minhash_lsh")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Window"),
-      s"q58 lost its LSH bucket-size cap (no Window in plan):\n$plan")
-  }
+  /** The two bucketed candidate-generation queries must keep their
+    * bucket-size caps in the PHYSICAL plan (SCALE.md standing rule: an
+    * unguarded within-bucket self-join measured 172× slower on a
+    * homogeneous corpus). The cap compiles to a count Window over the
+    * bucket key feeding a `<= N` filter on the count attribute `__n` —
+    * assert both, so an unrelated Window cannot keep the test green if
+    * the cap itself is dropped. */
+  private def assertBucketCap(name: String, capFilter: String): Unit =
+    test(s"$name candidate join is guarded by the bucket-size cap") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Window"),
+        s"$name lost its bucket-size cap (no Window in plan):\n$plan")
+      assert(plan.contains("__n") && plan.contains(capFilter),
+        s"$name lost its bucket-size cap (no `__n $capFilter` filter):\n$plan")
+    }
+
+  assertBucketCap("q58_minhash_lsh", "<= 50")
+  assertBucketCap("q86_ivf_neardup", "<= 100")
 }
