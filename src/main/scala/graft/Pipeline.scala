@@ -32,6 +32,22 @@ object Pipeline {
         Projection.indexedFindAll(src, spec.pattern, spec.group, spec.index)
       case "block_after" =>
         Projection.blockAfter(src, spec.anchor, spec.pattern, spec.group)
+      case "xpath" =>
+        // P6 (detail_parser.py:24-77): node set via one xpath() call —
+        // `attr` folds into the path (node.get(attr) ≙ selecting @attr),
+        // `pattern` refines each value like the reference's regex step.
+        // Single form: first node, '' when absent (→ NULL after C4).
+        // Multiple form: all non-empty refined values, deduplicated
+        // (array_distinct ≙ the reference's `seen` set).
+        val path = if (spec.attr.nonEmpty) s"${spec.xpath}/@${spec.attr}"
+                   else spec.xpath
+        val nodes = xpath(src, lit(path))
+        def refine(c: Column): Column =
+          if (spec.pattern.isEmpty) trim(c)
+          else regexp_extract(trim(c), spec.pattern, spec.group)
+        if (spec.multiple)
+          array_distinct(filter(transform(nodes, refine), v => v =!= ""))
+        else refine(coalesce(get(nodes, lit(0)), lit("")))
       case "const_null" => lit(null).cast("string")
       case other => throw new IllegalArgumentException(s"unknown field kind: $other")
     }

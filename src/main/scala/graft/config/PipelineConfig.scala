@@ -19,6 +19,12 @@ import graft.operators.Classify.Rule
   *  - "regex": capture group with ''→miss fallback chain (P5/P10)
   *  - "findall": n-th match of a repeated pattern (P8, 0-based index)
   *  - "block_after": regex applied after a literal anchor (P9)
+  *  - "xpath": node text / attribute extraction from a markup column
+  *    (P6, detail_parser.py:24-77) — `xpath` selects nodes, `attr`
+  *    switches to an attribute value, `pattern` optionally refines each
+  *    value with a regex capture, and `multiple = true` yields the
+  *    DEDUPLICATED array of all non-empty matches instead of the first
+  *    (the reference's set-valued `multiple: true` with `seen`-set dedup)
   *  - "const_null": unknown-spec null (P11, detail_parser.py:93-95)
   */
 final case class FieldSpec(
@@ -29,7 +35,10 @@ final case class FieldSpec(
     group: Int = 1,
     index: Int = 0,
     anchor: String = "",
-    fallbacks: Seq[String] = Nil)
+    fallbacks: Seq[String] = Nil,
+    xpath: String = "",
+    attr: String = "",
+    multiple: Boolean = false)
 
 /** Date column normalization (C6): accepted parse formats in try-order
   * (configs/colombia.yml:72-78 `yyyy-MM-dd`, peru.yml:65-67 `dd/MM/yyyy`). */

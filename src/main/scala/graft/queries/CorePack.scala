@@ -61,8 +61,11 @@ object CorePack extends QueryPack {
 
   /** q83 config: the reference's per-country YAML semantics instantiated
     * over the documents corpus — positional cell, regex-with-fallback,
-    * block-anchored extraction, fingerprint subset, rule+stub classifier. */
-  private val e2eConfig = DatasetConfig(
+    * block-anchored extraction, xpath node/attr/multiple extraction
+    * (detail_parser.py:24-77), fingerprint subset, rule+stub classifier.
+    * `e2eConfig` is exposed to PipelineSpec so the YAML loader round-trip
+    * can assert case-class equality (≙ byte-identical q83 output). */
+  private[graft] val e2eConfig = DatasetConfig(
     name = "docs_e2e",
     lookupKey = "numero",
     hashFields = Seq("numero", "titulo", "detail_url"),
@@ -72,15 +75,32 @@ object CorePack extends QueryPack {
         pattern = "the ([a-z]+)", group = 1, fallbacks = Seq("lang")),
       FieldSpec("detalle", from = "text", kind = "block_after",
         anchor = "data", pattern = "([a-z]{4,})"),
-      FieldSpec("detail_url", from = "source")),
+      FieldSpec("detail_url", from = "source"),
+      // P6 xpath kinds over the synthesized markup column: first-node
+      // text, attribute value, and the set-valued multiple form.
+      FieldSpec("titulo_x", from = "xml", kind = "xpath",
+        xpath = "/doc/title/text()"),
+      FieldSpec("doc_href", from = "xml", kind = "xpath",
+        xpath = "/doc", attr = "href"),
+      FieldSpec("tags", from = "xml", kind = "xpath",
+        xpath = "/doc/*/text()", multiple = true)),
     classifier = Some(ClassifierConfig(
       rules = ClassifyPack.rules,
       categories = ClassifyPack.categories,
       titleCol = "titulo", detailCol = "detalle")))
 
-  private def e2eRaw(s: SparkSession, dir: String): DataFrame =
+  /** The raw frame feeding q83: documents plus a synthesized markup column
+    * standing in for the fetched detail HTML (the corpus carries no real
+    * markup; the xpath plumbing — one parse per row, node/attr/multiple
+    * dispatch — is what's under test). */
+  private[graft] def e2eRaw(s: SparkSession, dir: String): DataFrame =
     Q.t(s, dir, "documents")
       .withColumn("doc_id_str", col("doc_id").cast("string"))
+      .withColumn("xml", concat(
+        lit("<doc href=\"http://files.example/"), col("doc_id").cast("string"),
+        lit(".pdf\"><title>"), col("lang"),
+        lit("</title><n>"), col("n_chars").cast("string"),
+        lit("</n></doc>")))
 
   private def e2eState(s: SparkSession, dir: String): DataFrame = {
     val staged = Pipeline.fingerprint(
