@@ -46,7 +46,7 @@ object Pipeline {
           if (spec.pattern.isEmpty) trim(c)
           else regexp_extract(trim(c), spec.pattern, spec.group)
         if (spec.multiple)
-          array_distinct(filter(transform(nodes, refine), v => v =!= ""))
+          array_distinct(filter(transform(nodes, refine(_)), v => v =!= ""))
         else refine(coalesce(get(nodes, lit(0)), lit("")))
       case "const_null" => lit(null).cast("string")
       case other => throw new IllegalArgumentException(s"unknown field kind: $other")

@@ -139,13 +139,24 @@ object CorePack extends QueryPack {
                    coalesce(nullif(regexp_extract(text, 'the ([a-z]+)', 1), ''), lang) AS titulo,
                    CASE WHEN instr(text, 'data') > 0
                         THEN regexp_extract(substr(text, instr(text, 'data') + 4), '([a-z]{4,})', 1) END AS detalle,
-                   trim(source) AS detail_url
+                   trim(source) AS detail_url,
+                   -- the xpath fields replay over the deterministic synthesized
+                   -- xml: /doc/title/text() = lang, /doc/@href = the pdf url,
+                   -- /doc/*/text() (multiple) = [lang, n_chars]; lang is
+                   -- alphabetic and n_chars numeric, so array_distinct is a
+                   -- no-op and only the nonblank filter needs replaying.
+                   trim(lang) AS titulo_x,
+                   'http://files.example/' || CAST(doc_id AS VARCHAR) || '.pdf' AS doc_href,
+                   list_filter([trim(lang), CAST(n_chars AS VARCHAR)], v -> v <> '') AS tags
             FROM documents),
           cln AS (
             SELECT numero,
                    nullif(trim(titulo), '') AS titulo,
                    nullif(trim(detalle), '') AS detalle,
-                   nullif(trim(detail_url), '') AS detail_url
+                   nullif(trim(detail_url), '') AS detail_url,
+                   nullif(trim(titulo_x), '') AS titulo_x,
+                   nullif(trim(doc_href), '') AS doc_href,
+                   tags
             FROM proj
             WHERE numero IS NOT NULL AND trim(numero) <> ''),
           fp AS (
@@ -156,20 +167,21 @@ object CorePack extends QueryPack {
                    CASE WHEN CAST(numero AS BIGINT) % 7 = 0 THEN 'stale' ELSE row_hash END AS row_hash
             FROM fp WHERE CAST(numero AS BIGINT) % 2 = 0),
           j AS (
-            SELECT f.numero, f.titulo, f.detalle, f.detail_url, f.row_hash, s.row_hash AS sh
+            SELECT f.numero, f.titulo, f.detalle, f.detail_url,
+                   f.titulo_x, f.doc_href, f.tags, f.row_hash, s.row_hash AS sh
             FROM fp f LEFT JOIN st s ON f.numero = s.numero),
           det AS (
-            SELECT numero, titulo, detalle, detail_url, row_hash,
+            SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags, row_hash,
                    coalesce(nullif(${ClassifyPack.ruleCaseSql(e2eTextSql)}, ''),
                             ${Classify.stubSql(e2eTextSql, ClassifyPack.categories)}) AS lab
             FROM j WHERE sh IS NULL OR sh <> row_hash)
-          SELECT numero, titulo, detalle, detail_url, row_hash,
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags, row_hash,
                  CASE WHEN lab IN (${ClassifyPack.categories.map(c => s"'$c'").mkString(", ")})
                       THEN lab ELSE 'otros' END AS sector,
                  'detail' AS route
           FROM det
           UNION ALL
-          SELECT numero, titulo, detalle, detail_url, row_hash, NULL, 'bypass'
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags, row_hash, NULL, 'bypass'
           FROM j WHERE sh = row_hash
           ORDER BY ALL NULLS FIRST""",
 

@@ -65,8 +65,11 @@ def main():
         print(f"{q:<28} {b:>8.3f} {c:>8.3f} {ratio:>6.2f}x{flag}")
     total_b = sum(base[q] for q in cur if q in base)
     total_c = sum(c for q, c in cur.items() if q in base)
-    print(f"{'TOTAL (shared)':<28} {total_b:>8.3f} {total_c:>8.3f} "
-          f"{total_c / total_b:>6.2f}x")
+    if total_b > 0:
+        print(f"{'TOTAL (shared)':<28} {total_b:>8.3f} {total_c:>8.3f} "
+              f"{total_c / total_b:>6.2f}x")
+    else:
+        print(f"{'TOTAL (shared)':<28} n/a — no shared queries with baseline")
     for q in new:
         print(f"NEW      {q}: {cur[q]:.3f}s (no baseline — add on next refresh)")
     for q in missing:
