@@ -92,6 +92,22 @@ object Pipeline {
             cfg: DatasetConfig): (DataFrame, DataFrame) =
     Delta.split(fresh, state, Seq(cfg.lookupKey), cfg.hashCol)
 
+  /** Fallback-source stage (S3, reference detail_parser.py:97-119): fill
+    * an empty collection from the secondary source per [[FallbackSpec]].
+    * No-op when the config has no fallback block or no secondary frame was
+    * supplied (the reference likewise skips when there is no expediente
+    * link). Runs on the to-detail branch only — the reference's fallback
+    * fetch happens inside detail parsing, which delta-skipped rows never
+    * reach. */
+  def fallback(df: DataFrame, cfg: DatasetConfig,
+               secondary: Option[DataFrame]): DataFrame =
+    (cfg.fallback, secondary) match {
+      case (Some(fs), Some(sec)) =>
+        Enrich.fallbackCollection(df, sec, fs.collection, fs.key,
+          fs.secondaryKey, fs.secondaryValue, fs.domain)
+      case _ => df
+    }
+
   /** Classification stage (K1–K4): rule pass over lowercased title+detail,
     * stub fallback for unresolved rows, domain coercion. */
   def classify(df: DataFrame, cfg: DatasetConfig): DataFrame =
@@ -129,11 +145,13 @@ object Pipeline {
     * short-circuit inside the plan) — the right shape for declared
     * queries and benchmarks. */
   def run(raw: DataFrame, state: DataFrame, cfg: DatasetConfig,
-          passthrough: Seq[String] = Nil, gated: Boolean = true): DataFrame = {
+          passthrough: Seq[String] = Nil, gated: Boolean = true,
+          secondary: Option[DataFrame] = None): DataFrame = {
     val staged = fingerprint(clean(project(raw, cfg, passthrough), cfg), cfg)
     val (toDetail, bypass) = delta(staged, state, cfg)
     def full = Delta.merge(
-      classify(toDetail, cfg).withColumn("route", lit("detail")),
+      classify(fallback(toDetail, cfg, secondary), cfg)
+        .withColumn("route", lit("detail")),
       bypass.withColumn("route", lit("bypass")))
     if (gated) Delta.gate(toDetail)(full)(bypass.withColumn("route", lit("bypass")))
     else full

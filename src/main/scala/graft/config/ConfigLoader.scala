@@ -1,0 +1,117 @@
+package graft.config
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import graft.operators.Classify.Rule
+import graft.config.Yaml.{MapNode, Node}
+
+/** YAML → [[DatasetConfig]] binding — the Spark-side equivalent of the
+  * reference's `load_country_config` (src/scrapers/config_loader.py:10-21)
+  * plus the scattered dict reads that interpret the tree
+  * (list_parser.py:24-28, detail_parser.py:24-95, classifier.py:40-72,
+  * storage.py:27-53).
+  *
+  * Key vocabulary follows the reference configs where a counterpart
+  * exists: `hash: {key, fields}` (colombia.yml selectors.list.hash),
+  * `classifier: {titulo, detalle}` (colombia.yml classifier block),
+  * `rules: [- {pattern, category}]` / `categories:` (classifier.yml),
+  * per-field `xpath`/`attr`/`multiple`/`regex`/`find_all`/`index`
+  * (colombia.yml selectors.detail.fields). Storage columns may be given
+  * either as a plain list or as the reference's `name: TYPE` map
+  * (colombia.yml storage.final.columns), in which case the keys are taken
+  * in order.
+  */
+object ConfigLoader {
+
+  def load(path: String): DatasetConfig = load(Paths.get(path))
+
+  def load(path: Path): DatasetConfig =
+    fromYaml(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+
+  def fromYaml(source: String): DatasetConfig = {
+    val root = asMap(Yaml.parse(source))
+    DatasetConfig(
+      name = str(root("name")),
+      lookupKey = str(root("lookup_key")),
+      hashFields = root.get("hash").map(h => strList(asMap(h)("fields")))
+        .getOrElse(Nil),
+      fields = root.get("fields").map(_.asList.map(f => fieldSpec(asMap(f))))
+        .getOrElse(sys.error("config has no 'fields'")),
+      dates = root.get("dates").toSeq.flatMap(_.asList.map { d =>
+        val m = asMap(d)
+        DateSpec(str(m("name")), strList(m("formats")))
+      }),
+      renames = root.get("renames").map(m =>
+        asMap(m).entries.map { case (k, v) => k -> str(v) }.toMap)
+        .getOrElse(Map.empty),
+      classifier = root.get("classifier").map(c => classifierConfig(asMap(c))),
+      storageColumns = root.get("storage").toSeq.flatMap { s =>
+        // reference shape: storage.final.columns is a `name: TYPE` map
+        // (colombia.yml:99-117); a plain list is also accepted
+        asMap(s)("columns") match {
+          case m: MapNode => m.entries.map(_._1)
+          case other      => strList(other)
+        }
+      },
+      hashCol = root.get("hash").flatMap(h => asMap(h).get("key"))
+        .map(str).getOrElse("row_hash"),
+      fallback = root.get("fallback").map { f =>
+        val m = asMap(f)
+        FallbackSpec(
+          collection = str(m("collection")),
+          key = str(m("key")),
+          domain = str(m("domain")),
+          secondaryKey = m.get("secondary_key").map(str).getOrElse("url"),
+          secondaryValue = m.get("secondary_value").map(str).getOrElse("links"))
+      })
+  }
+
+  /** One `fields:` entry → [[FieldSpec]]. `kind` may be given explicitly
+    * or inferred the way the reference's parser dispatches on present keys
+    * (detail_parser.py:24-95: xpath → node extraction, find_all → indexed
+    * findall, regex alone → single capture, none → positional cell). */
+  private def fieldSpec(m: MapNode): FieldSpec = {
+    val explicit = m.get("kind").map(str)
+    val kind = explicit.getOrElse {
+      if (m.get("xpath").isDefined) "xpath"
+      else if (bool(m, "find_all")) "findall"
+      else if (m.get("anchor").isDefined) "block_after"
+      else if (m.get("regex").isDefined || m.get("pattern").isDefined) "regex"
+      else "cell"
+    }
+    FieldSpec(
+      name = str(m("name")),
+      from = str(m("from")),
+      kind = kind,
+      pattern = m.get("pattern").orElse(m.get("regex")).map(str).getOrElse(""),
+      group = m.get("group").map(int).getOrElse(1),
+      index = m.get("index").map(int).getOrElse(0),
+      anchor = m.get("anchor").map(str).getOrElse(""),
+      fallbacks = m.get("fallbacks").toSeq.flatMap(strList),
+      xpath = m.get("xpath").map(str).getOrElse(""),
+      attr = m.get("attr").map(str).getOrElse(""),
+      multiple = bool(m, "multiple"))
+  }
+
+  private def classifierConfig(m: MapNode): ClassifierConfig =
+    ClassifierConfig(
+      rules = m("rules").asList.map { r =>
+        val rm = asMap(r)
+        Rule(str(rm("pattern")), str(rm("category")))
+      },
+      categories = strList(m("categories")),
+      titleCol = str(m("titulo")),
+      detailCol = str(m("detalle")),
+      outputCol = m.get("output").map(str).getOrElse("sector"))
+
+  private def asMap(n: Node): MapNode = n match {
+    case m: MapNode => m
+    case other      => sys.error(s"expected map, got $other")
+  }
+  private def str(n: Node): String = n.asString
+  private def int(n: Node): Int = n.asString.toInt
+  private def bool(m: MapNode, key: String): Boolean =
+    m.get(key).exists(v => v.asString == "true" || v.asString == "yes")
+  private def strList(n: Node): Seq[String] = n.asList.map(_.asString)
+}

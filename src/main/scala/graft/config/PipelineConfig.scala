@@ -40,6 +40,19 @@ final case class FieldSpec(
     attr: String = "",
     multiple: Boolean = false)
 
+/** S3 fallback-source stage config (reference detail_parser.py:97-119):
+  * when `collection` is empty and `key` is present, fill the collection
+  * from a secondary source joined on the key absolutized against `domain`
+  * and forced https. The secondary frame itself is runtime data, passed to
+  * [[graft.Pipeline.run]] alongside the config; `secondaryKey` /
+  * `secondaryValue` name its lookup and value-array columns. */
+final case class FallbackSpec(
+    collection: String,
+    key: String,
+    domain: String,
+    secondaryKey: String = "url",
+    secondaryValue: String = "links")
+
 /** Date column normalization (C6): accepted parse formats in try-order
   * (configs/colombia.yml:72-78 `yyyy-MM-dd`, peru.yml:65-67 `dd/MM/yyyy`). */
 final case class DateSpec(name: String, formats: Seq[String])
@@ -66,4 +79,5 @@ final case class DatasetConfig(
     renames: Map[String, String] = Map.empty,
     classifier: Option[ClassifierConfig] = None,
     storageColumns: Seq[String] = Nil,
-    hashCol: String = "row_hash")
+    hashCol: String = "row_hash",
+    fallback: Option[FallbackSpec] = None)

@@ -1,0 +1,187 @@
+package graft.config
+
+/** Minimal YAML-subset reader for graft dataset configs.
+  *
+  * The reference's whole config surface is YAML loaded by
+  * `src/scrapers/config_loader.py:10-21` (safe_load → plain dict tree).
+  * This is the Spark-side equivalent, deliberately dependency-free (the
+  * build allows no new libraries): an indentation-based recursive-descent
+  * parser for the subset the reference configs actually use —
+  *
+  *   - block maps (`key: value` / `key:` + indented block)
+  *   - block lists (`- scalar` and `- key: value` map items, as in
+  *     configs/classifier.yml `rules:`)
+  *   - inline flow lists `[a, b, c]` (scalars only)
+  *   - single/double-quoted scalars, `#` comments, blank lines
+  *
+  * Not supported (not used by any reference config): anchors/aliases,
+  * multi-line block scalars (`|`/`>`), flow maps, tags, multi-document
+  * streams. Unknown constructs fail loudly rather than misparse.
+  */
+object Yaml {
+
+  sealed trait Node {
+    def asMap: Vector[(String, Node)] = this match {
+      case MapNode(e) => e
+      case other      => sys.error(s"expected map, got $other")
+    }
+    def asList: Vector[Node] = this match {
+      case ListNode(items) => items
+      case other           => sys.error(s"expected list, got $other")
+    }
+    def asString: String = this match {
+      case Scalar(v) => v
+      case other     => sys.error(s"expected scalar, got $other")
+    }
+  }
+  final case class Scalar(value: String) extends Node
+  final case class ListNode(items: Vector[Node]) extends Node
+  /** Entry order preserved — field order is semantic for projections. */
+  final case class MapNode(entries: Vector[(String, Node)]) extends Node {
+    def get(key: String): Option[Node] = entries.collectFirst {
+      case (k, v) if k == key => v
+    }
+    def apply(key: String): Node =
+      get(key).getOrElse(sys.error(s"missing key '$key' (have ${entries.map(_._1).mkString(", ")})"))
+  }
+
+  private final case class Line(indent: Int, text: String)
+
+  def parse(source: String): Node = {
+    val lines = source.linesIterator.zipWithIndex.flatMap { case (raw, _) =>
+      val noComment = stripComment(raw)
+      if (noComment.trim.isEmpty) None
+      else Some(Line(noComment.takeWhile(_ == ' ').length, noComment.trim))
+    }.toVector
+    if (lines.isEmpty) MapNode(Vector.empty)
+    else {
+      val (node, next) = parseBlock(lines, 0, lines.head.indent)
+      require(next == lines.length,
+        s"trailing content from line ${next + 1}: '${lines(next).text}'")
+      node
+    }
+  }
+
+  /** Drop a trailing `#` comment that is not inside quotes. */
+  private def stripComment(raw: String): String = {
+    var inSingle = false; var inDouble = false
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\'' if !inDouble => inSingle = !inSingle
+        case '"' if !inSingle  => inDouble = !inDouble
+        case '#' if !inSingle && !inDouble &&
+            (i == 0 || raw.charAt(i - 1).isWhitespace) =>
+          return raw.substring(0, i)
+        case _ =>
+      }
+      i += 1
+    }
+    raw
+  }
+
+  /** Parse the block starting at `i` whose lines sit at exactly `indent`. */
+  private def parseBlock(lines: Vector[Line], i: Int, indent: Int): (Node, Int) =
+    if (lines(i).text.startsWith("- ") || lines(i).text == "-")
+      parseList(lines, i, indent)
+    else parseMap(lines, i, indent)
+
+  private def parseList(lines: Vector[Line], start: Int, indent: Int): (Node, Int) = {
+    val items = Vector.newBuilder[Node]
+    var i = start
+    while (i < lines.length && lines(i).indent == indent &&
+           (lines(i).text.startsWith("- ") || lines(i).text == "-")) {
+      val body = if (lines(i).text == "-") "" else lines(i).text.drop(2).trim
+      if (body.isEmpty) {
+        // nested block on the following deeper-indented lines
+        val (node, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+        items += node; i = next
+      } else if (colonIndex(body) >= 0) {
+        // map item: re-interpret `- key: v` as a map entry at the dash+2
+        // column, where continuation keys of the same item sit (the
+        // classifier.yml `rules:` / colombia.yml `pipeline:` shape)
+        val itemIndent = indent + 2
+        val rewritten = lines.updated(i, Line(itemIndent, body))
+        val (node, next) = parseMap(rewritten, i, itemIndent)
+        items += node; i = next
+      } else {
+        items += Scalar(unquote(body)); i += 1
+      }
+    }
+    (ListNode(items.result()), i)
+  }
+
+  private def parseMap(lines: Vector[Line], start: Int, indent: Int): (Node, Int) = {
+    val entries = Vector.newBuilder[(String, Node)]
+    var i = start
+    while (i < lines.length && lines(i).indent == indent &&
+           !lines(i).text.startsWith("- ")) {
+      val t = lines(i).text
+      val colon = colonIndex(t)
+      require(colon >= 0, s"expected 'key:' line, got '$t'")
+      val key = unquote(t.substring(0, colon).trim)
+      val rest = t.substring(colon + 1).trim
+      if (rest.nonEmpty) {
+        entries += key -> parseInline(rest); i += 1
+      } else if (i + 1 < lines.length && lines(i + 1).indent > indent) {
+        val (node, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+        entries += key -> node; i = next
+      } else {
+        entries += key -> Scalar(""); i += 1
+      }
+    }
+    (MapNode(entries.result()), i)
+  }
+
+  /** First unquoted `:` that is followed by space/EOL (so URLs in quoted
+    * scalars don't split). */
+  private def colonIndex(t: String): Int = {
+    var inSingle = false; var inDouble = false
+    var i = 0
+    while (i < t.length) {
+      t.charAt(i) match {
+        case '\'' if !inDouble => inSingle = !inSingle
+        case '"' if !inSingle  => inDouble = !inDouble
+        case ':' if !inSingle && !inDouble &&
+            (i == t.length - 1 || t.charAt(i + 1) == ' ') => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def parseInline(v: String): Node =
+    if (v.startsWith("[") && v.endsWith("]")) {
+      val inner = v.substring(1, v.length - 1).trim
+      if (inner.isEmpty) ListNode(Vector.empty)
+      else ListNode(splitFlow(inner).map(s => Scalar(unquote(s.trim))).toVector)
+    } else Scalar(unquote(v))
+
+  /** Split a flow-list body on commas outside quotes. */
+  private def splitFlow(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inSingle = false; var inDouble = false
+    val cur = new StringBuilder
+    s.foreach {
+      case c @ '\'' if !inDouble => inSingle = !inSingle; cur += c
+      case c @ '"' if !inSingle  => inDouble = !inDouble; cur += c
+      case ',' if !inSingle && !inDouble => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == '"' && s.last == '"')
+      unquoteDouble(s.substring(1, s.length - 1))
+    else if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else if (s == "~" || s == "null") ""
+    else s
+
+  private def unquoteDouble(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\t", "\t")
+}

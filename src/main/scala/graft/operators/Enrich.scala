@@ -28,4 +28,43 @@ object Enrich {
     * the enriched fallback (CASE WHEN after the join). */
   def coalesceEnrich(primary: Column, fallback: Column): Column =
     coalesce(Cleaning.emptyToNull(primary), fallback)
+
+  /** S3 as a whole-frame stage (reference detail_parser.py:97-119): fill an
+    * EMPTY collection column from a secondary source, looked up by the
+    * row's fallback URL (absolutized against `domain`, forced https — the
+    * reference's urljoin + scheme rewrite).
+    *
+    * Spark re-expression of the per-row "if not docs and expediente_url:
+    * fetch(url)": the conditional fetch becomes ONE left equi-join whose
+    * condition includes the needs-fallback predicate, so satisfied rows and
+    * keyless rows stream through unmatched (no second pass, no union) and
+    * only needy rows probe the build side. `secondary` is (key → ready
+    * value-array), i.e. the sub-page already parsed; a row-per-link feed is
+    * pre-aggregated by the caller (`collect_list` — one shuffle on the
+    * small secondary, none on the main frame when it broadcasts).
+    *
+    * Rows that need fallback but find no match keep an empty collection,
+    * exactly like the reference's fetch-error path. */
+  def fallbackCollection(rows: DataFrame, secondary: DataFrame,
+                         collectionCol: String, keyCol: String,
+                         secondaryKey: String, secondaryValue: String,
+                         domain: String,
+                         broadcastSecondary: Boolean = true): DataFrame = {
+    val sec0 = secondary.select(col(secondaryKey).as("__fb_key"),
+                                col(secondaryValue).as("__fb_val"))
+    val sec = if (broadcastSecondary) broadcast(sec0) else sec0
+    val need = (col(collectionCol).isNull || size(col(collectionCol)) === 0) &&
+      Cleaning.emptyToNull(col(keyCol)).isNotNull
+    rows
+      .withColumn("__fb_need", need)
+      .withColumn("__fb_norm",
+        when(col("__fb_need"),
+          Cleaning.forceHttps(Cleaning.absolutize(domain, trim(col(keyCol))))))
+      .join(sec, col("__fb_norm") === col("__fb_key"), "left")
+      .withColumn(collectionCol,
+        when(col("__fb_need"),
+          coalesce(col("__fb_val"), Cleaning.nullToEmptyArray(col(collectionCol))))
+          .otherwise(col(collectionCol)))
+      .drop("__fb_need", "__fb_norm", "__fb_key", "__fb_val")
+  }
 }

@@ -63,8 +63,9 @@ object CorePack extends QueryPack {
     * over the documents corpus — positional cell, regex-with-fallback,
     * block-anchored extraction, xpath node/attr/multiple extraction
     * (detail_parser.py:24-77), fingerprint subset, rule+stub classifier.
-    * `e2eConfig` is exposed to PipelineSpec so the YAML loader round-trip
-    * can assert case-class equality (≙ byte-identical q83 output). */
+    * `e2eConfig` is exposed to ConfigLoaderSpec, which asserts that
+    * configs/docs_e2e.yml loads to an EQUAL case class (≙ byte-identical
+    * q83 output via either path). */
   private[graft] val e2eConfig = DatasetConfig(
     name = "docs_e2e",
     lookupKey = "numero",
@@ -102,7 +103,7 @@ object CorePack extends QueryPack {
         lit("</title><n>"), col("n_chars").cast("string"),
         lit("</n></doc>")))
 
-  private def e2eState(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def e2eState(s: SparkSession, dir: String): DataFrame = {
     val staged = Pipeline.fingerprint(
       Pipeline.clean(Pipeline.project(e2eRaw(s, dir), e2eConfig), e2eConfig),
       e2eConfig)

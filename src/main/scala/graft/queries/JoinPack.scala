@@ -48,6 +48,32 @@ object JoinPack extends QueryPack {
           Enrich.coalesceEnrich(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
     }),
 
+    // S3 as a whole-frame Pipeline stage (reference detail_parser.py:97-119):
+    // empty collection + fallback URL → fill from the secondary source.
+    // Four deterministic branches: nonempty passthrough (id%3!=0), empty
+    // without key (id%3=0, id%2!=0), empty+key without a secondary match
+    // (id%6=0, id%12!=0 → stays []), and filled (id%12=0). The key mixes
+    // relative and http:// forms to exercise absolutize + force-https.
+    "q87_fallback_source" -> ((s, dir) => Q.ordered {
+      val docs = Q.t(s, dir, "documents")
+      val primary = docs.select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, array().cast("array<string>"))
+          .otherwise(array(col("lang"))).as("links"),
+        when(col("doc_id") % 2 === 0,
+          when(col("doc_id") % 4 === 0,
+            concat(lit("http://portal.example/exp/"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("/exp/"), col("doc_id").cast("string"))))
+          .as("exp_url"))
+      val secondary = docs.filter(col("doc_id") % 12 === 0).select(
+        concat(lit("https://portal.example/exp/"), col("doc_id").cast("string")).as("url"),
+        array(concat(lit("https://portal.example/files/"),
+          col("doc_id").cast("string"), lit(".pdf"))).as("links"))
+      Enrich.fallbackCollection(primary, secondary, "links", "exp_url",
+        "url", "links", "https://portal.example")
+        .select(col("doc_id"), col("exp_url"), col("links"))
+    }),
+
     // G4: 3-way join — nation is a bounded dim (25 rows at any SF) so its
     // broadcast is forced; customer grows with the corpus, AQE decides.
     "q33_join_3way" -> ((s, dir) => Q.ordered {
@@ -172,6 +198,36 @@ object JoinPack extends QueryPack {
                 coalesce(nullif(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
          FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
            ON o_custkey = c_custkey
+         ORDER BY ALL NULLS FIRST""",
+
+    "q87_fallback_source" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE [lang] END AS links,
+                  CASE WHEN doc_id % 2 = 0 THEN
+                    CASE WHEN doc_id % 4 = 0
+                         THEN 'http://portal.example/exp/' || CAST(doc_id AS VARCHAR)
+                         ELSE '/exp/' || CAST(doc_id AS VARCHAR) END
+                  END AS exp_url
+           FROM documents),
+         sec AS (
+           SELECT 'https://portal.example/exp/' || CAST(doc_id AS VARCHAR) AS url,
+                  ['https://portal.example/files/' || CAST(doc_id AS VARCHAR) || '.pdf'] AS fb
+           FROM documents WHERE doc_id % 12 = 0),
+         n AS (
+           SELECT doc_id, links, exp_url,
+                  CASE WHEN len(links) = 0 AND exp_url IS NOT NULL AND trim(exp_url) <> ''
+                       THEN regexp_replace(
+                         CASE WHEN trim(exp_url) LIKE 'http%' THEN trim(exp_url)
+                              ELSE 'https://portal.example' || trim(exp_url) END,
+                         '^http:', 'https:')
+                  END AS nk
+           FROM base)
+         SELECT n.doc_id, n.exp_url,
+                CASE WHEN n.nk IS NOT NULL THEN coalesce(s.fb, n.links)
+                     ELSE n.links END AS links
+         FROM n LEFT JOIN sec s ON n.nk = s.url
          ORDER BY ALL NULLS FIRST""",
 
     "q33_join_3way" ->

@@ -95,6 +95,90 @@ class PipelineSpec extends AnyFunSuite {
       .select("row_hash").as[String].head() == expected)
   }
 
+  // --- P6 xpath kinds (reference detail_parser.py:24-77) ---------------
+
+  private val xmlRaw = Seq(
+    ("d1", "<doc href=\"/a.pdf\"><title> T1 </title><tag>x</tag><tag>x</tag><tag></tag></doc>"),
+    ("d2", "<doc><title></title><tag>y</tag></doc>"), // no href, blank title
+    ("d3", "<doc href=\"/c.pdf\"></doc>")             // no children at all
+  ).toDF("id", "markup")
+
+  private def xCfg(spec: FieldSpec) = DatasetConfig(
+    name = "x", lookupKey = "id", hashFields = Seq("id"),
+    fields = Seq(FieldSpec("id", from = "id"), spec))
+
+  test("xpath single kind: first node text, trimmed; absent/blank node → NULL (C4)") {
+    val spec = FieldSpec("t", from = "markup", kind = "xpath",
+      xpath = "/doc/title/text()")
+    val got = Pipeline.clean(Pipeline.project(xmlRaw, xCfg(spec)), xCfg(spec))
+      .select("id", "t").as[(String, Option[String])].collect().toMap
+    assert(got == Map("d1" -> Some("T1"), "d2" -> None, "d3" -> None))
+  }
+
+  test("xpath attr kind: attribute value; missing attribute → NULL (C4)") {
+    val spec = FieldSpec("href", from = "markup", kind = "xpath",
+      xpath = "/doc", attr = "href")
+    val got = Pipeline.clean(Pipeline.project(xmlRaw, xCfg(spec)), xCfg(spec))
+      .select("id", "href").as[(String, Option[String])].collect().toMap
+    assert(got == Map("d1" -> Some("/a.pdf"), "d2" -> None, "d3" -> Some("/c.pdf")))
+  }
+
+  test("xpath multiple kind: deduplicated non-empty values; none → []") {
+    val spec = FieldSpec("tags", from = "markup", kind = "xpath",
+      xpath = "/doc/tag/text()", multiple = true)
+    val got = Pipeline.clean(Pipeline.project(xmlRaw, xCfg(spec)), xCfg(spec))
+      .select("id", "tags").as[(String, Seq[String])].collect().toMap
+    // d1: duplicate 'x' collapsed (the reference's seen-set), blank dropped;
+    // d3: no tag nodes at all → empty array, not NULL
+    assert(got == Map("d1" -> Seq("x"), "d2" -> Seq("y"), "d3" -> Seq.empty))
+  }
+
+  test("xpath multiple kind: pattern refines each value") {
+    val spec = FieldSpec("nums", from = "markup", kind = "xpath",
+      xpath = "/doc/tag/text()", pattern = "([0-9]+)", multiple = true)
+    val raw2 = Seq(("d9", "<doc><tag>a12</tag><tag>b34</tag><tag>zz</tag></doc>"))
+      .toDF("id", "markup")
+    val got = Pipeline.project(raw2, xCfg(spec)).select("nums")
+      .as[Seq[String]].head()
+    assert(got == Seq("12", "34")) // zz's failed capture '' is filtered
+  }
+
+  // --- S3 fallback-source stage (reference detail_parser.py:97-119) ----
+
+  test("run: fallback stage fills empty collections on the detail branch only") {
+    val fbCfg = DatasetConfig(
+      name = "fb", lookupKey = "id", hashFields = Seq("id"),
+      fields = Seq(
+        FieldSpec("id", from = "id"),
+        FieldSpec("docs", from = "markup", kind = "xpath",
+          xpath = "/doc/a/text()", multiple = true),
+        FieldSpec("exp_url", from = "exp", kind = "cell")),
+      fallback = Some(FallbackSpec(
+        collection = "docs", key = "exp_url", domain = "https://ex.org")))
+    val raw2 = Seq(
+      ("n1", "<doc><a>x.pdf</a></doc>", "/e/1"),  // nonempty → passthrough
+      ("n2", "<doc></doc>", "/e/2"),              // empty + key → filled
+      ("n3", "<doc></doc>", "http://ex.org/e/3"), // force-https then filled
+      ("n4", "<doc></doc>", " "),                 // empty, blank key → []
+      ("n5", "<doc></doc>", "/e/missing")         // empty, no match → []
+    ).toDF("id", "markup", "exp")
+    val secondary = Seq(
+      ("https://ex.org/e/2", Seq("s2.pdf")),
+      ("https://ex.org/e/3", Seq("s3.pdf"))
+    ).toDF("url", "links")
+    val empty = Seq.empty[(String, String)].toDF("id", "row_hash")
+    val out = Pipeline.run(raw2, empty, fbCfg, secondary = Some(secondary))
+    val got = out.select("id", "docs").as[(String, Seq[String])].collect().toMap
+    assert(got == Map(
+      "n1" -> Seq("x.pdf"), "n2" -> Seq("s2.pdf"), "n3" -> Seq("s3.pdf"),
+      "n4" -> Seq.empty, "n5" -> Seq.empty))
+  }
+
+  test("run: no fallback config or no secondary frame → unchanged plan") {
+    val out = Pipeline.run(raw, stateFor(Nil), cfg, secondary = None)
+    assert(out.columns.toSeq == Pipeline.run(raw, stateFor(Nil), cfg).columns.toSeq)
+  }
+
   test("upsertPrep prunes to storage columns and dedups by hash keep-first") {
     val cfg2 = cfg.copy(storageColumns = Seq("numero", "row_hash"))
     val staged = Pipeline.fingerprint(
