@@ -48,11 +48,14 @@ object ConfigLoader {
       classifier = root.get("classifier").map(c => classifierConfig(asMap(c))),
       storageColumns = root.get("storage").toSeq.flatMap { s =>
         // reference shape: storage.final.columns is a `name: TYPE` map
-        // (colombia.yml:99-117); a plain list is also accepted
-        asMap(s)("columns") match {
-          case m: MapNode => m.entries.map(_._1)
-          case other      => strList(other)
-        }
+        // (colombia.yml:99-117) under a raw/final split; a flat
+        // `storage.columns` (map or plain list) is also accepted
+        val sm = asMap(s)
+        sm.get("final").map(f => asMap(f)("columns"))
+          .orElse(sm.get("columns")).toSeq.flatMap {
+            case m: MapNode => m.entries.map(_._1)
+            case other      => strList(other)
+          }
       },
       hashCol = root.get("hash").flatMap(h => asMap(h).get("key"))
         .map(str).getOrElse("row_hash"),
@@ -65,6 +68,21 @@ object ConfigLoader {
           secondaryKey = m.get("secondary_key").map(str).getOrElse("url"),
           secondaryValue = m.get("secondary_value").map(str).getOrElse("links"))
       })
+  }
+
+  /** Bind a reference-shaped `storage.raw` / `storage.final` block
+    * (configs/colombia.yml:84-117) to a JDBC table spec. The raw table
+    * excludes `last_seen` from the upsert so the DB default fills it —
+    * exactly storage.py:46-48's special case. */
+  def storageTable(source: String, section: String): graft.sources.JdbcUpsert.TableSpec = {
+    val root = asMap(Yaml.parse(source))
+    val sm = asMap(asMap(root("storage"))(section))
+    graft.sources.JdbcUpsert.TableSpec(
+      table = str(sm("table")),
+      columns = asMap(sm("columns")).entries.map { case (k, v) => k -> str(v) },
+      primaryKey = str(sm("primary_key")),
+      lookupKey = str(sm("lookup_key")),
+      insertExclude = if (section == "raw") Set("last_seen") else Set.empty)
   }
 
   /** One `fields:` entry → [[FieldSpec]]. `kind` may be given explicitly

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Readers, Writers}
+import graft.config.ConfigLoader
+import graft.sources.{JdbcUpsert, Readers, Writers}
 
 /** Source/sink surface: explicit-schema readers, partitioned writes, and
   * the versioned parquet-state merge (ON CONFLICT upsert analog). */
@@ -87,5 +88,125 @@ class SourcesSpec extends AnyFunSuite {
 
     // the previous version is still readable (readers never see a torn state)
     assert(spark.read.parquet(s"$dir/v0").count() == 2)
+  }
+
+  // --- JDBC upsert sink (reference storage.py:41-53,126-131) -----------
+
+  private val storageYaml =
+    """storage:
+      |  raw:
+      |    table: proyectos_raw
+      |    primary_key: row_hash
+      |    lookup_key: no_camara
+      |    columns:
+      |      no_camara: TEXT
+      |      row_hash: "TEXT NOT NULL"
+      |      last_seen: "TIMESTAMP NOT NULL DEFAULT NOW()"
+      |  final:
+      |    table: proyectos
+      |    primary_key: row_hash
+      |    lookup_key: no_camara
+      |    columns:
+      |      no_camara: TEXT
+      |      titulo: TEXT
+      |      documentos: JSONB
+      |      row_hash: TEXT
+      |""".stripMargin
+
+  private def derby(db: String): String = {
+    System.setProperty("derby.system.home", tmp("derby"))
+    s"jdbc:derby:memory:$db;create=true"
+  }
+
+  private def query[A](url: String, sql: String)(f: java.sql.ResultSet => A): Vector[A] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      val out = Vector.newBuilder[A]
+      while (rs.next()) out += f(rs)
+      out.result()
+    } finally conn.close()
+  }
+
+  private def exec(url: String, sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(sql) finally conn.close()
+  }
+
+  test("jdbc upsert: insert, conflicting re-upsert updates, excluded column untouched") {
+    val raw = ConfigLoader.storageTable(storageYaml, "raw")
+    assert(raw.insertColumns == Seq("no_camara", "row_hash")) // last_seen pruned
+    val url = derby("rawdb")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      JdbcUpsert.ensureTable(conn, raw, JdbcUpsert.AnsiMerge)
+      JdbcUpsert.ensureTable(conn, raw, JdbcUpsert.AnsiMerge) // idempotent
+    } finally conn.close()
+
+    val b1 = Seq(("p1", "h1"), ("p2", "h2")).toDF("no_camara", "row_hash")
+    JdbcUpsert.write(b1, url, raw, JdbcUpsert.AnsiMerge)
+    val after1 = query(url, "SELECT no_camara, row_hash FROM proyectos_raw")(
+      rs => (rs.getString(1), rs.getString(2))).toSet
+    assert(after1 == Set(("p1", "h1"), ("p2", "h2")))
+    // DB default filled the excluded column
+    assert(query(url, "SELECT last_seen FROM proyectos_raw")(
+      rs => rs.getTimestamp(1)).forall(_ != null))
+
+    // plant a sentinel to prove the update set never touches last_seen
+    exec(url, "UPDATE proyectos_raw SET last_seen = TIMESTAMP('2001-01-01 00:00:00')")
+
+    // same PK h1 arrives with a different payload; h3 is new
+    val b2 = Seq(("p1b", "h1"), ("p3", "h3")).toDF("no_camara", "row_hash")
+    JdbcUpsert.write(b2, url, raw, JdbcUpsert.AnsiMerge)
+    val after2 = query(url, "SELECT no_camara, row_hash FROM proyectos_raw")(
+      rs => (rs.getString(1), rs.getString(2))).toSet
+    assert(after2 == Set(("p1b", "h1"), ("p2", "h2"), ("p3", "h3")))
+    val sentinels = query(url,
+      "SELECT last_seen FROM proyectos_raw WHERE row_hash IN ('h1','h2')")(
+      rs => rs.getTimestamp(1).toString)
+    assert(sentinels.forall(_.startsWith("2001-01-01"))) // update pruned it
+  }
+
+  test("jdbc upsert: final-table semantics — ''→NULL strings, array→JSON text") {
+    val fin = ConfigLoader.storageTable(storageYaml, "final")
+    assert(fin.insertExclude.isEmpty)
+    val url = derby("findb")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try JdbcUpsert.ensureTable(conn, fin, JdbcUpsert.AnsiMerge)
+    finally conn.close()
+
+    val batch = Seq(
+      ("p1", "  ", Seq("a.pdf", "b.pdf"), "h1"),
+      ("p2", "ley", Seq.empty[String], "h2")
+    ).toDF("no_camara", "titulo", "documentos", "row_hash")
+    JdbcUpsert.write(batch, url, fin, JdbcUpsert.AnsiMerge)
+    val got = query(url,
+      "SELECT row_hash, titulo, documentos FROM proyectos ORDER BY row_hash")(
+      rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
+    assert(got == Vector(
+      ("h1", null, "[\"a.pdf\",\"b.pdf\"]"),
+      ("h2", "ley", "[]")))
+  }
+
+  test("jdbc upsert: prepare drops blank lookup keys and dedups by PK keep-first") {
+    val raw = ConfigLoader.storageTable(storageYaml, "raw")
+    val batch = Seq(
+      ("p1", "h1", 1), ("p1-dup", "h1", 2), // same PK — keep first arrival
+      ("  ", "h9", 1),                      // blank lookup key — dropped
+      ("p2", "h2", 1)
+    ).toDF("no_camara", "row_hash", "arrival")
+    val got = JdbcUpsert.prepare(batch, raw,
+      arrivalOrder = Seq(col("arrival").asc_nulls_first))
+      .select("no_camara", "row_hash").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "h1"), ("p2", "h2")))
+  }
+
+  test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
+    val raw = ConfigLoader.storageTable(storageYaml, "raw")
+    val sql = JdbcUpsert.Postgres.upsertSql(raw)
+    assert(sql == "INSERT INTO proyectos_raw (no_camara, row_hash) VALUES (?, ?) " +
+      "ON CONFLICT (row_hash) DO UPDATE SET no_camara = EXCLUDED.no_camara")
+    assert(JdbcUpsert.Postgres.createTableSql(raw).startsWith(
+      "CREATE TABLE IF NOT EXISTS proyectos_raw"))
   }
 }
