@@ -49,6 +49,9 @@ object Dedup {
                    tau: Double, maxDfFrac: Double = 1.0): DataFrame = {
     val raw = tokens(df, idCol, tokensCol)
     val tok = if (maxDfFrac >= 1.0) raw else {
+      // countDistinct excludes a NULL id; callers pass a corpus PK, which
+      // is non-null by contract (blank/NULL keys are dropped at C1 before
+      // any dedup runs), so the df threshold denominator is exact.
       val total = raw.agg(countDistinct(col(idCol)).cast("double").as("__total"))
       val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
         .crossJoin(broadcast(total))
