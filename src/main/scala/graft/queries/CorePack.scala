@@ -103,6 +103,40 @@ object CorePack extends QueryPack {
         lit("</title><n>"), col("n_chars").cast("string"),
         lit("</n></doc>")))
 
+  /** q88 variants: the q83 config plus a set-valued `docs` field and its
+    * fallback spec (S3 inside the whole DAG). `docs_xml` is a second
+    * synthesized markup column so q83's all-children `tags` xpath stays
+    * untouched; doc_id%3=0 rows have no links (→ fallback-needy),
+    * doc_id%2=0 rows carry the expediente path, and the secondary covers
+    * doc_id%12=0 — so all four branches (passthrough / no-key / no-match /
+    * filled) flow through the detail side, while bypass rows must NOT be
+    * fallback-enriched (the reference's fetch happens inside detail
+    * parsing only, detail_parser.py:97-119). */
+  private[graft] val fbConfig = e2eConfig.copy(
+    name = "docs_fb",
+    fields = e2eConfig.fields ++ Seq(
+      FieldSpec("docs", from = "docs_xml", kind = "xpath",
+        xpath = "/r/a/text()", multiple = true),
+      FieldSpec("exp_url", from = "exp")),
+    fallback = Some(FallbackSpec(collection = "docs", key = "exp_url",
+      domain = "https://portal.example")))
+
+  private[graft] def fbRaw(s: SparkSession, dir: String): DataFrame =
+    e2eRaw(s, dir)
+      .withColumn("docs_xml",
+        when(col("doc_id") % 3 === 0, lit("<r></r>"))
+          .otherwise(concat(lit("<r><a>f"), col("doc_id").cast("string"),
+            lit(".pdf</a></r>"))))
+      .withColumn("exp",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("/exp/"), col("doc_id").cast("string"))))
+
+  private def fbSecondary(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents").filter(col("doc_id") % 12 === 0).select(
+      concat(lit("https://portal.example/exp/"), col("doc_id").cast("string")).as("url"),
+      array(concat(lit("https://portal.example/files/"),
+        col("doc_id").cast("string"), lit(".pdf"))).as("links"))
+
   private[graft] def e2eState(s: SparkSession, dir: String): DataFrame = {
     val staged = Pipeline.fingerprint(
       Pipeline.clean(Pipeline.project(e2eRaw(s, dir), e2eConfig), e2eConfig),
@@ -120,6 +154,13 @@ object CorePack extends QueryPack {
     // construction); the gate is exercised by SparkEntry.entry and tests.
     "q83_pipeline_e2e" -> ((s, dir) => Q.ordered(
       Pipeline.run(e2eRaw(s, dir), e2eState(s, dir), e2eConfig, gated = false))),
+
+    // S3 inside the whole DAG: same plan as q83 plus the fallback stage
+    // on the detail branch (one broadcast equi-join keyed on the
+    // normalized expediente URL).
+    "q88_pipeline_fallback" -> ((s, dir) => Q.ordered(
+      Pipeline.run(fbRaw(s, dir), e2eState(s, dir), fbConfig, gated = false,
+        secondary = Some(fbSecondary(s, dir))))),
 
     "q09_row_checksum" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(
@@ -183,6 +224,76 @@ object CorePack extends QueryPack {
           FROM det
           UNION ALL
           SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags, row_hash, NULL, 'bypass'
+          FROM j WHERE sh = row_hash
+          ORDER BY ALL NULLS FIRST""",
+
+    "q88_pipeline_fallback" ->
+      s"""WITH proj AS (
+            SELECT trim(CAST(doc_id AS VARCHAR)) AS numero,
+                   coalesce(nullif(regexp_extract(text, 'the ([a-z]+)', 1), ''), lang) AS titulo,
+                   CASE WHEN instr(text, 'data') > 0
+                        THEN regexp_extract(substr(text, instr(text, 'data') + 4), '([a-z]{4,})', 1) END AS detalle,
+                   trim(source) AS detail_url,
+                   trim(lang) AS titulo_x,
+                   'http://files.example/' || CAST(doc_id AS VARCHAR) || '.pdf' AS doc_href,
+                   list_filter([trim(lang), CAST(n_chars AS VARCHAR)], v -> v <> '') AS tags,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE ['f' || CAST(doc_id AS VARCHAR) || '.pdf'] END AS docs,
+                   CASE WHEN doc_id % 2 = 0 THEN '/exp/' || CAST(doc_id AS VARCHAR) END AS exp_url
+            FROM documents),
+          cln AS (
+            SELECT numero,
+                   nullif(trim(titulo), '') AS titulo,
+                   nullif(trim(detalle), '') AS detalle,
+                   nullif(trim(detail_url), '') AS detail_url,
+                   nullif(trim(titulo_x), '') AS titulo_x,
+                   nullif(trim(doc_href), '') AS doc_href,
+                   tags, docs,
+                   nullif(trim(exp_url), '') AS exp_url
+            FROM proj
+            WHERE numero IS NOT NULL AND trim(numero) <> ''),
+          fp AS (
+            SELECT *, md5(concat_ws('|', coalesce(numero, ''), coalesce(titulo, ''), coalesce(detail_url, ''))) AS row_hash
+            FROM cln),
+          st AS (
+            SELECT numero,
+                   CASE WHEN CAST(numero AS BIGINT) % 7 = 0 THEN 'stale' ELSE row_hash END AS row_hash
+            FROM fp WHERE CAST(numero AS BIGINT) % 2 = 0),
+          j AS (
+            SELECT f.numero, f.titulo, f.detalle, f.detail_url, f.titulo_x,
+                   f.doc_href, f.tags, f.docs, f.exp_url, f.row_hash,
+                   s.row_hash AS sh
+            FROM fp f LEFT JOIN st s ON f.numero = s.numero),
+          sec AS (
+            SELECT 'https://portal.example/exp/' || CAST(doc_id AS VARCHAR) AS url,
+                   ['https://portal.example/files/' || CAST(doc_id AS VARCHAR) || '.pdf'] AS fb
+            FROM documents WHERE doc_id % 12 = 0),
+          -- fallback fill on the detail branch ONLY (the reference's fetch
+          -- lives inside detail parsing); bypass rows keep docs untouched
+          detf AS (
+            SELECT d.numero, d.titulo, d.detalle, d.detail_url, d.titulo_x,
+                   d.doc_href, d.tags,
+                   CASE WHEN len(d.docs) = 0 AND d.exp_url IS NOT NULL
+                        THEN coalesce(s.fb, d.docs) ELSE d.docs END AS docs,
+                   d.exp_url, d.row_hash
+            FROM (SELECT * FROM j WHERE sh IS NULL OR sh <> row_hash) d
+            LEFT JOIN sec s
+              ON (CASE WHEN len(d.docs) = 0 AND d.exp_url IS NOT NULL
+                       THEN 'https://portal.example' || d.exp_url END) = s.url),
+          det AS (
+            SELECT *,
+                   coalesce(nullif(${ClassifyPack.ruleCaseSql(e2eTextSql)}, ''),
+                            ${Classify.stubSql(e2eTextSql, ClassifyPack.categories)}) AS lab
+            FROM detf)
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags,
+                 docs, exp_url, row_hash,
+                 CASE WHEN lab IN (${ClassifyPack.categories.map(c => s"'$c'").mkString(", ")})
+                      THEN lab ELSE 'otros' END AS sector,
+                 'detail' AS route
+          FROM det
+          UNION ALL
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags,
+                 docs, exp_url, row_hash, NULL, 'bypass'
           FROM j WHERE sh = row_hash
           ORDER BY ALL NULLS FIRST""",
 
