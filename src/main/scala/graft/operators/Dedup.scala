@@ -145,4 +145,43 @@ object Dedup {
   /** Convenience single-expression form — prefer tokenHashes+simhashOf in
     * hot paths (see [[tokenHashes]]). */
   def simhash(tokensCol: Column): Column = simhashOf(tokenHashes(tokensCol))
+
+  /** Train/test decontamination — flag training docs whose n-gram sets
+    * overlap a held-out corpus (the standard LLM-corpus contamination
+    * check: a test n-gram appearing in a training doc means the eval is
+    * compromised for that doc).
+    *
+    * Shape: per-doc DISTINCT gram sets on both sides; the test side
+    * collapses to one distinct gram column (the small side — |test grams|,
+    * not |test docs × doc length|); one equi-join train-grams × test-grams;
+    * one groupBy on the train doc id. Scale guard (standing SCALE.md
+    * rule): grams whose TRAIN document frequency exceeds
+    * `maxDfFrac × |train|` are dropped from the test set before the join —
+    * a gram present in half the corpus is boilerplate, not contamination,
+    * and its join fan-out is df_train(g) × df_test(g). The train count is
+    * a broadcast 1-row aggregate, never a driver action.
+    *
+    * Returns flagged train docs: (id, n_overlap, n_grams, frac) where
+    * frac = |grams(d) ∩ testGrams| / |grams(d)|, rounded to 6 places,
+    * kept when >= minFrac. */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    gramsCol: Column, minFrac: Double,
+                    maxDfFrac: Double = 0.5): DataFrame = {
+    val tg = train.select(col(idCol), array_distinct(gramsCol).as("__gs"))
+    val trainG = tg.select(col(idCol), explode(col("__gs")).as("__g"))
+    val testG = test.select(explode(array_distinct(gramsCol)).as("__g")).distinct()
+    val nTrain = tg.agg(count(lit(1)).cast("double").as("__n"))
+    val dfTab = trainG.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = testG.join(dfTab, Seq("__g"))
+      .crossJoin(broadcast(nTrain))
+      .filter(col("__df") <= col("__n") * maxDfFrac)
+      .select("__g")
+    val sizes = tg.select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
+    trainG.join(kept, Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, Seq(idCol))
+      .withColumn("frac", round(col("n_overlap") / col("n_grams"), 6))
+      .filter(col("frac") >= minFrac)
+      .select(col(idCol), col("n_overlap"), col("n_grams"), col("frac"))
+  }
 }

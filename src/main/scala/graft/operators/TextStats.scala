@@ -65,4 +65,17 @@ object TextStats {
       slice(tokens, lit(1), size(tokens) - 1),
       slice(tokens, lit(2), size(tokens) - 1),
       (a, b) => concat(a, lit("_"), b))
+
+  /** Word n-grams as '_'-joined strings — [[bigrams]] generalized by
+    * zipping n shifted slices (all length `size - n + 1`). Row-local,
+    * codegen-friendly; arrays shorter than n yield []. */
+  def ngrams(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"ngram order must be >= 1, got $n")
+    val win = size(tokens) - (n - 1)
+    val joined = (1 until n).foldLeft(slice(tokens, lit(1), win)) { (acc, i) =>
+      zip_with(acc, slice(tokens, lit(i + 1), win),
+        (a, b) => concat(a, lit("_"), b))
+    }
+    when(size(tokens) >= n, joined).otherwise(array().cast("array<string>"))
+  }
 }

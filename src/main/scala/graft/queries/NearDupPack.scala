@@ -67,6 +67,20 @@ object NearDupPack extends QueryPack {
         "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06,
         maxDfFrac = 0.5))),
 
+    // L-family: train/test decontamination — trigram overlap of every
+    // training doc against the held-out slice (doc_id%10=0). The df-cap
+    // guard drops boilerplate grams (train-df > 50%) before the join;
+    // on this corpus the 3-gram space is sparse enough that the flagged
+    // set is the genuinely-overlapping tail.
+    "q89_decontamination" -> ((s, dir) => Q.ordered {
+      val docs = Q.t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val test = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.decontaminate(train, test, "doc_id",
+        TextStats.ngrams(col("toks"), 3), minFrac = 0.25, maxDfFrac = 0.5)
+    }),
+
     // L1: edit-distance near-dup. Scale shape: a LOSSLESS length-band
     // equi-join prefilter — levenshtein <= 3 forces |Δlen| <= 3, so with
     // band width 4 a matching pair is at most one band apart; the probe
@@ -182,6 +196,30 @@ object NearDupPack extends QueryPack {
                 FROM bits GROUP BY doc_id)
          SELECT doc_id, simhash, simhash >> 24 AS bucket
          FROM sh ORDER BY ALL NULLS FIRST""",
+
+    "q89_decontamination" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS gs
+           FROM toks),
+         train AS (SELECT doc_id, gs FROM grams WHERE doc_id % 10 <> 0),
+         test AS (SELECT gs FROM grams WHERE doc_id % 10 = 0),
+         traing AS (SELECT doc_id, unnest(gs) AS g FROM train),
+         testg AS (SELECT DISTINCT unnest(gs) AS g FROM test),
+         dft AS (SELECT g, count(*) AS df FROM traing GROUP BY g),
+         n AS (SELECT count(*) AS n FROM train),
+         kept AS (SELECT t.g FROM testg t JOIN dft d ON t.g = d.g
+                  CROSS JOIN n WHERE d.df <= n.n * 0.5),
+         ov AS (SELECT tr.doc_id, count(*) AS n_overlap
+                FROM traing tr JOIN kept k ON tr.g = k.g GROUP BY tr.doc_id),
+         sz AS (SELECT doc_id, len(gs) AS n_grams FROM train)
+         SELECT o.doc_id, o.n_overlap, CAST(s.n_grams AS BIGINT) AS n_grams,
+                round(CAST(o.n_overlap AS DOUBLE) / s.n_grams, 6) AS frac
+         FROM ov o JOIN sz s ON o.doc_id = s.doc_id
+         WHERE round(CAST(o.n_overlap AS DOUBLE) / s.n_grams, 6) >= 0.25
+         ORDER BY ALL NULLS FIRST""",
 
     "q60_ngram_jaccard" ->
       """WITH cand AS (SELECT doc_id, str_split(text, ' ') AS toks

@@ -143,4 +143,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(TextStats.bigrams(split(col("t"), " "))).as[Seq[String]].head()
     assert(got == Seq("w_x", "x_y", "y_z"))
   }
+
+  test("ngrams generalizes bigrams; short arrays yield []") {
+    val df = Seq("w x y z", "a b").toDF("t")
+      .select(TextStats.ngrams(split(col("t"), " "), 3).as("g"))
+    assert(df.as[Seq[String]].collect().toSeq ==
+      Seq(Seq("w_x_y", "x_y_z"), Seq.empty))
+    val uni = Seq("p q").toDF("t")
+      .select(TextStats.ngrams(split(col("t"), " "), 1)).as[Seq[String]].head()
+    assert(uni == Seq("p", "q"))
+  }
+
+  test("decontaminate flags train docs overlapping the test corpus") {
+    // test doc carries grams a_b_c, b_c_d; train doc 1 shares both
+    // (frac 2/3), doc 2 shares none, doc 3 shares one of four (0.25).
+    val train = Seq(
+      (1L, "a b c d"),          // grams: a_b_c, b_c_d → overlap 2/2
+      (2L, "p q r s"),          // no overlap
+      (3L, "x a b c y z")       // grams: x_a_b, a_b_c, b_c_y, c_y_z → 1/4
+    ).toDF("doc_id", "text")
+    val test = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    def grams = TextStats.ngrams(split(col("text"), " "), 3)
+    val got = Dedup.decontaminate(train, test, "doc_id", grams,
+      minFrac = 0.25, maxDfFrac = 1.0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 2L, 1.0), (3L, 1L, 4L, 0.25)))
+  }
+
+  test("decontaminate df-cap drops boilerplate grams from the test set") {
+    // gram a_b_c appears in BOTH train docs (df 2/2 = 1.0 > 0.5 cap) →
+    // treated as boilerplate, so nothing is flagged.
+    val train = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val test = Seq((10L, "a b c")).toDF("doc_id", "text")
+    def grams = TextStats.ngrams(split(col("text"), " "), 3)
+    val flagged = Dedup.decontaminate(train, test, "doc_id", grams,
+      minFrac = 0.1, maxDfFrac = 0.5)
+    assert(flagged.isEmpty)
+  }
 }

@@ -22,7 +22,10 @@ class PlanLintSpec extends AnyFunSuite {
     * NOT here — its length-band prefilter made it a plain equi-join. */
   private val crossJoinWhitelist = Set(
     "q51_cosine_topk", "q61_embedding_neardup", "q65_cosine_topk_native",
-    "q71_tfidf", "q50_jaccard_pairs", "q60_ngram_jaccard")
+    "q71_tfidf", "q50_jaccard_pairs", "q60_ngram_jaccard",
+    // q89 broadcasts the 1-row train-corpus count for the df-cap guard
+    // (same bounded shape as q50/q60's jaccardPairs)
+    "q89_decontamination")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plan has no unbounded nested-loop or cartesian join") {

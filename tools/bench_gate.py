@@ -11,15 +11,22 @@ Usage:
 '"metric"' is parsed (leading '[info] ' stripped).
 
 Rules:
-  - breach  = ratio > RATIO_MAX and absolute slowdown > ABS_FLOOR seconds
-    (tiny queries are all JIT/page-cache noise; a 0.1s->0.2s "2x" is not
-    a regression signal worth failing a build over)
+  - ratios are normalized by the run's MEDIAN ratio before gating: a
+    shared-machine slowdown shifts every query uniformly (the observed
+    r2->r3 signature: 33 untouched queries drifting 1.2-1.7x together),
+    which moves the median; a genuine single-query regression sticks out
+    ABOVE the median. The raw and adjusted ratios are both printed.
+  - breach  = adjusted ratio > RATIO_MAX and absolute slowdown beyond the
+    median-scaled expectation > ABS_FLOOR seconds (tiny queries are all
+    JIT/page-cache noise; a 0.1s->0.2s "2x" is not a regression signal
+    worth failing a build over)
   - queries missing a baseline entry are reported as NEW (info only) —
     add them to the baseline when they land
   - queries in the baseline but absent from the run are reported MISSING
     and fail the gate (a silently dropped query is worse than a slow one)
 """
 import json
+import statistics
 import sys
 
 RATIO_MAX = 1.5
@@ -45,24 +52,30 @@ def main():
     base = json.load(open(base_path))["queries"]
     cur = bench["queries"]
 
-    rows, breaches, new = [], [], []
-    for q in sorted(cur):
-        if q not in base:
-            new.append(q)
-            continue
-        b, c = base[q], cur[q]
+    shared = [(q, base[q], cur[q]) for q in sorted(cur) if q in base]
+    new = [q for q in sorted(cur) if q not in base]
+    ratios = [c / b for _, b, c in shared if b > 0]
+    # Median of per-query ratios = the run's machine-speed factor. Clamp
+    # below at 1.0 so a fast machine never masks a real regression.
+    med = max(statistics.median(ratios), 1.0) if ratios else 1.0
+
+    rows, breaches = [], []
+    for q, b, c in shared:
         ratio = c / b if b > 0 else float("inf")
-        breach = ratio > RATIO_MAX and (c - b) > ABS_FLOOR
-        rows.append((ratio, q, b, c, breach))
+        adj = ratio / med
+        breach = adj > RATIO_MAX and (c - b * med) > ABS_FLOOR
+        rows.append((adj, ratio, q, b, c, breach))
         if breach:
             breaches.append(q)
     missing = sorted(set(base) - set(cur))
 
     rows.sort(reverse=True)
-    print(f"{'query':<28} {'base':>8} {'now':>8} {'ratio':>7}")
-    for ratio, q, b, c, breach in rows:
+    print(f"machine-speed median ratio: {med:.2f}x "
+          f"(per-query ratios gated relative to this)")
+    print(f"{'query':<28} {'base':>8} {'now':>8} {'ratio':>7} {'adj':>7}")
+    for adj, ratio, q, b, c, breach in rows:
         flag = "  << REGRESSION" if breach else ""
-        print(f"{q:<28} {b:>8.3f} {c:>8.3f} {ratio:>6.2f}x{flag}")
+        print(f"{q:<28} {b:>8.3f} {c:>8.3f} {ratio:>6.2f}x {adj:>6.2f}x{flag}")
     total_b = sum(base[q] for q in cur if q in base)
     total_c = sum(c for q, c in cur.items() if q in base)
     if total_b > 0:
@@ -79,8 +92,8 @@ def main():
         print(f"GATE FAIL: {len(breaches)} regression(s) "
               f"{breaches}, {len(missing)} missing {missing}")
         sys.exit(1)
-    print(f"GATE PASS: {len(rows)} queries within {RATIO_MAX}x "
-          f"(+{len(new)} new)")
+    print(f"GATE PASS: {len(rows)} queries within {RATIO_MAX}x of the "
+          f"median-adjusted baseline (+{len(new)} new)")
 
 
 if __name__ == "__main__":
