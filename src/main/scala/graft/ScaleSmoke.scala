@@ -69,6 +69,21 @@ object ScaleSmoke {
       // homogeneous corpus produced 9.6e8 candidate pairs (691 s)
       operators.Dedup.lshCandidates(buckets, maxBucketSize = 50).count()
     }
+    time("decontaminate") {
+      // replication multiplies train-df 10x but leaves the DISTINCT test
+      // gram set unchanged — join output = Σ_{g∈test∩kept} df_train(g),
+      // so the collapse of the test side is what keeps this linear here;
+      // the df-cap guards the adversarial (boilerplate-gram) shape.
+      val ordered = (0 until mult).map { i =>
+        docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val train = ordered.filter(col("doc_id") % 10 =!= 0)
+      val test = ordered.filter(col("doc_id") % 10 === 0)
+      operators.Dedup.decontaminate(train, test, "doc_id",
+        operators.TextStats.ngrams(col("toks"), 3),
+        minFrac = 0.25, maxDfFrac = 0.5).count()
+    }
     val vecBase = Tables.load(spark, sfDir, "embeddings")
     val bigVecs = (0 until mult).map { i =>
       vecBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))

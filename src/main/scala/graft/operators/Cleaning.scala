@@ -37,4 +37,24 @@ object Cleaning {
 
   def forceHttps(url: Column): Column =
     regexp_replace(url, "^http:", "https:")
+
+  // --- PII scrub (training-corpus extension of C4's normal-form idea) ---
+  // RE2-safe patterns (no lookaround) so the same regex runs verbatim in
+  // Spark (Java regex) and the DuckDB oracle (RE2). Applied in order:
+  // email first (consumes its digits), then phone, then bare long ids —
+  // after the first two passes no phone/email digits remain, so the id
+  // pattern can't double-redact.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}-\\d{4}\\b"
+  val LongIdRe = "\\b\\d{9,}\\b"
+
+  /** Replace emails, phone numbers, and 9+-digit bare ids with typed
+    * placeholder tags. Row-local codegen'd regexp work — at 100 TB this
+    * is a map-only stage with no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      LongIdRe, "<ID>")
 }

@@ -66,6 +66,27 @@ object TextStats {
       slice(tokens, lit(2), size(tokens) - 1),
       (a, b) => concat(a, lit("_"), b))
 
+  /** Fraction of all tokens taken by the single most frequent token — the
+    * Gopher-style repetition signal (a page that is 30% one token is
+    * boilerplate/spam, not prose). Row-local HOF work, O(d·n) per doc
+    * where d = distinct tokens; [] → 0.0. */
+  def topTokenFrac(tokens: Column): Column = {
+    val counts = transform(array_distinct(tokens),
+      t => size(filter(tokens, x => x === t)))
+    when(size(tokens) <= 0, lit(0.0))
+      .otherwise(round(array_max(counts).cast("double") / size(tokens), 6))
+  }
+
+  /** Fraction of n-grams that are repeats of an earlier n-gram in the same
+    * doc (1 − distinct/total) — the Gopher duplicate-n-gram filter. Pass
+    * the output of [[bigrams]]/[[ngrams]]; [] → 0.0 (a too-short doc has
+    * no repetition evidence, so it is not penalized here — length floors
+    * are a separate filter). */
+  def dupGramFrac(grams: Column): Column =
+    when(size(grams) <= 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+
   /** Word n-grams as '_'-joined strings — [[bigrams]] generalized by
     * zipping n shifted slices (all length `size - n + 1`). Row-local,
     * codegen-friendly; arrays shorter than n yield []. */

@@ -77,6 +77,43 @@ object TextPack extends QueryPack {
             .as("tfidf"))
     }),
 
+    // L4: Gopher-style repetition filter — a doc dominated by one token
+    // or by repeated bigrams is boilerplate, not training prose. Both
+    // metrics are row-local HOF expressions; thresholds picked so this
+    // corpus exercises both keep branches.
+    "q90_repetition_filter" -> ((s, dir) => Q.ordered {
+      val toks = split(col("text"), " ")
+      Q.t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.topTokenFrac(toks).as("top_tok_frac"),
+        TextStats.dupGramFrac(TextStats.bigrams(toks)).as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("top_tok_frac") <= 0.12 && col("dup_bigram_frac") <= 0.06)
+    }),
+
+    // L4: PII redaction — the corpus has no natural PII, so (q83 pattern)
+    // a deterministic PII-bearing suffix is synthesized identically on
+    // both sides, then scrubbed. Counts come from regexp_count BEFORE
+    // redaction; the redacted text itself is compared byte-for-byte.
+    "q91_pii_redaction" -> ((s, dir) => Q.ordered {
+      import graft.operators.Cleaning
+      val annotated = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" ref "), (col("doc_id") + 900000000L).cast("string"))
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"), annotated.as("txt"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("txt"), lit(Cleaning.EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("txt"), lit(Cleaning.PhoneRe)).cast("long").as("n_phone"),
+          Cleaning.redactPii(col("txt")).as("redacted"))
+        .withColumn("n_id",
+          regexp_count(col("redacted"), lit("<ID>")).cast("long"))
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -131,6 +168,52 @@ object TextPack extends QueryPack {
                 round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
          FROM tf t JOIN dfc d USING (token), tot
          ORDER BY ALL NULLS FIRST""",
+
+    "q90_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, toks,
+                      list_transform(range(1, len(toks)),
+                        i -> toks[i] || '_' || toks[i+1]) AS bg
+               FROM t),
+         m AS (SELECT doc_id,
+                      CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                        round(CAST(list_max(list_transform(list_distinct(toks),
+                          x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                          / len(toks), 6) END AS top_tok_frac,
+                      CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+                        round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                          / len(bg), 6) END AS dup_bigram_frac
+               FROM g)
+         SELECT doc_id, top_tok_frac, dup_bigram_frac,
+                (top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.06) AS keep
+         FROM m ORDER BY ALL NULLS FIRST""",
+
+    "q91_pii_redaction" ->
+      """WITH ann AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+                       || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                       || ' ref ' || CAST(doc_id + 900000000 AS VARCHAR) AS txt
+           FROM documents),
+         red AS (
+           SELECT doc_id, txt,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(txt,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                      '\b\d{3}-\d{4}-\d{4}\b', '<PHONE>', 'g'),
+                    '\b\d{9,}\b', '<ID>', 'g') AS redacted
+           FROM ann)
+         SELECT doc_id,
+                len(regexp_extract_all(txt,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                len(regexp_extract_all(txt, '\b\d{3}-\d{4}-\d{4}\b')) AS n_phone,
+                redacted,
+                len(regexp_extract_all(redacted, '<ID>')) AS n_id
+         FROM red ORDER BY ALL NULLS FIRST""",
 
     "q57_doc_fingerprint" ->
       """SELECT doc_id,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.TextStats
+import graft.operators.{Cleaning, TextStats}
 
 /** Text-analysis kernels: language ID, counts, fingerprints. */
 class TextStatsSpec extends AnyFunSuite {
@@ -67,5 +67,38 @@ class TextStatsSpec extends AnyFunSuite {
       .select(TextStats.hashBucket(TextStats.fullFingerprint(col("t")), 1024))
       .as[Long].head()
     assert(got >= 0L && got < 1024L)
+  }
+
+  test("topTokenFrac: dominant-token share; empty array → 0.0") {
+    // "a a a b" → a takes 3/4; all-distinct → 1/n
+    val df = Seq("a a a b", "w x y z").toDF("t")
+      .select(TextStats.topTokenFrac(split(col("t"), " ")).as("f"))
+    assert(df.as[Double].collect().toSeq == Seq(0.75, 0.25))
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(TextStats.topTokenFrac(col("toks"))).as[Double].head()
+    assert(empty == 0.0)
+  }
+
+  test("redactPii replaces email, phone, and long ids with typed tags") {
+    val got = Seq(
+      "mail a.b+c@test.org or 555-0001-2345 ref 123456789 ok",
+      "short digits 12345678 stay; v1.2.3 stays").toDF("t")
+      .select(Cleaning.redactPii(col("t"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> or <PHONE> ref <ID> ok",
+      "short digits 12345678 stay; v1.2.3 stays"))
+  }
+
+  test("dupGramFrac: repeated-gram share; short doc → 0.0") {
+    // "a b a b a" → bigrams [a_b, b_a, a_b, b_a], 2 distinct of 4 → 0.5
+    val df = Seq("a b a b a", "p q r").toDF("t")
+      .select(TextStats.dupGramFrac(TextStats.bigrams(split(col("t"), " ")))
+        .as("f"))
+    assert(df.as[Double].collect().toSeq == Seq(0.5, 0.0))
+    // single-token doc has zero bigrams → 0.0, not NULL
+    val one = Seq("solo").toDF("t")
+      .select(TextStats.dupGramFrac(TextStats.bigrams(split(col("t"), " "))))
+      .as[Double].head()
+    assert(one == 0.0)
   }
 }
