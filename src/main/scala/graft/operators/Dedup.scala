@@ -164,6 +164,61 @@ object Dedup {
     * Returns flagged train docs: (id, n_overlap, n_grams, frac) where
     * frac = |grams(d) ∩ testGrams| / |grams(d)|, rounded to 6 places,
     * kept when >= minFrac. */
+  /** Connected components over a near-dup pair graph — the step after
+    * candidate pairs that an actual dedup pipeline needs: transitive
+    * closure into clusters, then one representative per cluster (min id).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each node
+    * starts labeled with its own id; every round each node takes the min
+    * of its own label and its neighbors' labels, then path-halves by also
+    * taking its label's label (labels always point at smaller ids, so the
+    * label table doubles as a forest to jump through). Neighbor steps
+    * alone converge in O(diameter) rounds; the jump makes it
+    * O(log diameter) — the measured difference on the sf0.1 graph's
+    * deepest chain. Per round: one equi-join (edges ⋈ labels on the
+    * source endpoint) + one groupBy(dst) min + the jump self-join — all
+    * key-partitioned shuffles, nothing on the driver except the scalar
+    * convergence count (the standard iterate-until-fixpoint driver loop;
+    * row data never leaves executors). `localCheckpoint` truncates
+    * lineage each round so the plan doesn't grow with iteration count.
+    * At 1000-executor scale the same loop holds — the label table is
+    * |V| rows however big the corpus, and every step is key-partitioned.
+    *
+    * `nodes` supplies the full id universe so singletons (docs in no
+    * pair) come out as their own cluster. Returns (idCol, cluster,
+    * is_rep) with cluster = min reachable id. */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+                   nodes: DataFrame, idCol: String,
+                   maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — it is re-joined every round, and
+    // without this the (possibly expensive) pair-generation plan upstream
+    // would re-execute per iteration
+    val edges = pairs.select(col(aCol).as("__s"), col(bCol).as("__d"))
+      .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__d")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("__lab"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbMin = edges.join(labels, col("__s") === col("__id"))
+        .groupBy(col("__d")).agg(min(col("__lab")).as("__nb"))
+      val cand = labels.join(nbMin, col("__id") === col("__d"), "left")
+        .select(col("__id"), col("__lab").as("__old"),
+          least(col("__lab"), col("__nb")).as("__l1"))
+      val jump = cand.select(col("__id").as("__jid"), col("__l1").as("__jlab"))
+      val next = cand.join(jump, cand("__l1") === jump("__jid"), "left")
+        .select(col("__id"), least(col("__l1"), col("__jlab")).as("__lab"),
+          col("__old"))
+        .localCheckpoint()
+      changed = next.filter(col("__lab") < col("__old")).count()
+      labels = next.select(col("__id"), col("__lab"))
+      iter += 1
+    }
+    labels.select(col("__id").as(idCol), col("__lab").as("cluster"),
+      (col("__id") === col("__lab")).as("is_rep"))
+  }
+
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     gramsCol: Column, minFrac: Double,
                     maxDfFrac: Double = 0.5): DataFrame = {

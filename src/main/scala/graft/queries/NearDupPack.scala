@@ -81,6 +81,20 @@ object NearDupPack extends QueryPack {
         TextStats.ngrams(col("toks"), 3), minFrac = 0.25, maxDfFrac = 0.5)
     }),
 
+    // L1: near-dup CLUSTERING — the step after pairs that real dedup
+    // needs: connected components over the bigram-Jaccard pair graph
+    // (tau 0.08 on this corpus: 13 pairs, 8 clusters, max size 4 — so
+    // multi-hop label propagation is actually exercised), singletons as
+    // their own cluster, min-id representative per cluster.
+    "q92_dedup_clusters" -> ((s, dir) => Q.ordered {
+      val slice = Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.jaccardPairs(slice, "doc_id",
+        TextStats.bigrams(split(col("text"), " ")), tau = 0.08,
+        maxDfFrac = 0.5)
+      Dedup.clusterPairs(pairs, "id_a", "id_b",
+        slice.select(col("doc_id")), "doc_id")
+    }),
+
     // L1: edit-distance near-dup. Scale shape: a LOSSLESS length-band
     // equi-join prefilter — levenshtein <= 3 forces |Δlen| <= 3, so with
     // band width 4 a matching pair is at most one band apart; the probe
@@ -219,6 +233,38 @@ object NearDupPack extends QueryPack {
                 round(CAST(o.n_overlap AS DOUBLE) / s.n_grams, 6) AS frac
          FROM ov o JOIN sz s ON o.doc_id = s.doc_id
          WHERE round(CAST(o.n_overlap AS DOUBLE) / s.n_grams, 6) >= 0.25
+         ORDER BY ALL NULLS FIRST""",
+
+    "q92_dedup_clusters" ->
+      """WITH RECURSIVE
+         cand AS (SELECT doc_id, str_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id % 10 = 0),
+         sh AS (SELECT doc_id,
+                       list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) AS shingles
+                FROM cand),
+         tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
+         kept AS (SELECT token FROM tok GROUP BY token
+                  HAVING count(*) <= 0.5 * (SELECT count(DISTINCT doc_id) FROM tok)),
+         tok2 AS (SELECT tok.doc_id, tok.token FROM tok JOIN kept USING (token)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM tok2 a JOIN tok2 b ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         p AS (SELECT i.id_a, i.id_b FROM inter i
+               JOIN sizes sa ON i.id_a = sa.doc_id
+               JOIN sizes sb ON i.id_b = sb.doc_id
+               WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.08),
+         edges AS (SELECT id_a AS s, id_b AS d FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, lab) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+         cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+         SELECT c.doc_id,
+                coalesce(cl.cluster, c.doc_id) AS cluster,
+                coalesce(cl.cluster, c.doc_id) = c.doc_id AS is_rep
+         FROM cand c LEFT JOIN cl ON c.doc_id = cl.id
          ORDER BY ALL NULLS FIRST""",
 
     "q60_ngram_jaccard" ->

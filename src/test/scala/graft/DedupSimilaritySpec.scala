@@ -170,6 +170,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 2L, 1.0), (3L, 1L, 4L, 0.25)))
   }
 
+  test("clusterPairs: chain components close transitively; singletons self-cluster") {
+    // chain 1-2-3 (no direct 1-3 edge), pair 5-6, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val got = Dedup.clusterPairs(pairs, "id_a", "id_b", nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (9L, 9L, true)))
+  }
+
+  test("clusterPairs maxIter bounds propagation depth") {
+    // a 4-node path: min label 1 needs 3 neighbor hops to reach node 4 —
+    // one round does a neighbor hop (4→3) plus a pointer jump through
+    // node 3's fresh label (3→2), so maxIter=1 leaves node 4 at 2.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val one = Dedup.clusterPairs(pairs, "id_a", "id_b", nodes, "doc_id",
+      maxIter = 1).as[(Long, Long, Boolean)].collect()
+      .map { case (i, c, _) => (i, c) }.toMap
+    assert(one(4L) == 2L) // one hop + one jump done, not yet at 1
+    val full = Dedup.clusterPairs(pairs, "id_a", "id_b", nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(full.forall(_._2 == 1L))
+  }
+
   test("decontaminate df-cap drops boilerplate grams from the test set") {
     // gram a_b_c appears in BOTH train docs (df 2/2 = 1.0 > 0.5 cap) →
     // treated as boilerplate, so nothing is flagged.
