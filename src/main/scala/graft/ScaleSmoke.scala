@@ -69,6 +69,18 @@ object ScaleSmoke {
       // homogeneous corpus produced 9.6e8 candidate pairs (691 s)
       operators.Dedup.lshCandidates(buckets, maxBucketSize = 50).count()
     }
+    time("lsh-cluster-cc") {
+      // the real dedup composition: LSH candidates (bucket-capped) →
+      // connected components. The label table is |V| rows regardless of
+      // corpus bytes; rounds are O(log diameter) via pointer jumping.
+      val sigs = bigDocs.select(col("doc_id"),
+        operators.Dedup.minhashSignature(col("toks"), 8).as("sig"))
+      val buckets = operators.Dedup.lshBuckets(sigs, "doc_id", col("sig"), 4, 2)
+      val cands = operators.Dedup.lshCandidates(buckets, maxBucketSize = 50)
+      operators.Dedup.clusterPairs(cands, "id_a", "id_b",
+        bigDocs.select(col("doc_id")), "doc_id")
+        .filter(col("is_rep")).count()
+    }
     time("decontaminate") {
       // replication multiplies train-df 10x but leaves the DISTINCT test
       // gram set unchanged — join output = Σ_{g∈test∩kept} df_train(g),

@@ -5,7 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Classify, Delta, Fingerprint, Upsert}
+import graft.operators.{Classify, Cleaning, Dedup, Delta, Fingerprint, TextStats, Upsert}
 
 /** Property-style invariants over generated inputs (fixed seed → stable
   * CI): the SURVEY §5.2 properties — checksum determinism and field-subset
@@ -61,6 +61,67 @@ class PropertySpec extends AnyFunSuite {
     val twice = once.select(Classify.domainCoerce(col("l"), allowed).as("l"))
     assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
     assert(once.as[String].collect().forall(l => allowed.contains(l) || l == "otros"))
+  }
+
+  test("clusterPairs matches a reference union-find (10 random graphs)") {
+    for (_ <- 1 to 10) {
+      val n = 12
+      val pairs = Seq.fill(8)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => (i.toLong, find(i).toLong)).toSet
+      val got = Dedup.clusterPairs(
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+        (0 until n).map(_.toLong).toDF("doc_id"), "doc_id")
+        .as[(Long, Long, Boolean)].collect()
+        .map { case (i, c, _) => (i, c) }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("ngrams: count = max(0, len-n+1), each gram joins n tokens (100 cases)") {
+    val toks = Seq.fill(100)(Seq.fill(rnd.nextInt(6))(randStr().replace(" ", "").replace("_", "t")))
+    for (n <- 1 to 4) {
+      val got = toks.toDF("toks")
+        .select(TextStats.ngrams(col("toks"), n)).as[Seq[String]].collect()
+      toks.zip(got).foreach { case (t, g) =>
+        assert(g.size == math.max(0, t.size - n + 1))
+        g.foreach(x => assert(x.split("_", -1).length == n))
+      }
+    }
+  }
+
+  test("repetition metrics stay in bounds (200 docs)") {
+    val docs = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(20))(s"w${rnd.nextInt(5)}").mkString(" "))
+    val rows = docs.toDF("t").select(
+      TextStats.topTokenFrac(split(col("t"), " ")).as("ttf"),
+      TextStats.dupGramFrac(TextStats.bigrams(split(col("t"), " "))).as("dbf"),
+      size(split(col("t"), " ")).as("n"))
+      .as[(Double, Double, Int)].collect()
+    rows.foreach { case (ttf, dbf, n) =>
+      assert(ttf >= 1.0 / n - 1e-6 && ttf <= 1.0)
+      assert(dbf >= 0.0 && dbf < 1.0)
+    }
+  }
+
+  test("redactPii is idempotent and leaves no raw PII behind (100 strings)") {
+    val piiPool = Seq("bob@x.org", "555-1234-5678", "123456789012", "plain word")
+    val strs = Seq.fill(100)(
+      Seq.fill(1 + rnd.nextInt(4))(piiPool(rnd.nextInt(piiPool.size))).mkString(" "))
+    val once = strs.toDF("t").select(Cleaning.redactPii(col("t"))).as[String].collect()
+    val twice = once.toSeq.toDF("t").select(Cleaning.redactPii(col("t"))).as[String].collect()
+    assert(once.toSeq == twice.toSeq)
+    once.foreach { s =>
+      assert(!s.contains("@") || s.contains("<EMAIL>"))
+      assert(!s.matches(".*\\d{9,}.*"))
+    }
   }
 
   test("keepFirst returns exactly the min-under-order row per key (10 tables)") {
