@@ -123,6 +123,33 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Incremental near-dup candidates: a FRESH batch probed against the
+    * stored corpus bucket table — the daily-increment form of
+    * [[lshCandidates]]. At 100 TB you never re-pair the whole corpus to
+    * admit a day's crawl: the state bucket table ((band, bucket) → id) is
+    * persisted once (bucketed by (band, bucket) — `sources.Bucketing` —
+    * so this probe is a co-located join), and incremental cost is
+    * ∝ |fresh|, not |corpus|. Same blow-up guard as the batch form:
+    * state buckets over `maxBucketSize` members are dropped — a fresh doc
+    * landing in a corpus mega-bucket means "alike to everything", which
+    * belongs to exact-dup handling, not pairwise verification.
+    *
+    * Both inputs are [[lshBuckets]]-shaped (id, band, bucket); returns
+    * distinct (id_new, id_old) candidate pairs. */
+  def incrementalLshCandidates(state: DataFrame, fresh: DataFrame,
+                               maxBucketSize: Int): DataFrame = {
+    val sIdCol = state.columns.filterNot(Set("band", "bucket")).head
+    val fIdCol = fresh.columns.filterNot(Set("band", "bucket")).head
+    val capped = state
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col(sIdCol).as("id_old"), col("band"), col("bucket"))
+    fresh.select(col(fIdCol).as("id_new"), col("band"), col("bucket"))
+      .join(capped, Seq("band", "bucket"))
+      .select("id_new", "id_old").distinct()
+  }
+
   /** Per-token 32-bit hash array — materialize this ONCE (e.g. via
     * `withColumn`) before [[simhashOf]]: the md5 per token is the expensive
     * part, and the 32 per-bit aggregates must reference the computed

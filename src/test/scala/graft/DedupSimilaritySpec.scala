@@ -170,6 +170,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 2L, 1.0), (3L, 1L, 4L, 0.25)))
   }
 
+  test("incrementalLshCandidates probes fresh against capped state buckets") {
+    val state = Seq((1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b2"), (4L, 1, "b1"))
+      .toDF("doc_id", "band", "bucket")
+    val fresh = Seq((10L, 0, "b1"), (11L, 0, "b3"), (12L, 1, "b1"))
+      .toDF("doc_id", "band", "bucket")
+    val got = Dedup.incrementalLshCandidates(state, fresh, maxBucketSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (12L, 4L)))
+    // cap=1 drops the 2-member (0,b1) state bucket; fresh bucket sizes
+    // are irrelevant (the cap is a state-side mega-bucket guard)
+    val capped = Dedup.incrementalLshCandidates(state, fresh, maxBucketSize = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((12L, 4L)))
+  }
+
   test("clusterPairs: chain components close transitively; singletons self-cluster") {
     // chain 1-2-3 (no direct 1-3 edge), pair 5-6, singleton 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
