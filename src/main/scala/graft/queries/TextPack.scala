@@ -114,6 +114,18 @@ object TextPack extends QueryPack {
           regexp_count(col("redacted"), lit("<ID>")).cast("long"))
     }),
 
+    // L4: training-sequence packing — per-lang shards, whitespace token
+    // counts, 512-token budget. Window is partitioned by lang: no global
+    // ordering, each shard packs independently (the scale-sane form).
+    "q94_sequence_packing" -> ((s, dir) => Q.ordered {
+      import graft.operators.Packing
+      Packing.chunkedPack(
+        Q.t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextStats.wsTokenCount(col("text")).as("n_tok")),
+        shardCol = col("lang"), orderCol = col("doc_id"),
+        nTokCol = col("n_tok"), budget = 512)
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -187,6 +199,19 @@ object TextPack extends QueryPack {
          SELECT doc_id, top_tok_frac, dup_bigram_frac,
                 (top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.06) AS keep
          FROM m ORDER BY ALL NULLS FIRST""",
+
+    "q94_sequence_packing" ->
+      """WITH m AS (SELECT doc_id, lang,
+                           len(str_split(text, ' ')) AS n_tok
+                    FROM documents),
+         p AS (SELECT doc_id, lang, n_tok,
+                      CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_before
+               FROM m)
+         SELECT doc_id, lang, n_tok, tok_before,
+                CAST(floor(CAST(tok_before AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+                tok_before % 512 AS tok_offset
+         FROM p ORDER BY ALL NULLS FIRST""",
 
     "q91_pii_redaction" ->
       """WITH ann AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Cleaning, TextStats}
+import graft.operators.{Cleaning, Packing, TextStats}
 
 /** Text-analysis kernels: language ID, counts, fingerprints. */
 class TextStatsSpec extends AnyFunSuite {
@@ -77,6 +77,20 @@ class TextStatsSpec extends AnyFunSuite {
     val empty = Seq(Seq.empty[String]).toDF("toks")
       .select(TextStats.topTokenFrac(col("toks"))).as[Double].head()
     assert(empty == 0.0)
+  }
+
+  test("chunkedPack assigns budget-chunk sequences per shard independently") {
+    val df = Seq(("a", 1L, 300), ("a", 2L, 300), ("a", 3L, 100), ("b", 1L, 600))
+      .toDF("shard", "id", "n")
+    val got = Packing.chunkedPack(df, col("shard"), col("id"), col("n"), 512)
+      .select(col("shard"), col("id"), col("tok_before"), col("seq_id"),
+        col("tok_offset"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // shard a: offsets 0/300/600 → seqs 0/0/1 (doc 2 straddles 512 but
+    // belongs to the sequence it starts in); shard b restarts at 0
+    assert(got == Set(
+      ("a", 1L, 0L, 0L, 0L), ("a", 2L, 300L, 0L, 300L),
+      ("a", 3L, 600L, 1L, 88L), ("b", 1L, 0L, 0L, 0L)))
   }
 
   test("redactPii replaces email, phone, and long ids with typed tags") {
