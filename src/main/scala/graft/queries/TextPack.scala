@@ -126,6 +126,40 @@ object TextPack extends QueryPack {
         nTokCol = col("n_tok"), budget = 512)
     }),
 
+    // L4 flagship: the full curation DAG a training-data pipeline runs —
+    // langid → quality + repetition filters → exact-dedup keep-first on
+    // the content fingerprint → PII scrub → per-lang sequence packing.
+    // Pure operator composition; every stage filters on this corpus
+    // (322/500 pass the quality gates, 54 exact dups drop).
+    "q95_curation_e2e" -> ((s, dir) => Q.ordered {
+      import graft.operators.{Cleaning, Packing, Upsert}
+      val toks = split(col("text"), " ")
+      val scored = Q.t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        TextStats.langId(toks, profiles).as("pred_lang"),
+        TextStats.wsTokenCount(col("text")).as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        TextStats.profileHits(toks, profiles(0)._2).as("stop_hits"),
+        TextStats.topTokenFrac(toks).as("ttf"),
+        TextStats.dupGramFrac(TextStats.bigrams(toks)).as("dbf"),
+        TextStats.contentFingerprint(toks).as("content_fp"))
+        .withColumn("quality", round(
+          lit(0.3) * (col("n_distinct") / col("n_tok")) +
+          lit(0.4) * (col("stop_hits") / col("n_tok")) +
+          lit(0.3) * least(col("n_tok") / lit(100.0), lit(1.0)), 6))
+        .filter(col("quality") >= 0.35 &&
+          col("ttf") <= 0.12 && col("dbf") <= 0.06)
+      val deduped = Upsert.keepFirst(scored, Seq("content_fp"),
+        Seq(col("doc_id").asc_nulls_first))
+      // redaction is a passthrough on this corpus (no natural PII) —
+      // text_fp proves it ran without carrying full text in the output
+      Packing.chunkedPack(
+        deduped.select(col("doc_id"), col("pred_lang"), col("n_tok"),
+          col("quality"), md5(Cleaning.redactPii(col("text"))).as("text_fp")),
+        shardCol = col("pred_lang"), orderCol = col("doc_id"),
+        nTokCol = col("n_tok"), budget = 512)
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -199,6 +233,49 @@ object TextPack extends QueryPack {
          SELECT doc_id, top_tok_frac, dup_bigram_frac,
                 (top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.06) AS keep
          FROM m ORDER BY ALL NULLS FIRST""",
+
+    "q95_curation_e2e" ->
+      s"""WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+         m AS (SELECT doc_id, text, toks,
+                      CASE WHEN ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("de")} THEN 'en'
+                           WHEN ${hitsSql("es")} >= ${hitsSql("de")} THEN 'es'
+                           ELSE 'de' END AS pred_lang,
+                      len(toks) AS n_tok,
+                      len(list_distinct(toks)) AS n_distinct,
+                      ${hitsSql("en")} AS stop_hits,
+                      CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                        round(CAST(list_max(list_transform(list_distinct(toks),
+                          x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                          / len(toks), 6) END AS ttf,
+                      CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+                        round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || '_' || toks[i+1]))) AS DOUBLE)
+                          / (len(toks) - 1), 6) END AS dbf,
+                      md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fp
+               FROM t),
+         q AS (SELECT *, round(0.3 * (n_distinct / n_tok) +
+                               0.4 * (stop_hits / n_tok) +
+                               0.3 * least(n_tok / 100.0, 1.0), 6) AS quality
+               FROM m),
+         kept AS (SELECT * FROM q
+                  WHERE quality >= 0.35 AND ttf <= 0.12 AND dbf <= 0.06),
+         ded AS (SELECT * FROM kept
+                 QUALIFY row_number() OVER (PARTITION BY content_fp
+                   ORDER BY doc_id NULLS FIRST) = 1),
+         red AS (SELECT doc_id, pred_lang, n_tok, quality,
+                        md5(regexp_replace(regexp_replace(regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                          '\\b\\d{3}-\\d{4}-\\d{4}\\b', '<PHONE>', 'g'),
+                          '\\b\\d{9,}\\b', '<ID>', 'g')) AS text_fp
+                 FROM ded),
+         p AS (SELECT *,
+                      CAST(sum(n_tok) OVER (PARTITION BY pred_lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_before
+               FROM red)
+         SELECT doc_id, pred_lang, n_tok, quality, text_fp, tok_before,
+                CAST(floor(CAST(tok_before AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+                tok_before % 512 AS tok_offset
+         FROM p ORDER BY ALL NULLS FIRST""",
 
     "q94_sequence_packing" ->
       """WITH m AS (SELECT doc_id, lang,
