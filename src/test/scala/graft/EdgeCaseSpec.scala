@@ -49,6 +49,38 @@ class EdgeCaseSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("decontaminate with an empty test corpus flags nothing") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val test = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, test, "doc_id",
+      graft.operators.TextStats.ngrams(split(col("text"), " "), 3),
+      minFrac = 0.1, maxDfFrac = 1.0)
+    assert(got.isEmpty)
+  }
+
+  test("clusterPairs with no pairs yields all singleton representatives") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val got = Dedup.clusterPairs(pairs, "id_a", "id_b", nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true)))
+  }
+
+  test("incrementalLshCandidates with empty fresh batch is empty") {
+    val state = Seq((1L, 0, "b1")).toDF("doc_id", "band", "bucket")
+    val fresh = Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bucket")
+    assert(Dedup.incrementalLshCandidates(state, fresh, 50).isEmpty)
+  }
+
+  test("chunkedPack on an empty frame keeps the packing schema") {
+    val df = Seq.empty[(String, Long, Int)].toDF("shard", "id", "n")
+    val got = graft.operators.Packing.chunkedPack(
+      df, col("shard"), col("id"), col("n"), 512)
+    assert(got.isEmpty)
+    assert(got.columns.toSeq ==
+      Seq("shard", "id", "n", "tok_before", "seq_id", "tok_offset"))
+  }
+
   test("empty-string and null text flow through fingerprints and tokens") {
     val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val fp = df.select(

@@ -42,6 +42,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation metrics and PII scrub run unchanged in a stream (map-only ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = in.toDF().toDF("text").select(
+      graft.operators.Cleaning.redactPii(col("text")).as("clean"),
+      graft.operators.TextStats.topTokenFrac(split(col("text"), " ")).as("ttf"))
+    val q = out.writeStream.format("memory").queryName("curation")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData("mail me at a@b.io now", "x x x y")
+      q.processAllAvailable()
+      val rows = spark.table("curation").as[(String, Double)].collect().toSet
+      assert(rows == Set(("mail me at <EMAIL> now", 0.2), ("x x x y", 0.75)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated keys while state is live") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
