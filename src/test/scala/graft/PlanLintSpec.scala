@@ -67,4 +67,33 @@ class PlanLintSpec extends AnyFunSuite {
 
   assertBucketCap("q58_minhash_lsh", "<= 50")
   assertBucketCap("q86_ivf_neardup", "<= 100")
+
+  /** Shuffle-budget lint — pins the scale claims made in SURVEY/SCALE.md
+    * into the physical plan: the row-local curation queries must stay
+    * map-only (zero shuffle Exchanges; broadcasts don't count), and the
+    * packing queries at their minimal shuffle counts (q94: the one shard
+    * window; q95: dedup key + shard key). A refactor that sneaks in a
+    * repartition/groupBy here fails loudly instead of shipping a 100 TB
+    * regression that still passes correctness. */
+  private def assertShuffleBudget(name: String, maxExchanges: Int): Unit =
+    test(s"$name stays within its shuffle budget ($maxExchanges)") {
+      // budget the OPERATOR plan, not the verification sort (which adds
+      // its own range Exchange) — same switch graft.Explain uses
+      System.setProperty(graft.queries.Q.NoOrderProp, "true")
+      val plan =
+        try SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        finally System.clearProperty(graft.queries.Q.NoOrderProp)
+      val n = plan.linesIterator.count(
+        _.replaceAll("^[\\s:+-]*", "").startsWith("Exchange"))
+      assert(n <= maxExchanges,
+        s"$name has $n shuffle Exchanges (budget $maxExchanges):\n$plan")
+    }
+
+  assertShuffleBudget("q90_repetition_filter", 0)
+  assertShuffleBudget("q91_pii_redaction", 0)
+  assertShuffleBudget("q13_to_date", 0)
+  assertShuffleBudget("q57_doc_fingerprint", 0)
+  assertShuffleBudget("q94_sequence_packing", 1)
+  assertShuffleBudget("q95_curation_e2e", 2)
 }
