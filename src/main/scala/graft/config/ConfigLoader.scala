@@ -129,7 +129,18 @@ object ConfigLoader {
   }
   private def str(n: Node): String = n.asString
   private def int(n: Node): Int = n.asString.toInt
+  // YAML-1.1 boolean vocabulary (what the reference's safe_load accepts,
+  // case-insensitive). Anything else fails loudly — a typo like "ture"
+  // must not silently mean false.
+  private val TrueWords = Set("true", "yes", "on", "1")
+  private val FalseWords = Set("false", "no", "off", "0", "")
+
   private def bool(m: MapNode, key: String): Boolean =
-    m.get(key).exists(v => v.asString == "true" || v.asString == "yes")
+    m.get(key).exists { v =>
+      val w = v.asString.toLowerCase
+      if (TrueWords(w)) true
+      else if (FalseWords(w)) false
+      else sys.error(s"key '$key': expected a boolean, got '${v.asString}'")
+    }
   private def strList(n: Node): Seq[String] = n.asList.map(_.asString)
 }

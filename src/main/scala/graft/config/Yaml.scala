@@ -62,14 +62,25 @@ object Yaml {
     }
   }
 
+  /** A quote char only OPENS a quoted scalar at a position where YAML
+    * allows one to start (line/value/list-item/flow-element start) — an
+    * apostrophe inside an unquoted scalar (o'brien) is plain text, not a
+    * quote, and must not absorb a later comment or colon. */
+  private def opensQuote(s: String, i: Int): Boolean =
+    i == 0 || " :,-[".contains(s.charAt(i - 1))
+
   /** Drop a trailing `#` comment that is not inside quotes. */
   private def stripComment(raw: String): String = {
     var inSingle = false; var inDouble = false
     var i = 0
     while (i < raw.length) {
       raw.charAt(i) match {
-        case '\'' if !inDouble => inSingle = !inSingle
-        case '"' if !inSingle  => inDouble = !inDouble
+        case '\'' if !inDouble =>
+          if (inSingle) inSingle = false
+          else if (opensQuote(raw, i)) inSingle = true
+        case '"' if !inSingle =>
+          if (inDouble) inDouble = false
+          else if (opensQuote(raw, i)) inDouble = true
         case '#' if !inSingle && !inDouble &&
             (i == 0 || raw.charAt(i - 1).isWhitespace) =>
           return raw.substring(0, i)
@@ -93,9 +104,15 @@ object Yaml {
            (lines(i).text.startsWith("- ") || lines(i).text == "-")) {
       val body = if (lines(i).text == "-") "" else lines(i).text.drop(2).trim
       if (body.isEmpty) {
-        // nested block on the following deeper-indented lines
-        val (node, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
-        items += node; i = next
+        // nested block on the following deeper-indented lines; a bare '-'
+        // at EOF or followed by a same/shallower-indent line is an empty
+        // item, not a parent (would otherwise swallow its own siblings)
+        if (i + 1 < lines.length && lines(i + 1).indent > indent) {
+          val (node, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+          items += node; i = next
+        } else {
+          items += Scalar(""); i += 1
+        }
       } else if (colonIndex(body) >= 0) {
         // map item: re-interpret `- key: v` as a map entry at the dash+2
         // column, where continuation keys of the same item sit (the
@@ -140,8 +157,12 @@ object Yaml {
     var i = 0
     while (i < t.length) {
       t.charAt(i) match {
-        case '\'' if !inDouble => inSingle = !inSingle
-        case '"' if !inSingle  => inDouble = !inDouble
+        case '\'' if !inDouble =>
+          if (inSingle) inSingle = false
+          else if (opensQuote(t, i)) inSingle = true
+        case '"' if !inSingle =>
+          if (inDouble) inDouble = false
+          else if (opensQuote(t, i)) inDouble = true
         case ':' if !inSingle && !inDouble &&
             (i == t.length - 1 || t.charAt(i + 1) == ' ') => return i
         case _ =>

@@ -45,7 +45,11 @@ object Cleaning {
   // after the first two passes no phone/email digits remain, so the id
   // pattern can't double-redact.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b\\d{3}-\\d{4}-\\d{4}\\b"
+  // 3-3-4 (NANP) and 3-4-4 groupings, '-'/'.'/' ' separators, optional
+  // area-code parens: covers 555-123-4567, (555) 123-4567, 555.123.4567,
+  // 555-0123-4567. Version strings (1.2.3) stay untouched — every group
+  // needs 3+ digits.
+  val PhoneRe = "\\(?\\d{3}\\)?[-. ]\\d{3,4}[-. ]\\d{4}\\b"
   val LongIdRe = "\\b\\d{9,}\\b"
 
   /** Replace emails, phone numbers, and 9+-digit bare ids with typed

@@ -191,6 +191,27 @@ object Dedup {
     * Returns flagged train docs: (id, n_overlap, n_grams, frac) where
     * frac = |grams(d) ∩ testGrams| / |grams(d)|, rounded to 6 places,
     * kept when >= minFrac. */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    gramsCol: Column, minFrac: Double,
+                    maxDfFrac: Double = 0.5): DataFrame = {
+    val tg = train.select(col(idCol), array_distinct(gramsCol).as("__gs"))
+    val trainG = tg.select(col(idCol), explode(col("__gs")).as("__g"))
+    val testG = test.select(explode(array_distinct(gramsCol)).as("__g")).distinct()
+    val nTrain = tg.agg(count(lit(1)).cast("double").as("__n"))
+    val dfTab = trainG.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = testG.join(dfTab, Seq("__g"))
+      .crossJoin(broadcast(nTrain))
+      .filter(col("__df") <= col("__n") * maxDfFrac)
+      .select("__g")
+    val sizes = tg.select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
+    trainG.join(kept, Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, Seq(idCol))
+      .withColumn("frac", round(col("n_overlap") / col("n_grams"), 6))
+      .filter(col("frac") >= minFrac)
+      .select(col(idCol), col("n_overlap"), col("n_grams"), col("frac"))
+  }
+
   /** Connected components over a near-dup pair graph — the step after
     * candidate pairs that an actual dedup pipeline needs: transitive
     * closure into clusters, then one representative per cluster (min id).
@@ -246,24 +267,4 @@ object Dedup {
       (col("__id") === col("__lab")).as("is_rep"))
   }
 
-  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
-                    gramsCol: Column, minFrac: Double,
-                    maxDfFrac: Double = 0.5): DataFrame = {
-    val tg = train.select(col(idCol), array_distinct(gramsCol).as("__gs"))
-    val trainG = tg.select(col(idCol), explode(col("__gs")).as("__g"))
-    val testG = test.select(explode(array_distinct(gramsCol)).as("__g")).distinct()
-    val nTrain = tg.agg(count(lit(1)).cast("double").as("__n"))
-    val dfTab = trainG.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val kept = testG.join(dfTab, Seq("__g"))
-      .crossJoin(broadcast(nTrain))
-      .filter(col("__df") <= col("__n") * maxDfFrac)
-      .select("__g")
-    val sizes = tg.select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
-    trainG.join(kept, Seq("__g"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-      .join(sizes, Seq(idCol))
-      .withColumn("frac", round(col("n_overlap") / col("n_grams"), 6))
-      .filter(col("frac") >= minFrac)
-      .select(col(idCol), col("n_overlap"), col("n_grams"), col("frac"))
-  }
 }

@@ -68,13 +68,25 @@ object TextStats {
 
   /** Fraction of all tokens taken by the single most frequent token — the
     * Gopher-style repetition signal (a page that is 30% one token is
-    * boilerplate/spam, not prose). Row-local HOF work, O(d·n) per doc
-    * where d = distinct tokens; [] → 0.0. */
+    * boilerplate/spam, not prose). Row-local: max frequency = longest
+    * equal run of the SORTED array, one aggregate pass after an
+    * O(n log n) sort — not the naive distinct×scan form, which is
+    * O(d·n) and stalls a task on one pathological 100k-token document.
+    * [] → 0.0. */
   def topTokenFrac(tokens: Column): Column = {
-    val counts = transform(array_distinct(tokens),
-      t => size(filter(tokens, x => x === t)))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(
+      array_sort(tokens), zero,
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(tokens) <= 0, lit(0.0))
-      .otherwise(round(array_max(counts).cast("double") / size(tokens), 6))
+      .otherwise(round(best.cast("double") / size(tokens), 6))
   }
 
   /** Fraction of n-grams that are repeats of an earlier n-gram in the same

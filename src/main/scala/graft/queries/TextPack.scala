@@ -265,7 +265,7 @@ object TextPack extends QueryPack {
          red AS (SELECT doc_id, pred_lang, n_tok, quality,
                         md5(regexp_replace(regexp_replace(regexp_replace(text,
                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                          '\\b\\d{3}-\\d{4}-\\d{4}\\b', '<PHONE>', 'g'),
+                          '\\(?\\d{3}\\)?[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
                           '\\b\\d{9,}\\b', '<ID>', 'g')) AS text_fp
                  FROM ded),
          p AS (SELECT *,
@@ -306,13 +306,13 @@ object TextPack extends QueryPack {
                       regexp_replace(txt,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                         '<EMAIL>', 'g'),
-                      '\b\d{3}-\d{4}-\d{4}\b', '<PHONE>', 'g'),
+                      '\(?\d{3}\)?[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
                     '\b\d{9,}\b', '<ID>', 'g') AS redacted
            FROM ann)
          SELECT doc_id,
                 len(regexp_extract_all(txt,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-                len(regexp_extract_all(txt, '\b\d{3}-\d{4}-\d{4}\b')) AS n_phone,
+                len(regexp_extract_all(txt, '\(?\d{3}\)?[-. ]\d{3,4}[-. ]\d{4}\b')) AS n_phone,
                 redacted,
                 len(regexp_extract_all(redacted, '<ID>')) AS n_id
          FROM red ORDER BY ALL NULLS FIRST""",

@@ -257,10 +257,29 @@ object JdbcUpsert {
 
   private def toJsonArray(vs: Seq[Any]): String =
     vs.map {
-      case null => "null"
-      case s: String =>
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n").replace("\t", "\\t") + "\""
-      case n => n.toString
+      case null      => "null"
+      case s: String => jsonString(s)
+      case n         => n.toString
     }.mkString("[", ",", "]")
+
+  /** RFC 8259 string escaping — EVERY control char below 0x20 must be
+    * escaped (Postgres rejects raw control bytes in jsonb input, so one
+    * scraped title with a \r would fail the whole partition's batch). */
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb += '"'
+    s.foreach {
+      case '"'           => sb ++= "\\\""
+      case '\\'          => sb ++= "\\\\"
+      case '\n'          => sb ++= "\\n"
+      case '\r'          => sb ++= "\\r"
+      case '\t'          => sb ++= "\\t"
+      case '\b'          => sb ++= "\\b"
+      case '\f'          => sb ++= "\\f"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c             => sb += c
+    }
+    sb += '"'
+    sb.result()
+  }
 }

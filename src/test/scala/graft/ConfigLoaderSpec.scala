@@ -49,6 +49,38 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assertThrows[RuntimeException](m("missing"))
   }
 
+  test("Yaml parser: bare '-' items neither crash at EOF nor swallow siblings") {
+    // bare '-' at EOF → empty item, not IndexOutOfBounds
+    val eof = Yaml.parse("items:\n  - a\n  -").asMap.toMap
+    assert(eof("items").asList.map(_.asString) == Vector("a", ""))
+    // bare '-' followed by a SAME-indent sibling → two items, the second
+    // is not misparsed as the first one's nested block
+    val sib = Yaml.parse("items:\n  -\n  - a").asMap.toMap
+    assert(sib("items").asList.map(_.asString) == Vector("", "a"))
+  }
+
+  test("Yaml parser: apostrophe inside an unquoted scalar doesn't eat the comment") {
+    val m = Yaml.parse("titulo: o'brien  # surname\n").asMap.toMap
+    assert(m("titulo").asString == "o'brien")
+  }
+
+  test("booleans accept the YAML-1.1 vocabulary and reject garbage loudly") {
+    def cfg(b: String) = ConfigLoader.fromYaml(
+      s"""name: t
+         |lookup_key: k
+         |fields:
+         |  - name: d
+         |    from: xml
+         |    xpath: "//a"
+         |    multiple: $b
+         |""".stripMargin)
+    for (t <- Seq("true", "True", "TRUE", "yes", "on", "1"))
+      assert(cfg(t).fields.head.multiple, s"'$t' should parse true")
+    for (f <- Seq("false", "False", "no", "off", "0"))
+      assert(!cfg(f).fields.head.multiple, s"'$f' should parse false")
+    assertThrows[RuntimeException](cfg("ture"))
+  }
+
   test("fieldSpec kind inference follows the reference's key dispatch") {
     val cfg = ConfigLoader.fromYaml(
       """name: t

@@ -177,7 +177,10 @@ class SourcesSpec extends AnyFunSuite {
 
     val batch = Seq(
       ("p1", "  ", Seq("a.pdf", "b.pdf"), "h1"),
-      ("p2", "ley", Seq.empty[String], "h2")
+      ("p2", "ley", Seq.empty[String], "h2"),
+      // control chars (CRLF, 0x01) must come out RFC-8259-escaped — raw
+      // control bytes are invalid jsonb input and would fail the batch
+      ("p3", "x", Seq("ley\r\nminera", "a\u0001b"), "h3")
     ).toDF("no_camara", "titulo", "documentos", "row_hash")
     JdbcUpsert.write(batch, url, fin, JdbcUpsert.AnsiMerge)
     val got = query(url,
@@ -185,7 +188,8 @@ class SourcesSpec extends AnyFunSuite {
       rs => (rs.getString(1), rs.getString(2), rs.getString(3)))
     assert(got == Vector(
       ("h1", null, "[\"a.pdf\",\"b.pdf\"]"),
-      ("h2", "ley", "[]")))
+      ("h2", "ley", "[]"),
+      ("h3", "x", "[\"ley\\r\\nminera\",\"a\\u0001b\"]")))
   }
 
   test("jdbc upsert: prepare drops blank lookup keys and dedups by PK keep-first") {

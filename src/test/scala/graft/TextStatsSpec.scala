@@ -96,10 +96,12 @@ class TextStatsSpec extends AnyFunSuite {
   test("redactPii replaces email, phone, and long ids with typed tags") {
     val got = Seq(
       "mail a.b+c@test.org or 555-0001-2345 ref 123456789 ok",
+      "nanp 555-123-4567 parens (555) 123-4567 dots 555.123.4567",
       "short digits 12345678 stay; v1.2.3 stays").toDF("t")
       .select(Cleaning.redactPii(col("t"))).as[String].collect().toSeq
     assert(got == Seq(
       "mail <EMAIL> or <PHONE> ref <ID> ok",
+      "nanp <PHONE> parens <PHONE> dots <PHONE>",
       "short digits 12345678 stay; v1.2.3 stays"))
   }
 

@@ -79,8 +79,17 @@ def main():
     total_b = sum(base[q] for q in cur if q in base)
     total_c = sum(c for q, c in cur.items() if q in base)
     if total_b > 0:
+        total_ratio = total_c / total_b
         print(f"{'TOTAL (shared)':<28} {total_b:>8.3f} {total_c:>8.3f} "
-              f"{total_c / total_b:>6.2f}x")
+              f"{total_ratio:>6.2f}x")
+        # absolute backstop: median normalization intentionally forgives a
+        # uniform machine-speed shift, but a commit that slows MOST queries
+        # would also shift the median and slip through per-query gating —
+        # the un-normalized suite total catches exactly that case
+        if total_ratio > RATIO_MAX:
+            breaches.append(
+                f"TOTAL {total_ratio:.2f}x > {RATIO_MAX}x (suite-wide slowdown "
+                f"is not machine noise the gate will forgive)")
     else:
         print(f"{'TOTAL (shared)':<28} n/a — no shared queries with baseline")
     for q in new:
