@@ -75,6 +75,40 @@ object StreamingJobs {
         ()
       }
 
+  /** L1 streaming: incremental near-dup against a persisted bucket state —
+    * the production shape of q93 (`Dedup.incrementalLshCandidates`). Each
+    * micro-batch is minhashed and its LSH buckets are (a) probed against
+    * the stored corpus bucket table, appending flagged (id_new, id_old)
+    * candidate pairs to `outDir`, then (b) merged into the state for the
+    * following batches. Probe cost per batch ∝ batch size, never corpus
+    * size; the state table is the same versioned-parquet merge the batch
+    * path uses, so batch and stream agree on state layout. Within-batch
+    * dups are NOT flagged here (the probe runs against prior state only) —
+    * run `Dedup.lshCandidates` on the batch when that matters. */
+  def incrementalDedupSink(docs: DataFrame, idCol: String,
+                           tokensCol: org.apache.spark.sql.Column,
+                           stateDir: String, outDir: String,
+                           k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
+                           maxBucketSize: Int = 50): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = batch.select(col(idCol),
+          graft.operators.Dedup.minhashSignature(tokensCol, k).as("sig"))
+        val buckets = graft.operators.Dedup.lshBuckets(
+          sigs, idCol, col("sig"), bands, rowsPerBand)
+        val state = graft.sources.Writers.latestVersion(stateDir) match {
+          case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+          case None    => buckets.limit(0)
+        }
+        graft.operators.Dedup.incrementalLshCandidates(state, buckets, maxBucketSize)
+          .write.mode("append").parquet(outDir)
+        graft.sources.Writers.mergeState(
+          spark, stateDir, buckets, Seq(idCol, "band"), lit(epochId))
+        ()
+      }
+
   /** A fingerprinted record flowing through the delta stream. */
   final case class KeyedRecord(key: String, hash: String, payload: String)
 

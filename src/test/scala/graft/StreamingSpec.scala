@@ -42,6 +42,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incrementalDedupSink flags cross-batch near-dups and grows bucket state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("lshstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lshout").toString
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.incrementalDedupSink(
+      docs, "doc_id", split(col("text"), " "), stateDir, outDir).start()
+    try {
+      // batch 1 seeds the state — nothing to probe against yet
+      in.addData((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1 (same tokens → same signature);
+      // doc 4 is novel
+      in.addData((3L, "alpha beta gamma delta"), (4L, "iota kappa lambda mu"))
+      q.processAllAvailable()
+      val flagged = spark.read.parquet(outDir)
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((3L, 1L)))
+      // state now holds buckets for all four docs (4 bands each)
+      val v = graft.sources.Writers.latestVersion(stateDir).get
+      assert(spark.read.parquet(s"$stateDir/v$v")
+        .select("doc_id").distinct().count() == 4)
+    } finally q.stop()
+  }
+
   test("curation metrics and PII scrub run unchanged in a stream (map-only ops)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
