@@ -38,6 +38,20 @@ object Cleaning {
   def forceHttps(url: Column): Column =
     regexp_replace(url, "^http:", "https:")
 
+  /** Host part of a URL, lowercased — the key a domain blocklist matches
+    * on. Row-local regexp; returns '' for non-URL strings (C4's blank
+    * normal form, so a malformed url never accidentally matches a rule). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-z]+://([^/]+)", 1))
+
+  /** Corpus-pipeline domain filter: drop rows whose host appears in the
+    * blocklist — a broadcast LEFT ANTI join, so at 100 TB the corpus
+    * streams past an in-memory blocklist with no shuffle on the big side
+    * (blocklists are thousands of rows; never sort-merge this). */
+  def blockDomains(df: DataFrame, hostCol: Column, blocked: DataFrame,
+                   domainCol: String): DataFrame =
+    df.join(broadcast(blocked), hostCol === blocked(domainCol), "left_anti")
+
   // --- PII scrub (training-corpus extension of C4's normal-form idea) ---
   // RE2-safe patterns (no lookaround) so the same regex runs verbatim in
   // Spark (Java regex) and the DuckDB oracle (RE2). Applied in order:

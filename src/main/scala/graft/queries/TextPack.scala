@@ -160,6 +160,22 @@ object TextPack extends QueryPack {
         nTokCol = col("n_tok"), budget = 512)
     }),
 
+    // C7/L4: domain-blocklist filter — URL synthesized deterministically
+    // from `source` (q83 pattern), host extracted row-locally, blocklist
+    // applied as a broadcast LEFT ANTI join (3 of 20 sources blocked).
+    "q96_domain_filter" -> ((s, dir) => Q.ordered {
+      import s.implicits._
+      import graft.operators.Cleaning
+      val docs = Q.t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+          col("doc_id").cast("string")).as("url"))
+        .withColumn("host", Cleaning.urlHost(col("url")))
+      val blocked = Seq("src3.example.org", "src7.example.org",
+        "src15.example.org").toDF("domain")
+      Cleaning.blockDomains(docs, col("host"), blocked, "domain")
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -233,6 +249,19 @@ object TextPack extends QueryPack {
          SELECT doc_id, top_tok_frac, dup_bigram_frac,
                 (top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.06) AS keep
          FROM m ORDER BY ALL NULLS FIRST""",
+
+    "q96_domain_filter" ->
+      """WITH d AS (SELECT doc_id, source,
+                           'https://' || source || '.example.org/docs/'
+                             || CAST(doc_id AS VARCHAR) AS url
+                    FROM documents),
+         h AS (SELECT *, lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+               FROM d),
+         b(domain) AS (VALUES ('src3.example.org'), ('src7.example.org'),
+                              ('src15.example.org'))
+         SELECT doc_id, source, url, host FROM h
+         WHERE host NOT IN (SELECT domain FROM b)
+         ORDER BY ALL NULLS FIRST""",
 
     "q95_curation_e2e" ->
       s"""WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),

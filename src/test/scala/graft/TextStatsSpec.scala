@@ -93,6 +93,20 @@ class TextStatsSpec extends AnyFunSuite {
       ("a", 3L, 600L, 1L, 88L), ("b", 1L, 0L, 0L, 0L)))
   }
 
+  test("urlHost extracts the lowercased host; blockDomains anti-joins it away") {
+    val df = Seq(
+      (1L, "https://GOOD.example.org/a"),
+      (2L, "https://bad.example.org/b"),
+      (3L, "not a url")).toDF("id", "url")
+      .withColumn("host", Cleaning.urlHost(col("url")))
+    assert(df.select("host").as[String].collect().toSeq ==
+      Seq("good.example.org", "bad.example.org", ""))
+    val blocked = Seq("bad.example.org").toDF("domain")
+    val kept = Cleaning.blockDomains(df, col("host"), blocked, "domain")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("redactPii replaces email, phone, and long ids with typed tags") {
     val got = Seq(
       "mail a.b+c@test.org or 555-0001-2345 ref 123456789 ok",
