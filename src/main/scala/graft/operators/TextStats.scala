@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines — SURVEY §2.9 L4
@@ -98,6 +98,30 @@ object TextStats {
     when(size(grams) <= 0, lit(0.0))
       .otherwise(round(
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+
+  /** Corpus-level unigram language-model score per document — the
+    * scalable skeleton of perplexity-based quality filtering: the
+    * "model" is the corpus's own unigram distribution (one hash
+    * aggregation), and each doc scores its mean token log-probability
+    * (gibberish and off-distribution docs score low). Same shuffle shape
+    * as tf-idf: tf ⋈ token-counts ⋈ broadcast 1-row total. Per-token
+    * logs are rounded to 8 places and summed as DECIMAL so both engines
+    * agree bit-for-bit (sum-of-double association differs otherwise).
+    * Returns (idCol, n_tok, mean_logprob). */
+  def unigramLogprob(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokensCol).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    tf.join(cnt, "token").crossJoin(broadcast(n))
+      .withColumn("lp", round(log(col("c").cast("double") / col("n")), 8))
+      .groupBy(col(idCol))
+      .agg(
+        sum((col("tf") * col("lp")).cast("decimal(28,8)")).as("s"),
+        sum(col("tf")).as("n_tok"))
+      .select(col(idCol), col("n_tok"),
+        round(col("s").cast("double") / col("n_tok"), 6).as("mean_logprob"))
+  }
 
   /** Word n-grams as '_'-joined strings — [[bigrams]] generalized by
     * zipping n shifted slices (all length `size - n + 1`). Row-local,

@@ -176,6 +176,17 @@ object TextPack extends QueryPack {
       Cleaning.blockDomains(docs, col("host"), blocked, "domain")
     }),
 
+    // L4: unigram-LM quality score — the perplexity-filter skeleton; the
+    // corpus's own unigram distribution scores each doc's mean token
+    // log-probability. Keep threshold -3.45 splits this corpus around
+    // its median (-3.40).
+    "q97_unigram_logprob" -> ((s, dir) => Q.ordered {
+      TextStats.unigramLogprob(
+        Q.t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "))
+        .withColumn("keep", col("mean_logprob") >= -3.45)
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -249,6 +260,22 @@ object TextPack extends QueryPack {
          SELECT doc_id, top_tok_frac, dup_bigram_frac,
                 (top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.06) AS keep
          FROM m ORDER BY ALL NULLS FIRST""",
+
+    "q97_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM tok),
+         sc AS (SELECT t.doc_id,
+                       sum(CAST(t.tf * round(ln(CAST(c.c AS DOUBLE) / n.n), 8)
+                           AS DECIMAL(28,8))) AS s,
+                       CAST(sum(t.tf) AS BIGINT) AS n_tok
+                FROM tf t JOIN cnt c USING (token) CROSS JOIN n
+                GROUP BY 1)
+         SELECT doc_id, n_tok,
+                round(CAST(s AS DOUBLE) / n_tok, 6) AS mean_logprob,
+                round(CAST(s AS DOUBLE) / n_tok, 6) >= -3.45 AS keep
+         FROM sc ORDER BY ALL NULLS FIRST""",
 
     "q96_domain_filter" ->
       """WITH d AS (SELECT doc_id, source,

@@ -25,7 +25,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q71_tfidf", "q50_jaccard_pairs", "q60_ngram_jaccard",
     // q89 broadcasts the 1-row train-corpus count for the df-cap guard
     // (same bounded shape as q50/q60's jaccardPairs)
-    "q89_decontamination")
+    "q89_decontamination",
+    // q97 broadcasts the 1-row total-token count (the q71-tfidf shape)
+    "q97_unigram_logprob")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the

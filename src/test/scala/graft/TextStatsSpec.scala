@@ -93,6 +93,14 @@ class TextStatsSpec extends AnyFunSuite {
       ("a", 3L, 600L, 1L, 88L), ("b", 1L, 0L, 0L, 0L)))
   }
 
+  test("unigramLogprob scores docs by the corpus's own unigram model") {
+    // corpus tokens: a a b | b → N=4, p(a)=p(b)=0.5, ln(0.5)≈-0.69314718
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogprob(df, "doc_id", split(col("text"), " "))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, -0.693147), (2L, 1L, -0.693147)))
+  }
+
   test("urlHost extracts the lowercased host; blockDomains anti-joins it away") {
     val df = Seq(
       (1L, "https://GOOD.example.org/a"),
