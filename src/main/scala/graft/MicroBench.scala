@@ -30,6 +30,28 @@ object MicroBench {
     df.limit(1000).select(sum(VectorFunctions.dotNative(col("a"), col("b")))).collect()
     time("hof") { df.select(sum(Similarity.dot(col("a"), col("b")))).collect() }
     time("native") { df.select(sum(VectorFunctions.dotNative(col("a"), col("b")))).collect() }
+
+    // topTokenFrac: the shipped sorted-longest-run form vs the naive
+    // distinct×scan form on pathologically long documents — the case the
+    // O(d·n) shape stalls on (one 100k-token doc ≈ 2e9 comparisons).
+    val docTokens = args.lift(2).map(_.toInt).getOrElse(20000)
+    val docs = spark.range(32).select(
+      transform(sequence(lit(1), lit(docTokens)),
+        i => concat(lit("t"), ((i * (col("id") + 7)) % 5000).cast("string")))
+        .as("toks")).cache()
+    docs.count()
+    def naiveTtf(tokens: org.apache.spark.sql.Column) = {
+      val counts = transform(array_distinct(tokens),
+        t => size(filter(tokens, x => x === t)))
+      round(array_max(counts).cast("double") / size(tokens), 6)
+    }
+    docs.limit(1).select(operators.TextStats.topTokenFrac(col("toks"))).collect()
+    time("ttf-sorted") {
+      docs.select(sum(operators.TextStats.topTokenFrac(col("toks")))).collect()
+    }
+    time("ttf-naive") {
+      docs.select(sum(naiveTtf(col("toks")))).collect()
+    }
     spark.stop()
   }
 }
