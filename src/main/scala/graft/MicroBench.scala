@@ -45,7 +45,9 @@ object MicroBench {
         t => size(filter(tokens, x => x === t)))
       round(array_max(counts).cast("double") / size(tokens), 6)
     }
+    // warmup both arms (planning + codegen) before timing
     docs.limit(1).select(operators.TextStats.topTokenFrac(col("toks"))).collect()
+    docs.limit(1).select(naiveTtf(col("toks"))).collect()
     time("ttf-sorted") {
       docs.select(sum(operators.TextStats.topTokenFrac(col("toks")))).collect()
     }

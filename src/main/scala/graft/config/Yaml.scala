@@ -62,33 +62,50 @@ object Yaml {
     }
   }
 
-  /** A quote char only OPENS a quoted scalar at a position where YAML
-    * allows one to start (line/value/list-item/flow-element start) — an
-    * apostrophe inside an unquoted scalar (o'brien) is plain text, not a
-    * quote, and must not absorb a later comment or colon. */
+  /** The ONE quote model for every scanner in this parser (comment
+    * stripping, colon finding, flow-list splitting — two contradictory
+    * models in one file is how misparses breed):
+    *  - a quote char OPENS a scalar only at a position where YAML allows
+    *    one to start (line/value/list-item/flow-element start) — an
+    *    apostrophe inside an unquoted scalar (o'brien) is plain text;
+    *  - inside single quotes, `''` is the escaped-quote pair (consumed,
+    *    still inside); a lone `'` closes;
+    *  - inside double quotes, `\` escapes the next char (so `\"` does
+    *    not close); a bare `"` closes.
+    *
+    * Walks `s` invoking `outside(c, i)` for every char NOT inside a
+    * quoted scalar; the first call that returns true stops the scan and
+    * its index is returned (-1 if none). */
+  private def scanOutsideQuotes(s: String)(outside: (Char, Int) => Boolean): Int = {
+    var inSingle = false; var inDouble = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 // '' escape
+          else inSingle = false
+        }
+      } else if (inDouble) {
+        if (c == '\\') i += 1 // \" (or any) escape
+        else if (c == '"') inDouble = false
+      } else if (c == '\'' && opensQuote(s, i)) inSingle = true
+      else if (c == '"' && opensQuote(s, i)) inDouble = true
+      else if (outside(c, i)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def opensQuote(s: String, i: Int): Boolean =
     i == 0 || " :,-[".contains(s.charAt(i - 1))
 
   /** Drop a trailing `#` comment that is not inside quotes. */
   private def stripComment(raw: String): String = {
-    var inSingle = false; var inDouble = false
-    var i = 0
-    while (i < raw.length) {
-      raw.charAt(i) match {
-        case '\'' if !inDouble =>
-          if (inSingle) inSingle = false
-          else if (opensQuote(raw, i)) inSingle = true
-        case '"' if !inSingle =>
-          if (inDouble) inDouble = false
-          else if (opensQuote(raw, i)) inDouble = true
-        case '#' if !inSingle && !inDouble &&
-            (i == 0 || raw.charAt(i - 1).isWhitespace) =>
-          return raw.substring(0, i)
-        case _ =>
-      }
-      i += 1
+    val cut = scanOutsideQuotes(raw) { (c, i) =>
+      c == '#' && (i == 0 || raw.charAt(i - 1).isWhitespace)
     }
-    raw
+    if (cut < 0) raw else raw.substring(0, cut)
   }
 
   /** Parse the block starting at `i` whose lines sit at exactly `indent`. */
@@ -152,25 +169,10 @@ object Yaml {
 
   /** First unquoted `:` that is followed by space/EOL (so URLs in quoted
     * scalars don't split). */
-  private def colonIndex(t: String): Int = {
-    var inSingle = false; var inDouble = false
-    var i = 0
-    while (i < t.length) {
-      t.charAt(i) match {
-        case '\'' if !inDouble =>
-          if (inSingle) inSingle = false
-          else if (opensQuote(t, i)) inSingle = true
-        case '"' if !inSingle =>
-          if (inDouble) inDouble = false
-          else if (opensQuote(t, i)) inDouble = true
-        case ':' if !inSingle && !inDouble &&
-            (i == t.length - 1 || t.charAt(i + 1) == ' ') => return i
-        case _ =>
-      }
-      i += 1
+  private def colonIndex(t: String): Int =
+    scanOutsideQuotes(t) { (c, i) =>
+      c == ':' && (i == t.length - 1 || t.charAt(i + 1) == ' ')
     }
-    -1
-  }
 
   private def parseInline(v: String): Node =
     if (v.startsWith("[") && v.endsWith("]")) {
@@ -179,18 +181,19 @@ object Yaml {
       else ListNode(splitFlow(inner).map(s => Scalar(unquote(s.trim))).toVector)
     } else Scalar(unquote(v))
 
-  /** Split a flow-list body on commas outside quotes. */
+  /** Split a flow-list body on commas outside quotes (same quote model
+    * as every other scanner here — see [[scanOutsideQuotes]]). */
   private def splitFlow(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var inSingle = false; var inDouble = false
-    val cur = new StringBuilder
-    s.foreach {
-      case c @ '\'' if !inDouble => inSingle = !inSingle; cur += c
-      case c @ '"' if !inSingle  => inDouble = !inDouble; cur += c
-      case ',' if !inSingle && !inDouble => out += cur.result(); cur.clear()
-      case c => cur += c
+    val cuts = Vector.newBuilder[Int]
+    scanOutsideQuotes(s) { (c, i) =>
+      if (c == ',') cuts += i
+      false // never stop — collect every split point
     }
-    out += cur.result()
+    val points = cuts.result()
+    val out = Seq.newBuilder[String]
+    var from = 0
+    points.foreach { p => out += s.substring(from, p); from = p + 1 }
+    out += s.substring(from)
     out.result()
   }
 

@@ -39,10 +39,14 @@ object Cleaning {
     regexp_replace(url, "^http:", "https:")
 
   /** Host part of a URL, lowercased — the key a domain blocklist matches
-    * on. Row-local regexp; returns '' for non-URL strings (C4's blank
-    * normal form, so a malformed url never accidentally matches a rule). */
+    * on. A blocklist must FAIL CLOSED against trivial evasion, so the
+    * scheme matches case-insensitively and userinfo/port are stripped
+    * ('HTTPS://u@Bad.Org:8080/x' → 'bad.org'). Row-local regexp; returns
+    * '' for non-URL strings (C4's blank normal form, so a malformed url
+    * never accidentally matches a rule). */
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^[a-z]+://([^/]+)", 1))
+    lower(regexp_extract(url,
+      "(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
   /** Corpus-pipeline domain filter: drop rows whose host appears in the
     * blocklist — a broadcast LEFT ANTI join, so at 100 TB the corpus
@@ -62,8 +66,12 @@ object Cleaning {
   // 3-3-4 (NANP) and 3-4-4 groupings, '-'/'.'/' ' separators, optional
   // area-code parens: covers 555-123-4567, (555) 123-4567, 555.123.4567,
   // 555-0123-4567. Version strings (1.2.3) stay untouched — every group
-  // needs 3+ digits.
-  val PhoneRe = "\\(?\\d{3}\\)?[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+  // needs 3+ digits. The bare form keeps its leading \b so the match
+  // can't start mid-digit-run (leaving unredacted digit fragments that
+  // would also escape LongIdRe's 9-digit floor); the paren alternative
+  // is self-anchoring.
+  val PhoneRe =
+    "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b|\\(\\d{3}\\)[-. ]?\\d{3,4}[-. ]\\d{4}\\b"
   val LongIdRe = "\\b\\d{9,}\\b"
 
   /** Replace emails, phone numbers, and 9+-digit bare ids with typed

@@ -147,6 +147,9 @@ object Dedup {
       .select(col(sIdCol).as("id_old"), col("band"), col("bucket"))
     fresh.select(col(fIdCol).as("id_new"), col("band"), col("bucket"))
       .join(capped, Seq("band", "bucket"))
+      // a re-ingested doc probes its OWN stored buckets (the normal
+      // streaming re-delivery case) — never a near-dup of itself
+      .filter(col("id_new") =!= col("id_old"))
       .select("id_new", "id_old").distinct()
   }
 

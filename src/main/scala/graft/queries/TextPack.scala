@@ -282,7 +282,8 @@ object TextPack extends QueryPack {
                            'https://' || source || '.example.org/docs/'
                              || CAST(doc_id AS VARCHAR) AS url
                     FROM documents),
-         h AS (SELECT *, lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+         h AS (SELECT *, lower(regexp_extract(url,
+                 '(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
                FROM d),
          b(domain) AS (VALUES ('src3.example.org'), ('src7.example.org'),
                               ('src15.example.org'))
@@ -321,7 +322,7 @@ object TextPack extends QueryPack {
          red AS (SELECT doc_id, pred_lang, n_tok, quality,
                         md5(regexp_replace(regexp_replace(regexp_replace(text,
                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                          '\\(?\\d{3}\\)?[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                          '\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b|\\(\\d{3}\\)[-. ]?\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
                           '\\b\\d{9,}\\b', '<ID>', 'g')) AS text_fp
                  FROM ded),
          p AS (SELECT *,
@@ -362,13 +363,13 @@ object TextPack extends QueryPack {
                       regexp_replace(txt,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                         '<EMAIL>', 'g'),
-                      '\(?\d{3}\)?[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                      '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b|\(\d{3}\)[-. ]?\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
                     '\b\d{9,}\b', '<ID>', 'g') AS redacted
            FROM ann)
          SELECT doc_id,
                 len(regexp_extract_all(txt,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-                len(regexp_extract_all(txt, '\(?\d{3}\)?[-. ]\d{3,4}[-. ]\d{4}\b')) AS n_phone,
+                len(regexp_extract_all(txt, '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b|\(\d{3}\)[-. ]?\d{3,4}[-. ]\d{4}\b')) AS n_phone,
                 redacted,
                 len(regexp_extract_all(redacted, '<ID>')) AS n_id
          FROM red ORDER BY ALL NULLS FIRST""",

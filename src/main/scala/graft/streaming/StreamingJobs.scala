@@ -84,7 +84,14 @@ object StreamingJobs {
     * size; the state table is the same versioned-parquet merge the batch
     * path uses, so batch and stream agree on state layout. Within-batch
     * dups are NOT flagged here (the probe runs against prior state only) —
-    * run `Dedup.lshCandidates` on the batch when that matters. */
+    * run `Dedup.lshCandidates` on the batch when that matters.
+    *
+    * Replay-safe (foreachBatch re-executes an epoch after failure):
+    * bucket rows carry their epoch, the probe EXCLUDES state rows of the
+    * current epoch (a replayed batch must not see its own half-merged
+    * buckets), flagged pairs overwrite a per-epoch directory instead of
+    * blind-appending, and the (id, band)-keyed state merge with the epoch
+    * as version is content-idempotent under replay. */
   def incrementalDedupSink(docs: DataFrame, idCol: String,
                            tokensCol: org.apache.spark.sql.Column,
                            stateDir: String, outDir: String,
@@ -97,15 +104,18 @@ object StreamingJobs {
         val sigs = batch.select(col(idCol),
           graft.operators.Dedup.minhashSignature(tokensCol, k).as("sig"))
         val buckets = graft.operators.Dedup.lshBuckets(
-          sigs, idCol, col("sig"), bands, rowsPerBand)
+            sigs, idCol, col("sig"), bands, rowsPerBand)
+          .withColumn("__epoch", lit(epochId))
         val state = graft.sources.Writers.latestVersion(stateDir) match {
           case Some(v) => spark.read.parquet(s"$stateDir/v$v")
-          case None    => buckets.limit(0)
+            .filter(col("__epoch") < epochId)
+          case None => buckets.limit(0)
         }
-        graft.operators.Dedup.incrementalLshCandidates(state, buckets, maxBucketSize)
-          .write.mode("append").parquet(outDir)
+        graft.operators.Dedup.incrementalLshCandidates(
+            state.drop("__epoch"), buckets.drop("__epoch"), maxBucketSize)
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
         graft.sources.Writers.mergeState(
-          spark, stateDir, buckets, Seq(idCol, "band"), lit(epochId))
+          spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"))
         ()
       }
 

@@ -64,6 +64,24 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(m("titulo").asString == "o'brien")
   }
 
+  test("Yaml parser: quote ESCAPES survive comment stripping and colon finding") {
+    // '' inside single quotes stays inside the scalar — the # is content
+    val s = Yaml.parse("name: 'it''s # ok'\n").asMap.toMap
+    assert(s("name").asString == "it's # ok")
+    // \" inside double quotes likewise
+    val d = Yaml.parse("say: \"he said \\\"hi\\\" # loud\"\n").asMap.toMap
+    assert(d("say").asString == "he said \"hi\" # loud")
+    // a colon inside a quoted list-item scalar is not a map entry
+    val li = Yaml.parse("xs:\n  - 'a: b'\n").asMap.toMap
+    assert(li("xs").asList.map(_.asString) == Vector("a: b"))
+  }
+
+  test("Yaml parser: flow lists use the same quote model (apostrophes are text)") {
+    val m = Yaml.parse("markers: [o'brien, smith, 'x, y']\n").asMap.toMap
+    assert(m("markers").asList.map(_.asString) ==
+      Vector("o'brien", "smith", "x, y"))
+  }
+
   test("booleans accept the YAML-1.1 vocabulary and reject garbage loudly") {
     def cfg(b: String) = ConfigLoader.fromYaml(
       s"""name: t

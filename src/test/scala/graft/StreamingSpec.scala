@@ -59,8 +59,16 @@ class StreamingSpec extends AnyFunSuite {
       in.addData((3L, "alpha beta gamma delta"), (4L, "iota kappa lambda mu"))
       q.processAllAvailable()
       val flagged = spark.read.parquet(outDir)
-        .as[(Long, Long)].collect().toSet
+        .select("id_new", "id_old").as[(Long, Long)].collect().toSet
       assert(flagged == Set((3L, 1L)))
+      // re-delivery of doc 1 (same id, same text) must NOT flag itself
+      in.addData((1L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val after = spark.read.parquet(outDir)
+        .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+      // doc 1 probes state that now contains its dup doc 3 — the (1,3)
+      // pair is flagged; the (1,1) self-pair is not
+      assert(after == Set((3L, 1L), (1L, 3L)))
       // state now holds buckets for all four docs (4 bands each)
       val v = graft.sources.Writers.latestVersion(stateDir).get
       assert(spark.read.parquet(s"$stateDir/v$v")

@@ -102,13 +102,18 @@ class TextStatsSpec extends AnyFunSuite {
   }
 
   test("urlHost extracts the lowercased host; blockDomains anti-joins it away") {
+    // fail-closed: scheme case, userinfo, and port must not evade a rule
     val df = Seq(
       (1L, "https://GOOD.example.org/a"),
       (2L, "https://bad.example.org/b"),
-      (3L, "not a url")).toDF("id", "url")
+      (3L, "not a url"),
+      (4L, "HTTPS://bad.example.org/x"),
+      (5L, "https://user@bad.example.org/x"),
+      (6L, "https://bad.example.org:8080/x")).toDF("id", "url")
       .withColumn("host", Cleaning.urlHost(col("url")))
     assert(df.select("host").as[String].collect().toSeq ==
-      Seq("good.example.org", "bad.example.org", ""))
+      Seq("good.example.org", "bad.example.org", "",
+        "bad.example.org", "bad.example.org", "bad.example.org"))
     val blocked = Seq("bad.example.org").toDF("domain")
     val kept = Cleaning.blockDomains(df, col("host"), blocked, "domain")
       .select("id").as[Long].collect().toSet
@@ -119,11 +124,16 @@ class TextStatsSpec extends AnyFunSuite {
     val got = Seq(
       "mail a.b+c@test.org or 555-0001-2345 ref 123456789 ok",
       "nanp 555-123-4567 parens (555) 123-4567 dots 555.123.4567",
+      // a phone-shaped tail inside a longer digit run must NOT match
+      // mid-run (that would strand unredacted leading digits below the
+      // LongIdRe floor) — the 9-digit head goes to <ID> instead
+      "run 123456789-123-4567 end",
       "short digits 12345678 stay; v1.2.3 stays").toDF("t")
       .select(Cleaning.redactPii(col("t"))).as[String].collect().toSeq
     assert(got == Seq(
       "mail <EMAIL> or <PHONE> ref <ID> ok",
       "nanp <PHONE> parens <PHONE> dots <PHONE>",
+      "run <ID>-123-4567 end",
       "short digits 12345678 stay; v1.2.3 stays"))
   }
 

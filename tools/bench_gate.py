@@ -31,6 +31,12 @@ import sys
 
 RATIO_MAX = 1.5
 ABS_FLOOR = 0.2  # seconds
+# Backstop for the case median normalization is blind to (a commit slowing
+# MOST queries): the un-normalized suite total. Its threshold sits ABOVE
+# the documented machine-noise band (uniform 1.2-1.7x, the r2->r3
+# signature) so noise doesn't trip it — a uniform sub-2x code regression
+# is the accepted blind spot of a single-run gate on a shared machine.
+TOTAL_MAX = 2.0
 
 
 def load_bench(path: str) -> dict:
@@ -85,11 +91,12 @@ def main():
         # absolute backstop: median normalization intentionally forgives a
         # uniform machine-speed shift, but a commit that slows MOST queries
         # would also shift the median and slip through per-query gating —
-        # the un-normalized suite total catches exactly that case
-        if total_ratio > RATIO_MAX:
+        # the un-normalized suite total catches that case (threshold above
+        # the known noise band so a slow CI machine doesn't false-fail)
+        if total_ratio > TOTAL_MAX:
             breaches.append(
-                f"TOTAL {total_ratio:.2f}x > {RATIO_MAX}x (suite-wide slowdown "
-                f"is not machine noise the gate will forgive)")
+                f"TOTAL {total_ratio:.2f}x > {TOTAL_MAX}x (suite-wide slowdown "
+                f"beyond the noise band — treat as a code regression)")
     else:
         print(f"{'TOTAL (shared)':<28} n/a — no shared queries with baseline")
     for q in new:
