@@ -81,6 +81,16 @@ object ScaleSmoke {
         bigDocs.select(col("doc_id")), "doc_id")
         .filter(col("is_rep")).count()
     }
+    time("unigram-logprob") {
+      // q97/q71 shuffle shape at 10×: token explode → tf + counts hash
+      // aggs → token equi-join → per-doc agg. Work ∝ total tokens.
+      val ordered = (0 until mult).map { i =>
+        docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      }.reduce(_ unionByName _)
+      operators.TextStats.unigramLogprob(
+        ordered.select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " ")).count()
+    }
     time("decontaminate") {
       // replication multiplies train-df 10x but leaves the DISTINCT test
       // gram set unchanged — join output = Σ_{g∈test∩kept} df_train(g),
