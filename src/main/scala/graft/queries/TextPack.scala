@@ -187,6 +187,28 @@ object TextPack extends QueryPack {
         .withColumn("keep", col("mean_logprob") >= -3.45)
     }),
 
+    // L4: per-source corpus report — the monitoring rollup a pipeline
+    // operator watches: doc/token volumes, language spread, exact-dup
+    // rate (docs minus distinct content fingerprints), mean repetition.
+    // One partial+final groupBy(source); means go through DECIMAL so
+    // both engines sum identically.
+    "q98_corpus_report" -> ((s, dir) => Q.ordered {
+      val toks = split(col("text"), " ")
+      Q.t(s, dir, "documents").select(
+        col("source"), col("lang"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("n_tok"),
+        TextStats.contentFingerprint(toks).as("fp"),
+        TextStats.topTokenFrac(toks).as("ttf"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+          round(sum(col("ttf").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_ttf"))
+    }),
+
     // L4: document fingerprinting — exact, order-insensitive content,
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
@@ -260,6 +282,24 @@ object TextPack extends QueryPack {
          SELECT doc_id, top_tok_frac, dup_bigram_frac,
                 (top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.06) AS keep
          FROM m ORDER BY ALL NULLS FIRST""",
+
+    "q98_corpus_report" ->
+      """WITH m AS (SELECT source, lang,
+                           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+                           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp,
+                           CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0 ELSE
+                             round(CAST(list_max(list_transform(list_distinct(str_split(text, ' ')),
+                               x -> len(list_filter(str_split(text, ' '), y -> y = x)))) AS DOUBLE)
+                               / len(str_split(text, ' ')), 6) END AS ttf
+                    FROM documents)
+         SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                count(DISTINCT lang) AS n_langs,
+                count(*) - count(DISTINCT fp) AS dup_docs,
+                round(CAST(sum(CAST(ttf AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*), 6) AS mean_ttf
+         FROM m GROUP BY source ORDER BY ALL NULLS FIRST""",
 
     "q97_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
