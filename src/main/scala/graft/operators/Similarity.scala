@@ -72,6 +72,43 @@ object Similarity {
     when(size(vec) >= probeDims, key.cast("int"))
   }
 
+  /** Per-bucket centroid SUMS — the IVF "training" step on top of
+    * [[ivfAssign]]'s deterministic coarse buckets, in its distributive
+    * form: per-component sums in integer millionths plus the bucket
+    * count, from which the mean is one division away
+    * ([[centroidMeans]]). Sums, not means, because (a) sums are the
+    * associative combiner a distributed engine actually merges (means
+    * aren't), and (b) integer millionths make the result bit-exact on
+    * every engine — a mean of 6-decimal values lands on exact .5
+    * halfway points (any 2-vector bucket) where double rounding rules
+    * diverge. `round(v×1e6)` is deterministic: float→double widening is
+    * exact, the product is one IEEE op, and both Spark's HALF_UP and
+    * DuckDB's half-away round identically (they differ only in
+    * direction semantics that agree for away-from-zero).
+    *
+    * Shape: posexplode to (bucket, pos, component) → one partial+final
+    * agg per (bucket, pos) → ordered re-assembly (sorting (pos, sum)
+    * structs, so collect_list's arrival order is immaterial). Returns
+    * (bucket, n_vecs, centroid_msum: array<long>). */
+  def centroids(df: DataFrame, bucketCol: Column, vecCol: Column): DataFrame =
+    df.select(bucketCol.as("bucket"), posexplode(vecCol).as(Seq("pos", "v")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(d(col("v")) * 1000000).cast("long")).as("s"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("centroid_msum"))
+
+  /** Divide [[centroids]]' exact sums into double mean vectors — for
+    * in-engine use (probe ordering, k-means seeds) where cross-engine
+    * bit-parity no longer matters. */
+  def centroidMeans(c: DataFrame): DataFrame =
+    c.withColumn("centroid",
+        transform(col("centroid_msum"),
+          s => s.cast("double") / (col("n_vecs") * lit(1000000.0))))
+      .drop("centroid_msum")
+
   /** The standing blow-up guard (SCALE.md) for bucketed candidate
     * generation: DROP buckets larger than `maxBucketSize` before any
     * within-bucket self-join. A skewed embedding distribution (one

@@ -177,6 +177,20 @@ object NearDupPack extends QueryPack {
     // (O(n)) so the pair stage does one dot product. The bucket expression
     // is deterministic, so DuckDB replays it exactly (list_reverse_sort
     // over [mag, signed-index] pairs = Spark's reversed struct sort).
+    // L2: IVF bucket centroids in distributive form — per-component
+    // integer-millionth sums + counts (the mean is consumer-side via
+    // centroidMeans; sums are the associative combiner AND bit-exact
+    // across engines, where means hit .5 halfway rounding divergence
+    // on every 2-vector bucket). posexplode → (bucket, pos) agg →
+    // ordered re-assembly.
+    "q99_ivf_centroids" -> ((s, dir) => Q.ordered {
+      Similarity.centroids(
+        Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+          Similarity.ivfAssign(col("embedding"), probeDims = 8).as("bucket"))
+          .filter(col("bucket").isNotNull),
+        col("bucket"), col("embedding"))
+    }),
+
     "q86_ivf_neardup" -> ((s, dir) => Q.ordered {
       val e = Similarity.capBuckets(
         Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -364,6 +378,26 @@ object NearDupPack extends QueryPack {
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          WHERE cos >= 0.3
          ORDER BY ALL NULLS FIRST""",
+
+    "q99_ivf_centroids" ->
+      """WITH s AS (SELECT vec_id, embedding,
+                list_reverse_sort(list_transform(range(1, 9), i ->
+                  [abs(CAST(embedding[i] AS DOUBLE)),
+                   CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)])) AS st
+                FROM embeddings),
+         e AS (SELECT vec_id, embedding,
+                CASE WHEN len(embedding) >= 8 THEN
+                  (CAST(st[1][2] AS INT) + 8) * 17 + (CAST(st[2][2] AS INT) + 8) END AS bucket
+               FROM s),
+         p AS (SELECT bucket, unnest(range(1, len(embedding) + 1)) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM e WHERE bucket IS NOT NULL),
+         a AS (SELECT bucket, pos, count(*) AS n,
+                      CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+               FROM p GROUP BY 1, 2)
+         SELECT bucket, CAST(max(n) AS BIGINT) AS n_vecs,
+                list(s ORDER BY pos) AS centroid_msum
+         FROM a GROUP BY bucket ORDER BY ALL NULLS FIRST""",
 
     "q86_ivf_neardup" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -170,6 +170,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 2L, 1.0), (3L, 1L, 4L, 0.25)))
   }
 
+  test("centroids sums exact millionths per bucket; centroidMeans divides") {
+    val df = Seq(
+      (1L, 10, Seq(1.0f, 2.0f)),
+      (2L, 10, Seq(3.0f, 4.0f)),
+      (3L, 20, Seq(0.5f, -0.5f))).toDF("vec_id", "bucket", "embedding")
+    val c = Similarity.centroids(df, col("bucket"), col("embedding"))
+    val got = c.as[(Int, Long, Seq[Long])].collect()
+      .map { case (b, n, s) => b -> ((n, s)) }.toMap
+    assert(got == Map(
+      10 -> ((2L, Seq(4000000L, 6000000L))),
+      20 -> ((1L, Seq(500000L, -500000L)))))
+    val means = Similarity.centroidMeans(c)
+      .as[(Int, Long, Seq[Double])].collect()
+      .map { case (b, _, m) => b -> m }.toMap
+    assert(means(10) == Seq(2.0, 3.0))
+    assert(means(20) == Seq(0.5, -0.5))
+  }
+
   test("incrementalLshCandidates probes fresh against capped state buckets") {
     val state = Seq((1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b2"), (4L, 1, "b1"))
       .toDF("doc_id", "band", "bucket")
