@@ -109,6 +109,56 @@ object Similarity {
           s => s.cast("double") / (col("n_vecs") * lit(1000000.0))))
       .drop("centroid_msum")
 
+  /** Lloyd's k-means over an embedding column — the trained upgrade of
+    * [[ivfAssign]]'s deterministic buckets, in the standard distributed
+    * shape (what MLlib's KMeans also does): centroids live on the
+    * driver (k × dim doubles — bounded, NOT data-sized), each iteration
+    * broadcasts them into a row-local argmin assignment, and the
+    * recompute is [[centroids]]' exact integer-sum aggregation, so one
+    * shuffle per iteration and bit-deterministic centroid state (no
+    * float drift between runs). Seeds are the first k distinct vectors
+    * by `idCol` order — deterministic, no RNG (the engine-wide
+    * reproducibility rule). Returns (idCol, cluster) for `maxIter`
+    * rounds or until assignments stop changing. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             maxIter: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seeds = df.orderBy(col(idCol).asc_nulls_last).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "kmeans needs at least one vector")
+    var cents: Array[Array[Double]] = seeds
+    def assignExpr(cs: Array[Array[Double]]): Column = {
+      // row-local argmin over the broadcast centroid literals
+      val dists = cs.zipWithIndex.map { case (c, i) =>
+        val d2 = aggregate(
+          zip_with(col(vecCol), lit(c), (x, y) => (d(x) - y) * (d(x) - y)),
+          lit(0.0), (s, x) => s + x)
+        struct(d2.as("d"), lit(i).as("c"))
+      }
+      array_min(array(dists: _*)).getField("c")
+    }
+    var assigned = df.select(col(idCol), col(vecCol),
+      assignExpr(cents).as("cluster")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val sums = centroids(assigned, col("cluster"), col(vecCol))
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> r.getSeq[Long](2).map(_ / 1e6 / n).toArray
+        }.toMap
+      cents = cents.indices.map(i => sums.getOrElse(i, cents(i))).toArray
+      val next = assigned.select(col(idCol), col(vecCol),
+        assignExpr(cents).as("cluster"),
+        col("cluster").as("__old")).localCheckpoint()
+      changed = next.filter(col("cluster") =!= col("__old")).count()
+      assigned = next.select(col(idCol), col(vecCol), col("cluster"))
+      iter += 1
+    }
+    assigned.select(col(idCol), col("cluster"))
+  }
+
   /** The standing blow-up guard (SCALE.md) for bucketed candidate
     * generation: DROP buckets larger than `maxBucketSize` before any
     * within-bucket self-join. A skewed embedding distribution (one

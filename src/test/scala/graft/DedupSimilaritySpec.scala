@@ -188,6 +188,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(means(20) == Seq(0.5, -0.5))
   }
 
+  test("kmeans separates two obvious clusters deterministically") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(0.05f, 0.05f)),
+      (4L, Seq(5.0f, 5.1f)), (5L, Seq(5.1f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got(1) == got(2) && got(2) == got(3))
+    assert(got(4) == got(5))
+    assert(got(1) != got(4))
+    // deterministic: same input → same assignment (no RNG anywhere)
+    val again = Similarity.kmeans(df, "vec_id", "embedding", k = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(again == got)
+  }
+
   test("incrementalLshCandidates probes fresh against capped state buckets") {
     val state = Seq((1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b2"), (4L, 1, "b1"))
       .toDF("doc_id", "band", "bucket")
