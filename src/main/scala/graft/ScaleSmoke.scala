@@ -81,24 +81,27 @@ object ScaleSmoke {
         bigDocs.select(col("doc_id")), "doc_id")
         .filter(col("is_rep")).count()
     }
+    // shared 10× docs union with ORIGINAL token order (bigDocs above is
+    // distinct-token shaped for minhash) — one definition, two stages
+    val bigDocsOrdered = (0 until mult).map { i =>
+      docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _)
     time("unigram-logprob") {
       // q97/q71 shuffle shape at 10×: token explode → tf + counts hash
-      // aggs → token equi-join → per-doc agg. Work ∝ total tokens.
-      val ordered = (0 until mult).map { i =>
-        docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-      }.reduce(_ unionByName _)
+      // aggs → token equi-join → per-doc agg. Work ∝ total tokens. The
+      // filter forces the logprob aggregate to evaluate — a bare count()
+      // would let Catalyst prune the DECIMAL math this stage times.
       operators.TextStats.unigramLogprob(
-        ordered.select(col("doc_id"), col("text")),
-        "doc_id", split(col("text"), " ")).count()
+        bigDocsOrdered.select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "))
+        .filter(col("mean_logprob").isNotNull).count()
     }
     time("decontaminate") {
       // replication multiplies train-df 10x but leaves the DISTINCT test
       // gram set unchanged — join output = Σ_{g∈test∩kept} df_train(g),
       // so the collapse of the test side is what keeps this linear here;
       // the df-cap guards the adversarial (boilerplate-gram) shape.
-      val ordered = (0 until mult).map { i =>
-        docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-      }.reduce(_ unionByName _)
+      val ordered = bigDocsOrdered
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val train = ordered.filter(col("doc_id") % 10 =!= 0)
       val test = ordered.filter(col("doc_id") % 10 === 0)

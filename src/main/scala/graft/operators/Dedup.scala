@@ -263,6 +263,9 @@ object Dedup {
           col("__old"))
         .localCheckpoint()
       changed = next.filter(col("__lab") < col("__old")).count()
+      // next is materialized (eager checkpoint) — free the previous
+      // round's pinned blocks instead of waiting for GC
+      labels.unpersist()
       labels = next.select(col("__id"), col("__lab"))
       iter += 1
     }

@@ -89,7 +89,14 @@ object Similarity {
     * Shape: posexplode to (bucket, pos, component) → one partial+final
     * agg per (bucket, pos) → ordered re-assembly (sorting (pos, sum)
     * structs, so collect_list's arrival order is immaterial). Returns
-    * (bucket, n_vecs, centroid_msum: array<long>). */
+    * (bucket, n_vecs, centroid_msum: array<long>).
+    *
+    * UNIFORM-DIMENSION CONTRACT: every vector in a bucket must share
+    * the same length — n_vecs is the per-bucket row count, and
+    * [[centroidMeans]] divides every component by it, so the tail
+    * positions of a ragged bucket would be divided by the wrong n.
+    * [[ivfAssign]] upholds this upstream (ragged vectors get a NULL
+    * bucket); NULL-bucket rows must be filtered before calling. */
   def centroids(df: DataFrame, bucketCol: Column, vecCol: Column): DataFrame =
     df.select(bucketCol.as("bucket"), posexplode(vecCol).as(Seq("pos", "v")))
       .groupBy(col("bucket"), col("pos"))
@@ -116,18 +123,34 @@ object Similarity {
     * broadcasts them into a row-local argmin assignment, and the
     * recompute is [[centroids]]' exact integer-sum aggregation, so one
     * shuffle per iteration and bit-deterministic centroid state (no
-    * float drift between runs). Seeds are the first k distinct vectors
-    * by `idCol` order — deterministic, no RNG (the engine-wide
-    * reproducibility rule). Returns (idCol, cluster) for `maxIter`
-    * rounds or until assignments stop changing. */
+    * float drift between runs). Seeds are the first k DISTINCT vectors
+    * by min-`idCol` order — deterministic, no RNG (the engine-wide
+    * reproducibility rule), and duplicate vectors can't produce
+    * permanently-empty seed clusters. Rows whose vector has the wrong
+    * dimension or a null component are DROPPED up front (the ragged
+    * handling ivfAssign applies via NULL buckets — a null distance
+    * would otherwise sort first in the argmin and silently pollute
+    * cluster 0). Returns (idCol, cluster) for `maxIter` rounds or until
+    * assignments stop changing. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
              maxIter: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val seeds = df.orderBy(col(idCol).asc_nulls_last).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def comps(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](0).map {
+        case f: java.lang.Float  => f.toDouble
+        case x: java.lang.Double => x.doubleValue
+        case other => sys.error(s"non-numeric vector component: $other")
+      }.toArray
+    val nonNull = df.filter(!exists(col(vecCol), x => x.isNull))
+    val seeds = nonNull.groupBy(col(vecCol)).agg(min(col(idCol)).as("__sid"))
+      .orderBy(col("__sid").asc_nulls_last).limit(k)
+      .select(col(vecCol)).collect().map(comps)
     require(seeds.nonEmpty, "kmeans needs at least one vector")
-    var cents: Array[Array[Double]] = seeds
+    // the first seed fixes the dimension; wrong-dim seeds AND rows are
+    // dropped together (a mixed-dim centroid would null every distance)
+    val dim = seeds.head.length
+    val clean = nonNull.filter(size(col(vecCol)) === dim)
+    var cents: Array[Array[Double]] = seeds.filter(_.length == dim)
     def assignExpr(cs: Array[Array[Double]]): Column = {
       // row-local argmin over the broadcast centroid literals
       val dists = cs.zipWithIndex.map { case (c, i) =>
@@ -138,7 +161,7 @@ object Similarity {
       }
       array_min(array(dists: _*)).getField("c")
     }
-    var assigned = df.select(col(idCol), col(vecCol),
+    var assigned = clean.select(col(idCol), col(vecCol),
       assignExpr(cents).as("cluster")).localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -153,6 +176,9 @@ object Similarity {
         assignExpr(cents).as("cluster"),
         col("cluster").as("__old")).localCheckpoint()
       changed = next.filter(col("cluster") =!= col("__old")).count()
+      // next is already materialized (localCheckpoint is eager) — free
+      // the previous round's pinned blocks instead of waiting for GC
+      assigned.unpersist()
       assigned = next.select(col(idCol), col(vecCol), col("cluster"))
       iter += 1
     }

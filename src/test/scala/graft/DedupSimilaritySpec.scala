@@ -203,6 +203,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("kmeans: duplicate vectors don't waste seeds; ragged rows are dropped") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), // duplicate vector
+      (3L, Seq(9.0f, 9.0f)),
+      (4L, Seq(1.0f)), // wrong dimension → dropped, not cluster-0 noise
+      (5L, Seq(0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(!got.contains(4L))
+    // distinct-vector seeding gives (9,9) its own seed despite the dup
+    assert(got(1) == got(2) && got(1) == got(5))
+    assert(got(3) != got(1))
+  }
+
   test("incrementalLshCandidates probes fresh against capped state buckets") {
     val state = Seq((1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b2"), (4L, 1, "b1"))
       .toDF("doc_id", "band", "bucket")
