@@ -185,6 +185,41 @@ object Similarity {
     assigned.select(col(idCol), col("cluster"))
   }
 
+  /** IVF probe-ordered ANN search — the query path that completes the
+    * IVF story (ivfAssign buckets → [[centroids]] training → THIS):
+    * rank buckets by query→centroid distance, then run exact cosine
+    * top-k over only the `nprobe` nearest buckets. Versus brute force
+    * the scan shrinks from |corpus| to the probed buckets' population;
+    * versus same-bucket-only probing (q86's nprobe=1 shape) recall
+    * recovers vectors that fell across a bucket boundary. The bucket
+    * ranking runs over the centroid table (bucket-count rows, not
+    * corpus rows) and the probed-bucket set broadcasts into a semi
+    * join, so the big side is scanned once with a bucket filter. */
+  def annSearch(vectors: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, queryVecCol: String,
+                probeDims: Int, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val bucketed = vectors
+      .withColumn("__bucket", ivfAssign(col(vecCol), probeDims))
+      .filter(col("__bucket").isNotNull)
+    val cents = centroidMeans(centroids(bucketed, col("__bucket"), col(vecCol)))
+      .withColumnRenamed("bucket", "__bucket")
+    val probed = cents.crossJoin(broadcast(query))
+      .select(col("__bucket"),
+        aggregate(zip_with(col("centroid"), col(queryVecCol),
+          (x, y) => (x - d(y)) * (x - d(y))), lit(0.0), (s, x) => s + x)
+          .as("__d2"))
+      .orderBy(col("__d2").asc_nulls_last, col("__bucket").asc)
+      .limit(nprobe)
+      .select("__bucket")
+    bucketed.join(broadcast(probed), Seq("__bucket"), "left_semi")
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 6).as("score"))
+      .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)
+      .limit(k)
+  }
+
   /** The standing blow-up guard (SCALE.md) for bucketed candidate
     * generation: DROP buckets larger than `maxBucketSize` before any
     * within-bucket self-join. A skewed embedding distribution (one

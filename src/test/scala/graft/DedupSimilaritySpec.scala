@@ -203,6 +203,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("annSearch: probe-ordered IVF recovers most brute-force neighbors from a fraction of the corpus") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"))
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      query, "qvec", k = 10).select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annSearch(vecs, "vec_id", "embedding",
+      query, "qvec", probeDims = 8, nprobe = 24, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // probing 24 of ~200 buckets must still recover most true neighbors
+    val recall = brute.intersect(ann).size / 10.0
+    assert(recall >= 0.5, s"recall $recall too low; ann=$ann brute=$brute")
+    // and the self-match (vec 1 vs itself, cosine 1.0) is always found
+    assert(ann.contains(1L))
+  }
+
   test("kmeans: duplicate vectors don't waste seeds; ragged rows are dropped") {
     val df = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), // duplicate vector
