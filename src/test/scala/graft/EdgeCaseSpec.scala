@@ -81,6 +81,30 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq("shard", "id", "n", "tok_before", "seq_id", "tok_offset"))
   }
 
+  test("unigramLogprob on a single-doc corpus scores ln(1/N) per unique token") {
+    // one doc "a b": N=2, each token p=1/2 → mean = ln(0.5) ≈ -0.693147
+    val got = graft.operators.TextStats.unigramLogprob(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id",
+      split(col("text"), " ")).as[(Long, Long, Double)].head()
+    assert(got == ((1L, 2L, -0.693147)))
+  }
+
+  test("annSearch with nprobe covering all buckets equals brute force") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f, 0.1f, 0.1f, 0.1f, 0.1f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f, 0.1f, 0.1f, 0.1f, 0.1f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f, 0.1f, 0.1f, 0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.05f, 0.0f, 0.0f, 0.1f, 0.1f, 0.1f, 0.1f)))
+      .toDF("qvec")
+    val ann = Similarity.annSearch(vecs, "vec_id", "embedding", q, "qvec",
+      probeDims = 8, nprobe = 1000, k = 3)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, "qvec", 3)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(ann == brute)
+  }
+
   test("empty-string and null text flow through fingerprints and tokens") {
     val df = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val fp = df.select(

@@ -124,6 +124,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkedPack invariants: offsets bounded, running sums consistent (20 shards)") {
+    val rows = for {
+      shard <- 1 to 20
+      i <- 1 to (1 + rnd.nextInt(8))
+    } yield (s"s$shard", i.toLong, 1 + rnd.nextInt(700))
+    val got = graft.operators.Packing.chunkedPack(
+      rows.toDF("shard", "id", "n"), col("shard"), col("id"), col("n"), 512)
+      .select("shard", "id", "n", "tok_before", "seq_id", "tok_offset")
+      .as[(String, Long, Int, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, n, before, seq, off) =>
+        assert(before == cum)             // running sum of everything before
+        assert(off == before % 512)       // offset inside the sequence
+        assert(off >= 0 && off < 512)
+        assert(seq == before / 512)       // budget-chunk assignment
+        cum += n
+      }
+    }
+  }
+
+  test("urlHost output never contains scheme, userinfo, port, or path chars") {
+    val pool = Seq(
+      "https://a.example.org/x", "HTTP://B.EXAMPLE.ORG", "ftp://u:p@c.org:21/d",
+      "not a url", "https://plain", "http://x.org:8080/p?q=1#f", "")
+    val hosts = Seq.fill(50)(pool(rnd.nextInt(pool.size))).toDF("u")
+      .select(graft.operators.Cleaning.urlHost(col("u"))).as[String].collect()
+    hosts.foreach { h =>
+      assert(!h.exists(c => "@:/?#".contains(c)), s"bad host '$h'")
+      assert(h == h.toLowerCase)
+    }
+  }
+
   test("keepFirst returns exactly the min-under-order row per key (10 tables)") {
     for (_ <- 1 to 10) {
       val rows = Seq.fill(30)((s"k${rnd.nextInt(5)}", rnd.nextInt(1000), rnd.nextInt(9)))
