@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Consistency of the driver-contract registry itself — the failure modes
+  * `toMap` hides: a pack silently overwriting another pack's query id, an
+  * oracle for a query that no longer exists, or a query quietly shipping
+  * without an oracle (the driver then records only a weak rows-only
+  * check). Every deliberate rows-only query must be listed here WITH its
+  * justification, so a forgotten oracle is a test failure, not a silent
+  * downgrade. */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries that deliberately have no DuckDB oracle (SURVEY §8). */
+  private val rowsOnly = Map(
+    "q62_multimodal_decode" ->
+      "binary payload + foreign decode stub has no SQL equivalent",
+    "q63_approx_distinct" ->
+      "HLL sketch internals are engine-specific; only the estimate exists")
+
+  test("query ids are globally unique across packs (toMap hides collisions)") {
+    val packsField = SparkEntry.getClass.getDeclaredFields
+      .find(_.getName == "packs").get
+    packsField.setAccessible(true)
+    val packs = packsField.get(SparkEntry)
+      .asInstanceOf[Seq[graft.queries.QueryPack]]
+    val all = packs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"query id defined in more than one pack: $dups")
+    assert(all.size == SparkEntry.queries.size)
+  }
+
+  test("every oracle references a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without a query: $orphans")
+  }
+
+  test("every query is oracle-checked or documented rows-only") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undocumented = unoracled -- rowsOnly.keySet
+    assert(undocumented.isEmpty,
+      s"query shipping without an oracle and without a documented " +
+        s"rows-only justification: $undocumented")
+    val stale = rowsOnly.keySet -- unoracled
+    assert(stale.isEmpty,
+      s"rows-only entry now HAS an oracle — remove from the list: $stale")
+  }
+
+  test("every oracle ends in a total ORDER BY (the hash-compare contract)") {
+    val missing = SparkEntry.oracleSql.filterNot { case (_, sql) =>
+      sql.toUpperCase.contains("ORDER BY ALL NULLS FIRST")
+    }.keys
+    assert(missing.isEmpty, s"oracle without ORDER BY ALL NULLS FIRST: $missing")
+  }
+}
