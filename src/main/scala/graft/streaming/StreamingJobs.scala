@@ -100,24 +100,36 @@ object StreamingJobs {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val spark = batch.sparkSession
-        val sigs = batch.select(col(idCol),
-          graft.operators.Dedup.minhashSignature(tokensCol, k).as("sig"))
-        val buckets = graft.operators.Dedup.lshBuckets(
-            sigs, idCol, col("sig"), bands, rowsPerBand)
-          .withColumn("__epoch", lit(epochId))
-        val state = graft.sources.Writers.latestVersion(stateDir) match {
-          case Some(v) => spark.read.parquet(s"$stateDir/v$v")
-            .filter(col("__epoch") < epochId)
-          case None => buckets.limit(0)
-        }
-        graft.operators.Dedup.incrementalLshCandidates(
-            state.drop("__epoch"), buckets.drop("__epoch"), maxBucketSize)
-          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-        graft.sources.Writers.mergeState(
-          spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"))
-        ()
+        incrementalDedupBatch(batch, epochId, idCol, tokensCol,
+          stateDir, outDir, k, bands, rowsPerBand, maxBucketSize)
       }
+
+  /** One epoch of [[incrementalDedupSink]], exposed so replay semantics
+    * are testable outside a streaming query: calling this twice with the
+    * SAME (batch, epochId) must leave identical output and state. */
+  def incrementalDedupBatch(batch: DataFrame, epochId: Long, idCol: String,
+                            tokensCol: org.apache.spark.sql.Column,
+                            stateDir: String, outDir: String,
+                            k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
+                            maxBucketSize: Int = 50): Unit = {
+    val spark = batch.sparkSession
+    val sigs = batch.select(col(idCol),
+      graft.operators.Dedup.minhashSignature(tokensCol, k).as("sig"))
+    val buckets = graft.operators.Dedup.lshBuckets(
+        sigs, idCol, col("sig"), bands, rowsPerBand)
+      .withColumn("__epoch", lit(epochId))
+    val state = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => buckets.limit(0)
+    }
+    graft.operators.Dedup.incrementalLshCandidates(
+        state.drop("__epoch"), buckets.drop("__epoch"), maxBucketSize)
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"))
+    ()
+  }
 
   /** A fingerprinted record flowing through the delta stream. */
   final case class KeyedRecord(key: String, hash: String, payload: String)

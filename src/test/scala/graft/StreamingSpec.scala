@@ -76,6 +76,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incrementalDedupBatch replay: same epoch re-run leaves identical output and state") {
+    val stateDir = java.nio.file.Files.createTempDirectory("lshstate2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lshout2").toString
+    def run(epoch: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalDedupBatch(
+        docs.toDF("doc_id", "text"), epoch, "doc_id",
+        split(col("text"), " "), stateDir, outDir)
+    run(0, Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")))
+    run(1, Seq((3L, "alpha beta gamma delta")))
+    def flagged = spark.read.parquet(outDir)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    def stateRows = {
+      val v = graft.sources.Writers.latestVersion(stateDir).get
+      spark.read.parquet(s"$stateDir/v$v")
+        .select("doc_id", "band", "bucket")
+        .as[(Long, Int, String)].collect().toSet
+    }
+    val (f1, s1) = (flagged, stateRows)
+    assert(f1 == Set((3L, 1L)))
+    // epoch 1 crashes after commit and is REPLAYED: the probe must not
+    // see epoch 1's own half-merged buckets, the output overwrite must
+    // not duplicate pairs, and the state merge must be content-stable
+    run(1, Seq((3L, "alpha beta gamma delta")))
+    assert(flagged == f1)
+    assert(stateRows == s1)
+  }
+
   test("curation metrics and PII scrub run unchanged in a stream (map-only ops)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
