@@ -69,6 +69,8 @@ class PlanLintSpec extends AnyFunSuite {
 
   assertBucketCap("q58_minhash_lsh", "<= 50")
   assertBucketCap("q86_ivf_neardup", "<= 100")
+  // the incremental probe carries the same state-side mega-bucket guard
+  assertBucketCap("q93_incremental_neardup", "<= 50")
 
   /** Shuffle-budget lint — pins the scale claims made in SURVEY/SCALE.md
     * into the physical plan: the row-local curation queries must stay
