@@ -152,15 +152,15 @@ object CorePack extends QueryPack {
     // cleaning → fingerprint → delta split → classify → merge. Ungated:
     // a declared query must be one lazy plan (no isEmpty probe job at
     // construction); the gate is exercised by SparkEntry.entry and tests.
-    "q83_pipeline_e2e" -> ((s, dir) => Q.ordered(
-      Pipeline.run(e2eRaw(s, dir), e2eState(s, dir), e2eConfig, gated = false))),
+    "q83_pipeline_e2e" -> ((s, dir) => Q.ordered(Q.jsonArrays(
+      Pipeline.run(e2eRaw(s, dir), e2eState(s, dir), e2eConfig, gated = false)))),
 
     // S3 inside the whole DAG: same plan as q83 plus the fallback stage
     // on the detail branch (one broadcast equi-join keyed on the
     // normalized expediente URL).
-    "q88_pipeline_fallback" -> ((s, dir) => Q.ordered(
+    "q88_pipeline_fallback" -> ((s, dir) => Q.ordered(Q.jsonArrays(
       Pipeline.run(fbRaw(s, dir), e2eState(s, dir), fbConfig, gated = false,
-        secondary = Some(fbSecondary(s, dir))))),
+        secondary = Some(fbSecondary(s, dir)))))),
 
     "q09_row_checksum" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(
@@ -217,13 +217,15 @@ object CorePack extends QueryPack {
                    coalesce(nullif(${ClassifyPack.ruleCaseSql(e2eTextSql)}, ''),
                             ${Classify.stubSql(e2eTextSql, ClassifyPack.categories)}) AS lab
             FROM j WHERE sh IS NULL OR sh <> row_hash)
-          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags, row_hash,
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href,
+                 to_json(tags)::VARCHAR AS tags, row_hash,
                  CASE WHEN lab IN (${ClassifyPack.categories.map(c => s"'$c'").mkString(", ")})
                       THEN lab ELSE 'otros' END AS sector,
                  'detail' AS route
           FROM det
           UNION ALL
-          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags, row_hash, NULL, 'bypass'
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href,
+                 to_json(tags)::VARCHAR, row_hash, NULL, 'bypass'
           FROM j WHERE sh = row_hash
           ORDER BY ALL NULLS FIRST""",
 
@@ -285,15 +287,17 @@ object CorePack extends QueryPack {
                    coalesce(nullif(${ClassifyPack.ruleCaseSql(e2eTextSql)}, ''),
                             ${Classify.stubSql(e2eTextSql, ClassifyPack.categories)}) AS lab
             FROM detf)
-          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags,
-                 docs, exp_url, row_hash,
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href,
+                 to_json(tags)::VARCHAR AS tags, to_json(docs)::VARCHAR AS docs,
+                 exp_url, row_hash,
                  CASE WHEN lab IN (${ClassifyPack.categories.map(c => s"'$c'").mkString(", ")})
                       THEN lab ELSE 'otros' END AS sector,
                  'detail' AS route
           FROM det
           UNION ALL
-          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href, tags,
-                 docs, exp_url, row_hash, NULL, 'bypass'
+          SELECT numero, titulo, detalle, detail_url, titulo_x, doc_href,
+                 to_json(tags)::VARCHAR, to_json(docs)::VARCHAR,
+                 exp_url, row_hash, NULL, 'bypass'
           FROM j WHERE sh = row_hash
           ORDER BY ALL NULLS FIRST""",
 

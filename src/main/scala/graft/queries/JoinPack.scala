@@ -69,9 +69,10 @@ object JoinPack extends QueryPack {
         concat(lit("https://portal.example/exp/"), col("doc_id").cast("string")).as("url"),
         array(concat(lit("https://portal.example/files/"),
           col("doc_id").cast("string"), lit(".pdf"))).as("links"))
-      Enrich.fallbackCollection(primary, secondary, "links", "exp_url",
-        "url", "links", "https://portal.example")
-        .select(col("doc_id"), col("exp_url"), col("links"))
+      Q.jsonArrays(
+        Enrich.fallbackCollection(primary, secondary, "links", "exp_url",
+          "url", "links", "https://portal.example")
+          .select(col("doc_id"), col("exp_url"), col("links")))
     }),
 
     // G4: 3-way join — nation is a bounded dim (25 rows at any SF) so its
@@ -225,8 +226,8 @@ object JoinPack extends QueryPack {
                   END AS nk
            FROM base)
          SELECT n.doc_id, n.exp_url,
-                CASE WHEN n.nk IS NOT NULL THEN coalesce(s.fb, n.links)
-                     ELSE n.links END AS links
+                to_json(CASE WHEN n.nk IS NOT NULL THEN coalesce(s.fb, n.links)
+                        ELSE n.links END)::VARCHAR AS links
          FROM n LEFT JOIN sec s ON n.nk = s.url
          ORDER BY ALL NULLS FIRST""",
 

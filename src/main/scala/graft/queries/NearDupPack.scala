@@ -184,11 +184,11 @@ object NearDupPack extends QueryPack {
     // on every 2-vector bucket). posexplode → (bucket, pos) agg →
     // ordered re-assembly.
     "q99_ivf_centroids" -> ((s, dir) => Q.ordered {
-      Similarity.centroids(
+      Q.jsonArrays(Similarity.centroids(
         Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
           Similarity.ivfAssign(col("embedding"), probeDims = 8).as("bucket"))
           .filter(col("bucket").isNotNull),
-        col("bucket"), col("embedding"))
+        col("bucket"), col("embedding")))
     }),
 
     "q86_ivf_neardup" -> ((s, dir) => Q.ordered {
@@ -396,7 +396,7 @@ object NearDupPack extends QueryPack {
                       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
                FROM p GROUP BY 1, 2)
          SELECT bucket, CAST(max(n) AS BIGINT) AS n_vecs,
-                list(s ORDER BY pos) AS centroid_msum
+                to_json(list(s ORDER BY pos))::VARCHAR AS centroid_msum
          FROM a GROUP BY bucket ORDER BY ALL NULLS FIRST""",
 
     "q86_ivf_neardup" ->

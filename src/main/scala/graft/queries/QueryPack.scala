@@ -30,6 +30,23 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** Driver-comparator boundary: the oracle harness sorts/hashes rows via
+    * pandas, which cannot hash array cells — a declared query emitting a
+    * raw ArrayType column errors driver-side even when semantics match
+    * (CORRECTNESS_r05 q83/q87/q88/q99). Serialize every top-level array
+    * column to its compact JSON form; Spark's and DuckDB's `to_json`
+    * agree byte-for-byte on arrays of strings/longs/structs (q67 pins the
+    * parity). RegistrySpec enforces that no declared query ships an
+    * array/map/struct column past this boundary. */
+  def jsonArrays(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+
   /** Engine-portable exact sum over doubles: accumulate in DECIMAL(28,10)
     * (exact — association order can't matter), then recast through
     * DECIMAL(28,4) before the double output. The narrower scale matters:

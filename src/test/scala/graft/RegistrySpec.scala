@@ -52,4 +52,24 @@ class RegistrySpec extends AnyFunSuite {
     }.keys
     assert(missing.isEmpty, s"oracle without ORDER BY ALL NULLS FIRST: $missing")
   }
+
+  test("no declared query emits array/map/struct columns (driver comparator contract)") {
+    // The driver's pandas comparator cannot sort/hash nested cells — a raw
+    // ArrayType column flips a query to `err` driver-side even when the
+    // semantics are right (CORRECTNESS_r05 q83/q87/q88/q99). Every declared
+    // query must serialize nested columns (Q.jsonArrays / to_json) before
+    // the output boundary. Schema-only: analysis, no job.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, q) =>
+      q(TestSpark.spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"declared query emits nested columns the driver cannot compare: $offenders")
+  }
 }

@@ -31,8 +31,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             return int(v)
         if isinstance(v, (bool, np.bool_)):
             return bool(v)
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return tuple(cell(x) for x in v)
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            # the DRIVER's comparator crashes on nested cells (pandas
+            # sort_values → unhashable ndarray). Fail the same way locally
+            # so array-typed outputs can never look green here and err
+            # there (the r05 q83/q87/q88/q99 divergence). Queries must
+            # to_json-serialize nested columns (Q.jsonArrays).
+            raise TypeError(
+                f"nested cell {type(v).__name__} in output — driver's "
+                "comparator cannot hash it; serialize with to_json")
         return v
     out = df.map(cell)
     out = out.sort_values(by=list(out.columns), kind="mergesort",
