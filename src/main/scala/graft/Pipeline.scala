@@ -19,6 +19,25 @@ import graft.operators._
   */
 object Pipeline {
 
+  /** The effective xpath for a spec — `attr` folds into the path
+    * (node.get(attr) ≙ selecting @attr). */
+  private def xpathOf(spec: FieldSpec): String =
+    if (spec.attr.nonEmpty) s"${spec.xpath}/@${spec.attr}" else spec.xpath
+
+  /** P6 post-processing over an already-extracted node set:
+    * `pattern` refines each value like the reference's regex step.
+    * Single form: first node, '' when absent (→ NULL after C4).
+    * Multiple form: all non-empty refined values, deduplicated
+    * (array_distinct ≙ the reference's `seen` set). */
+  private def xpathField(spec: FieldSpec, nodes: Column): Column = {
+    def refine(c: Column): Column =
+      if (spec.pattern.isEmpty) trim(c)
+      else regexp_extract(trim(c), spec.pattern, spec.group)
+    if (spec.multiple)
+      array_distinct(filter(transform(nodes, refine(_)), v => v =!= ""))
+    else refine(coalesce(get(nodes, lit(0)), lit("")))
+  }
+
   /** P1–P11 interpreter: one projected column per [[FieldSpec]]
     * (reference list_parser.py:46-76, detail_parser.py:24-95). */
   def field(spec: FieldSpec): Column = {
@@ -33,21 +52,8 @@ object Pipeline {
       case "block_after" =>
         Projection.blockAfter(src, spec.anchor, spec.pattern, spec.group)
       case "xpath" =>
-        // P6 (detail_parser.py:24-77): node set via one xpath() call —
-        // `attr` folds into the path (node.get(attr) ≙ selecting @attr),
-        // `pattern` refines each value like the reference's regex step.
-        // Single form: first node, '' when absent (→ NULL after C4).
-        // Multiple form: all non-empty refined values, deduplicated
-        // (array_distinct ≙ the reference's `seen` set).
-        val path = if (spec.attr.nonEmpty) s"${spec.xpath}/@${spec.attr}"
-                   else spec.xpath
-        val nodes = xpath(src, lit(path))
-        def refine(c: Column): Column =
-          if (spec.pattern.isEmpty) trim(c)
-          else regexp_extract(trim(c), spec.pattern, spec.group)
-        if (spec.multiple)
-          array_distinct(filter(transform(nodes, refine(_)), v => v =!= ""))
-        else refine(coalesce(get(nodes, lit(0)), lit("")))
+        // P6 (detail_parser.py:24-77): node set via one xpath() call.
+        xpathField(spec, xpath(src, lit(xpathOf(spec))))
       case "const_null" => lit(null).cast("string")
       case other => throw new IllegalArgumentException(s"unknown field kind: $other")
     }
@@ -55,27 +61,66 @@ object Pipeline {
   }
 
   /** Projection stage: configured fields only (column pruning reaches the
-    * scan), plus any passthrough columns the caller names. */
-  def project(df: DataFrame, cfg: DatasetConfig,
-              passthrough: Seq[String] = Nil): DataFrame =
-    df.select(passthrough.map(col) ++ cfg.fields.map(field): _*)
+    * scan), plus any passthrough columns the caller names.
+    *
+    * When several xpath specs read the SAME source column, the document is
+    * parsed ONCE per row ([[graft.functions.XmlFields]]) and every spec's
+    * node set comes from that parse — the reference's lxml shape (one
+    * tree, many selectors) instead of the builtin xpath()'s parse-per-
+    * call. The intermediate struct lives in a producer projection that
+    * Catalyst keeps separate (a non-cheap expression referenced k times is
+    * not collapse-inlined), so the parse genuinely happens once. */
+  def project(df0: DataFrame, cfg: DatasetConfig,
+              passthrough: Seq[String] = Nil): DataFrame = {
+    // The config-driven projection is the pipeline's CPU stage (markup
+    // parse + regex per field). A narrow input (small file = one scan
+    // split) would serialize it on one core; at corpus scale the fan-out
+    // is a no-op. See Parallelize.fanOutIfNarrow.
+    val df = Parallelize.fanOutIfNarrow(df0)
+    val shared = cfg.fields.filter(_.kind == "xpath").groupBy(_.from)
+      .filter(_._2.size >= 2)
+    if (shared.isEmpty)
+      df.select(passthrough.map(col) ++ cfg.fields.map(field): _*)
+    else {
+      val producers = shared.toSeq.sortBy(_._1).map { case (src, specs) =>
+        (src, specs, s"__xml_$src")
+      }
+      val base = df.select(df.columns.map(col) ++ producers.map {
+        case (src, specs, alias) =>
+          graft.functions.XmlFunctions
+            .xmlFields(col(src), specs.map(xpathOf)).as(alias)
+      }: _*)
+      val out = passthrough.map(col) ++ cfg.fields.map { spec =>
+        if (spec.kind == "xpath" && shared.contains(spec.from)) {
+          val (_, specs, alias) = producers.find(_._1 == spec.from).get
+          xpathField(spec, col(alias).getField(s"p${specs.indexOf(spec)}"))
+            .as(spec.name)
+        } else field(spec)
+      }
+      base.select(out: _*)
+    }
+  }
 
   /** Cleaning stage (C1–C6): rename legacy keys, trim + require-nonblank
-    * lookup key, ''→NULL on all string fields, multi-format date parse. */
+    * lookup key, ''→NULL on all string fields, multi-format date parse.
+    *
+    * One `select` over the whole schema, not a `withColumn` per field — a
+    * withColumn chain re-analyzes the full (already large) plan per call,
+    * which made the e2e pipeline's driver-side cost quadratic in field
+    * count. Semantics are unchanged: key trim → ''→NULL → date parse,
+    * composed per column in that order. */
   def clean(df: DataFrame, cfg: DatasetConfig): DataFrame = {
-    val renamed = cfg.renames.foldLeft(df) { case (d, (from, to)) =>
-      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    val renames = cfg.renames.toMap
+    val dateFormats = cfg.dates.map(d => d.name -> d.formats).toMap
+    val cleaned = df.schema.fields.map { f =>
+      val name = renames.getOrElse(f.name, f.name)
+      var c: Column = col(f.name)
+      if (name == cfg.lookupKey) c = trim(c)
+      else if (f.dataType.typeName == "string") c = Cleaning.emptyToNull(c)
+      dateFormats.get(name).foreach(fmts => c = Cleaning.parseDate(c, fmts))
+      c.as(name)
     }
-    val keyed = Cleaning.requireNonBlank(
-      Cleaning.trimmed(renamed, Seq(cfg.lookupKey)), cfg.lookupKey)
-    val nulled = keyed.schema.fields.foldLeft(keyed) { (d, f) =>
-      if (f.dataType.typeName == "string" && f.name != cfg.lookupKey)
-        d.withColumn(f.name, Cleaning.emptyToNull(col(f.name)))
-      else d
-    }
-    cfg.dates.foldLeft(nulled) { (d, ds) =>
-      d.withColumn(ds.name, Cleaning.parseDate(col(ds.name), ds.formats))
-    }
+    Cleaning.requireNonBlank(df.select(cleaned.toSeq: _*), cfg.lookupKey)
   }
 
   /** Fingerprint stage (H1/H2): canonical hash over the configured subset;
@@ -134,8 +179,20 @@ object Pipeline {
     Upsert.keepFirst(pruned, Seq(cfg.hashCol), arrivalOrder)
   }
 
-  /** End-to-end run (SURVEY §3.1 master DAG): returns the merged frame of
-    * enriched to-detail rows and bypass rows, with a `route` marker.
+  /** End-to-end run (SURVEY §3.1 master DAG): the merged frame of enriched
+    * to-detail rows and bypass rows, with a `route` marker.
+    *
+    * FUSED plan: one left join against state, then `when(changed, …)`
+    * expressions for the detail-only stages — not filter/filter/union. The
+    * union form embedded the whole fresh-side subtree twice (once per
+    * branch), doubling Catalyst optimization and codegen cost for zero
+    * execution benefit; with the flag form the detail stages are a
+    * conditional expression (classify) and a null-keyed left join
+    * (fallback — bypass rows probe with a NULL key and stream through
+    * unmatched), so each source row is scanned and shuffled exactly once.
+    * Row/column semantics are identical to the union form: bypass rows
+    * carry NULL in classifier output columns (what unionByName's missing-
+    * column fill produced) and keep their collections untouched.
     *
     * `gated = true` reproduces the reference's cross-job ShortCircuit
     * (J2): an eager isEmpty probe skips the classify stage when the delta
@@ -148,12 +205,34 @@ object Pipeline {
           passthrough: Seq[String] = Nil, gated: Boolean = true,
           secondary: Option[DataFrame] = None): DataFrame = {
     val staged = fingerprint(clean(project(raw, cfg, passthrough), cfg), cfg)
-    val (toDetail, bypass) = delta(staged, state, cfg)
-    def full = Delta.merge(
-      classify(fallback(toDetail, cfg, secondary), cfg)
-        .withColumn("route", lit("detail")),
-      bypass.withColumn("route", lit("bypass")))
-    if (gated) Delta.gate(toDetail)(full)(bypass.withColumn("route", lit("bypass")))
-    else full
+    val st = state.select(col(cfg.lookupKey), col(cfg.hashCol).as("__state_hash"))
+    val joined = staged.join(st, Seq(cfg.lookupKey), "left")
+    val changed = col("__state_hash").isNull ||
+      col("__state_hash") =!= col(cfg.hashCol)
+    def fused: DataFrame = {
+      val fb = (cfg.fallback, secondary) match {
+        case (Some(fs), Some(sec)) =>
+          Enrich.fallbackCollection(joined, sec, fs.collection, fs.key,
+            fs.secondaryKey, fs.secondaryValue, fs.domain, gate = changed)
+        case _ => joined
+      }
+      val classified = cfg.classifier.fold(fb) { c =>
+        val text = lower(concat_ws(" ", col(c.titleCol), col(c.detailCol)))
+        fb.withColumn(c.outputCol,
+          when(changed,
+            Classify.domainCoerce(
+              Classify.route(Classify.byRules(text, c.rules),
+                Classify.stub(text, c.categories)),
+              c.categories)))
+      }
+      classified
+        .withColumn("route", when(changed, lit("detail")).otherwise(lit("bypass")))
+        .drop("__state_hash")
+    }
+    if (gated)
+      Delta.gate(joined.filter(changed))(fused)(
+        joined.filter(col("__state_hash") === col(cfg.hashCol))
+          .drop("__state_hash").withColumn("route", lit("bypass")))
+    else fused
   }
 }

@@ -44,16 +44,23 @@ object Enrich {
     * small secondary, none on the main frame when it broadcasts).
     *
     * Rows that need fallback but find no match keep an empty collection,
-    * exactly like the reference's fetch-error path. */
+    * exactly like the reference's fetch-error path.
+    *
+    * `gate` narrows eligibility beyond the empty+keyed predicate — the
+    * fused pipeline passes its delta `changed` flag so bypass rows flow
+    * through the join unmatched (null join key) instead of being routed
+    * around it with a second pass + union. */
   def fallbackCollection(rows: DataFrame, secondary: DataFrame,
                          collectionCol: String, keyCol: String,
                          secondaryKey: String, secondaryValue: String,
                          domain: String,
-                         broadcastSecondary: Boolean = true): DataFrame = {
+                         broadcastSecondary: Boolean = true,
+                         gate: Column = lit(true)): DataFrame = {
     val sec0 = secondary.select(col(secondaryKey).as("__fb_key"),
                                 col(secondaryValue).as("__fb_val"))
     val sec = if (broadcastSecondary) broadcast(sec0) else sec0
-    val need = (col(collectionCol).isNull || size(col(collectionCol)) === 0) &&
+    val need = gate &&
+      (col(collectionCol).isNull || size(col(collectionCol)) === 0) &&
       Cleaning.emptyToNull(col(keyCol)).isNotNull
     rows
       .withColumn("__fb_need", need)

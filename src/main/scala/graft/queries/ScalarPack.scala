@@ -79,7 +79,7 @@ object ScalarPack extends QueryPack {
     // corpus columns. The oracle is the independent ground truth (the
     // values the XML was built from), not a DuckDB xpath replay.
     "q68_xpath" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "documents")
+      graft.operators.Parallelize.fanOutIfNarrow(Q.t(s, dir, "documents"))
         .withColumn("xml", concat(
           lit("<doc><title>"), col("lang"), lit("</title><n>"),
           col("n_chars").cast("string"), lit("</n></doc>")))
