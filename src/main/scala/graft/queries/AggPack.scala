@@ -39,7 +39,7 @@ object AggPack extends QueryPack {
 
     // G1: TPC-H Q1-shape hash aggregation (partial+final, filter pushed).
     "q30_group_agg" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "lineitem")
+      Q.wide(Q.t(s, dir, "lineitem"))
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -162,7 +162,7 @@ object AggPack extends QueryPack {
     // G11: order-insensitive group fingerprint — the reference's checksum
     // kernel (H1) lifted to aggregate form (SURVEY §2.8 G11).
     "q45_udaf_checksum_agg" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "orders")
+      Q.wide(Q.t(s, dir, "orders"))
         .select(col("o_custkey"),
           Fingerprint.rowHash(Seq(col("o_orderkey"), col("o_orderstatus"),
             col("o_orderpriority"))).as("h"))

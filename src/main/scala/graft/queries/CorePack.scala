@@ -18,7 +18,7 @@ object CorePack extends QueryPack {
   /** Fresh batch: lineitem keyed by (l_orderkey, l_linenumber), fingerprint
     * over stable non-float business fields. */
   private def freshLineitem(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "lineitem").select(
+    Q.wide(Q.t(s, dir, "lineitem")).select(
       col("l_orderkey"), col("l_linenumber"),
       Fingerprint.rowHash(Seq(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_returnflag"), col("l_linestatus"))).as("row_hash"))
@@ -30,7 +30,7 @@ object CorePack extends QueryPack {
     * so the state side is deduplicated to one hash per key (min for
     * determinism — lineitem keys are not unique in the corpus). */
   private def stateLineitem(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "lineitem")
+    Q.wide(Q.t(s, dir, "lineitem"))
       .filter(col("l_orderkey") % 2 === 0)
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -163,7 +163,7 @@ object CorePack extends QueryPack {
         secondary = Some(fbSecondary(s, dir)))))),
 
     "q09_row_checksum" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "orders").select(
+      Q.wide(Q.t(s, dir, "orders")).select(
         col("o_orderkey"),
         Fingerprint.rowHash(orderHashFields.map(col)).as("row_hash")))),
 

@@ -28,7 +28,7 @@ object NearDupPack extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 scale path: MinHash signatures → LSH banding → verified Jaccard.
     "q58_minhash_lsh" -> ((s, dir) => Q.ordered {
-      val docs = Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val docs = Q.wide(Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("toks"), k = 8).as("sig"))
@@ -52,7 +52,7 @@ object NearDupPack extends QueryPack {
     // array is materialized in its own projection so the 32 bit-vote
     // aggregates reuse it instead of recomputing md5 per bit.
     "q59_simhash" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "documents")
+      Q.wide(Q.t(s, dir, "documents"))
         .select(col("doc_id"),
           Dedup.tokenHashes(split(col("text"), " ")).as("__h"))
         .select(col("doc_id"), Dedup.simhashOf(col("__h")).as("simhash"))
@@ -63,7 +63,7 @@ object NearDupPack extends QueryPack {
     // sparse shingle set — max df 10/50 — but bounds Σ df(t)² at scale).
     "q60_ngram_jaccard" -> ((s, dir) => Q.ordered(
       Dedup.jaccardPairs(
-        Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        Q.wide(Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0)),
         "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06,
         maxDfFrac = 0.5))),
 
@@ -73,7 +73,7 @@ object NearDupPack extends QueryPack {
     // on this corpus the 3-gram space is sparse enough that the flagged
     // set is the genuinely-overlapping tail.
     "q89_decontamination" -> ((s, dir) => Q.ordered {
-      val docs = Q.t(s, dir, "documents")
+      val docs = Q.wide(Q.t(s, dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val train = docs.filter(col("doc_id") % 10 =!= 0)
       val test = docs.filter(col("doc_id") % 10 === 0)
@@ -86,7 +86,7 @@ object NearDupPack extends QueryPack {
     // of re-pairing the whole corpus; candidates verified by true
     // Jaccard. State-side mega-buckets (>50) dropped pre-join.
     "q93_incremental_neardup" -> ((s, dir) => Q.ordered {
-      val docs = Q.t(s, dir, "documents")
+      val docs = Q.wide(Q.t(s, dir, "documents"))
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       val sigs = docs.select(col("doc_id"),
         Dedup.minhashSignature(col("toks"), k = 8).as("sig"))

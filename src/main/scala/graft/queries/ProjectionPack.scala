@@ -85,7 +85,7 @@ object ProjectionPack extends QueryPack {
 
     // C6: multi-format date parse + date arithmetic.
     "q13_to_date" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "lineitem").select(
+      Q.wide(Q.t(s, dir, "lineitem")).select(
         col("l_orderkey"), col("l_linenumber"),
         Cleaning.parseDate(date_format(col("l_shipdate"), "dd/MM/yyyy"),
           Seq("yyyy-MM-dd", "dd/MM/yyyy")).as("ship_date"))

@@ -30,6 +30,14 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** Conditional fan-out ahead of CPU-heavy per-row work (hashing,
+    * tokenization, regex/markup extraction): repartitions to core count
+    * ONLY when the planned input is narrower than one scan split per core
+    * — a no-op at corpus scale, where scans already yield thousands of
+    * splits. See [[graft.operators.Parallelize.fanOutIfNarrow]]. */
+  def wide(df: DataFrame): DataFrame =
+    graft.operators.Parallelize.fanOutIfNarrow(df)
+
   /** Driver-comparator boundary: the oracle harness sorts/hashes rows via
     * pandas, which cannot hash array cells — a declared query emitting a
     * raw ArrayType column errors driver-side even when semantics match

@@ -31,7 +31,7 @@ object TextPack extends QueryPack {
     // L4: language ID — argmax of marker-profile scores, first-tie-break.
     "q54_langid" -> ((s, dir) => Q.ordered {
       val toks = split(col("text"), " ")
-      Q.t(s, dir, "documents").select(
+      Q.wide(Q.t(s, dir, "documents")).select(
         col("doc_id"), col("lang"),
         TextStats.profileHits(toks, profiles(0)._2).as("s_en"),
         TextStats.profileHits(toks, profiles(1)._2).as("s_es"),
@@ -42,7 +42,7 @@ object TextPack extends QueryPack {
     // L4: quality scoring — type/token ratio, stopword ratio, length score.
     "q55_quality_score" -> ((s, dir) => Q.ordered {
       val toks = split(col("text"), " ")
-      Q.t(s, dir, "documents").select(
+      Q.wide(Q.t(s, dir, "documents")).select(
         col("doc_id"),
         TextStats.wsTokenCount(col("text")).as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
@@ -56,7 +56,7 @@ object TextPack extends QueryPack {
 
     // L4: token counting — whitespace, BPE-ish regex, char-estimate.
     "q56_token_count" -> ((s, dir) => Q.ordered(
-      Q.t(s, dir, "documents").select(
+      Q.wide(Q.t(s, dir, "documents")).select(
         col("doc_id"),
         TextStats.wsTokenCount(col("text")).as("ws_tokens"),
         TextStats.regexTokenCount(col("text")).as("re_tokens"),
@@ -66,7 +66,7 @@ object TextPack extends QueryPack {
     // Two hash aggregations + one token equi-join + a 1-row broadcast for
     // N; no all-pairs anything.
     "q71_tfidf" -> ((s, dir) => Q.ordered {
-      val tok = Q.t(s, dir, "documents")
+      val tok = Q.wide(Q.t(s, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val dfc = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -83,7 +83,7 @@ object TextPack extends QueryPack {
     // corpus exercises both keep branches.
     "q90_repetition_filter" -> ((s, dir) => Q.ordered {
       val toks = split(col("text"), " ")
-      Q.t(s, dir, "documents").select(
+      Q.wide(Q.t(s, dir, "documents")).select(
         col("doc_id"),
         TextStats.topTokenFrac(toks).as("top_tok_frac"),
         TextStats.dupGramFrac(TextStats.bigrams(toks)).as("dup_bigram_frac"))
@@ -103,7 +103,7 @@ object TextPack extends QueryPack {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-"),
         lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
         lit(" ref "), (col("doc_id") + 900000000L).cast("string"))
-      Q.t(s, dir, "documents")
+      Q.wide(Q.t(s, dir, "documents"))
         .select(col("doc_id"), annotated.as("txt"))
         .select(
           col("doc_id"),
@@ -134,7 +134,7 @@ object TextPack extends QueryPack {
     "q95_curation_e2e" -> ((s, dir) => Q.ordered {
       import graft.operators.{Cleaning, Packing, Upsert}
       val toks = split(col("text"), " ")
-      val scored = Q.t(s, dir, "documents").select(
+      val scored = Q.wide(Q.t(s, dir, "documents")).select(
         col("doc_id"), col("text"),
         TextStats.langId(toks, profiles).as("pred_lang"),
         TextStats.wsTokenCount(col("text")).as("n_tok"),
@@ -182,7 +182,7 @@ object TextPack extends QueryPack {
     // its median (-3.40).
     "q97_unigram_logprob" -> ((s, dir) => Q.ordered {
       TextStats.unigramLogprob(
-        Q.t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
         "doc_id", split(col("text"), " "))
         .withColumn("keep", col("mean_logprob") >= -3.45)
     }),
@@ -194,7 +194,7 @@ object TextPack extends QueryPack {
     // both engines sum identically.
     "q98_corpus_report" -> ((s, dir) => Q.ordered {
       val toks = split(col("text"), " ")
-      Q.t(s, dir, "documents").select(
+      Q.wide(Q.t(s, dir, "documents")).select(
         col("source"), col("lang"),
         TextStats.wsTokenCount(col("text")).cast("long").as("n_tok"),
         TextStats.contentFingerprint(toks).as("fp"),
@@ -213,7 +213,7 @@ object TextPack extends QueryPack {
     // prefix (rolling-style), and a shard bucket for distribution.
     "q57_doc_fingerprint" -> ((s, dir) => Q.ordered {
       val toks = split(col("text"), " ")
-      Q.t(s, dir, "documents").select(
+      Q.wide(Q.t(s, dir, "documents")).select(
         col("doc_id"),
         TextStats.fullFingerprint(col("text")).as("full_fp"),
         TextStats.contentFingerprint(toks).as("content_fp"),
