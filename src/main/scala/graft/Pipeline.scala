@@ -44,6 +44,12 @@ object Pipeline {
     val src = col(spec.from)
     val base = spec.kind match {
       case "cell" => trim(src)
+      case "cell_at" =>
+        // P1 positional form (the reference's `td:nth-child(N)` list
+        // selectors, configs/colombia.yml:45-53): `from` is the row's
+        // cell-text array, `index` the 1-based cell position; a short row
+        // yields NULL (the reference skips rows with missing cells).
+        trim(try_element_at(src, lit(spec.index)))
       case "regex" =>
         Projection.extractWithFallback(src, spec.pattern, spec.group,
           spec.fallbacks.map(col): _*)

@@ -31,13 +31,44 @@ object ConfigLoader {
 
   def fromYaml(source: String): DatasetConfig = {
     val root = asMap(Yaml.parse(source))
+    // The reference's nested vocabulary (configs/colombia.yml, peru.yml):
+    // `selectors.list.fields` (td:nth-child(N) positional selectors +
+    // detail_link_selector), `selectors.list.hash`, `selectors.detail
+    // .fields` (xpath/attr/multiple/regex/find_all specs), and
+    // `storage.raw|final.{table, primary_key, lookup_key, columns}` —
+    // accepted alongside graft's flat form, so a reference YAML drives
+    // Pipeline.run without translation.
+    val listSel = root.get("selectors").map(asMap)
+      .flatMap(_.get("list")).map(asMap)
+    val detailSel = root.get("selectors").map(asMap)
+      .flatMap(_.get("detail")).map(asMap)
+    val storageFinal = root.get("storage").map(asMap)
+      .flatMap(_.get("final")).map(asMap)
+    val storageRaw = root.get("storage").map(asMap)
+      .flatMap(_.get("raw")).map(asMap)
+    val hashNode = root.get("hash").orElse(listSel.flatMap(_.get("hash")))
+      .map(asMap)
+    val selectorFields: Seq[FieldSpec] =
+      listSel.toSeq.flatMap(l => l.get("fields").toSeq.flatMap(f =>
+        asMap(f).entries.map { case (n, sel) => listFieldSpec(n, str(sel)) })) ++
+      listSel.toSeq.flatMap(_.get("detail_link_selector").map(sel =>
+        linkFieldSpec("detail_url", str(sel)))) ++
+      detailSel.toSeq.flatMap(d => d.get("fields").toSeq.flatMap(f =>
+        asMap(f).entries.map { case (n, spec) => detailFieldSpec(n, asMap(spec)) }))
     DatasetConfig(
-      name = str(root("name")),
-      lookupKey = str(root("lookup_key")),
-      hashFields = root.get("hash").map(h => strList(asMap(h)("fields")))
-        .getOrElse(Nil),
+      name = root.get("name").map(str)
+        .orElse(storageFinal.flatMap(_.get("table")).map(str))
+        .getOrElse("dataset"),
+      lookupKey = root.get("lookup_key").map(str)
+        .orElse(storageFinal.flatMap(_.get("lookup_key")).map(str))
+        .orElse(storageRaw.flatMap(_.get("lookup_key")).map(str))
+        .getOrElse(sys.error("config has no lookup_key (root or storage.*)")),
+      hashFields = hashNode.map(h => strList(h("fields"))).getOrElse(Nil),
       fields = root.get("fields").map(_.asList.map(f => fieldSpec(asMap(f))))
-        .getOrElse(sys.error("config has no 'fields'")),
+        .getOrElse {
+          if (selectorFields.nonEmpty) selectorFields
+          else sys.error("config has no 'fields' or 'selectors'")
+        },
       dates = root.get("dates").toSeq.flatMap(_.asList.map { d =>
         val m = asMap(d)
         DateSpec(str(m("name")), strList(m("formats")))
@@ -57,8 +88,7 @@ object ConfigLoader {
             case other      => strList(other)
           }
       },
-      hashCol = root.get("hash").flatMap(h => asMap(h).get("key"))
-        .map(str).getOrElse("row_hash"),
+      hashCol = hashNode.flatMap(_.get("key")).map(str).getOrElse("row_hash"),
       fallback = root.get("fallback").map { f =>
         val m = asMap(f)
         FallbackSpec(
@@ -83,6 +113,54 @@ object ConfigLoader {
       primaryKey = str(sm("primary_key")),
       lookupKey = str(sm("lookup_key")),
       insertExclude = if (section == "raw") Set("last_seen") else Set.empty)
+  }
+
+  private val NthChild = """td:nth-child\((\d+)\)(\s+a)?""".r
+
+  /** A `selectors.list.fields` entry — `name: "td:nth-child(N)"`
+    * (configs/colombia.yml:45-53) → 1-based positional cell over the
+    * row's cell-text array column `cells`. */
+  private def listFieldSpec(name: String, selector: String): FieldSpec =
+    selector.trim match {
+      case NthChild(n, null) =>
+        FieldSpec(name, from = "cells", kind = "cell_at", index = n.toInt)
+      case other => sys.error(
+        s"unsupported list selector for '$name': '$other' (expected td:nth-child(N))")
+    }
+
+  /** `detail_link_selector: "td:nth-child(N) a"` (colombia.yml:38) — the
+    * link href of the N-th cell, read from the parallel `hrefs` array the
+    * row scan carries alongside `cells`. */
+  private def linkFieldSpec(name: String, selector: String): FieldSpec =
+    selector.trim match {
+      case NthChild(n, _) =>
+        FieldSpec(name, from = "hrefs", kind = "cell_at", index = n.toInt)
+      case other => sys.error(
+        s"unsupported detail-link selector: '$other' (expected td:nth-child(N) a)")
+    }
+
+  /** A `selectors.detail.fields` entry (colombia.yml:66-86,
+    * peru.yml:57-73): xpath specs read the fetched page's markup column
+    * (`html`), regex/find_all specs its text (`text`); an explicit `from`
+    * overrides. xpath+regex compose as node-set extraction then per-value
+    * capture refine, exactly the reference's two-step. */
+  private def detailFieldSpec(name: String, m: MapNode): FieldSpec = {
+    val kind =
+      if (m.get("xpath").isDefined) "xpath"
+      else if (bool(m, "find_all")) "findall"
+      else if (m.get("regex").isDefined) "regex"
+      else "const_null"
+    FieldSpec(
+      name = name,
+      from = m.get("from").map(str)
+        .getOrElse(if (kind == "xpath") "html" else "text"),
+      kind = kind,
+      pattern = m.get("regex").map(str).getOrElse(""),
+      group = m.get("group").map(int).getOrElse(1),
+      index = m.get("index").map(int).getOrElse(0),
+      xpath = m.get("xpath").map(str).getOrElse(""),
+      attr = m.get("attr").map(str).getOrElse(""),
+      multiple = bool(m, "multiple"))
   }
 
   /** One `fields:` entry → [[FieldSpec]]. `kind` may be given explicitly
@@ -112,13 +190,18 @@ object ConfigLoader {
       multiple = bool(m, "multiple"))
   }
 
+  /** Rules/categories are optional: the reference's per-country configs
+    * carry only the column binding (colombia.yml:118-120 `titulo` /
+    * `detalle`); the rule set lives in a separate classifier.yml. With no
+    * rules and no categories every row classifies to the default label
+    * (Classify.stub/domainCoerce are empty-safe). */
   private def classifierConfig(m: MapNode): ClassifierConfig =
     ClassifierConfig(
-      rules = m("rules").asList.map { r =>
+      rules = m.get("rules").toSeq.flatMap(_.asList.map { r =>
         val rm = asMap(r)
         Rule(str(rm("pattern")), str(rm("category")))
-      },
-      categories = strList(m("categories")),
+      }),
+      categories = m.get("categories").map(strList).getOrElse(Nil),
       titleCol = str(m("titulo")),
       detailCol = str(m("detalle")),
       outputCol = m.get("output").map(str).getOrElse("sector"))

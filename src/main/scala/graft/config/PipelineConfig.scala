@@ -16,6 +16,9 @@ import graft.operators.Classify.Rule
 /** One extracted field — the Spark mapping of a `selectors.*.fields` entry.
   * `kind` selects the P1–P10 interpreter branch:
   *  - "cell": trim of a source column (P1, list_parser.py:46-48)
+  *  - "cell_at": trim of the `index`-th (1-based) element of an array
+  *    source column — the `td:nth-child(N)` positional list selector
+  *    (configs/colombia.yml:45-53); short rows yield NULL
   *  - "regex": capture group with ''→miss fallback chain (P5/P10)
   *  - "findall": n-th match of a repeated pattern (P8, 0-based index)
   *  - "block_after": regex applied after a literal anchor (P9)

@@ -205,7 +205,28 @@ object Yaml {
     else if (s == "~" || s == "null") ""
     else s
 
-  private def unquoteDouble(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
-      .replace("\\n", "\n").replace("\\t", "\t")
+  /** Single left-to-right scan — chained String.replace mis-decodes when
+    * a literal backslash precedes an escape letter (input `\\n`, meaning
+    * the two chars `\` `n`, must NOT collapse to a newline). */
+  private def unquoteDouble(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'   => b += '"'
+          case '\\'  => b += '\\'
+          case 'n'   => b += '\n'
+          case 't'   => b += '\t'
+          case other => b += '\\'; b += other // unknown escape: keep verbatim
+        }
+        i += 2
+      } else {
+        b += c
+        i += 1
+      }
+    }
+    b.result()
+  }
 }

@@ -36,7 +36,8 @@ object Classify {
     * position of md5's first hex digit in '0123456789abcdef' (1..16),
     * wrapped into the category list. */
   def stub(text: Column, categories: Seq[String]): Column =
-    element_at(
+    if (categories.isEmpty) lit(DefaultLabel) // no category space → default
+    else element_at(
       array(categories.map(lit): _*),
       (((locate_hex(text) - 1) % categories.size) + 1).cast("int"))
 

@@ -41,12 +41,17 @@ object Cleaning {
   /** Host part of a URL, lowercased — the key a domain blocklist matches
     * on. A blocklist must FAIL CLOSED against trivial evasion, so the
     * scheme matches case-insensitively and userinfo/port are stripped
-    * ('HTTPS://u@Bad.Org:8080/x' → 'bad.org'). Row-local regexp; returns
-    * '' for non-URL strings (C4's blank normal form, so a malformed url
-    * never accidentally matches a rule). */
+    * ('HTTPS://u@Bad.Org:8080/x' → 'bad.org'). URL parsers and browsers
+    * take the host AFTER THE LAST '@' in the authority, so the userinfo
+    * part is greedy over '@' and the host class excludes it — a
+    * double-@ URL ('http://a@b@bad.org/') resolves to 'bad.org', not an
+    * '@'-bearing pseudo-host that slips past the blocklist. Row-local
+    * regexp; returns '' for non-URL strings (C4's blank normal form, so a
+    * malformed url never accidentally matches a rule). */
+  val HostRe = "(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)"
+
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url,
-      "(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+    lower(regexp_extract(url, HostRe, 1))
 
   /** Corpus-pipeline domain filter: drop rows whose host appears in the
     * blocklist — a broadcast LEFT ANTI join, so at 100 TB the corpus

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,34 @@ object LlmPack extends QueryPack {
       Dedup.jaccardPairs(
         Q.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", split(col("text"), " "), tau = 0.5, maxDfFrac = 0.5))),
+
+    // L2: the k-means ASSIGNMENT step with driver-visible correctness —
+    // every vector to its nearest of the k=4 seed vectors (exactly
+    // Similarity.kmeans' seed rule + per-iteration argmin, as one lazy
+    // plan: corpus × broadcast-k candidates → groupBy-min). Distances are
+    // computed over 1e3-quantized integer components so both engines do
+    // EXACT arithmetic (no float-sum association drift can flip an
+    // argmin), and (dist, seed) packs into one BIGINT so min() itself is
+    // the deterministic tie-break (min dist, then min seed id). The
+    // trained-loop twin (Similarity.kmeans) keeps its Spark-side
+    // convergence/recall tests; this row pins the assignment semantics
+    // against the oracle.
+    "q23_kmeans_assign" -> ((s, dir) => Q.ordered {
+      val k = 4
+      def quant(v: Column): Column =
+        transform(v, x => round(x.cast("double") * 1000).cast("long"))
+      val vecs = Q.wide(Q.t(s, dir, "embeddings"))
+        .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      val seeds = Q.t(s, dir, "embeddings").filter(col("vec_id") < k)
+        .select(col("vec_id").as("c"), quant(col("embedding")).as("qc"))
+      vecs.crossJoin(broadcast(seeds))
+        .select(col("vec_id"),
+          (aggregate(zip_with(col("qv"), col("qc"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (s, x) => s + x) * 8 + col("c")).as("packed"))
+        .groupBy("vec_id").agg(min("packed").as("p"))
+        .select(col("vec_id"), (col("p") % 8).as("cluster"),
+          expr("p div 8").as("d_min"))
+    }),
 
     // L2: brute-force cosine top-20 against the vec_id=1 query vector.
     "q51_cosine_topk" -> ((s, dir) => Q.ordered(
@@ -137,6 +165,21 @@ object LlmPack extends QueryPack {
          JOIN sizes sb ON i.id_b = sb.doc_id
          WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
          ORDER BY ALL NULLS FIRST""",
+
+    "q23_kmeans_assign" ->
+      """WITH q AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                    FROM embeddings),
+            seeds AS (SELECT vec_id AS c, qv AS qc FROM q WHERE vec_id < 4),
+            ql AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q),
+            sl AS (SELECT c, unnest(qc) AS y, generate_subscripts(qc, 1) AS i FROM seeds),
+            d AS (SELECT ql.vec_id, sl.c,
+                         CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS dist
+                  FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1, 2),
+            a AS (SELECT vec_id, min(dist * 8 + c) AS p FROM d GROUP BY 1)
+         SELECT vec_id, CAST(p % 8 AS BIGINT) AS cluster, CAST(p // 8 AS BIGINT) AS d_min
+         FROM a ORDER BY ALL NULLS FIRST""",
 
     "q51_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1)

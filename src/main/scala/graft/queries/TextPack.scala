@@ -318,12 +318,12 @@ object TextPack extends QueryPack {
          FROM sc ORDER BY ALL NULLS FIRST""",
 
     "q96_domain_filter" ->
-      """WITH d AS (SELECT doc_id, source,
+      s"""WITH d AS (SELECT doc_id, source,
                            'https://' || source || '.example.org/docs/'
                              || CAST(doc_id AS VARCHAR) AS url
                     FROM documents),
          h AS (SELECT *, lower(regexp_extract(url,
-                 '(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+                 '${graft.operators.Cleaning.HostRe}', 1)) AS host
                FROM d),
          b(domain) AS (VALUES ('src3.example.org'), ('src7.example.org'),
                               ('src15.example.org'))

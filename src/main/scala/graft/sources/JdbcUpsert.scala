@@ -190,9 +190,19 @@ object JdbcUpsert {
           conn.setAutoCommit(false)
           dialect match {
             case Postgres =>
-              // the reference's one-statement ON CONFLICT form, batched
-              runBatched(conn, Postgres.upsertSql(spec), rows, schema,
-                fieldIdx, batchSize)
+              // the reference's one-statement ON CONFLICT form, batched.
+              // Defensive in-partition PK dedup first: Postgres aborts a
+              // statement that touches the same conflict row twice
+              // ("ON CONFLICT DO UPDATE command cannot affect row a second
+              // time"), and pgjdbc's reWriteBatchedInserts collapses a
+              // batch into exactly such multi-VALUES statements — so a
+              // caller that skipped prepare()'s keep-first dedup would
+              // only fail in deployment. Keep-first within the partition
+              // preserves prepare()'s semantics; memory is one key per
+              // distinct PK in the partition.
+              val pkIdx = schema.fieldIndex(spec.primaryKey)
+              runBatched(conn, Postgres.upsertSql(spec),
+                dedupByKey(rows, pkIdx), schema, fieldIdx, batchSize)
             case AnsiMerge =>
               // staged merge: bulk-insert this partition's rows into a
               // private staging table, one set-oriented MERGE, drop
@@ -213,6 +223,14 @@ object JdbcUpsert {
         } finally conn.close()
       }
     }
+  }
+
+  /** Keep-first on a key field over a row iterator (streaming — no
+    * buffering beyond the seen-key set). Nulls are all "the same key"
+    * here, matching the DB's single-NULL-conflict-target behavior. */
+  private[graft] def dedupByKey(rows: Iterator[Row], keyIdx: Int): Iterator[Row] = {
+    val seen = scala.collection.mutable.HashSet[Any]()
+    rows.filter(r => seen.add(if (r.isNullAt(keyIdx)) null else r.get(keyIdx)))
   }
 
   private def runBatched(conn: Connection, sql: String, rows: Iterator[Row],

@@ -76,6 +76,19 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(li("xs").asList.map(_.asString) == Vector("a: b"))
   }
 
+  test("Yaml parser: escape decoding is a single left-to-right scan") {
+    // \\n (escaped backslash + letter n) is the two chars \ n — chained
+    // replaces collapsed it to a newline
+    val m = Yaml.parse("a: \"x\\\\ny\"\n").asMap.toMap
+    assert(m("a").asString == "x\\ny")
+    // \\" is a literal backslash followed by a closing-quote escape
+    val q = Yaml.parse("b: \"x\\\\\\\"y\"\n").asMap.toMap
+    assert(q("b").asString == "x\\\"y")
+    // plain escapes still decode
+    val p = Yaml.parse("c: \"l1\\nl2\\tend\"\n").asMap.toMap
+    assert(p("c").asString == "l1\nl2\tend")
+  }
+
   test("Yaml parser: flow lists use the same quote model (apostrophes are text)") {
     val m = Yaml.parse("markers: [o'brien, smith, 'x, y']\n").asMap.toMap
     assert(m("markers").asList.map(_.asString) ==
@@ -188,6 +201,98 @@ class ConfigLoaderSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(cfg.fallback.contains(
       FallbackSpec("documentos", "expediente_url", "https://www.example.org")))
+  }
+
+  // --- Reference-vocabulary round-trip (configs/colombia.yml shape) ----
+
+  /** What configs/colombia_like.yml must bind to, hand-built. */
+  private val colombiaLike = DatasetConfig(
+    name = "proyectos",
+    lookupKey = "no_camara",
+    hashFields = Seq("no_camara", "no_senado", "proyecto", "detail_url"),
+    fields = Seq(
+      FieldSpec("no_camara", from = "cells", kind = "cell_at", index = 1),
+      FieldSpec("no_senado", from = "cells", kind = "cell_at", index = 2),
+      FieldSpec("proyecto", from = "cells", kind = "cell_at", index = 3),
+      FieldSpec("estado", from = "cells", kind = "cell_at", index = 4),
+      FieldSpec("detail_url", from = "hrefs", kind = "cell_at", index = 3),
+      FieldSpec("documentos", from = "html", kind = "xpath",
+        xpath = "//a/@href", multiple = true),
+      FieldSpec("titulo_detalle", from = "html", kind = "xpath",
+        xpath = "//h1/text()"),
+      FieldSpec("fecha_camara", from = "text", kind = "findall",
+        pattern = "([0-9]{4}-[0-9]{2}-[0-9]{2})", index = 0),
+      FieldSpec("fecha_senado", from = "text", kind = "findall",
+        pattern = "([0-9]{4}-[0-9]{2}-[0-9]{2})", index = 1),
+      FieldSpec("fecha_presentacion_detalle", from = "html", kind = "xpath",
+        xpath = "//span/text()", pattern = "([0-9]{2}/[0-9]{2}/[0-9]{4})"),
+      FieldSpec("objeto", from = "text", kind = "regex",
+        pattern = "Objeto:\\s*([a-z ]+)")),
+    classifier = Some(ClassifierConfig(Nil, Nil, "titulo_detalle", "objeto")),
+    storageColumns = Seq("no_camara", "no_senado", "proyecto", "estado",
+      "titulo_detalle", "fecha_camara", "objeto", "documentos", "sector",
+      "row_hash"),
+    hashCol = "row_hash")
+
+  test("reference selectors/storage vocabulary loads to the expected config") {
+    val loaded = ConfigLoader.load("configs/colombia_like.yml")
+    assert(loaded == colombiaLike)
+  }
+
+  test("reference storage blocks bind to JDBC table specs") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("configs/colombia_like.yml")), "UTF-8")
+    val raw = ConfigLoader.storageTable(src, "raw")
+    assert(raw.table == "proyectos_raw" && raw.primaryKey == "row_hash" &&
+      raw.lookupKey == "no_camara" && raw.insertExclude == Set("last_seen"))
+    assert(raw.columns == Seq(
+      "no_camara" -> "TEXT", "row_hash" -> "TEXT NOT NULL",
+      "last_seen" -> "TIMESTAMP NOT NULL DEFAULT NOW()"))
+    assert(raw.insertColumns == Seq("no_camara", "row_hash"))
+    val fin = ConfigLoader.storageTable(src, "final")
+    assert(fin.table == "proyectos" && fin.insertExclude.isEmpty &&
+      fin.columns.map(_._1) == colombiaLike.storageColumns)
+    assert(fin.declaredType("documentos") == "JSONB")
+  }
+
+  test("a reference-shaped config drives Pipeline.run end-to-end") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cfg = ConfigLoader.load("configs/colombia_like.yml")
+    val raw = Seq(
+      (Seq("101", "12", "Ley Uno", "tramite"), Seq(null, null, "/ley/101"),
+       "<div><h1>Ley minera</h1><a href=\"/d1.pdf\">ver</a><span>01/02/2021</span></div>",
+       "presentado 2021-02-01 luego 2021-03-15 Objeto: regular mineria fin"),
+      (Seq("102", "13", "Ley Dos", "tramite"), Seq(null, null, "/ley/102"),
+       "<div><h1>Ley salud</h1></div>",
+       "sin fechas aqui")
+    ).toDF("cells", "hrefs", "html", "text")
+    val state = Seq.empty[(String, String)].toDF("no_camara", "row_hash")
+    val out = Pipeline.run(raw, state, cfg, gated = false)
+    val rows = out.collect().map(r => r.getAs[String]("no_camara") -> r).toMap
+    val r1 = rows("101")
+    assert(r1.getAs[String]("proyecto") == "Ley Uno")
+    assert(r1.getAs[String]("detail_url") == "/ley/101")
+    assert(r1.getSeq[String](r1.fieldIndex("documentos")).toList == List("/d1.pdf"))
+    assert(r1.getAs[String]("titulo_detalle") == "Ley minera")
+    assert(r1.getAs[String]("fecha_camara") == "2021-02-01")
+    assert(r1.getAs[String]("fecha_senado") == "2021-03-15")
+    assert(r1.getAs[String]("fecha_presentacion_detalle") == "01/02/2021")
+    assert(r1.getAs[String]("objeto") == "regular mineria fin")
+    // no rules + no categories → every detail row takes the default label
+    assert(r1.getAs[String]("sector") == "otros")
+    assert(r1.getAs[String]("route") == "detail")
+    val r2 = rows("102")
+    assert(r2.getAs[String]("fecha_camara") == null) // findall miss → NULL
+    assert(r2.getSeq[String](r2.fieldIndex("documentos")).isEmpty)
+    // fingerprint replays over the configured hash subset
+    val expectedHash = Seq(("x", 1)).toDF("a", "b").select(
+      graft.operators.Fingerprint.rowHash(Seq(
+        org.apache.spark.sql.functions.lit("101"),
+        org.apache.spark.sql.functions.lit("12"),
+        org.apache.spark.sql.functions.lit("Ley Uno"),
+        org.apache.spark.sql.functions.lit("/ley/101")))).as[String].head()
+    assert(r1.getAs[String]("row_hash") == expectedHash)
   }
 
   test("q83 pipeline output is identical via the YAML path") {

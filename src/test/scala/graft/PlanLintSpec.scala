@@ -27,7 +27,10 @@ class PlanLintSpec extends AnyFunSuite {
     // (same bounded shape as q50/q60's jaccardPairs)
     "q89_decontamination",
     // q97 broadcasts the 1-row total-token count (the q71-tfidf shape)
-    "q97_unigram_logprob")
+    "q97_unigram_logprob",
+    // q23 broadcasts the k=4 seed-vector table — the k-means assignment
+    // step's corpus × broadcast-k shape (bounded by k, never by data)
+    "q23_kmeans_assign")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the

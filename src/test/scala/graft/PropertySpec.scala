@@ -158,6 +158,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("urlHost takes the host after the LAST @ — multi-@ URLs can't evade") {
+    // browsers/URL parsers resolve 'http://a@b@bad.org/' to host bad.org;
+    // a blocklist keyed on anything else fails open
+    val got = Seq(
+      "http://a@b@bad.org/x", "http://u@ok.org/p", "https://plain.org")
+      .toDF("u").select(graft.operators.Cleaning.urlHost(col("u")))
+      .as[String].collect().toSeq
+    assert(got == Seq("bad.org", "ok.org", "plain.org"))
+  }
+
   test("keepFirst returns exactly the min-under-order row per key (10 tables)") {
     for (_ <- 1 to 10) {
       val rows = Seq.fill(30)((s"k${rnd.nextInt(5)}", rnd.nextInt(1000), rnd.nextInt(9)))

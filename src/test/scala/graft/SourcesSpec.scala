@@ -205,6 +205,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Set(("p1", "h1"), ("p2", "h2")))
   }
 
+  test("jdbc upsert: postgres write path dedups a partition's PKs keep-first") {
+    // a double-keyed batch under pgjdbc's reWriteBatchedInserts becomes a
+    // multi-VALUES statement Postgres aborts ("cannot affect row a second
+    // time") — the write path must never emit the same PK twice
+    import org.apache.spark.sql.Row
+    val rows = Iterator(
+      Row("a", 1), Row("b", 2), Row("a", 3), Row(null, 4), Row(null, 5))
+    val kept = JdbcUpsert.dedupByKey(rows, 0).toSeq
+    assert(kept.map(_.get(1)) == Seq(1, 2, 4))
+  }
+
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
     val raw = ConfigLoader.storageTable(storageYaml, "raw")
     val sql = JdbcUpsert.Postgres.upsertSql(raw)
