@@ -81,6 +81,20 @@ object ScaleSmoke {
         bigDocs.select(col("doc_id")), "doc_id")
         .filter(col("is_rep")).count()
     }
+    time("incremental-neardup") {
+      // q93 shape at 10×: the fresh slice (10% of the corpus) probes the
+      // STORED bucket table instead of re-pairing the corpus — probe cost
+      // ∝ |fresh| + matched-bucket membership, not corpus bytes. The
+      // state-side mega-bucket cap is applied before the join (PlanLint
+      // pins it at the query level).
+      val sigs = bigDocs.select(col("doc_id"),
+        operators.Dedup.minhashSignature(col("toks"), 8).as("sig"))
+      val buckets = operators.Dedup.lshBuckets(sigs, "doc_id", col("sig"), 4, 2)
+      operators.Dedup.incrementalLshCandidates(
+        state = buckets.filter(col("doc_id") % 10 =!= 0),
+        fresh = buckets.filter(col("doc_id") % 10 === 0),
+        maxBucketSize = 50).count()
+    }
     // shared 10× docs union with ORIGINAL token order (bigDocs above is
     // distinct-token shaped for minhash) — one definition, two stages
     val bigDocsOrdered = (0 until mult).map { i =>
@@ -108,6 +122,19 @@ object ScaleSmoke {
       operators.Dedup.decontaminate(train, test, "doc_id",
         operators.TextStats.ngrams(col("toks"), 3),
         minFrac = 0.25, maxDfFrac = 0.5).count()
+    }
+    time("jaccard-cluster-cc") {
+      // q92 at 10×: bigram-Jaccard pairs over the doc_id%10 slice →
+      // connected components. Pair generation is df-capped (Σ df(t)²
+      // bound); the CC label table is |slice| rows and rounds scale with
+      // component diameter, not corpus bytes.
+      val slice = bigDocsOrdered.filter(col("doc_id") % 10 === 0)
+      val pairs = operators.Dedup.jaccardPairs(slice, "doc_id",
+        operators.TextStats.bigrams(split(col("text"), " ")), tau = 0.08,
+        maxDfFrac = 0.5)
+      operators.Dedup.clusterPairs(pairs, "id_a", "id_b",
+        slice.select(col("doc_id")), "doc_id")
+        .filter(col("is_rep")).count()
     }
     val vecBase = Tables.load(spark, sfDir, "embeddings")
     val bigVecs = (0 until mult).map { i =>

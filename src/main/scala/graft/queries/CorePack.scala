@@ -163,7 +163,7 @@ object CorePack extends QueryPack {
         secondary = Some(fbSecondary(s, dir)))))),
 
     "q09_row_checksum" -> ((s, dir) => Q.ordered(
-      Q.wide(Q.t(s, dir, "orders")).select(
+      Q.t(s, dir, "orders").select(
         col("o_orderkey"),
         Fingerprint.rowHash(orderHashFields.map(col)).as("row_hash")))),
 

@@ -193,7 +193,7 @@ object NearDupPack extends QueryPack {
 
     "q86_ivf_neardup" -> ((s, dir) => Q.ordered {
       val e = Similarity.capBuckets(
-        Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        Q.wide(Q.t(s, dir, "embeddings")).select(col("vec_id"), col("embedding"),
           Similarity.ivfAssign(col("embedding"), probeDims = 8).as("bucket")),
         "bucket", maxBucketSize = 100)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),

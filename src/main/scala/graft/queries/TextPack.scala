@@ -182,7 +182,7 @@ object TextPack extends QueryPack {
     // its median (-3.40).
     "q97_unigram_logprob" -> ((s, dir) => Q.ordered {
       TextStats.unigramLogprob(
-        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        Q.t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", split(col("text"), " "))
         .withColumn("keep", col("mean_logprob") >= -3.45)
     }),
