@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, Multimodal, Similarity}
+import graft.operators.{Cleaning, Dedup, Multimodal, Similarity, Vocab}
 
 /** LLM-data-pipeline queries — SURVEY §2.9 L1–L4 (BASELINE north star):
   * near-dedup, vector similarity search, multimodal doc-array columns,
@@ -61,6 +61,41 @@ object LlmPack extends QueryPack {
         .select(col("vec_id"), (col("p") % 8).as("cluster"),
           expr("p div 8").as("d_min"))
     }),
+
+    // L4: vocabulary build — top-N tokens by (count DESC, token ASC),
+    // contiguous ids. The rank window runs over the bounded top-N, never
+    // corpus rows (see operators.Vocab).
+    "q24_vocab_topk" -> ((s, dir) => Q.ordered(
+      Vocab.build(
+        Q.wide(Q.t(s, dir, "documents"))
+          .select(explode(split(col("text"), " ")).as("token")),
+        "token", n = 500))),
+
+    // L4: sequence encoding — every document as its vocab-id sequence
+    // (order-preserving, OOV→0) via a broadcast dictionary join; the
+    // text→ids step every training pipeline runs after curation.
+    "q25_token_encode" -> ((s, dir) => Q.ordered(Q.jsonArrays {
+      val vocab = Vocab.build(
+        Q.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token")),
+        "token", n = 500)
+      Vocab.encode(
+        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "), vocab)
+    })),
+
+    // L4: per-source quota sampling — cap each source at its first 20
+    // docs (deterministic order), the "source mixing" step that stops one
+    // crawl domain from dominating a training corpus. Plans as
+    // WindowGroupLimit: partial per-partition top-20 BEFORE the shuffle.
+    "q26_source_quota" -> ((s, dir) => Q.ordered(
+      Q.t(s, dir, "documents")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("doc_id"), col("source"), col("rank")))),
 
     // L2: brute-force cosine top-20 against the vec_id=1 query vector.
     "q51_cosine_topk" -> ((s, dir) => Q.ordered(
@@ -165,6 +200,38 @@ object LlmPack extends QueryPack {
          JOIN sizes sb ON i.id_b = sb.doc_id
          WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
          ORDER BY ALL NULLS FIRST""",
+
+    "q24_vocab_topk" ->
+      """WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n_tok FROM tok GROUP BY 1),
+            v AS (SELECT token, CAST(n_tok AS BIGINT) AS n_tok,
+                         CAST(row_number() OVER (ORDER BY n_tok DESC, token ASC) AS BIGINT) AS token_id
+                  FROM c ORDER BY n_tok DESC, token ASC LIMIT 500)
+         SELECT token, n_tok, token_id FROM v ORDER BY ALL NULLS FIRST""",
+
+    "q25_token_encode" ->
+      """WITH tok0 AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n_tok FROM tok0 GROUP BY 1),
+            v AS (SELECT token,
+                         CAST(row_number() OVER (ORDER BY n_tok DESC, token ASC) AS BIGINT) AS token_id
+                  FROM c ORDER BY n_tok DESC, token ASC LIMIT 500),
+            tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token,
+                           generate_subscripts(str_split(text, ' '), 1) AS pos
+                    FROM documents),
+            j AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS tid
+                  FROM tok t LEFT JOIN v ON t.token = v.token),
+            e AS (SELECT doc_id, list(tid ORDER BY pos) AS ids,
+                         count(*) AS n_tok
+                  FROM j GROUP BY 1)
+         SELECT doc_id, to_json(ids)::VARCHAR AS ids, CAST(n_tok AS BIGINT) AS n_tok
+         FROM e ORDER BY ALL NULLS FIRST""",
+
+    "q26_source_quota" ->
+      """SELECT doc_id, source, rank FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS BIGINT) AS rank
+           FROM documents)
+         WHERE rank <= 20 ORDER BY ALL NULLS FIRST""",
 
     "q23_kmeans_assign" ->
       """WITH q AS (SELECT vec_id,
