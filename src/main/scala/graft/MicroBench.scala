@@ -54,6 +54,33 @@ object MicroBench {
     time("ttf-naive") {
       docs.select(sum(naiveTtf(col("toks")))).collect()
     }
+
+    // XmlFields (one DOM parse, k XPath evals) vs k builtin xpath() calls
+    // (k parses) — the detail-parse projection shape at a row count where
+    // parse cost dominates.
+    val xmlRows = args.lift(3).map(_.toLong).getOrElse(200000L)
+    val xdf = spark.range(xmlRows).select(concat(
+      lit("<doc href=\"/f"), col("id"), lit(".pdf\"><title>t"), col("id"),
+      lit("</title><n>"), col("id") % 997,
+      lit("</n><tag>a</tag><tag>b</tag></doc>")).as("xml")).cache()
+    xdf.count()
+    val paths = Seq("/doc/title/text()", "/doc/@href", "/doc/n/text()",
+      "/doc/*/text()")
+    def viaBuiltin = paths.zipWithIndex.map { case (p, i) =>
+      xpath(col("xml"), lit(p)).as(s"p$i")
+    }
+    def viaShared = {
+      val s = graft.functions.XmlFunctions.xmlFields(col("xml"), paths)
+      paths.indices.map(i => s.getField(s"p$i").as(s"p$i"))
+    }
+    xdf.limit(1000).select(viaBuiltin: _*).write.format("noop").mode("overwrite").save()
+    xdf.limit(1000).select(viaShared: _*).write.format("noop").mode("overwrite").save()
+    time("xpath-builtin-4x") {
+      xdf.select(viaBuiltin: _*).write.format("noop").mode("overwrite").save()
+    }
+    time("xpath-shared-1x") {
+      xdf.select(viaShared: _*).write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -57,9 +57,17 @@ case class XmlFields(xml: Expression, paths: Seq[String])
 
   override def prettyName: String = "graft_xml_fields"
 
-  @transient private lazy val compiled: Seq[XPathExpression] = {
-    val xp = XPathFactory.newInstance().newXPath()
-    paths.map(xp.compile)
+  /** javax XPath evaluation costs ~50µs per call (XObject wrapping,
+    * context setup) — 10× the DOM walk it performs for the config
+    * vocabulary's actual paths. Simple paths (absolute or leading-`//`
+    * child chains of names/`*`, terminated by `text()`, `@attr`, or an
+    * element step) compile to a direct preorder DOM walk; anything with
+    * predicates, functions, mid-path `//`, or namespaces falls back to
+    * the real XPath engine. Both run against the same DOM, so node-set
+    * contents and document order are identical by construction. */
+  @transient private lazy val compiled: Seq[Either[XPathExpression, XmlFields.SimplePath]] = {
+    lazy val xp = XPathFactory.newInstance().newXPath()
+    paths.map(p => XmlFields.compileSimple(p).toRight(xp.compile(p)))
   }
 
   @transient private lazy val builder: DocumentBuilder = {
@@ -81,17 +89,115 @@ case class XmlFields(xml: Expression, paths: Seq[String])
           throw new RuntimeException(
             s"graft_xml_fields: invalid XML document: ${e.getMessage}")
       }
-    InternalRow.fromSeq(compiled.map { expr =>
-      val nodes = expr.evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
-      new GenericArrayData(Array.tabulate[Any](nodes.getLength) { i =>
-        val v = nodes.item(i).getNodeValue
-        if (v == null) null else UTF8String.fromString(v)
-      })
+    InternalRow.fromSeq(compiled.map {
+      case Right(simple) => XmlFields.evalSimple(doc, simple)
+      case Left(expr) =>
+        val nodes = expr.evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
+        new GenericArrayData(Array.tabulate[Any](nodes.getLength) { i =>
+          val v = nodes.item(i).getNodeValue
+          if (v == null) null else UTF8String.fromString(v)
+        })
     })
   }
 
   override protected def withNewChildInternal(newChild: Expression): XmlFields =
     copy(xml = newChild)
+}
+
+object XmlFields {
+  private[graft] sealed trait Term
+  private[graft] case object TText extends Term
+  private[graft] final case class TAttr(name: String) extends Term
+  private[graft] case object TElem extends Term
+
+  /** An absolute (or leading-`//`) chain of child steps (`name` or `*`)
+    * with a terminal of `text()`, `@attr`, or the last element itself. */
+  private[graft] final case class SimplePath(
+      anyDepth: Boolean, steps: List[String], term: Term)
+
+  private val NamePat = "[A-Za-z_][A-Za-z0-9_.-]*"
+
+  /** Some(simple walk) when the path is in the fast subset, None →
+    * caller uses the javax XPath engine. */
+  private[graft] def compileSimple(path: String): Option[SimplePath] = {
+    val (anyDepth, rest) =
+      if (path.startsWith("//")) (true, path.substring(2))
+      else if (path.startsWith("/")) (false, path.substring(1))
+      else return None
+    val parts = rest.split("/", -1).toList
+    if (parts.isEmpty || parts.exists(_.isEmpty)) return None // mid-path //
+    val (stepParts, term) = parts.last match {
+      case "text()" => (parts.init, TText)
+      case a if a.startsWith("@") && a.substring(1).matches(NamePat) =>
+        (parts.init, TAttr(a.substring(1)))
+      case _ => (parts, TElem)
+    }
+    if (stepParts.isEmpty) return None
+    if (stepParts.forall(s => s == "*" || s.matches(NamePat)))
+      Some(SimplePath(anyDepth, stepParts, term))
+    else None
+  }
+
+  import org.w3c.dom.{Document, Element, Node}
+
+  private[graft] def evalSimple(doc: Document, sp: SimplePath): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    def emit(el: Element): Unit = sp.term match {
+      case TText =>
+        // XPath-1.0 data model: ADJACENT text/CDATA DOM nodes are one
+        // logical text node. Xalan maps that node back to the first DOM
+        // node of the run, so its getNodeValue is the run's FIRST chunk —
+        // mirror that exactly (one emitted value per run, first chunk).
+        var c = el.getFirstChild
+        var inRun = false
+        while (c != null) {
+          val isText = c.getNodeType == Node.TEXT_NODE ||
+            c.getNodeType == Node.CDATA_SECTION_NODE
+          if (isText && !inRun) out += UTF8String.fromString(c.getNodeValue)
+          inRun = isText
+          c = c.getNextSibling
+        }
+      case TAttr(a) =>
+        val attr = el.getAttributeNode(a)
+        if (attr != null) out += UTF8String.fromString(attr.getValue)
+      case TElem =>
+        out += null // element nodes have null getNodeValue, like builtin
+    }
+    def descend(el: Element, steps: List[String]): Unit = steps match {
+      case Nil => emit(el)
+      case s :: rest =>
+        var c = el.getFirstChild
+        while (c != null) {
+          if (c.getNodeType == Node.ELEMENT_NODE &&
+              (s == "*" || c.getNodeName == s))
+            descend(c.asInstanceOf[Element], rest)
+          c = c.getNextSibling
+        }
+    }
+    val root = doc.getDocumentElement
+    if (root != null) {
+      if (!sp.anyDepth) {
+        val first = sp.steps.head
+        if (first == "*" || root.getNodeName == first)
+          descend(root, sp.steps.tail)
+      } else {
+        // descendant-or-self in document order = preorder walk
+        def walk(el: Element): Unit = {
+          val first = sp.steps.head
+          if (first == "*" || el.getNodeName == first)
+            descend(el, sp.steps.tail)
+          var c = el.getFirstChild
+          while (c != null) {
+            if (c.getNodeType == Node.ELEMENT_NODE)
+              walk(c.asInstanceOf[Element])
+            c = c.getNextSibling
+          }
+        }
+        walk(root)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Column-level entry point. */

@@ -37,6 +37,51 @@ class XmlFieldsSpec extends AnyFunSuite {
     }
   }
 
+  test("fast-path grammar matches the builtin across //, attrs, element terminals") {
+    // exercises the hand-compiled walk (simple paths) AND the javax
+    // fallback (predicate path) against the same documents
+    val paths2 = Seq(
+      "//tag/text()",          // descendant text
+      "//a/@href",             // descendant attr
+      "/doc/title",            // element terminal (null values)
+      "//inner/title/text()",  // multi-step under //
+      "/doc/*/tag/text()",     // * mid-chain
+      "//doc//tag/text()",     // mid-path // → javax fallback
+      "/doc/tag[1]/text()")    // predicate → javax fallback
+    val docs2 = Seq(
+      "<doc><title>t</title><tag>x</tag><tag/></doc>",
+      "<doc><inner><title>n1</title><a href=\"/h1\"/></inner><inner><tag>d</tag></inner></doc>",
+      "<doc><g><tag>deep</tag></g><tag>top</tag></doc>",
+      "<doc><tag>a<![CDATA[b]]>c</tag></doc>",          // split text nodes
+      "<doc><tag>x&amp;y</tag><a href=\"\"/></doc>"     // entity + empty attr
+    ).toDF("xml")
+    val s = XmlFunctions.xmlFields(col("xml"), paths2)
+    val got = docs2.select(
+      paths2.indices.map(i => s.getField(s"p$i").as(s"s$i")) ++
+        paths2.zipWithIndex.map { case (p, i) => xpath(col("xml"), lit(p)).as(s"b$i") }: _*)
+    got.collect().foreach { r =>
+      paths2.indices.foreach { i =>
+        assert(r.getSeq[String](r.fieldIndex(s"s$i")).toList ==
+          r.getSeq[String](r.fieldIndex(s"b$i")).toList,
+          s"path ${paths2(i)} diverged on row $r")
+      }
+    }
+  }
+
+  test("compileSimple accepts exactly the fast subset") {
+    import graft.functions.XmlFields.compileSimple
+    assert(compileSimple("/doc/title/text()").isDefined)
+    assert(compileSimple("//a/@href").isDefined)
+    assert(compileSimple("/doc/*/text()").isDefined)
+    assert(compileSimple("/doc").isDefined)
+    assert(compileSimple("//h1/text()").isDefined)
+    assert(compileSimple("/doc//tag/text()").isEmpty)    // mid-path //
+    assert(compileSimple("/doc/tag[1]/text()").isEmpty)  // predicate
+    assert(compileSimple("//a[contains(@href,'.pdf')]").isEmpty)
+    assert(compileSimple("doc/title").isEmpty)           // relative
+    assert(compileSimple("/ns:doc/title").isEmpty)       // namespace
+  }
+
   test("NULL xml yields NULL struct, like the builtin yields NULL arrays") {
     val df = Seq[Option[String]](None).toDF("xml")
     val r = df.select(
