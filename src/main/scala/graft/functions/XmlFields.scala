@@ -140,61 +140,69 @@ object XmlFields {
 
   import org.w3c.dom.{Document, Element, Node}
 
+  /** Single preorder traversal emitting matches in GLOBAL document order
+    * — what the XPath engine returns. Each element carries the set of
+    * step positions it occupies (a boolean per step: position i holds
+    * when the name matches step i and the parent held i-1; position 0
+    * additionally needs the element to be the document element for
+    * absolute paths, or may restart anywhere for leading-`//`). Emission
+    * happens in traversal order: a matched element's attribute/self
+    * before its content, text runs interleaved with nested element
+    * matches exactly as they appear in the document.
+    *
+    * Text runs: XPath-1.0 merges ADJACENT text/CDATA DOM nodes into one
+    * logical text node, and Xalan reports that node's value as the
+    * run's FIRST DOM chunk — mirrored here (one value per run, first
+    * chunk). */
   private[graft] def evalSimple(doc: Document, sp: SimplePath): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer[Any]()
-    def emit(el: Element): Unit = sp.term match {
-      case TText =>
-        // XPath-1.0 data model: ADJACENT text/CDATA DOM nodes are one
-        // logical text node. Xalan maps that node back to the first DOM
-        // node of the run, so its getNodeValue is the run's FIRST chunk —
-        // mirror that exactly (one emitted value per run, first chunk).
-        var c = el.getFirstChild
-        var inRun = false
-        while (c != null) {
-          val isText = c.getNodeType == Node.TEXT_NODE ||
-            c.getNodeType == Node.CDATA_SECTION_NODE
-          if (isText && !inRun) out += UTF8String.fromString(c.getNodeValue)
-          inRun = isText
-          c = c.getNextSibling
+    val steps = sp.steps.toArray
+    val n = steps.length
+    def stepMatches(name: String, i: Int): Boolean =
+      steps(i) == "*" || steps(i) == name
+    def visit(el: Element, m: Array[Boolean]): Unit = {
+      val full = m(n - 1)
+      if (full) sp.term match {
+        case TAttr(a) =>
+          val attr = el.getAttributeNode(a)
+          if (attr != null) out += UTF8String.fromString(attr.getValue)
+        case TElem =>
+          out += null // element nodes have null getNodeValue, like builtin
+        case TText => () // text children emitted in the loop below
+      }
+      var inRun = false
+      var c = el.getFirstChild
+      while (c != null) {
+        c.getNodeType match {
+          case Node.TEXT_NODE | Node.CDATA_SECTION_NODE =>
+            if (full && sp.term == TText && !inRun)
+              out += UTF8String.fromString(c.getNodeValue)
+            inRun = true
+          case Node.ELEMENT_NODE =>
+            inRun = false
+            val child = c.asInstanceOf[Element]
+            val name = child.getNodeName
+            val cm = new Array[Boolean](n)
+            cm(0) = sp.anyDepth && stepMatches(name, 0)
+            var i = 1
+            while (i < n) {
+              cm(i) = m(i - 1) && stepMatches(name, i)
+              i += 1
+            }
+            // absolute paths can prune dead subtrees; `//` can restart
+            // at any depth, so it must always descend
+            if (sp.anyDepth || cm.exists(identity)) visit(child, cm)
+          case _ =>
+            inRun = false
         }
-      case TAttr(a) =>
-        val attr = el.getAttributeNode(a)
-        if (attr != null) out += UTF8String.fromString(attr.getValue)
-      case TElem =>
-        out += null // element nodes have null getNodeValue, like builtin
-    }
-    def descend(el: Element, steps: List[String]): Unit = steps match {
-      case Nil => emit(el)
-      case s :: rest =>
-        var c = el.getFirstChild
-        while (c != null) {
-          if (c.getNodeType == Node.ELEMENT_NODE &&
-              (s == "*" || c.getNodeName == s))
-            descend(c.asInstanceOf[Element], rest)
-          c = c.getNextSibling
-        }
+        c = c.getNextSibling
+      }
     }
     val root = doc.getDocumentElement
     if (root != null) {
-      if (!sp.anyDepth) {
-        val first = sp.steps.head
-        if (first == "*" || root.getNodeName == first)
-          descend(root, sp.steps.tail)
-      } else {
-        // descendant-or-self in document order = preorder walk
-        def walk(el: Element): Unit = {
-          val first = sp.steps.head
-          if (first == "*" || el.getNodeName == first)
-            descend(el, sp.steps.tail)
-          var c = el.getFirstChild
-          while (c != null) {
-            if (c.getNodeType == Node.ELEMENT_NODE)
-              walk(c.asInstanceOf[Element])
-            c = c.getNextSibling
-          }
-        }
-        walk(root)
-      }
+      val m0 = new Array[Boolean](n)
+      m0(0) = stepMatches(root.getNodeName, 0)
+      visit(root, m0)
     }
     new GenericArrayData(out.toArray)
   }

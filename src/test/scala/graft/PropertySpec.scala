@@ -158,6 +158,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("XmlFields fast path matches builtin xpath on random trees+paths") {
+    // random small XML trees (nested elements from a tiny tag pool,
+    // attrs, text chunks, CDATA, entities, empty elements) × random
+    // simple paths — the hand-compiled DOM walk must be byte-identical
+    // to the builtin's node sets on every (doc, path) pair
+    val tags = Seq("a", "b", "c")
+    def randTree(depth: Int): String = {
+      val tag = tags(rnd.nextInt(tags.size))
+      val attr = if (rnd.nextBoolean()) s""" href="/h${rnd.nextInt(3)}"""" else ""
+      val kids =
+        if (depth >= 3) ""
+        else (0 until rnd.nextInt(3)).map { _ =>
+          rnd.nextInt(4) match {
+            case 0 => randTree(depth + 1)
+            case 1 => s"t${rnd.nextInt(5)}"
+            case 2 => "<![CDATA[cd]]>x"
+            case _ => "p&amp;q"
+          }
+        }.mkString
+      s"<$tag$attr>$kids</$tag>"
+    }
+    def randPath(): String = {
+      val prefix = if (rnd.nextBoolean()) "//" else "/"
+      val steps = (0 to rnd.nextInt(2)).map(_ =>
+        if (rnd.nextInt(4) == 0) "*" else tags(rnd.nextInt(tags.size)))
+      val term = rnd.nextInt(3) match {
+        case 0 => "/text()"
+        case 1 => "/@href"
+        case _ => ""
+      }
+      prefix + steps.mkString("/") + term
+    }
+    val docs = Seq.fill(40)(randTree(0)).toDF("xml")
+    val paths = Seq.fill(12)(randPath()).distinct
+    // every generated path must be in the fast subset — the point of
+    // this property is exercising the hand-rolled walk, not the fallback
+    paths.foreach(p =>
+      assert(graft.functions.XmlFields.compileSimple(p).isDefined, p))
+    val s = graft.functions.XmlFunctions.xmlFields(col("xml"), paths)
+    val got = docs.select(
+      col("xml") +: (paths.indices.map(i => s.getField(s"p$i").as(s"s$i")) ++
+        paths.zipWithIndex.map { case (p, i) => xpath(col("xml"), lit(p)).as(s"b$i") }): _*)
+    got.collect().foreach { r =>
+      paths.indices.foreach { i =>
+        assert(r.getSeq[String](r.fieldIndex(s"s$i")).toList ==
+          r.getSeq[String](r.fieldIndex(s"b$i")).toList,
+          s"path ${paths(i)} diverged on ${r.getString(0)}")
+      }
+    }
+  }
+
   test("urlHost takes the host after the LAST @ — multi-@ URLs can't evade") {
     // browsers/URL parsers resolve 'http://a@b@bad.org/' to host bad.org;
     // a blocklist keyed on anything else fails open
