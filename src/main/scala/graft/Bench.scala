@@ -20,12 +20,15 @@ object Bench {
     try Tables.load(spark, sfDir, "lineitem").limit(1)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // two passes, best time per query: reports steady-state operator
-    // throughput rather than whichever pass absorbed JIT/page-cache noise.
-    // Failed queries are listed explicitly — a fast failure must not read
-    // as a fast query.
+    // three passes, best time per query: reports steady-state operator
+    // throughput rather than whichever pass absorbed JIT/page-cache noise
+    // — and a transient machine-load spike during any single pass cannot
+    // poison a query's reported time (observed: two identical runs 25%
+    // apart on a shared host). Failed queries are listed explicitly — a
+    // fast failure must not read as a fast query.
+    val passCount = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def onePass(): Seq[(String, Double)] =
+    def onePass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -34,9 +37,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
-      }
-    val (p1, p2) = (onePass().toMap, onePass().toMap)
-    val results = p1.keys.toSeq.sorted.map(k => k -> math.min(p1(k), p2(k)))
+      }.toMap
+    val passes = (1 to passCount).map(_ => onePass())
+    val results = passes.head.keys.toSeq.sorted
+      .map(k => k -> passes.map(_(k)).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -257,6 +257,10 @@ object Dedup {
       val cand = labels.join(nbMin, col("__id") === col("__d"), "left")
         .select(col("__id"), col("__lab").as("__old"),
           least(col("__lab"), col("__nb")).as("__l1"))
+      // one pointer jump per round. A double-jump variant was measured
+      // (round 7): the extra in-round join costs MORE than the rounds it
+      // saves on realistic pair graphs (near-dup components are shallow
+      // — the diameter is small by construction), so single-hop stands.
       val jump = cand.select(col("__id").as("__jid"), col("__l1").as("__jlab"))
       val next = cand.join(jump, cand("__l1") === jump("__jid"), "left")
         .select(col("__id"), least(col("__l1"), col("__jlab")).as("__lab"),
