@@ -45,6 +45,16 @@ object TextStats {
   /** Exact document fingerprint (full text). */
   def fullFingerprint(text: Column): Column = md5(text)
 
+  /** Canonical text for case/punctuation/whitespace-insensitive exact
+    * dedup — the standard normalization pass BEFORE near-dup machinery
+    * (two docs differing only in casing, punctuation, or spacing are the
+    * same document): lowercase, non-alphanumerics → space, runs of
+    * spaces collapsed, trimmed. RE2∩Java-safe regexes so the DuckDB
+    * oracle replays it verbatim. Row-local, map-only at any scale. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set — stable under token reordering (near-dup prefilter). */
   def contentFingerprint(tokens: Column): Column =

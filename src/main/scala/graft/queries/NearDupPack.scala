@@ -48,6 +48,27 @@ object NearDupPack extends QueryPack {
             .as("jaccard"))
     }),
 
+    // L1: canonicalization-based exact dedup — the normalization pass
+    // that runs BEFORE any near-dup machinery: case/punctuation/
+    // whitespace-folded text, fingerprinted, grouped (representative =
+    // min doc_id). The corpus has no natural casing/punct variants, so
+    // (q83/q91 pattern) a deterministic noised copy of every 7th doc —
+    // uppercased, extra spacing and punctuation — is unioned in on both
+    // sides: raw md5 treats copy and original as distinct, the canonical
+    // fingerprint collapses each pair.
+    "q27_canonical_dedup" -> ((s, dir) => Q.ordered {
+      val base = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val noisy = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !!")).as("text"))
+      base.unionByName(noisy)
+        .select(col("doc_id"),
+          md5(TextStats.canonicalText(col("text"))).as("canon_fp"))
+        .groupBy("canon_fp")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
+    }),
+
     // L1: SimHash signature + top-byte candidate bucket. The token-hash
     // array is materialized in its own projection so the 32 bit-vote
     // aggregates reuse it instead of recomputing md5 per bit.
@@ -233,6 +254,18 @@ object NearDupPack extends QueryPack {
          JOIN docs da ON c.id_a = da.doc_id
          JOIN docs db ON c.id_b = db.doc_id
          ORDER BY ALL NULLS FIRST""",
+
+    "q27_canonical_dedup" ->
+      """WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, '  ' || upper(text) || ' !!'
+            FROM documents WHERE doc_id % 7 = 0)
+         SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                        ' +', ' ', 'g'))) AS canon_fp,
+                min(doc_id) AS rep_id,
+                count(*) AS n_docs
+         FROM u GROUP BY 1 ORDER BY ALL NULLS FIRST""",
 
     "q59_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
