@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval scoring — SURVEY §2.9 L4 extended. BM25 is the
+  * standard lexical-relevance score a training-data pipeline uses to rank
+  * corpus documents against a probe query (quality-targeted subset
+  * selection, retrieval-augmented dedup triage). Same distributed shape as
+  * tf-idf (q71) / the unigram LM (q97): one explode → two partial
+  * aggregates → broadcast joins of the tiny term/corpus statistics.
+  */
+object Retrieval {
+
+  /** Okapi BM25 score of every document containing at least one query
+    * term.
+    *
+    * Plan shape (scale path): per-doc length is `size(tokens)` and each
+    * term's tf is `size(filter(tokens, _ === term))` — both row-local
+    * expressions, so the corpus is NEVER exploded token-wise (a probe
+    * query has bounded terms; scanning the token array |terms| times per
+    * row is cheap, exploding ~avgdl rows per doc is not). The generator
+    * emits ≤ |queryTerms| (term, tf) rows per doc, tf=0 dropped at the
+    * map side; df is one tiny aggregation over those hits; the df table
+    * (≤ |queryTerms| rows) and the 1-row corpus stats are broadcast.
+    * The only corpus-keyed shuffle is the final per-doc score sum over
+    * ≤ |terms| rows per doc. No driver-side collection.
+    *
+    * Engine-parity notes (mirrored in the DuckDB oracle): the idf log is
+    * rounded to 8 decimals before use (libm vs JVM `Math.log` differ in
+    * the last ulp); per-term scores are rounded to 6 and summed in
+    * DECIMAL so association order cannot matter; `avgdl` goes through a
+    * DECIMAL sum and one rounded division. All constants are doubles on
+    * both sides ((k1+1) is passed pre-computed so neither engine
+    * re-derives it in a different numeric type).
+    */
+  def bm25(df: DataFrame, idCol: String, tokensCol: Column,
+           queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(col(idCol), tokensCol.as("__toks"),
+      size(tokensCol).cast("long").as("dl"))
+    val st = base.agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)")
+        .cast("double") / count(lit(1)), 6).as("avgdl"))
+    val tf = base.select(col(idCol), col("dl"),
+      explode(array(queryTerms.map(t => struct(
+        lit(t).as("token"),
+        size(filter(col("__toks"), x => x === t)).cast("long").as("tf"))): _*))
+        .as("qt"))
+      .select(col(idCol), col("dl"),
+        col("qt.token").as("token"), col("qt.tf").as("tf"))
+      .filter(col("tf") > 0)
+    // one row per (doc, matched term) → count(*) IS the distinct-doc count
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = round(
+      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 8)
+    val termScore = round(
+      idf * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))),
+      6)
+    tf.join(broadcast(dfc), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("term_score", termScore)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)
+          .as("bm25"))
+  }
+}

@@ -30,6 +30,36 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Temperature-scaled source-mixture plan: per-source sampling weight
+    * w_s = sqrt(n_s) / Σ sqrt(n), plus the per-source row target out of
+    * `budget` total samples. This is the α=0.5 case of the standard
+    * count^α mixture reweighting used to flatten source imbalance when
+    * assembling a training mix (upweights small sources, downweights
+    * mega-sources). sqrt is IEEE-correctly-rounded in every engine —
+    * unlike pow/exp — so the weights are engine-portable exactly; the
+    * weight denominator is summed in DECIMAL over rounded sqrt values.
+    *
+    * One partial+final groupBy over the corpus; the per-source table
+    * (∼#sources rows) then crossJoins its own broadcast 1-row total —
+    * driver never sees the data.
+    */
+  def mixtureWeights(df: DataFrame, sourceCol: Column, sizeCol: Column,
+                     budget: Long): DataFrame = {
+    val bySource = df.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(sizeCol).cast("long").as("n_tok"))
+      .withColumn("w",
+        round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(18,6)"))
+    val total = bySource.agg(sum(col("w")).cast("decimal(28,6)").as("tw"))
+    bySource.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("n_tok"),
+        round(col("w").cast("double") / col("tw").cast("double"), 6)
+          .as("weight"),
+        floor(lit(budget) * (col("w").cast("double") / col("tw").cast("double")))
+          .cast("long").as("target_rows"))
+  }
+
   /** Stratified deterministic sample: `perGroup` rows per group, chosen
     * by hash order (stable, engine-portable). One shuffle on the group
     * key. */

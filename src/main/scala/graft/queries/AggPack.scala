@@ -137,6 +137,22 @@ object AggPack extends QueryPack {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("decimal(28,4)").cast("double").as("running_value")))),
 
+    // G6: time-RANGE window frame — rolling 1-hour per-user sum/count.
+    // The frame is defined over epoch MICROseconds (exact integers on
+    // both engines; second-granularity epoch truncates sub-second
+    // timestamps differently across engines), so tie rows are peers in
+    // both and the frame edges agree exactly.
+    "q49_range_window" -> ((s, dir) => Q.ordered {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Q.t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w)
+          .cast("decimal(28,4)").cast("double").as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"))
+    }),
+
     // G7: top-k per group — window row_number + filter, no global sort.
     "q39_topk_per_group" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders")
@@ -175,6 +191,16 @@ object AggPack extends QueryPack {
     Fingerprint.sqlExpr(Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
 
   override val oracleSql: Map[String, String] = Map(
+    "q49_range_window" ->
+      """SELECT user_id, event_id,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(28,4)) AS DOUBLE) AS roll_sum,
+                count(*) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_n
+         FROM events ORDER BY ALL NULLS FIRST""",
+
     "q19_limit_topn" ->
       """SELECT * FROM (
            SELECT o_orderkey, o_custkey, o_totalprice FROM orders

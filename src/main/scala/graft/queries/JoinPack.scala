@@ -160,6 +160,21 @@ object JoinPack extends QueryPack {
         .select(col("o_orderkey"), col("prio_group"))
     }),
 
+    // G4/G8: correlated EXISTS + NOT EXISTS subqueries — Catalyst
+    // rewrites them to a left-semi and a left-anti join on c_custkey
+    // (verified via explain: no nested-loop, both sides shuffle-keyed).
+    "q46_exists_subquery" -> ((s, dir) => Q.ordered {
+      Q.t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      Q.t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_sq o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      """)
+    }),
+
     // G8: INTERSECT (distinct) on key sets.
     "q40_intersect" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -175,6 +190,14 @@ object JoinPack extends QueryPack {
   )
 
   override val oracleSql: Map[String, String] = Map(
+    "q46_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY ALL NULLS FIRST""",
+
     "q10_union" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, 'final' AS branch
          FROM orders WHERE o_orderstatus = 'F'

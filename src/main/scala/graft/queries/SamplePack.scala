@@ -31,6 +31,16 @@ object SamplePack extends QueryPack {
       Sampling.stratified(Q.t(s, dir, "documents"), Seq("lang"),
         col("doc_id"), 3)
         .select(col("lang"), col("doc_id")))),
+
+    // temperature-scaled source mixture: w_s = sqrt(n_tok_s) / Σ sqrt —
+    // the count^α (α=0.5) reweighting for assembling a training mix.
+    // sqrt is IEEE-exact in every engine (pow/exp are not).
+    "q29_mixture_weights" -> ((s, dir) => Q.ordered(
+      Sampling.mixtureWeights(
+        Q.t(s, dir, "documents"),
+        col("source"),
+        size(split(col("text"), " ")),
+        budget = 1000000L))),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -44,6 +54,17 @@ object SamplePack extends QueryPack {
                       WHEN $bucketSql < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q29_mixture_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tok
+                    FROM documents GROUP BY 1),
+         w AS (SELECT *, CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w FROM s),
+         t AS (SELECT CAST(sum(w) AS DECIMAL(28,6)) AS tw FROM w)
+         SELECT source, n_docs, n_tok,
+                round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+                CAST(floor(1000000 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) AS target_rows
+         FROM w CROSS JOIN t ORDER BY ALL NULLS FIRST""",
 
     "q77_stratified_sample" ->
       """SELECT lang, doc_id FROM (

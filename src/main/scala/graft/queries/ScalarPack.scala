@@ -46,6 +46,16 @@ object ScalarPack extends QueryPack {
              round(stddev_samp(col("l_discount")), 6).as("disc_stddev"),
              count(lit(1)).as("n")))),
 
+    // G9/G11: positional explode — token with its offset, the generator
+    // every position-aware text pipeline starts from (posexplode keeps
+    // the element index; plain explode loses it).
+    "q48_posexplode" -> ((s, dir) => Q.ordered(
+      Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token")))),
+
     // G9: JSON object → MAP → exploded key/value rows (the dynamic-keys
     // form of q42's fixed-path extraction).
     "q79_map_explode" -> ((s, dir) => Q.ordered(
@@ -103,6 +113,13 @@ object ScalarPack extends QueryPack {
   )
 
   override val oracleSql: Map[String, String] = Map(
+    "q48_posexplode" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+                CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+                unnest(toks) AS token
+         FROM t ORDER BY ALL NULLS FIRST""",
+
     "q42_json_extract" ->
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,

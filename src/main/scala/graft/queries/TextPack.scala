@@ -114,6 +114,32 @@ object TextPack extends QueryPack {
           regexp_count(col("redacted"), lit("<ID>")).cast("long"))
     }),
 
+    // L4: BM25 relevance of every doc against a fixed probe query —
+    // quality-targeted subset selection over the corpus. Explode → two
+    // partial aggs; term df and 1-row corpus stats broadcast.
+    "q28_bm25" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      Retrieval.bm25(
+        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "),
+        Seq("join", "filter", "scan"))
+    }),
+
+    // L4: per-language length-band filter — drop the outlier tails,
+    // keeping docs inside the [p10, p90] percent_rank band of their
+    // language's length distribution. One window shuffle on lang; the
+    // rank ratio (rank-1)/(n-1) is exact integer arithmetic in double,
+    // so the band edges are engine-portable.
+    "q47_length_band" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars").asc)))
+        .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+        .withColumn("pr", round(col("pr"), 6))
+    }),
+
     // L4: training-sequence packing — per-lang shards, whitespace token
     // counts, 512-token budget. Window is partitioned by lang: no global
     // ordering, each shard packs independently (the scale-sane form).
@@ -223,6 +249,37 @@ object TextPack extends QueryPack {
   )
 
   override val oracleSql: Map[String, String] = Map(
+    // Constants are CAST to DOUBLE so DuckDB's decimal literals don't
+    // introduce exact-decimal intermediate math the Spark side (pure
+    // doubles) can't reproduce; idf's ln is rounded to 8 before use
+    // (libm-vs-JVM last-ulp), per-term scores rounded to 6 and summed in
+    // DECIMAL. 2.2 = k1+1 (exact in binary: 1.2d + 1.0d == 2.2d).
+    "q28_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+         dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         st  AS (SELECT count(*) AS n_docs,
+                        round(CAST(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avgdl
+                 FROM dl),
+         tf  AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                 WHERE token IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+         dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+                 WHERE token IN ('join', 'filter', 'scan') GROUP BY 1),
+         sc  AS (SELECT t.doc_id,
+                        round(round(ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 8)
+                          * (t.tf * CAST(2.2 AS DOUBLE))
+                          / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * d.dl) / s.avgdl)), 6) AS term_score
+                 FROM tf t JOIN dfc USING (token) JOIN dl d USING (doc_id) CROSS JOIN st s)
+         SELECT doc_id, count(*) AS n_terms,
+                round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
+         FROM sc GROUP BY 1 ORDER BY ALL NULLS FIRST""",
+
+    "q47_length_band" ->
+      """SELECT doc_id, lang, n_chars, round(pr, 6) AS pr FROM (
+           SELECT doc_id, lang, n_chars,
+                  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS pr
+           FROM documents)
+         WHERE pr >= 0.1 AND pr <= 0.9 ORDER BY ALL NULLS FIRST""",
+
     "q54_langid" ->
       s"""SELECT doc_id, lang,
                  ${hitsSql("en")} AS s_en,

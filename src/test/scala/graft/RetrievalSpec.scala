@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, Sampling}
+
+/** BM25 retrieval scoring (operators.Retrieval) and source-mixture
+  * weighting (operators.Sampling.mixtureWeights). Expected values are
+  * hand-computed outside Spark with the same rounding contract
+  * (HALF_UP at the documented scales).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a"),   // dl=3, tf(a)=2
+    (2L, "b c"),     // dl=2, tf(c)=1
+    (3L, "c c c")    // dl=3, tf(c)=3
+  ).toDF("doc_id", "text")
+
+  test("bm25 matches hand-computed scores (k1=1.2, b=0.75)") {
+    // N=3, avgdl=round(8/3,6); df(a)=1, df(c)=2;
+    // idf(a)=round(ln(2.5/1.5+1),8), idf(c)=round(ln(1.5/2.5+1),8)
+    val got = Retrieval.bm25(docs, "doc_id", split(col("text"), " "),
+      Seq("a", "c"))
+      .select("doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (1L, 1L, 1.302837),
+      (2L, 1L, 0.523548),
+      (3L, 1L, 0.71931)))
+  }
+
+  test("bm25 counts matched terms and drops no-match docs") {
+    val got = Retrieval.bm25(docs, "doc_id", split(col("text"), " "),
+      Seq("a", "b", "z"))
+      .select("doc_id", "n_terms").as[(Long, Long)].collect().toList.sortBy(_._1)
+    // doc1 matches a+b, doc2 matches b, doc3 matches nothing ('z' never occurs)
+    assert(got == List((1L, 2L), (2L, 1L)))
+  }
+
+  test("bm25 ranks a rarer term above a common one at equal tf and dl") {
+    // 'rare' in 1 of 4 docs, 'common' in 3 of 4; probe docs have tf=1 and
+    // identical length, so the idf difference alone orders the scores.
+    val corpus = Seq(
+      (1L, "rare x"), (2L, "common x"), (3L, "common x"), (4L, "common x")
+    ).toDF("doc_id", "text")
+    val scores = Retrieval.bm25(corpus, "doc_id", split(col("text"), " "),
+      Seq("rare", "common"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) == scores(3L))
+  }
+
+  test("mixtureWeights: sqrt-scaled weights, floor targets, exact on squares") {
+    // one row per (source, n_tok) pair: n_tok 9/16/25 → weights 3/12, 4/12, 5/12
+    val df = (Seq.fill(9)("x") ++ Seq.fill(16)("y") ++ Seq.fill(25)("z"))
+      .toDF("source").withColumn("n", lit(1))
+    val got = Sampling.mixtureWeights(df, col("source"), col("n"), budget = 1000L)
+      .select("source", "n_docs", "n_tok", "weight", "target_rows")
+      .as[(String, Long, Long, Double, Long)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      ("x", 9L, 9L, 0.25, 250L),
+      ("y", 16L, 16L, 0.333333, 333L),
+      ("z", 25L, 25L, 0.416667, 416L)))
+  }
+
+  test("mixtureWeights upweights small sources vs their raw share") {
+    val df = (Seq.fill(1)("tiny") ++ Seq.fill(99)("huge"))
+      .toDF("source").withColumn("n", lit(1))
+    val w = Sampling.mixtureWeights(df, col("source"), col("n"), budget = 100L)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    // raw share of tiny = 1%; sqrt share = 1/(1+sqrt(99)) ≈ 9.1%
+    assert(w("tiny") > 0.01 && w("tiny") < w("huge"))
+  }
+}
