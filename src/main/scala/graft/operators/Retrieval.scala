@@ -21,10 +21,12 @@ object Retrieval {
     * query has bounded terms; scanning the token array |terms| times per
     * row is cheap, exploding ~avgdl rows per doc is not). The generator
     * emits ≤ |queryTerms| (term, tf) rows per doc, tf=0 dropped at the
-    * map side; df is one tiny aggregation over those hits; the df table
-    * (≤ |queryTerms| rows) and the 1-row corpus stats are broadcast.
-    * The only corpus-keyed shuffle is the final per-doc score sum over
-    * ≤ |terms| rows per doc. No driver-side collection.
+    * map side; each term's df is a count window over the SAME hit
+    * stream (re-aggregating it from a separate branch would rescan the
+    * corpus — Spark reuses no un-materialized subtree across branches);
+    * the 1-row corpus stats are broadcast. Two corpus scans total
+    * (hits + stats), and the only shuffles are over the ≤ |terms|
+    * rows/doc hit stream. No driver-side collection.
     *
     * Engine-parity notes (mirrored in the DuckDB oracle): the idf log is
     * rounded to 8 decimals before use (libm vs JVM `Math.log` differ in
@@ -52,8 +54,10 @@ object Retrieval {
       .select(col(idCol), col("dl"),
         col("qt.token").as("token"), col("qt.tf").as("tf"))
       .filter(col("tf") > 0)
-    // one row per (doc, matched term) → count(*) IS the distinct-doc count
-    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // one row per (doc, matched term) → the per-token window count IS
+    // the distinct-doc df, computed without re-scanning the corpus
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
     val idf = round(
       log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0)), 8)
@@ -61,7 +65,7 @@ object Retrieval {
       idf * (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))),
       6)
-    tf.join(broadcast(dfc), "token")
+    withDf
       .crossJoin(broadcast(st))
       .withColumn("term_score", termScore)
       .groupBy(col(idCol))

@@ -220,6 +220,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: [[annSearch]] for a whole TABLE of queries at once — the
+    * shape that actually runs at corpus scale (dedup-against-index,
+    * retrieval for a training batch), where issuing one job per query
+    * vector would be a driver-side loop over the cluster.
+    *
+    * Distributed form: the centroid table (bucket-count rows, bounded by
+    * the key space — NOT corpus-sized) is broadcast against the query
+    * table; a per-query window takes the `nprobe` nearest buckets (rank
+    * runs over |Q|×nprobe candidates, partitioned by query); the corpus
+    * is then scanned ONCE and equi-joined to the probe set on the bucket
+    * key — queries sharing a bucket share the scan. Exact cosine scores
+    * within probed buckets, then per-query top-k via a rank window
+    * (Spark plans WindowGroupLimit: partial top-k before the shuffle).
+    * Scores are rounded before ranking and ties break on corpus id, so
+    * results are deterministic. Mega-bucket skew is the caller's concern:
+    * run [[capBuckets]] on the bucketed corpus first if the embedding
+    * distribution is untrusted. */
+  def annSearchBatch(vectors: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, queryVecCol: String,
+                     probeDims: Int, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = vectors
+      .withColumn("__bucket", ivfAssign(col(vecCol), probeDims))
+      .filter(col("__bucket").isNotNull)
+    val cents = centroidMeans(centroids(bucketed, col("__bucket"), col(vecCol)))
+      .withColumnRenamed("bucket", "__bucket")
+    val probeSet = queries
+      .select(col(qidCol), col(queryVecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(qidCol), col(queryVecCol), col("__bucket"),
+        aggregate(zip_with(col("centroid"), col(queryVecCol),
+          (x, y) => (x - d(y)) * (x - d(y))), lit(0.0), (s, x) => s + x)
+          .as("__d2"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("__d2").asc_nulls_last, col("__bucket").asc)))
+      .filter(col("__r") <= nprobe)
+      .select(col(qidCol), col(queryVecCol), col("__bucket"))
+    bucketed.join(probeSet, Seq("__bucket"))
+      .select(col(qidCol), col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 6).as("score"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)))
+      .filter(col("__rk") <= k)
+      .select(col(qidCol), col(idCol), col("score"))
+  }
+
   /** The standing blow-up guard (SCALE.md) for bucketed candidate
     * generation: DROP buckets larger than `maxBucketSize` before any
     * within-bucket self-join. A skewed embedding distribution (one

@@ -115,8 +115,9 @@ object TextPack extends QueryPack {
     }),
 
     // L4: BM25 relevance of every doc against a fixed probe query —
-    // quality-targeted subset selection over the corpus. Explode → two
-    // partial aggs; term df and 1-row corpus stats broadcast.
+    // quality-targeted subset selection over the corpus. Row-local
+    // per-term tf (no token-wise corpus explode), df via a count window
+    // over the hit stream, 1-row corpus stats broadcast.
     "q28_bm25" -> ((s, dir) => Q.ordered {
       import graft.operators.Retrieval
       Retrieval.bm25(

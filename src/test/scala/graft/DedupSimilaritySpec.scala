@@ -219,6 +219,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.contains(1L))
   }
 
+  test("annSearchBatch: one corpus scan answers every query like per-query annSearch") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = Seq(1L, 7L, 42L)
+    val queries = vecs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.annSearchBatch(vecs, "vec_id", "embedding",
+      queries, "qid", "qvec", probeDims = 8, nprobe = 24, k = 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    qids.foreach { q =>
+      val single = Similarity.annSearch(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === q).select(col("embedding").as("qvec")),
+        "qvec", probeDims = 8, nprobe = 24, k = 10)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(q) == single, s"batch != single for query $q")
+      // the self-match (cosine 1.0) always survives probing
+      assert(batch(q).map(_._1).contains(q))
+    }
+  }
+
+  test("annSearchBatch plans one rank window per side (WindowGroupLimit top-k)") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = Similarity.annSearchBatch(vecs, "vec_id", "embedding",
+      queries, "qid", "qvec", probeDims = 8, nprobe = 4, k = 5)
+      .queryExecution.executedPlan.toString
+    // per-query top-k must run as a group-limit window, not a global sort
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("kmeans: duplicate vectors don't waste seeds; ragged rows are dropped") {
     val df = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), // duplicate vector
