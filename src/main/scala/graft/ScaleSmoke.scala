@@ -110,6 +110,17 @@ object ScaleSmoke {
         "doc_id", split(col("text"), " "))
         .filter(col("mean_logprob").isNotNull).count()
     }
+    time("bm25") {
+      // q28 shape at 10×: row-local per-term tf (the corpus is never
+      // exploded token-wise), df as a count window over the ≤|terms|
+      // rows/doc hit stream, broadcast 1-row stats. Work ∝ corpus bytes
+      // (two scans) + hit-stream shuffles ∝ matching docs.
+      operators.Retrieval.bm25(
+        bigDocsOrdered.select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "),
+        Seq("join", "filter", "scan"))
+        .filter(col("bm25").isNotNull).count()
+    }
     time("decontaminate") {
       // replication multiplies train-df 10x but leaves the DISTINCT test
       // gram set unchanged — join output = Σ_{g∈test∩kept} df_train(g),
