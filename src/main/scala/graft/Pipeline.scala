@@ -91,7 +91,7 @@ object Pipeline {
       val producers = shared.toSeq.sortBy(_._1).map { case (src, specs) =>
         (src, specs, s"__xml_$src")
       }
-      val base = df.select(df.columns.map(col) ++ producers.map {
+      val base = df.select(df.columns.toIndexedSeq.map(col) ++ producers.map {
         case (src, specs, alias) =>
           graft.functions.XmlFunctions
             .xmlFields(col(src), specs.map(xpathOf)).as(alias)

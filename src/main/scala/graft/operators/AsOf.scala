@@ -44,7 +44,7 @@ object AsOf {
     val filled = combined
       .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         valueCols.map(v => col(s"__vals.$v").as(v)): _*)
   }
 }

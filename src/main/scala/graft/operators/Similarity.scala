@@ -159,7 +159,7 @@ object Similarity {
           lit(0.0), (s, x) => s + x)
         struct(d2.as("d"), lit(i).as("c"))
       }
-      array_min(array(dists: _*)).getField("c")
+      array_min(array(dists.toIndexedSeq: _*)).getField("c")
     }
     var assigned = clean.select(col(idCol), col(vecCol),
       assignExpr(cents).as("cluster")).localCheckpoint()

@@ -29,7 +29,7 @@ object Skew {
       s"saltedJoin cannot preserve '$joinType' semantics: unmatched dim " +
         "rows would be replicated once per salt bucket")
     val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val dimS = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigS.join(dimS, keys :+ "__salt", joinType).drop("__salt")

@@ -25,7 +25,7 @@ object Q {
     * default null order is LAST; Spark's asc default is FIRST). */
   def ordered(df: DataFrame): DataFrame =
     if (sys.props.get(NoOrderProp).contains("true")) df
-    else df.orderBy(df.columns.map(c => col(c).asc_nulls_first): _*)
+    else df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
