@@ -24,6 +24,16 @@ object Pipeline {
   private def xpathOf(spec: FieldSpec): String =
     if (spec.attr.nonEmpty) s"${spec.xpath}/@${spec.attr}" else spec.xpath
 
+  /** A labeled-link spec (detail_parser.py:40-62 `label_attr`): each
+    * matched node yields a {label, url} struct. This needs the element
+    * STRING-VALUE alongside an attribute per node — inexpressible as a
+    * zip of `xpath()` calls (element nodes have NULL getNodeValue, and
+    * attr-less matches shift the zip) — so it evaluates through the
+    * dedicated one-DOM-pass [[graft.functions.XmlLabeledLinks]]. */
+  private def labeled(spec: FieldSpec): Boolean =
+    spec.kind == "xpath" && spec.labelAttr.nonEmpty &&
+      spec.attr.nonEmpty && spec.multiple
+
   /** P6 post-processing over an already-extracted node set:
     * `pattern` refines each value like the reference's regex step.
     * Single form: first node, '' when absent (→ NULL after C4).
@@ -57,6 +67,10 @@ object Pipeline {
         Projection.indexedFindAll(src, spec.pattern, spec.group, spec.index)
       case "block_after" =>
         Projection.blockAfter(src, spec.anchor, spec.pattern, spec.group)
+      case "xpath" if labeled(spec) =>
+        // P7 labeled-link form: one DOM pass emits {label, url} pairs.
+        graft.functions.XmlFunctions
+          .xmlLabeledLinks(src, spec.xpath, spec.attr, spec.labelAttr)
       case "xpath" =>
         // P6 (detail_parser.py:24-77): node set via one xpath() call.
         xpathField(spec, xpath(src, lit(xpathOf(spec))))
@@ -83,8 +97,10 @@ object Pipeline {
     // split) would serialize it on one core; at corpus scale the fan-out
     // is a no-op. See Parallelize.fanOutIfNarrow.
     val df = Parallelize.fanOutIfNarrow(df0)
-    val shared = cfg.fields.filter(_.kind == "xpath").groupBy(_.from)
-      .filter(_._2.size >= 2)
+    // labeled specs evaluate through their own one-pass expression and
+    // never join the shared node-value parse
+    val shared = cfg.fields.filter(s => s.kind == "xpath" && !labeled(s))
+      .groupBy(_.from).filter(_._2.size >= 2)
     if (shared.isEmpty)
       df.select(passthrough.map(col) ++ cfg.fields.map(field): _*)
     else {
@@ -97,7 +113,7 @@ object Pipeline {
             .xmlFields(col(src), specs.map(xpathOf)).as(alias)
       }: _*)
       val out = passthrough.map(col) ++ cfg.fields.map { spec =>
-        if (spec.kind == "xpath" && shared.contains(spec.from)) {
+        if (spec.kind == "xpath" && !labeled(spec) && shared.contains(spec.from)) {
           val (_, specs, alias) = producers.find(_._1 == spec.from).get
           xpathField(spec, col(alias).getField(s"p${specs.indexOf(spec)}"))
             .as(spec.name)

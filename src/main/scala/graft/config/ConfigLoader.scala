@@ -160,7 +160,8 @@ object ConfigLoader {
       index = m.get("index").map(int).getOrElse(0),
       xpath = m.get("xpath").map(str).getOrElse(""),
       attr = m.get("attr").map(str).getOrElse(""),
-      multiple = bool(m, "multiple"))
+      multiple = bool(m, "multiple"),
+      labelAttr = m.get("label_attr").map(str).getOrElse(""))
   }
 
   /** One `fields:` entry → [[FieldSpec]]. `kind` may be given explicitly
@@ -187,7 +188,8 @@ object ConfigLoader {
       fallbacks = m.get("fallbacks").toSeq.flatMap(strList),
       xpath = m.get("xpath").map(str).getOrElse(""),
       attr = m.get("attr").map(str).getOrElse(""),
-      multiple = bool(m, "multiple"))
+      multiple = bool(m, "multiple"),
+      labelAttr = m.get("label_attr").map(str).getOrElse(""))
   }
 
   /** Rules/categories are optional: the reference's per-country configs

@@ -28,6 +28,19 @@ import graft.operators.Classify.Rule
   *    value with a regex capture, and `multiple = true` yields the
   *    DEDUPLICATED array of all non-empty matches instead of the first
   *    (the reference's set-valued `multiple: true` with `seen`-set dedup)
+  *  - "xpath" + `labelAttr` (with `attr` + `multiple`): the reference's
+  *    labeled-link form (configs/colombia.yml:64-68 `label_attr`,
+  *    detail_parser.py:40-62) — each matched node yields a
+  *    {label, url} STRUCT (url = @`attr`, label = node text for
+  *    `labelAttr = "text"`, else @`labelAttr`), empty-url matches
+  *    dropped, keep-FIRST dedup by url (the reference's `seen` set in
+  *    document order). Deviation, documented: the reference appends the
+  *    raw string for matches without the url attr (a mixed-type list);
+  *    a typed engine drops them instead — the attr-presence predicate
+  *    is folded into both node selections so label/url stay aligned.
+  *    A NON-text `labelAttr` aligns only when every url-bearing match
+  *    also carries the label attribute (missing label attrs shift the
+  *    label node set); `labelAttr = "text"` has no such constraint.
   *  - "const_null": unknown-spec null (P11, detail_parser.py:93-95)
   */
 final case class FieldSpec(
@@ -41,7 +54,8 @@ final case class FieldSpec(
     fallbacks: Seq[String] = Nil,
     xpath: String = "",
     attr: String = "",
-    multiple: Boolean = false)
+    multiple: Boolean = false,
+    labelAttr: String = "")
 
 /** S3 fallback-source stage config (reference detail_parser.py:97-119):
   * when `collection` is empty and `key` is present, fill the collection

@@ -208,10 +208,102 @@ object XmlFields {
   }
 }
 
+/** The reference's labeled-link extraction (detail_parser.py:24-62,
+  * configs/colombia.yml:64-68 `label_attr`) as one DOM pass: evaluate
+  * `nodePath` (full XPath — colombia's predicates included), then per
+  * matched ELEMENT in document order emit {label, url} where
+  * url = @`attr` (trimmed; empty → node skipped; keep-FIRST dedup — the
+  * reference's `seen` set) and label = text content for
+  * `labelAttr = "text"`, else that attribute's non-empty value, else the
+  * url itself (the reference's `lbl = raw` fallback). Deviations,
+  * documented: absolutization is downstream's job (C7 — the reference
+  * urljoins against the portal domain here), and non-element matches are
+  * skipped (the reference appends bare strings into a mixed-type list a
+  * typed engine cannot carry).
+  *
+  * This cannot be composed from `xpath()` calls: a zip of `path/@attr`
+  * with `path` needs the element STRING-VALUE, but the builtin yields
+  * `getNodeValue` — NULL for elements — and attr-less matches shift the
+  * zip. One DOM walk reads both off each node, like the reference. */
+case class XmlLabeledLinks(xml: Expression, nodePath: String,
+                           attr: String, labelAttr: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def child: Expression = xml
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (xml.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_xml_labeled_links expects a string column, got ${xml.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("label", StringType),
+      StructField("url", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_xml_labeled_links"
+
+  @transient private lazy val expr: XPathExpression =
+    XPathFactory.newInstance().newXPath().compile(nodePath)
+
+  @transient private lazy val builder: DocumentBuilder = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newDocumentBuilder()
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.w3c.dom.{Element, Node}
+    val doc =
+      try {
+        builder.reset()
+        builder.parse(new InputSource(new StringReader(input.toString)))
+      } catch {
+        case NonFatal(e) => throw new RuntimeException(
+          s"graft_xml_labeled_links: invalid XML document: ${e.getMessage}")
+      }
+    val nodes = expr.evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
+    val seen = scala.collection.mutable.HashSet[String]()
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < nodes.getLength) {
+      nodes.item(i) match {
+        case el: Element if el.getNodeType == Node.ELEMENT_NODE =>
+          val url = Option(el.getAttributeNode(attr))
+            .map(_.getValue.trim).getOrElse("")
+          if (url.nonEmpty && seen.add(url)) {
+            val label =
+              if (labelAttr == "text") el.getTextContent.trim
+              else Option(el.getAttributeNode(labelAttr))
+                .map(_.getValue.trim).filter(_.nonEmpty).getOrElse(url)
+            out += InternalRow(UTF8String.fromString(label),
+              UTF8String.fromString(url))
+          }
+        case _ => () // non-element match: the reference's mixed-list case
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): XmlLabeledLinks =
+    copy(xml = newChild)
+}
+
 /** Column-level entry point. */
 object XmlFunctions {
   /** Struct of `p0..p<n-1>` array&lt;string&gt; fields, one per path, from
     * a single parse of `xml`. */
   def xmlFields(xml: Column, paths: Seq[String]): Column =
     ColumnBridge.column(XmlFields(ColumnBridge.expression(xml), paths))
+
+  /** array&lt;struct&lt;label,url&gt;&gt; of deduplicated labeled links —
+    * the reference's `label_attr` extraction (one DOM pass per row). */
+  def xmlLabeledLinks(xml: Column, nodePath: String, attr: String,
+                      labelAttr: String): Column =
+    ColumnBridge.column(
+      XmlLabeledLinks(ColumnBridge.expression(xml), nodePath, attr, labelAttr))
 }

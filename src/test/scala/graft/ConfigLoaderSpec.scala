@@ -140,6 +140,42 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.hashFields.isEmpty && cfg.hashCol == "row_hash")
   }
 
+  test("label_attr binds in both field-spec shapes (colombia.yml:64-68)") {
+    val cfg = ConfigLoader.fromYaml(
+      """name: t
+        |lookup_key: k
+        |fields:
+        |  - name: documentos
+        |    from: xml
+        |    xpath: "//a[contains(@href,'.pdf')]"
+        |    attr: href
+        |    label_attr: text
+        |    multiple: true
+        |""".stripMargin)
+    val f = cfg.fields.head
+    assert(f.kind == "xpath" && f.attr == "href" && f.labelAttr == "text"
+      && f.multiple)
+    // nested selectors.detail.fields shape (the reference's real layout)
+    val nested = ConfigLoader.fromYaml(
+      """selectors:
+        |  detail:
+        |    fields:
+        |      documentos:
+        |        xpath: "//a"
+        |        attr: href
+        |        label_attr: text
+        |        multiple: true
+        |storage:
+        |  final:
+        |    table: t
+        |    lookup_key: k
+        |    columns:
+        |      k: TEXT
+        |""".stripMargin)
+    val nf = nested.fields.find(_.name == "documentos").get
+    assert(nf.labelAttr == "text" && nf.attr == "href" && nf.multiple)
+  }
+
   test("storage columns accept the reference's name->TYPE map shape") {
     val cfg = ConfigLoader.fromYaml(
       """name: t
@@ -217,7 +253,9 @@ class ConfigLoaderSpec extends AnyFunSuite {
       FieldSpec("estado", from = "cells", kind = "cell_at", index = 4),
       FieldSpec("detail_url", from = "hrefs", kind = "cell_at", index = 3),
       FieldSpec("documentos", from = "html", kind = "xpath",
-        xpath = "//a/@href", multiple = true),
+        xpath = "//a[contains(translate(text(),'VER DOCUMENTO','ver documento')" +
+          ",'ver documento') or contains(@href,'.pdf')]",
+        attr = "href", multiple = true, labelAttr = "text"),
       FieldSpec("titulo_detalle", from = "html", kind = "xpath",
         xpath = "//h1/text()"),
       FieldSpec("fecha_camara", from = "text", kind = "findall",
@@ -273,7 +311,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     val r1 = rows("101")
     assert(r1.getAs[String]("proyecto") == "Ley Uno")
     assert(r1.getAs[String]("detail_url") == "/ley/101")
-    assert(r1.getSeq[String](r1.fieldIndex("documentos")).toList == List("/d1.pdf"))
+    // the reference's labeled-link form: {label, url} structs
+    assert(r1.getSeq[org.apache.spark.sql.Row](r1.fieldIndex("documentos"))
+      .map(d => (d.getAs[String]("label"), d.getAs[String]("url")))
+      .toList == List(("ver", "/d1.pdf")))
     assert(r1.getAs[String]("titulo_detalle") == "Ley minera")
     assert(r1.getAs[String]("fecha_camara") == "2021-02-01")
     assert(r1.getAs[String]("fecha_senado") == "2021-03-15")
@@ -284,7 +325,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(r1.getAs[String]("route") == "detail")
     val r2 = rows("102")
     assert(r2.getAs[String]("fecha_camara") == null) // findall miss → NULL
-    assert(r2.getSeq[String](r2.fieldIndex("documentos")).isEmpty)
+    assert(r2.getSeq[org.apache.spark.sql.Row](r2.fieldIndex("documentos")).isEmpty)
     // fingerprint replays over the configured hash subset
     val expectedHash = Seq(("x", 1)).toDF("a", "b").select(
       graft.operators.Fingerprint.rowHash(Seq(

@@ -143,6 +143,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq("12", "34")) // zz's failed capture '' is filtered
   }
 
+  // --- P7 labeled-link form (reference detail_parser.py:40-62) ---------
+
+  private val linkXml = Seq(
+    ("d1", "<doc>" +
+      "<a href=\"/a.pdf\"> Ver documento </a>" +
+      "<a href=\"/b.pdf\">Anexo</a>" +
+      "<a href=\"/a.pdf\">duplicate target</a>" + // same url, later label
+      "<a>no href at all</a>" +                   // dropped, can't shift the zip
+      "</doc>"),
+    ("d2", "<doc><a>only unlinked</a></doc>")     // no url-bearing matches → []
+  ).toDF("id", "markup")
+
+  test("xpath label_attr kind: {label, url} structs, keep-first url dedup") {
+    val spec = FieldSpec("documentos", from = "markup", kind = "xpath",
+      xpath = "//a", attr = "href", labelAttr = "text", multiple = true)
+    val got = Pipeline.project(linkXml, xCfg(spec))
+      .select(col("id"), to_json(col("documentos")).as("j"))
+      .as[(String, String)].collect().toMap
+    // labels trimmed; duplicate /a.pdf keeps the FIRST label (doc order);
+    // the href-less anchor is dropped without misaligning later pairs
+    assert(got("d1") ==
+      """[{"label":"Ver documento","url":"/a.pdf"},{"label":"Anexo","url":"/b.pdf"}]""")
+    assert(got("d2") == "[]")
+  }
+
+  test("labeled spec coexists with plain xpath fields on the same source") {
+    // plain xpath fields still share one XmlFields parse; the labeled
+    // spec evaluates through its own one-pass expression alongside them
+    val labeledSpec = FieldSpec("documentos", from = "markup", kind = "xpath",
+      xpath = "//a", attr = "href", labelAttr = "text", multiple = true)
+    val t1 = FieldSpec("first_label", from = "markup", kind = "xpath",
+      xpath = "//a/text()")
+    val t2 = FieldSpec("hrefs", from = "markup", kind = "xpath",
+      xpath = "//a/@href", multiple = true)
+    val cfg = DatasetConfig(name = "x", lookupKey = "id",
+      hashFields = Seq("id"),
+      fields = Seq(FieldSpec("id", from = "id"), labeledSpec, t1, t2))
+    val got = Pipeline.project(linkXml, cfg)
+      .select(col("id"), to_json(col("documentos")).as("j"), col("first_label"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap.apply("d1")
+    assert(got._1 ==
+      """[{"label":"Ver documento","url":"/a.pdf"},{"label":"Anexo","url":"/b.pdf"}]""")
+    assert(got._2 == "Ver documento")
+  }
+
+  test("colombia's real predicate selector works; non-text label_attr falls back to url") {
+    val raw = Seq(("d1",
+      "<doc><a href=\"/x.pdf\" title=\"Doc A\">ver documento</a>" +
+        "<a href=\"/y.pdf\">otro</a><a href=\"/z.txt\">plain</a></doc>"))
+      .toDF("id", "markup")
+    // the reference's contains(@href,'.pdf') predicate arm (colombia.yml:65)
+    val spec = FieldSpec("links", from = "markup", kind = "xpath",
+      xpath = "//a[contains(@href,'.pdf')]", attr = "href",
+      labelAttr = "title", multiple = true)
+    val got = Pipeline.project(raw, xCfg(spec))
+      .select(to_json(col("links"))).as[String].head()
+    // /x.pdf has @title; /y.pdf lacks it → label falls back to the raw
+    // url (the reference's `lbl = raw` branch); /z.txt fails the predicate
+    assert(got ==
+      """[{"label":"Doc A","url":"/x.pdf"},{"label":"/y.pdf","url":"/y.pdf"}]""")
+  }
+
   // --- S3 fallback-source stage (reference detail_parser.py:97-119) ----
 
   test("run: fallback stage fills empty collections on the detail branch only") {
