@@ -40,6 +40,8 @@ object Retrieval {
            queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "bm25 query terms must be distinct (duplicates double-count)")
     val base = df.select(col(idCol), tokensCol.as("__toks"),
       size(tokensCol).cast("long").as("dl"))
     val st = base.agg(
@@ -69,6 +71,60 @@ object Retrieval {
       .crossJoin(broadcast(st))
       .withColumn("term_score", termScore)
       .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)
+          .as("bm25"))
+  }
+
+  /** [[bm25]] for a whole TABLE of queries — retrieval for a training
+    * batch, where per-query jobs would be a driver-side loop. Returns
+    * (qidCol, idCol, n_terms, bm25), scores identical to running
+    * [[bm25]] per query (same rounding contract at every step, and a
+    * term's corpus df doesn't depend on which queries ask for it).
+    *
+    * Plan shape: the query terms explode to a (qid, token) table —
+    * query-sized, never corpus-sized — whose DISTINCT term set
+    * broadcast-semi-joins the exploded corpus token stream, so only
+    * tokens matching SOME query's term survive the map side. Here the
+    * corpus IS exploded token-wise: with a query table the probe set
+    * isn't known at plan time, so [[bm25]]'s row-local tf columns can't
+    * be built — the broadcast semi-join prunes the stream instead. tf
+    * is one keyed aggregation over survivors, df a per-token count
+    * window over tf, and per-(qid, doc) scores come from broadcasting
+    * the small (qid, token) table into the scored hits. No driver-side
+    * collection at any step. */
+  def bm25Batch(df: DataFrame, idCol: String, tokensCol: Column,
+                queries: DataFrame, qidCol: String, termsCol: Column,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col(qidCol), explode(termsCol).as("token")).distinct()
+    val termSet = qterms.select(col("token")).distinct()
+    val base = df.select(col(idCol), tokensCol.as("__toks"),
+      size(tokensCol).cast("long").as("dl"))
+    val st = base.agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)")
+        .cast("double") / count(lit(1)), 6).as("avgdl"))
+    val hits = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("token"))
+      .join(broadcast(termSet), Seq("token"), "left_semi")
+    val tf = hits.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+    val idf = round(
+      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 8)
+    val termScore = round(
+      idf * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))),
+      6)
+    withDf
+      .crossJoin(broadcast(st))
+      .withColumn("term_score", termScore)
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col(qidCol), col(idCol))
       .agg(
         count(lit(1)).as("n_terms"),
         round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)

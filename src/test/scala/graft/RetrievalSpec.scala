@@ -54,6 +54,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores(2L) == scores(3L))
   }
 
+  test("bm25Batch: one corpus pass scores every query like per-query bm25") {
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val probe = Seq(
+      (1L, Seq("join", "filter", "scan")),
+      (2L, Seq("hash", "batch")),
+      (3L, Seq("no_such_token_anywhere"))
+    ).toDF("qid", "terms")
+    val batch = Retrieval.bm25Batch(corpus, "doc_id", split(col("text"), " "),
+      probe, "qid", col("terms"))
+      .select("qid", "doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    for ((qid, terms) <- Seq(1L -> Seq("join", "filter", "scan"),
+                             2L -> Seq("hash", "batch"))) {
+      val single = Retrieval.bm25(corpus, "doc_id", split(col("text"), " "), terms)
+        .select("doc_id", "n_terms", "bm25")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch(qid) == single, s"batch != single for query $qid")
+    }
+    // a query whose terms match nothing yields no rows, not zeros
+    assert(!batch.contains(3L))
+  }
+
   test("mixtureWeights: sqrt-scaled weights, floor targets, exact on squares") {
     // one row per (source, n_tok) pair: n_tok 9/16/25 → weights 3/12, 4/12, 5/12
     val df = (Seq.fill(9)("x") ++ Seq.fill(16)("y") ++ Seq.fill(25)("z"))
