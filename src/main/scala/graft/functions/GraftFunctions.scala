@@ -15,13 +15,17 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * codegen [[DotProduct]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
+    ext.injectFunction(GraftFunctions.xmlFieldsFunction)
+    ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
+  }
 }
 
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+  import org.apache.spark.sql.types.StringType
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProduct(a, b)
@@ -29,12 +33,51 @@ object GraftFunctions {
       s"graft_dot expects 2 arguments, got ${other.size}")
   }
 
+  /** The path arguments configure the expression (compiled once per
+    * plan), so they must be string LITERALS — the same contract as the
+    * builtin xpath()'s path argument. */
+  private def litString(fn: String)(e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal argument, got $other")
+  }
+
+  private[functions] val xmlFieldsBuilder: Seq[Expression] => Expression = {
+    case xml +: rest if rest.nonEmpty =>
+      XmlFields(xml, rest.map(litString("graft_xml_fields")))
+    case other => throw new IllegalArgumentException(
+      s"graft_xml_fields expects (xml, path, ...), got ${other.size} arguments")
+  }
+
+  private[functions] val xmlLabeledLinksBuilder: Seq[Expression] => Expression = {
+    case Seq(xml, path, attr, labelAttr) =>
+      val s = litString("graft_xml_labeled_links") _
+      XmlLabeledLinks(xml, s(path), s(attr), s(labelAttr))
+    case other => throw new IllegalArgumentException(
+      s"graft_xml_labeled_links expects (xml, path, attr, label_attr), " +
+        s"got ${other.size} arguments")
+  }
+
   val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       dotBuilder)
 
+  val xmlFieldsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_xml_fields"),
+      new ExpressionInfo(classOf[XmlFields].getName, "graft_xml_fields"),
+      xmlFieldsBuilder)
+
+  val xmlLabeledLinksFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_xml_labeled_links"),
+      new ExpressionInfo(classOf[XmlLabeledLinks].getName, "graft_xml_labeled_links"),
+      xmlLabeledLinksBuilder)
+
   /** Register all graft native functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     ColumnBridge.registerExpression(spark, "graft_dot", dotBuilder)
+    ColumnBridge.registerExpression(spark, "graft_xml_fields", xmlFieldsBuilder)
+    ColumnBridge.registerExpression(spark, "graft_xml_labeled_links",
+      xmlLabeledLinksBuilder)
+  }
 }

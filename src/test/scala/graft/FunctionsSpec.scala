@@ -59,6 +59,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("graft_xml_fields / graft_xml_labeled_links are SQL-callable") {
+    graft.functions.GraftFunctions.register(spark)
+    val xml = "<doc><t>A</t><a href=\"/x.pdf\">ver</a><a href=\"/x.pdf\">dup</a></doc>"
+    val got = spark.sql(
+      s"""SELECT graft_xml_fields('$xml', '/doc/t/text()', '//a/@href') AS f,
+                 to_json(graft_xml_labeled_links('$xml', '//a', 'href', 'text')) AS links""")
+      .selectExpr("f.p0[0] AS t", "size(f.p1) AS n_hrefs", "links")
+      .as[(String, Int, String)].head()
+    assert(got == ("A", 2, """[{"label":"ver","url":"/x.pdf"}]"""))
+    // path arguments must be literals (they configure the compiled plan)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT graft_xml_fields('$xml', concat('/d', 'oc'))").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("XorFingerprint aggregator: order-insensitive, partial-merge-safe") {
     import graft.functions.XorFingerprint
     val df = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("h", "a")).toDF("k", "v")
