@@ -81,6 +81,30 @@ object MicroBench {
     time("xpath-shared-1x") {
       xdf.select(viaShared: _*).write.format("noop").mode("overwrite").save()
     }
+
+    // Batch ANN: one annSearchBatch job over Q queries vs Q sequential
+    // annSearch jobs — the driver-loop shape the batch operator exists
+    // to kill (each per-query job re-scans and re-buckets the corpus).
+    val vecs = Tables.load(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    vecs.count()
+    val qids = (1L to 16L)
+    val queries = vecs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")).cache()
+    queries.count()
+    // warmup (bucketing + codegen)
+    Similarity.annSearchBatch(vecs, "vec_id", "embedding",
+      queries.limit(1), "qid", "qvec", probeDims = 8, nprobe = 8, k = 10).collect()
+    time("ann-batch-16q") {
+      Similarity.annSearchBatch(vecs, "vec_id", "embedding",
+        queries, "qid", "qvec", probeDims = 8, nprobe = 8, k = 10).collect()
+    }
+    time("ann-loop-16q") {
+      qids.foreach { q =>
+        Similarity.annSearch(vecs, "vec_id", "embedding",
+          vecs.filter(col("vec_id") === q).select(col("embedding").as("qvec")),
+          "qvec", probeDims = 8, nprobe = 8, k = 10).collect()
+      }
+    }
     spark.stop()
   }
 }
