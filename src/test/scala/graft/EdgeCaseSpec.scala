@@ -114,4 +114,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(fp(0).getString(0) != null) // md5("") is defined
     assert(fp(1).isNullAt(0))          // md5(null) is null, not a crash
   }
+
+  test("retrieval operators on empty corpora and queries yield empty, not errors") {
+    import graft.operators.{Retrieval, Sampling}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Retrieval.bm25(emptyDocs, "doc_id", split(col("text"), " "),
+      Seq("x")).count() == 0)
+    val someDocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val emptyQueries = Seq.empty[(Long, Seq[String])].toDF("qid", "terms")
+    assert(Retrieval.bm25Batch(someDocs, "doc_id", split(col("text"), " "),
+      emptyQueries, "qid", col("terms")).count() == 0)
+    // terms matching nothing: empty result, no division-by-zero on stats
+    val missQuery = Seq((9L, Seq("zzz"))).toDF("qid", "terms")
+    assert(Retrieval.bm25Batch(someDocs, "doc_id", split(col("text"), " "),
+      missQuery, "qid", col("terms")).count() == 0)
+    assert(Sampling.mixtureWeights(emptyDocs, col("text"), lit(1),
+      budget = 100L).count() == 0)
+  }
+
+  test("annSearchBatch with an empty query table is empty, not a crash") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val emptyQ = Seq.empty[(Long, Seq[Float])].toDF("qid", "qvec")
+    assert(Similarity.annSearchBatch(vecs, "vec_id", "embedding",
+      emptyQ, "qid", "qvec", probeDims = 8, nprobe = 4, k = 5).count() == 0)
+  }
 }
