@@ -121,9 +121,16 @@ object TextStats {
   def unigramLogprob(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val tok = df.select(col(idCol), explode(tokensCol).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val n = tok.agg(count(lit(1)).as("n"))
-    tf.join(cnt, "token").crossJoin(broadcast(n))
+    // corpus token count c and total n both derive from the tf table —
+    // per-token via a window sum, total via one aggregate over tf —
+    // instead of re-exploding the corpus once per statistic (two extra
+    // corpus scans + a distinct shuffle + a token join, the q28/q71
+    // plan-iteration lesson)
+    val withC = tf.withColumn("c",
+      sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+    val n = tf.agg(sum(col("tf")).as("n"))
+    withC.crossJoin(broadcast(n))
       .withColumn("lp", round(log(col("c").cast("double") / col("n")), 8))
       .groupBy(col(idCol))
       .agg(

@@ -66,12 +66,18 @@ object TextPack extends QueryPack {
     // Two hash aggregations + one token equi-join + a 1-row broadcast for
     // N; no all-pairs anything.
     "q71_tfidf" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
       val tok = Q.wide(Q.t(s, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfc = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // tf rows are one-per-(doc, token), so the per-token window count
+      // IS the document frequency — the df branch re-exploded the corpus
+      // (second scan + distinct shuffle) and joined it back; the window
+      // reuses the tf stream (the q28 BM25 lesson)
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("token"))))
       val total = Q.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      tf.join(dfc, "token").crossJoin(broadcast(total))
+      withDf.crossJoin(broadcast(total))
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
             .as("tfidf"))
