@@ -54,6 +54,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores(2L) == scores(3L))
   }
 
+  test("bm25 properties: tf raises score with saturation; length normalizes down") {
+    // four docs, one probe term; same df/avgdl context for all
+    val corpus = Seq(
+      (1L, "q x x x"),          // tf=1, dl=4
+      (2L, "q q x x"),          // tf=2, dl=4
+      (3L, "q q q x"),          // tf=3, dl=4
+      (4L, "q x x x x x x x")   // tf=1, dl=8 — longer doc, same tf as doc1
+    ).toDF("doc_id", "text")
+    val s = Retrieval.bm25(corpus, "doc_id", split(col("text"), " "), Seq("q"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    // monotone in tf...
+    assert(s(1L) < s(2L) && s(2L) < s(3L))
+    // ...but saturating (k1 bounds the tf contribution): the 2nd
+    // occurrence adds less than the 1st
+    assert(s(3L) - s(2L) < s(2L) - s(1L))
+    // longer doc with equal tf scores lower (b-weighted length norm)
+    assert(s(4L) < s(1L))
+  }
+
   test("bm25Batch: one corpus pass scores every query like per-query bm25") {
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
