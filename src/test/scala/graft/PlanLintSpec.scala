@@ -116,4 +116,11 @@ class PlanLintSpec extends AnyFunSuite {
   assertShuffleBudget("q57_doc_fingerprint", 0)
   assertShuffleBudget("q94_sequence_packing", 1)
   assertShuffleBudget("q95_curation_e2e", 2)
+  // The derive-stats-from-tf rewrites: budgets pin that the token
+  // statistics come off the aggregated tf stream (window + 1-row agg),
+  // not from re-exploding the corpus into extra aggregation branches —
+  // the regression would add a distinct shuffle + a token equi-join.
+  assertShuffleBudget("q71_tfidf", 3)
+  assertShuffleBudget("q97_unigram_logprob", 5)
+  assertShuffleBudget("q28_bm25", 4)
 }
