@@ -231,4 +231,24 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected)
     }
   }
+
+  test("normalization operators are idempotent (100 generated docs)") {
+    // A normalization pass applied twice must equal one pass — otherwise
+    // incremental re-processing of already-clean state drifts the data.
+    val frag = Seq("The QUICK", "fox!!", "  ", "\n", "a;b", "x\r\n", "Ñ é",
+      "line\nline", "user1@example.com", "555-1234-5678", "")
+    val docs = Seq.fill(100)(
+      Seq.fill(rnd.nextInt(6) + 1)(frag(rnd.nextInt(frag.size))).mkString(" "))
+      .toDF("t")
+    def both(name: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+      val pairs = docs.select(c(col("t")).as("once"), c(c(col("t"))).as("twice"))
+        .as[(String, String)].collect()
+      pairs.zipWithIndex.foreach { case ((once, twice), i) =>
+        assert(once == twice, s"$name not idempotent on case $i: '$once' vs '$twice'")
+      }
+    }
+    both("canonicalText", TextStats.canonicalText)
+    both("dedupLines", c => TextStats.dedupLines(c))
+    both("redactPii", Cleaning.redactPii)
+  }
 }
