@@ -269,6 +269,37 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("score"))
   }
 
+  /** Incremental embedding near-dup — the L2 analog of
+    * `Dedup.incrementalLshCandidates` (q93's text shape): a fresh batch
+    * of vectors probes a STORED IVF-bucketed corpus instead of
+    * re-pairing it, so probe cost is ∝ |fresh| × matched-bucket
+    * membership, never corpus². `state` carries (idCol, bucket, vecCol)
+    * as [[ivfAssign]] shaped it at ingest; `fresh` carries (idCol,
+    * vecCol) and is bucketed here the same way. The state side is
+    * capped by [[capBuckets]] before the join (the standing mega-bucket
+    * guard — SCALE.md's 172× lesson), a re-delivered id never pairs
+    * with itself (streaming re-delivery), and candidate pairs are
+    * verified by exact cosine ≥ `minCosine` (rounded pre-filter so the
+    * kept set is engine-portable). Returns (id_new, id_old, cos). */
+  def incrementalEmbeddingCandidates(state: DataFrame, fresh: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     probeDims: Int, maxBucketSize: Int,
+                                     minCosine: Double): DataFrame = {
+    val capped = capBuckets(state, "bucket", maxBucketSize)
+      .select(col(idCol).as("id_old"), col("bucket"),
+        col(vecCol).as("__v_old"))
+    val probes = fresh
+      .withColumn("bucket", ivfAssign(col(vecCol), probeDims))
+      .filter(col("bucket").isNotNull)
+      .select(col(idCol).as("id_new"), col("bucket"),
+        col(vecCol).as("__v_new"))
+    probes.join(capped, Seq("bucket"))
+      .filter(col("id_new") =!= col("id_old"))
+      .withColumn("cos", round(cosine(col("__v_new"), col("__v_old")), 6))
+      .filter(col("cos") >= minCosine)
+      .select("id_new", "id_old", "cos")
+  }
+
   /** The standing blow-up guard (SCALE.md) for bucketed candidate
     * generation: DROP buckets larger than `maxBucketSize` before any
     * within-bucket self-join. A skewed embedding distribution (one

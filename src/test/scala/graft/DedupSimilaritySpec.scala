@@ -251,6 +251,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("incrementalEmbeddingCandidates probes stored buckets, verifies by cosine") {
+    // sf0.01 (2k vectors): sf0.001's ~1 vector per bucket leaves no
+    // cross pairs to verify against
+    val vecs = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val bucketed = vecs
+      .withColumn("bucket", Similarity.ivfAssign(col("embedding"), 8))
+      .filter(col("bucket").isNotNull)
+    val state = bucketed.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "bucket", "embedding")
+    val fresh = vecs.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+    // accept-all threshold: the candidate-set equality must not depend
+    // on how many high-cosine pairs this corpus happens to contain
+    val got = Similarity.incrementalEmbeddingCandidates(state, fresh,
+      "vec_id", "embedding", probeDims = 8, maxBucketSize = 1000,
+      minCosine = -1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: every same-bucket cross pair with its cosine
+    val expected = bucketed.filter(col("vec_id") % 10 === 0).as("f")
+      .join(bucketed.filter(col("vec_id") % 10 =!= 0).as("s"), "bucket")
+      .select(col("f.vec_id").as("a"), col("s.vec_id").as("b"),
+        round(Similarity.cosine(col("f.embedding"), col("s.embedding")), 6)
+          .as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the corpus really exercises the path
+    // the threshold actually filters: raising it keeps a strict subset
+    val tight = Similarity.incrementalEmbeddingCandidates(state, fresh,
+      "vec_id", "embedding", probeDims = 8, maxBucketSize = 1000,
+      minCosine = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight == got.filter(_._3 >= 0.3))
+    // a re-delivered id (present in both sides) never pairs with itself
+    val redelivered = Similarity.incrementalEmbeddingCandidates(
+      bucketed.select("vec_id", "bucket", "embedding"),
+      vecs.select("vec_id", "embedding"),
+      "vec_id", "embedding", probeDims = 8, maxBucketSize = 1000,
+      minCosine = 0.999999)
+      .filter(col("id_new") === col("id_old")).count()
+    assert(redelivered == 0)
+  }
+
   test("kmeans: duplicate vectors don't waste seeds; ragged rows are dropped") {
     val df = Seq(
       (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), // duplicate vector
