@@ -97,6 +97,10 @@ object Retrieval {
   def bm25Batch(df: DataFrame, idCol: String, tokensCol: Column,
                 queries: DataFrame, qidCol: String, termsCol: Column,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the (qid, token) table joins the scored corpus hits — a query id
+    // column named like the corpus id would be silently ambiguous
+    require(qidCol != idCol,
+      s"query id column must differ from corpus id column (both '$idCol') — alias one")
     val qterms = queries
       .select(col(qidCol), explode(termsCol).as("token")).distinct()
     val termSet = qterms.select(col("token")).distinct()

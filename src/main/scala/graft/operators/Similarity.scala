@@ -241,6 +241,11 @@ object Similarity {
                      queries: DataFrame, qidCol: String, queryVecCol: String,
                      probeDims: Int, nprobe: Int, k: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1)
+    // corpus and query columns meet in one joined row — same-named
+    // columns would be silently ambiguous, so fail loudly instead
+    require(qidCol != idCol && queryVecCol != vecCol,
+      s"query columns must differ from corpus columns " +
+        s"(got id $qidCol/$idCol, vec $queryVecCol/$vecCol) — alias one side")
     import org.apache.spark.sql.expressions.Window
     val bucketed = vectors
       .withColumn("__bucket", ivfAssign(col(vecCol), probeDims))
