@@ -164,6 +164,21 @@ object ScaleSmoke {
           (col("na") * col("nb")) >= 0.3)
         .count()
     }
+    time("incr-embedding-probe") {
+      // the incremental L2 shape at 10×: a 10% fresh slice probes the
+      // stored bucketed corpus instead of re-pairing it — cost ∝ |fresh|
+      // × matched-bucket membership, the embedding twin of q93.
+      val bucketed = bigVecs
+        .withColumn("bucket", operators.Similarity.ivfAssign(col("embedding"), 8))
+        .filter(col("bucket").isNotNull)
+      operators.Similarity.incrementalEmbeddingCandidates(
+        state = bucketed.filter(col("vec_id") % 10 =!= 0)
+          .select("vec_id", "bucket", "embedding"),
+        fresh = bucketed.filter(col("vec_id") % 10 === 0)
+          .select("vec_id", "embedding"),
+        "vec_id", "embedding", probeDims = 8, maxBucketSize = 100,
+        minCosine = 0.3).count()
+    }
     spark.stop()
   }
 }

@@ -131,6 +131,51 @@ object StreamingJobs {
     ()
   }
 
+  /** [[incrementalDedupSink]]'s vector twin: each micro-batch of
+    * embeddings probes the persisted IVF bucket state for cosine
+    * near-dups, then merges its own buckets into the state — the
+    * embedding-dedup-at-ingest shape. Same replay contract: epoch-keyed
+    * output overwrite + versioned keep-max state merge make a re-run of
+    * the SAME (batch, epochId) a no-op. */
+  def incrementalEmbeddingSink(vecs: DataFrame, idCol: String, vecCol: String,
+                               stateDir: String, outDir: String,
+                               probeDims: Int = 8, maxBucketSize: Int = 100,
+                               minCosine: Double = 0.9): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        incrementalEmbeddingBatch(batch, epochId, idCol, vecCol,
+          stateDir, outDir, probeDims, maxBucketSize, minCosine)
+      }
+
+  /** One epoch of [[incrementalEmbeddingSink]], exposed for replay tests
+    * (same contract as [[incrementalDedupBatch]]). */
+  def incrementalEmbeddingBatch(batch: DataFrame, epochId: Long,
+                                idCol: String, vecCol: String,
+                                stateDir: String, outDir: String,
+                                probeDims: Int = 8, maxBucketSize: Int = 100,
+                                minCosine: Double = 0.9): Unit = {
+    val spark = batch.sparkSession
+    val bucketed = batch
+      .withColumn("bucket",
+        graft.operators.Similarity.ivfAssign(col(vecCol), probeDims))
+      .filter(col("bucket").isNotNull)
+      .select(col(idCol), col("bucket"), col(vecCol))
+      .withColumn("__epoch", lit(epochId))
+    val state = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => bucketed.limit(0)
+    }
+    graft.operators.Similarity.incrementalEmbeddingCandidates(
+        state.drop("__epoch"), bucketed.drop("__epoch").drop("bucket"),
+        idCol, vecCol, probeDims, maxBucketSize, minCosine)
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, bucketed, Seq(idCol), col("__epoch"))
+    ()
+  }
+
   /** A fingerprinted record flowing through the delta stream. */
   final case class KeyedRecord(key: String, hash: String, payload: String)
 

@@ -103,6 +103,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows == s1)
   }
 
+  test("incrementalEmbeddingBatch replay: same epoch re-run is a no-op") {
+    val stateDir = java.nio.file.Files.createTempDirectory("embstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embout").toString
+    // 8-dim vectors; ids 1 and 3 are near-identical (same bucket, cos~1)
+    def v(xs: Double*) = xs.map(_.toFloat)
+    def run(epoch: Long, rows: Seq[(Long, Seq[Float])]): Unit =
+      StreamingJobs.incrementalEmbeddingBatch(
+        rows.toDF("vec_id", "embedding"), epoch, "vec_id", "embedding",
+        stateDir, outDir, probeDims = 8, maxBucketSize = 100, minCosine = 0.9)
+    run(0, Seq(
+      (1L, v(0.9, 0.3, 0, 0, 0, 0, 0, 0)),
+      (2L, v(0, 0, 0.9, -0.4, 0, 0, 0, 0))))
+    run(1, Seq((3L, v(0.88, 0.31, 0, 0, 0, 0, 0, 0))))
+    def flagged = spark.read.parquet(outDir)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    def stateRows = {
+      val ver = graft.sources.Writers.latestVersion(stateDir).get
+      spark.read.parquet(s"$stateDir/v$ver")
+        .select("vec_id", "bucket").as[(Long, Int)].collect().toSet
+    }
+    val (f1, s1) = (flagged, stateRows)
+    assert(f1 == Set((3L, 1L)))
+    assert(s1.map(_._1) == Set(1L, 2L, 3L))
+    // crash-after-commit replay of epoch 1: no self-probe against its
+    // own merged state, no duplicated pairs, content-stable state
+    run(1, Seq((3L, v(0.88, 0.31, 0, 0, 0, 0, 0, 0))))
+    assert(flagged == f1)
+    assert(stateRows == s1)
+  }
+
   test("curation metrics and PII scrub run unchanged in a stream (map-only ops)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
