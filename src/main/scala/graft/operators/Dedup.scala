@@ -262,13 +262,16 @@ object Dedup {
       // saves on realistic pair graphs (near-dup components are shallow
       // — the diameter is small by construction), so single-hop stands.
       val jump = cand.select(col("__id").as("__jid"), col("__l1").as("__jlab"))
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round runs ONE job (compute + count)
+      // instead of two (eager materialize, then count over the cache)
       val next = cand.join(jump, cand("__l1") === jump("__jid"), "left")
         .select(col("__id"), least(col("__l1"), col("__jlab")).as("__lab"),
           col("__old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("__lab") < col("__old")).count()
-      // next is materialized (eager checkpoint) — free the previous
-      // round's pinned blocks instead of waiting for GC
+      // next is now materialized — free the previous round's pinned
+      // blocks instead of waiting for GC
       labels.unpersist()
       labels = next.select(col("__id"), col("__lab"))
       iter += 1
