@@ -45,7 +45,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // total_s / n_queries are repeated AFTER the per-query map: the driver
+    // records only the last 2000 chars of this line, which truncates the
+    // head fields — the suite total must survive at the tail (VERDICT r7 #4).
+    val totalR = math.round(total * 1000).toDouble / 1000
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"total_s":$totalR,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -144,13 +144,27 @@ object ConfigLoader {
     * (`html`), regex/find_all specs its text (`text`); an explicit `from`
     * overrides. xpath+regex compose as node-set extraction then per-value
     * capture refine, exactly the reference's two-step. */
+  /** Fail loudly on a labeled-link spec that cannot mean what it says:
+    * `label_attr` only has semantics as xpath + `attr` + `multiple: true`
+    * (Pipeline.labeled). Anything else used to fall through silently to
+    * the plain xpath path, dropping the labels (ADVICE r7) — a config
+    * error must be an error, not a degraded column. */
+  private def validated(s: FieldSpec): FieldSpec = {
+    if (s.labelAttr.nonEmpty)
+      require(s.kind == "xpath" && s.attr.nonEmpty && s.multiple,
+        s"field '${s.name}': label_attr requires xpath + attr + " +
+          s"multiple: true (got kind=${s.kind}, attr='${s.attr}', " +
+          s"multiple=${s.multiple})")
+    s
+  }
+
   private def detailFieldSpec(name: String, m: MapNode): FieldSpec = {
     val kind =
       if (m.get("xpath").isDefined) "xpath"
       else if (bool(m, "find_all")) "findall"
       else if (m.get("regex").isDefined) "regex"
       else "const_null"
-    FieldSpec(
+    validated(FieldSpec(
       name = name,
       from = m.get("from").map(str)
         .getOrElse(if (kind == "xpath") "html" else "text"),
@@ -161,7 +175,7 @@ object ConfigLoader {
       xpath = m.get("xpath").map(str).getOrElse(""),
       attr = m.get("attr").map(str).getOrElse(""),
       multiple = bool(m, "multiple"),
-      labelAttr = m.get("label_attr").map(str).getOrElse(""))
+      labelAttr = m.get("label_attr").map(str).getOrElse("")))
   }
 
   /** One `fields:` entry → [[FieldSpec]]. `kind` may be given explicitly
@@ -177,7 +191,7 @@ object ConfigLoader {
       else if (m.get("regex").isDefined || m.get("pattern").isDefined) "regex"
       else "cell"
     }
-    FieldSpec(
+    validated(FieldSpec(
       name = str(m("name")),
       from = str(m("from")),
       kind = kind,
@@ -189,7 +203,7 @@ object ConfigLoader {
       xpath = m.get("xpath").map(str).getOrElse(""),
       attr = m.get("attr").map(str).getOrElse(""),
       multiple = bool(m, "multiple"),
-      labelAttr = m.get("label_attr").map(str).getOrElse(""))
+      labelAttr = m.get("label_attr").map(str).getOrElse("")))
   }
 
   /** Rules/categories are optional: the reference's per-country configs

@@ -4,21 +4,24 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Order-insensitive incremental group fingerprint — the constant-memory
-  * scale form of q45's `sort_array(collect_list(...))` aggregate
-  * (SURVEY §4's TypedImperativeAggregate/Aggregator candidate (a)).
+/** Order-insensitive incremental group fingerprint as a custom typed
+  * `Aggregator` (SURVEY §4's TypedImperativeAggregate/Aggregator
+  * candidate (a)).
   *
   * XOR over per-row 60-bit md5-derived hashes is commutative/associative,
   * so partial (map-side) and final aggregation compose freely and the
-  * buffer is ONE long regardless of group size — collect_list holds the
-  * whole group in memory, which dies on an unbounded group at 100 TB.
+  * buffer is ONE long regardless of group size — a collect_list-style
+  * aggregate holds the whole group in memory, which dies on an unbounded
+  * group at 100 TB (PlanLintSpec bans that shape from registered plans).
   * The md5-derived row hash keeps the oracle replayable in DuckDB
   * (`bit_xor(CAST('0x'||substr(md5(x),1,15) AS BIGINT))`).
   *
-  * Trade-off vs q45: XOR cancels duplicate rows pairwise (a⊕a=0), so this
-  * fingerprint treats groups as multisets mod 2 — fine for set-equality
-  * checks over deduped inputs (the engine's state rows are PK-unique);
-  * use q45's form when exact multiset identity matters.
+  * Trade-off vs q45's modular hash SUM: XOR cancels duplicate rows
+  * pairwise (a⊕a=0), so this fingerprint treats groups as multisets
+  * mod 2 — fine for set-equality checks over deduped inputs (the
+  * engine's state rows are PK-unique); q45's sum keeps duplicates
+  * visible when exact multiset identity matters. Both are one-value
+  * buffers.
   */
 object XorFingerprint extends Aggregator[Long, Long, Long] {
   override def zero: Long = 0L

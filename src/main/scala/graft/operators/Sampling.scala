@@ -39,9 +39,16 @@ object Sampling {
     * unlike pow/exp — so the weights are engine-portable exactly; the
     * weight denominator is summed in DECIMAL over rounded sqrt values.
     *
-    * One partial+final groupBy over the corpus; the per-source table
-    * (∼#sources rows) then crossJoins its own broadcast 1-row total —
-    * driver never sees the data.
+    * Per-source targets are apportioned by largest remainder (Hamilton's
+    * method): floor every exact share, then hand the leftover
+    * budget − Σ floor rows to the sources with the largest fractional
+    * parts (ties → source asc), so Σ target_rows == budget EXACTLY
+    * (plain flooring undershot by up to #sources−1 rows, ADVICE r7).
+    *
+    * One partial+final groupBy over the corpus; everything after runs on
+    * the ∼#sources-row table (two broadcast 1-row crossJoins, one global
+    * rank window over #sources rows — bounded, never corpus-sized) and
+    * the driver never sees the data.
     */
   def mixtureWeights(df: DataFrame, sourceCol: Column, sizeCol: Column,
                      budget: Long): DataFrame = {
@@ -51,12 +58,24 @@ object Sampling {
       .withColumn("w",
         round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(18,6)"))
     val total = bySource.agg(sum(col("w")).cast("decimal(28,6)").as("tw"))
-    bySource.crossJoin(broadcast(total))
+    val exact = bySource.crossJoin(broadcast(total))
       .select(
         col("source"), col("n_docs"), col("n_tok"),
         round(col("w").cast("double") / col("tw").cast("double"), 6)
           .as("weight"),
-        floor(lit(budget) * (col("w").cast("double") / col("tw").cast("double")))
+        (lit(budget) * (col("w").cast("double") / col("tw").cast("double")))
+          .as("__exact"))
+      .withColumn("__base", floor(col("__exact")).cast("long"))
+    val leftover = exact
+      .agg((lit(budget) - sum(col("__base"))).cast("long").as("__leftover"))
+    val byFrac = org.apache.spark.sql.expressions.Window
+      .orderBy((col("__exact") - col("__base")).desc_nulls_last,
+        col("source").asc_nulls_first)
+    exact.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(byFrac))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("weight"),
+        (col("__base") +
+          when(col("__rk") <= col("__leftover"), 1L).otherwise(0L))
           .cast("long").as("target_rows"))
   }
 

@@ -236,7 +236,14 @@ object Similarity {
     * Scores are rounded before ranking and ties break on corpus id, so
     * results are deterministic. Mega-bucket skew is the caller's concern:
     * run [[capBuckets]] on the bucketed corpus first if the embedding
-    * distribution is untrusted. */
+    * distribution is untrusted.
+    *
+    * The qid is the per-query partition key of BOTH ranking windows, so
+    * duplicate qids would silently corrupt that query's nprobe selection
+    * and top-k (two vectors sharing one row_number partition — ADVICE
+    * r7). Defensively: NULL qids are dropped and duplicate qids are
+    * collapsed to one row per qid (deterministically — the array-minimal
+    * vector wins; arrays compare element-wise) before probing. */
   def annSearchBatch(vectors: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qidCol: String, queryVecCol: String,
                      probeDims: Int, nprobe: Int, k: Int): DataFrame = {
@@ -252,7 +259,16 @@ object Similarity {
       .filter(col("__bucket").isNotNull)
     val cents = centroidMeans(centroids(bucketed, col("__bucket"), col(vecCol)))
       .withColumnRenamed("bucket", "__bucket")
-    val probeSet = queries
+    // one row per non-null qid; the extra window shares the probe-rank
+    // window's qid partitioning, so Catalyst reuses the exchange
+    val distinctQ = queries
+      .select(col(qidCol), col(queryVecCol))
+      .filter(col(qidCol).isNotNull)
+      .withColumn("__qrn", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col(queryVecCol).asc_nulls_last)))
+      .filter(col("__qrn") === 1)
+    val probeSet = distinctQ
       .select(col(qidCol), col(queryVecCol))
       .crossJoin(broadcast(cents))
       .select(col(qidCol), col(queryVecCol), col("__bucket"),

@@ -21,9 +21,9 @@ import graft.operators.Fingerprint
   * partition key then sort within partitions. Top-k per group is the
   * window + filter form (no global sort); the global order+limit plans as
   * TakeOrderedAndProject (per-partition top-k, no full sort at scale).
-  * q45's collect_list holds one group's hashes in memory — fine for bounded
-  * groups; an incremental Aggregator is the swap-in if group cardinality
-  * is unbounded (SURVEY §4).
+  * Both group fingerprints (q45 modular hash sum, q69 XOR Aggregator) are
+  * constant-memory per group — no registered plan holds a whole group in
+  * an aggregation buffer (PlanLintSpec pins this).
   */
 object AggPack extends QueryPack {
 
@@ -175,16 +175,25 @@ object AggPack extends QueryPack {
         .agg(graft.functions.XorFingerprint.agg(col("h60")).as("xor_hash"),
              count(lit(1)).as("n")))),
 
-    // G11: order-insensitive group fingerprint — the reference's checksum
-    // kernel (H1) lifted to aggregate form (SURVEY §2.8 G11).
+    // G11: order-insensitive MULTISET group fingerprint — the reference's
+    // checksum kernel (H1) lifted to aggregate form (SURVEY §2.8 G11).
+    // Constant-memory scale form (VERDICT r7 #5): the exact DECIMAL sum
+    // of 60-bit row hashes, reduced mod 2^60 back to BIGINT, replaces
+    // the old sort_array(collect_list(...)) — the sum is commutative/
+    // associative (map-side partials compose), its buffer is one decimal
+    // regardless of group size, and unlike q69's XOR it does NOT cancel
+    // duplicate rows pairwise (a+a ≠ 0 mod 2^60), so multiset identity
+    // is preserved up to hash/modular collision.
     "q45_udaf_checksum_agg" -> ((s, dir) => Q.ordered(
       Q.wide(Q.t(s, dir, "orders"))
         .select(col("o_custkey"),
-          Fingerprint.rowHash(Seq(col("o_orderkey"), col("o_orderstatus"),
-            col("o_orderpriority"))).as("h"))
+          graft.functions.XorFingerprint.rowHash60(
+            Fingerprint.rowHash(Seq(col("o_orderkey"), col("o_orderstatus"),
+              col("o_orderpriority")))).as("h60"))
         .groupBy(col("o_custkey"))
-        .agg(md5(array_join(sort_array(collect_list(col("h"))), "|")).as("group_hash"),
-             count(lit(1)).as("n")))),
+        .agg(pmod(sum(col("h60").cast("decimal(38,0)")),
+            lit(1152921504606846976L)).cast("long").as("group_hash"),
+          count(lit(1)).as("n")))),
   )
 
   private val rowHashSql =
@@ -289,11 +298,15 @@ object AggPack extends QueryPack {
                  count(*) AS n
           FROM orders GROUP BY o_custkey ORDER BY ALL NULLS FIRST""",
 
+    // DuckDB sums BIGINT into HUGEINT (exact); % 2^60 brings it back to
+    // BIGINT range, matching Spark's pmod-of-decimal-sum bit for bit.
     "q45_udaf_checksum_agg" ->
       s"""SELECT o_custkey,
-                 md5(string_agg(h, '|' ORDER BY h)) AS group_hash,
+                 CAST(sum(h) % 1152921504606846976 AS BIGINT) AS group_hash,
                  count(*) AS n
-          FROM (SELECT o_custkey, $rowHashSql AS h FROM orders)
+          FROM (SELECT o_custkey,
+                       CAST('0x' || substr(md5($rowHashSql), 1, 15) AS BIGINT) AS h
+                FROM orders)
           GROUP BY o_custkey ORDER BY ALL NULLS FIRST""",
   )
 }

@@ -55,16 +55,25 @@ object SamplePack extends QueryPack {
                       ELSE 'test' END AS split
           FROM documents ORDER BY ALL NULLS FIRST""",
 
+    // largest-remainder apportionment (Hamilton): floor each exact
+    // share, hand the leftover rows to the largest fractional parts so
+    // Σ target_rows == budget exactly — same math as the Spark side.
     "q29_mixture_weights" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
                            CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tok
                     FROM documents GROUP BY 1),
          w AS (SELECT *, CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w FROM s),
-         t AS (SELECT CAST(sum(w) AS DECIMAL(28,6)) AS tw FROM w)
-         SELECT source, n_docs, n_tok,
-                round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
-                CAST(floor(1000000 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) AS target_rows
-         FROM w CROSS JOIN t ORDER BY ALL NULLS FIRST""",
+         t AS (SELECT CAST(sum(w) AS DECIMAL(28,6)) AS tw FROM w),
+         e AS (SELECT source, n_docs, n_tok,
+                      round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+                      1000000 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS ex
+               FROM w CROSS JOIN t),
+         b AS (SELECT *, CAST(floor(ex) AS BIGINT) AS base FROM e),
+         l AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM b),
+         r AS (SELECT *, row_number() OVER (ORDER BY ex - base DESC, source ASC) AS rk FROM b)
+         SELECT source, n_docs, n_tok, weight,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS target_rows
+         FROM r CROSS JOIN l ORDER BY ALL NULLS FIRST""",
 
     "q77_stratified_sample" ->
       """SELECT lang, doc_id FROM (

@@ -136,7 +136,12 @@ object StreamingJobs {
     * near-dups, then merges its own buckets into the state — the
     * embedding-dedup-at-ingest shape. Same replay contract: epoch-keyed
     * output overwrite + versioned keep-max state merge make a re-run of
-    * the SAME (batch, epochId) a no-op. */
+    * the SAME (batch, epochId) a no-op. Same within-batch caveat as the
+    * text sink, too: the probe runs against PRIOR state only, so two
+    * near-dup vectors arriving in the SAME micro-batch are never flagged
+    * against each other — run
+    * `Similarity.incrementalEmbeddingCandidates(batch, batch, …)` (or a
+    * batch self-pair pass) on the micro-batch when that matters. */
   def incrementalEmbeddingSink(vecs: DataFrame, idCol: String, vecCol: String,
                                stateDir: String, outDir: String,
                                probeDims: Int = 8, maxBucketSize: Int = 100,

@@ -176,6 +176,31 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(nf.labelAttr == "text" && nf.attr == "href" && nf.multiple)
   }
 
+  test("label_attr without attr+multiple fails at load, not silently degrades") {
+    // a labeled spec missing `multiple` (or `attr`) used to fall through
+    // to the plain-xpath path and drop the labels (ADVICE r7)
+    def load(body: String) = ConfigLoader.fromYaml(
+      s"""name: t
+         |lookup_key: k
+         |fields:
+         |  - name: documentos
+         |    from: xml
+         |$body
+         |""".stripMargin)
+    val noMultiple =
+      "    xpath: \"//a\"\n    attr: href\n    label_attr: text"
+    val noAttr =
+      "    xpath: \"//a\"\n    label_attr: text\n    multiple: true"
+    val noXpath =
+      "    regex: \"x(.)\"\n    label_attr: text\n    multiple: true"
+    for (bad <- Seq(noMultiple, noAttr, noXpath)) {
+      val e = intercept[IllegalArgumentException](load(bad))
+      assert(e.getMessage.contains("label_attr"), e.getMessage)
+    }
+    // the complete spec still loads (guard is not over-eager)
+    load("    xpath: \"//a\"\n    attr: href\n    label_attr: text\n    multiple: true")
+  }
+
   test("storage columns accept the reference's name->TYPE map shape") {
     val cfg = ConfigLoader.fromYaml(
       """name: t

@@ -239,6 +239,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("annSearchBatch drops NULL qids and collapses duplicate qids deterministically") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val clean = vecs.filter(col("vec_id").isin(1L, 7L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // duplicate qid 1 with a DIFFERENT vector (vec 42's), plus a null qid:
+    // both used to share qid 1's row_number partition and corrupt its
+    // probe selection (ADVICE r7); now the array-minimal vector wins and
+    // the null row is dropped
+    val dirty = clean
+      .unionByName(vecs.filter(col("vec_id") === 42)
+        .select(lit(1L).as("qid"), col("embedding").as("qvec")))
+      .unionByName(vecs.filter(col("vec_id") === 42)
+        .select(lit(null).cast("bigint").as("qid"), col("embedding").as("qvec")))
+    def run(q: org.apache.spark.sql.DataFrame) =
+      Similarity.annSearchBatch(vecs, "vec_id", "embedding",
+        q, "qid", "qvec", probeDims = 8, nprobe = 8, k = 5)
+        .as[(Long, Long, Double)].collect().toSet
+    val expectedQ1 = {
+      // which of vec-1's / vec-42's embeddings is array-minimal decides
+      // which duplicate survives — compute it, then expect that single run
+      val v1 = vecs.filter(col("vec_id") === 1)
+        .select("embedding").as[Seq[Float]].head()
+      val v42 = vecs.filter(col("vec_id") === 42)
+        .select("embedding").as[Seq[Float]].head()
+      val winner = if (Ordering.Implicits.seqOrdering[Seq, Float]
+        .lteq(v1, v42)) 1L else 42L
+      run(vecs.filter(col("vec_id") === winner)
+        .select(lit(1L).as("qid"), col("embedding").as("qvec")))
+    }
+    val got = run(dirty)
+    assert(got.filter(_._1 == 1L) == expectedQ1)
+    // the null-qid row vanished rather than emitting a null result group
+    assert(got.map(_._1) == Set(1L, 7L))
+    // qid 7 is untouched by the dirt
+    assert(got.filter(_._1 == 7L) == run(clean).filter(_._1 == 7L))
+  }
+
   test("annSearchBatch plans one rank window per side (WindowGroupLimit top-k)") {
     val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = vecs.filter(col("vec_id") < 3)

@@ -56,6 +56,36 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  /** Per-group-unbounded aggregation buffers: collect_list/collect_set
+    * hold an entire group in one buffer, which dies on a skewed key at
+    * 100 TB (VERDICT r7 #5 — q45's old shape). Whitelisted uses are
+    * bounded BY SEMANTICS, not by data: the group being collected is a
+    * single row's own content re-assembled after an explode (one
+    * document's tokens, one vector's components), never a foreign-key
+    * fan-in whose cardinality an adversarial corpus controls. */
+  private val collectWhitelist: Map[String, String] = Map(
+    "q25_token_encode" ->
+      "group = one document's own token sequence (Vocab.encode re-assembly)",
+    "q99_ivf_centroids" ->
+      ("group = one centroid's own components, bounded by vector dim " +
+        "(Similarity.centroidMeans re-assembly)"))
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name holds no per-group-unbounded aggregation buffer") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val collects =
+        plan.contains("collect_list") || plan.contains("collect_set")
+      if (collectWhitelist.contains(name))
+        assert(collects,
+          s"$name is collect-whitelisted but plans no collect_list/" +
+            s"collect_set — stale whitelist entry")
+      else assert(!collects,
+        s"per-group-unbounded collect_list/collect_set in $name — use a " +
+          s"constant-buffer Aggregator (q45/q69 shapes) or bound the " +
+          s"group:\n$plan")
+    }
+  }
+
   /** The two bucketed candidate-generation queries must keep their
     * bucket-size caps in the PHYSICAL plan (SCALE.md standing rule: an
     * unguarded within-bucket self-join measured 172× slower on a

@@ -98,8 +98,10 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!batch.contains(3L))
   }
 
-  test("mixtureWeights: sqrt-scaled weights, floor targets, exact on squares") {
-    // one row per (source, n_tok) pair: n_tok 9/16/25 → weights 3/12, 4/12, 5/12
+  test("mixtureWeights: sqrt-scaled weights, largest-remainder targets sum to budget") {
+    // one row per (source, n_tok) pair: n_tok 9/16/25 → weights 3/12, 4/12, 5/12.
+    // Exact shares 250 / 333.33 / 416.67 floor to 999: the one leftover
+    // row goes to the largest fractional part (z, .67) — Hamilton's method.
     val df = (Seq.fill(9)("x") ++ Seq.fill(16)("y") ++ Seq.fill(25)("z"))
       .toDF("source").withColumn("n", lit(1))
     val got = Sampling.mixtureWeights(df, col("source"), col("n"), budget = 1000L)
@@ -108,7 +110,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == List(
       ("x", 9L, 9L, 0.25, 250L),
       ("y", 16L, 16L, 0.333333, 333L),
-      ("z", 25L, 25L, 0.416667, 416L)))
+      ("z", 25L, 25L, 0.416667, 417L)))
+    assert(got.map(_._5).sum == 1000L)
+  }
+
+  test("mixtureWeights targets sum to budget exactly across many sources") {
+    // 7 equal sources against a budget not divisible by 7: flooring alone
+    // would undershoot by 6; largest-remainder hands the 6 leftover rows
+    // to the 6 tie-broken-first sources and the sum is exact
+    val df = (1 to 7).flatMap(i => Seq.fill(10)(s"s$i")).toDF("source")
+      .withColumn("n", lit(1))
+    val targets = Sampling.mixtureWeights(df, col("source"), col("n"),
+        budget = 100L)
+      .select("source", "target_rows").as[(String, Long)].collect().toMap
+    assert(targets.values.sum == 100L)
+    // equal weights → every target is 14 or 15, never wilder
+    assert(targets.values.forall(t => t == 14L || t == 15L))
   }
 
   test("mixtureWeights upweights small sources vs their raw share") {
