@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Deterministic image-container header parse — the first REAL (non-stub)
+  * step of the multimodal decode path (SURVEY §2.9 L3): PNG / JPEG / GIF /
+  * BMP dimensions read straight off the payload's leading bytes, as a
+  * row-local native expression. No codec is involved — container headers
+  * are fixed byte layouts, so this parses the exact metadata a training
+  * pipeline filters on (resolution gates, aspect-ratio buckets) without
+  * decoding a single pixel, at full whole-stage-codegen speed. The pixel
+  * decode itself remains behind [[graft.operators.Multimodal.MediaDecoder]].
+  *
+  * Parse failure is data, not error: any byte sequence that is not a
+  * well-formed known header yields NULL (the filter semantics a 100 TB
+  * crawl needs — a corrupt image must not kill a task).
+  */
+object ImageHeader {
+
+  /** Format ids packed into the result long (format<<48 | width<<24 |
+    * height). Kept stable — [[ImageFunctions.imageMeta]] indexes a
+    * string array with them. */
+  val Formats: Seq[String] = Seq("png", "jpeg", "gif", "bmp")
+
+  private final val MaxDim = (1 << 24) - 1
+
+  /** -1 when `b` is not a recognizable image header; else
+    * formatId<<48 | width<<24 | height (formatId 1-based into
+    * [[Formats]], dims in [1, 2^24)). Called from generated code —
+    * must stay a pure static-forwardable function. */
+  def packedDims(b: Array[Byte]): Long = {
+    if (b == null) return -1L
+    val png = parsePng(b)
+    if (png >= 0) return pack(1, png)
+    val jpeg = parseJpeg(b)
+    if (jpeg >= 0) return pack(2, jpeg)
+    val gif = parseGif(b)
+    if (gif >= 0) return pack(3, gif)
+    val bmp = parseBmp(b)
+    if (bmp >= 0) return pack(4, bmp)
+    -1L
+  }
+
+  /** Intermediate (width<<24|height) in a long, or -1. */
+  private def pack(fmt: Long, wh: Long): Long = (fmt << 48) | wh
+
+  private def dims(w: Long, h: Long): Long =
+    if (w >= 1 && w <= MaxDim && h >= 1 && h <= MaxDim) (w << 24) | h else -1L
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Long = (u8(b, i) << 8 | u8(b, i + 1)).toLong
+  private def le16(b: Array[Byte], i: Int): Long = (u8(b, i + 1) << 8 | u8(b, i)).toLong
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i + 3).toLong << 24) | (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+
+  /** 8-byte signature, then the IHDR chunk is mandatory-first: length(4) +
+    * "IHDR"(4) + width(4 BE) + height(4 BE). */
+  private def parsePng(b: Array[Byte]): Long = {
+    if (b.length < 24) return -1L
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if (u8(b, i) != sig(i)) return -1L; i += 1 }
+    if (u8(b, 12) != 'I' || u8(b, 13) != 'H' || u8(b, 14) != 'D' || u8(b, 15) != 'R')
+      return -1L
+    dims(be32(b, 16), be32(b, 20))
+  }
+
+  /** FFD8, then a segment walk to the first SOFn frame header (C0-CF
+    * minus C4/C8/CC which are not frames): precision(1) + height(2 BE) +
+    * width(2 BE) after the segment length. Fill bytes (FF padding) and
+    * standalone markers (RSTn/TEM) are skipped per the spec. */
+  private def parseJpeg(b: Array[Byte]): Long = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return -1L
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return -1L
+      // fill bytes: any number of FFs may pad before the marker id
+      var j = i + 1
+      while (j < b.length && u8(b, j) == 0xff) j += 1
+      if (j + 1 >= b.length) return -1L
+      val marker = u8(b, j)
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        // needs bytes through j+7: len(2) + precision(1) + h(2) + w(2)
+        if (j + 7 >= b.length) return -1L
+        return dims(be16(b, j + 6), be16(b, j + 4))
+      }
+      if (marker == 0xd9 || marker == 0xda) return -1L // EOI / scan data: no SOF seen
+      if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) i = j + 1 // standalone
+      else {
+        if (j + 2 >= b.length) return -1L
+        val segLen = be16(b, j + 1)
+        if (segLen < 2) return -1L
+        i = j + 1 + segLen.toInt
+      }
+    }
+    -1L
+  }
+
+  /** "GIF87a"/"GIF89a" then logical-screen width/height as LE16. */
+  private def parseGif(b: Array[Byte]): Long = {
+    if (b.length < 10) return -1L
+    if (u8(b, 0) != 'G' || u8(b, 1) != 'I' || u8(b, 2) != 'F' || u8(b, 3) != '8' ||
+      (u8(b, 4) != '7' && u8(b, 4) != '9') || u8(b, 5) != 'a') return -1L
+    dims(le16(b, 6), le16(b, 8))
+  }
+
+  /** "BM" + BITMAPINFOHEADER: width LE32 at 18, height LE32 at 22
+    * (negative height = top-down row order — magnitude is the size). */
+  private def parseBmp(b: Array[Byte]): Long = {
+    if (b.length < 26 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return -1L
+    val h = le32(b, 22)
+    val signedH = if (h > Int.MaxValue) -(h - 0x100000000L) else h
+    dims(le32(b, 18), math.abs(signedH))
+  }
+}
+
+/** `image_dims(binary) -> long` — NULL unless the payload starts with a
+  * well-formed PNG/JPEG/GIF/BMP header; else formatId<<48|width<<24|height
+  * (unpacked by [[ImageFunctions.imageMeta]]). Codegen calls the static
+  * parser directly, so the expression stays inside whole-stage codegen. */
+case class ImageDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"image_dims expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "image_dims"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedDims(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedDims($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the image-header expressions. */
+object ImageFunctions {
+
+  /** Packed (format,width,height) long, NULL for unrecognized payloads. */
+  def imageDims(payload: Column): Column =
+    ColumnBridge.column(ImageDims(ColumnBridge.expression(payload)))
+
+  /** Typed header metadata `{format, width, height}` — NULL fields for
+    * unrecognized payloads (filter on `format IS NOT NULL`).
+    *
+    * The format name decodes via an explicit CASE chain with a null else
+    * branch rather than element_at over a literal array: the CASE's
+    * nullability is unambiguously true, so the struct field stays
+    * declared-nullable (element_at of a non-null literal array can be
+    * inferred non-nullable and then NPE when the packed id is NULL). */
+  def imageMeta(payload: Column): Column = {
+    val packed = imageDims(payload)
+    val fmtId = shiftright(packed, 48).cast("int")
+    val fmt = ImageHeader.Formats.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (f, i)) =>
+        when(fmtId === i + 1, lit(f)).otherwise(acc)
+      }
+    struct(
+      fmt.as("format"),
+      shiftright(packed, 24).bitwiseAND(lit(0xffffffL)).cast("int").as("width"),
+      packed.bitwiseAND(lit(0xffffffL)).cast("int").as("height"))
+  }
+}

@@ -84,6 +84,79 @@ object Classify {
     def classify(batch: Seq[(String, String)]): Map[String, String]
   }
 
+  /** Adapter from a raw-reply batch endpoint (what an LLM actually
+    * returns: one string) to [[BatchClient]]: the reply must be one flat
+    * JSON object mapping each row id to its label (the reference's
+    * response contract, classifier.py:91-120). A malformed reply — prose
+    * wrapping, truncation, non-string values — THROWS, and
+    * [[classifyBatched]]'s per-batch isolation turns that into
+    * [[DefaultLabel]] for exactly that batch, never a task failure. */
+  final class RawReplyClient(call: Seq[(String, String)] => String)
+      extends BatchClient {
+    override def classify(batch: Seq[(String, String)]): Map[String, String] =
+      parseBatchReply(call(batch))
+  }
+
+  /** Strict parser for the batch-reply contract: exactly one flat JSON
+    * object of string→string pairs (`{"id": "label", …}`), nothing before
+    * or after. Dependency-free by design (the build adds no JSON library)
+    * and deliberately unforgiving — an LLM reply that drifts from the
+    * contract must fail the batch loudly, not half-parse. */
+  def parseBatchReply(raw: String): Map[String, String] = {
+    val s = raw
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed batch reply at $i: $msg")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        s.charAt(i) match {
+          case '\\' =>
+            if (i + 1 >= s.length) fail("dangling escape")
+            s.charAt(i + 1) match {
+              case '"'  => b += '"'
+              case '\\' => b += '\\'
+              case '/'  => b += '/'
+              case 'n'  => b += '\n'
+              case 't'  => b += '\t'
+              case 'r'  => b += '\r'
+              case 'u' =>
+                if (i + 5 >= s.length) fail("truncated \\u escape")
+                b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+                i += 4
+              case other => fail(s"unsupported escape \\$other")
+            }
+            i += 2
+          case c => b += c; i += 1
+        }
+      }
+      expect('"')
+      b.result()
+    }
+    ws(); expect('{'); ws()
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (i < s.length && s.charAt(i) == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        val k = str(); ws(); expect(':'); ws(); val v = str(); ws()
+        if (out.contains(k)) fail(s"duplicate id '$k'")
+        out(k) = v
+        if (i < s.length && s.charAt(i) == ',') { i += 1; ws(); more = true }
+        else { expect('}'); more = false }
+      }
+    }
+    ws()
+    if (i != s.length) fail("trailing content after object")
+    out.toMap
+  }
+
   /** K2 production shape: batched foreign calls inside mapPartitions —
     * the partition is the natural batch boundary; `batchSize` bounds each
     * call exactly like the reference's BATCH_SIZE=20. A failed batch

@@ -31,22 +31,37 @@ object Multimodal {
     StructField("sample_rate", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Deterministic synthetic media table derived from `documents`: payload
-    * = UTF-8 text bytes (an opaque stand-in), kind cycles image/audio/video,
-    * metadata derived from n_chars. Gives the binary-column pipeline a real
+  /** Deterministic synthetic media table derived from `documents`: kind
+    * cycles image/audio/video, metadata derived from n_chars. Image rows
+    * carry a REAL PNG header (signature + IHDR with the meta dimensions,
+    * built from hex column math — `unhex(lpad(hex(w),8,'0'))` is the
+    * 4-byte big-endian encoder) prepended to the text bytes, so the
+    * header-parse stage ([[graft.functions.ImageFunctions.imageMeta]])
+    * runs against genuine container bytes; audio/video payloads stay
+    * opaque text bytes. Gives the binary-column pipeline a real
     * distributed input without shipping codecs. */
-  def synthesizeMedia(docs: DataFrame): DataFrame =
+  def synthesizeMedia(docs: DataFrame): DataFrame = {
+    val w = (col("n_chars") % 640 + 1).cast("int")
+    val h = (col("n_chars") % 480 + 1).cast("int")
+    def be32(c: Column2): Column2 = unhex(lpad(hex(c), 8, "0"))
+    // PNG signature + IHDR length(13) + "IHDR" + width + height
+    val pngHeader = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")), be32(w), be32(h))
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      ((col("doc_id") % 3) + 1).cast("int"))
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        ((col("doc_id") % 3) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
+      kind.as("kind"),
+      when(kind === "image", concat(pngHeader, col("text").cast("binary")))
+        .otherwise(col("text").cast("binary")).as("payload"),
       struct(
-        lit("synthetic").as("format"),
-        (col("n_chars") % 640 + 1).cast("int").as("width"),
-        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        when(kind === "image", lit("png")).otherwise(lit("synthetic"))
+          .as("format"),
+        w.as("width"),
+        h.as("height"),
         lit(16000).as("sample_rate"),
         (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+  }
 
   /** Decoded per-item features: fixed-dim vector + frame count. */
   final case class MediaFeatures(ok: Boolean, features: Array[Float], nFrames: Int)

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * construction, so the final global rank window runs over N rows, never
   * corpus rows. [[encode]] broadcasts that bounded vocab into a map-side
   * left join (no shuffle on the corpus beyond the per-doc regroup), so
-  * at 100 TB the corpus streams past an in-memory dictionary.
+  * at 100 TB the corpus streams past an in-memory dictionary — UNLESS
+  * the dictionary's estimated size exceeds `maxBroadcastBytes`, in which
+  * case the hint is withheld and the lookup plans as a shuffle join (a
+  * forced broadcast of an executor-memory-sized dictionary is an OOM,
+  * not an optimization — VERDICT r7 #6).
   */
 object Vocab {
 
@@ -33,12 +37,22 @@ object Vocab {
 
   /** Encode each document's token sequence as vocab ids, order-preserving;
     * out-of-vocabulary tokens map to `unkId`. Returns (idCol, ids, n_tok).
-    * `vocab` must carry (token, token_id) — pass [[build]]'s output. */
+    * `vocab` must carry (token, token_id) — pass [[build]]'s output.
+    *
+    * The broadcast hint is applied only while Catalyst's size estimate of
+    * the dictionary stays under `maxBroadcastBytes` (default 64 MiB — a
+    * few million tokens); above it the plain join lets Spark pick a
+    * shuffle join, trading one extra corpus shuffle on `token` for not
+    * materializing the dictionary on every executor. The estimate comes
+    * from plan statistics (no job runs at construction). */
   def encode(docs: DataFrame, idCol: String, toks: Column,
-             vocab: DataFrame, unkId: Long = 0L): DataFrame =
+             vocab: DataFrame, unkId: Long = 0L,
+             maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val dict = vocab.select(col("token"), col("token_id"))
+    val small =
+      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcastBytes
     docs.select(col(idCol), posexplode(toks).as(Seq("__pos", "token")))
-      .join(broadcast(vocab.select(col("token"), col("token_id"))),
-        Seq("token"), "left")
+      .join(if (small) broadcast(dict) else dict, Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(
         transform(
@@ -46,4 +60,5 @@ object Vocab {
             coalesce(col("token_id"), lit(unkId)).as("__tid")))),
           p => p.getField("__tid")).as("ids"),
         count(lit(1)).as("n_tok"))
+  }
 }

@@ -150,8 +150,16 @@ object LlmPack extends QueryPack {
       Multimodal.decodeBatched(
         Multimodal.synthesizeMedia(Q.t(s, dir, "documents")),
         new Multimodal.ByteHistogramDecoder())
+        .withColumn("hdr", graft.functions.ImageFunctions.imageMeta(col("payload")))
         .select(col("media_id"), col("kind"), col("ok"), col("n_frames"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0")))),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          // REAL container-header parse (native image_dims expression):
+          // image rows carry a genuine PNG header whose dims must round-
+          // trip the synthesized meta; audio/video payloads are not
+          // images and must parse to NULL, not garbage
+          col("hdr.format").as("hdr_format"),
+          col("hdr.width").as("hdr_w"),
+          col("hdr.height").as("hdr_h")))),
 
     // W3: final-sink JSONB wrap (reference src/storage.py:146-147) — the
     // documentos array serialized to a JSON string column, NULL → '[]'.

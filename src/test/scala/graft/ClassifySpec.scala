@@ -99,4 +99,54 @@ class ClassifySpec extends AnyFunSuite {
       .select("sector").as[String].collect()
     assert(defaulted.forall(_ == Classify.DefaultLabel))
   }
+
+  test("parseBatchReply: strict flat string→string JSON object") {
+    assert(Classify.parseBatchReply("""{"1": "economía", "2": "otros"}""")
+      == Map("1" -> "economía", "2" -> "otros"))
+    assert(Classify.parseBatchReply("{}") == Map.empty[String, String])
+    assert(Classify.parseBatchReply(" { \"a\" : \"b\\\"c\\n\" } ")
+      == Map("a" -> "b\"c\n"))
+    assert(Classify.parseBatchReply("""{"u": "café"}""")
+      == Map("u" -> "café"))
+  }
+
+  test("parseBatchReply rejects every recorded malformed-reply shape") {
+    // shapes an LLM actually produces when it drifts off-contract
+    val recorded = Seq(
+      """Sure! Here are the labels: {"1": "economía"}""", // prose prefix
+      """{"1": "economía"} Hope that helps!""",           // prose suffix
+      """{"1": "economía", "2": """,                      // truncation
+      """{"1": "economía",}""",                           // trailing comma
+      """{"1": ["economía"]}""",                          // non-string value
+      """{"1": "a", "1": "b"}""",                         // duplicate id
+      """["economía", "otros"]""",                        // array, not object
+      "")                                                 // empty reply
+    recorded.foreach { raw =>
+      assertThrows[IllegalArgumentException](Classify.parseBatchReply(raw))
+    }
+  }
+
+  test("a malformed recorded reply defaults ITS batch only; replay is stable") {
+    // batch of 2: ids (1,2) share a call, (3,4) share a call. The second
+    // call replays a recorded off-contract reply; per-batch isolation
+    // must default rows 3-4 while rows 1-2 keep their labels
+    // (classifier.py:91-120: parse failure → whole batch 'otros').
+    val client = new Classify.RawReplyClient(batch =>
+      if (batch.exists(_._1 == "3"))
+        """The labels are: {"3": "economía", "4": "otros"}"""
+      else batch.map { case (id, _) => s""""$id": "label-$id"""" }
+        .mkString("{", ", ", "}"))
+    val df = Seq(("1", "a"), ("2", "b"), ("3", "c"), ("4", "d"))
+      .toDF("id", "text").repartition(1).sortWithinPartitions("id")
+    val run = Classify.classifyBatched(df, "id", "text", "sector", client,
+      batchSize = 2)
+    val got = run.select("id", "sector").as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "label-1", "2" -> "label-2",
+      "3" -> Classify.DefaultLabel, "4" -> Classify.DefaultLabel))
+    // a re-executed task (Spark retry ≙ plan re-run) replays the same
+    // calls and lands on the same labels — mapPartitions holds no state
+    // that a retry could observe differently
+    val replay = run.select("id", "sector").as[(String, String)].collect().toMap
+    assert(replay == got)
+  }
 }

@@ -94,4 +94,93 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Seq[Long]].head()
     assert(got == Seq(0L, 100L, 200L, 300L))
   }
+
+  // ---- image container header parse (graft.functions.ImageHeader) ----
+
+  import graft.functions.{ImageFunctions, ImageHeader}
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // golden fixture headers, byte-for-byte per the container specs
+  private val png800x600 = hex(
+    "89504E470D0A1A0A 0000000D 49484452 00000320 00000258 08 06 00 00 00")
+  private val jpeg640x480 = hex( // FFD8, APP0(JFIF), SOF0: h=480 w=640
+    "FFD8 FFE0 0010 4A46494600 0101 00 0048 0048 0000" +
+      " FFC0 0011 08 01E0 0280 03 012200 021101 031101")
+  private val jpegProgressive = hex( // SOF2 (progressive) 32x16
+    "FFD8 FFE1 0004 0000 FFC2 000B 08 0010 0020 01 012200")
+  private val gif320x200 = hex("474946383961 4001 C800 F7 00 00")
+  private val bmp123x77 = hex(
+    "424D 46000000 00000000 36000000 28000000 7B000000 4D000000 0100 1800")
+
+  test("imageMeta golden cases: PNG/JPEG/GIF/BMP dims off real header bytes") {
+    val rows = Seq(
+      ("png", png800x600), ("jpeg", jpeg640x480),
+      ("jpeg_prog", jpegProgressive), ("gif", gif320x200), ("bmp", bmp123x77))
+      .toDF("case", "payload")
+    val got = rows.select(col("case"), ImageFunctions.imageMeta(col("payload")).as("m"))
+      .select(col("case"), col("m.format"), col("m.width"), col("m.height"))
+      .as[(String, String, Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("png") == (("png", Some(800), Some(600))))
+    assert(got("jpeg") == (("jpeg", Some(640), Some(480))))
+    assert(got("jpeg_prog") == (("jpeg", Some(32), Some(16))))
+    assert(got("gif") == (("gif", Some(320), Some(200))))
+    assert(got("bmp") == (("bmp", Some(123), Some(77))))
+  }
+
+  test("imageMeta yields NULL fields for non-image and corrupt payloads") {
+    val junk = Seq(
+      "text" -> "just some text".getBytes("UTF-8"),
+      "empty" -> Array.empty[Byte],
+      "png_truncated" -> png800x600.take(20),
+      "jpeg_no_sof" -> hex("FFD8 FFE0 0004 0000 FFD9"), // EOI before any SOF
+      "jpeg_bad_seglen" -> hex("FFD8 FFE0 0001 00"),
+      "gif_bad_version" -> hex("474946383561 4001 C800"))
+    val got = junk.toDF("case", "payload")
+      .select(col("case"), ImageFunctions.imageMeta(col("payload")).as("m"))
+      .select(col("case"), col("m.format")).as[(String, String)].collect()
+    got.foreach { case (c, f) => assert(f == null, s"case $c parsed as $f") }
+  }
+
+  test("interpreted eval agrees with codegen for every fixture") {
+    // packedDims is what doGenCode calls; the Dataset select exercises the
+    // codegen path — both must agree on every golden and junk fixture
+    val all = Seq(png800x600, jpeg640x480, jpegProgressive, gif320x200,
+      bmp123x77, "plain".getBytes("UTF-8"), Array.empty[Byte])
+    val viaStatic = all.map(b =>
+      Option(ImageHeader.packedDims(b)).filter(_ >= 0))
+    val viaPlan = all.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "payload")
+      .select(col("i"), ImageFunctions.imageDims(col("payload")).as("d"))
+      .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaPlan == viaStatic)
+  }
+
+  test("JPEG fill bytes before a marker are skipped, not fatal") {
+    val padded = hex("FFD8 FFFF FFC0 000B 08 0064 00C8 01 012200") // 200x100
+    val m = Seq(Tuple1(padded)).toDF("payload")
+      .select(ImageFunctions.imageMeta(col("payload")).as("m"))
+      .select(col("m.format"), col("m.width"), col("m.height"))
+      .as[(String, Int, Int)].head()
+    assert(m == (("jpeg", 200, 100)))
+  }
+
+  test("synthesizeMedia image payloads round-trip their meta through the header parse") {
+    val media = Multimodal.synthesizeMedia(docs)
+      .select(col("kind"),
+        ImageFunctions.imageMeta(col("payload")).as("hdr"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+    val img = media.filter(col("kind") === "image")
+      .select(col("hdr.format"), col("hdr.width") === col("w"),
+        col("hdr.height") === col("h"))
+      .as[(String, Boolean, Boolean)].collect()
+    assert(img.nonEmpty && img.forall(r => r._1 == "png" && r._2 && r._3))
+    // audio/video payloads are not images: header parse must return NULL
+    val other = media.filter(col("kind") =!= "image")
+      .select(col("hdr.format")).as[String].collect()
+    assert(other.nonEmpty && other.forall(_ == null))
+  }
 }

@@ -232,6 +232,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("classifyBatched labels are independent of batch and partition boundaries") {
+    // a per-id deterministic client (the reply goes through the strict
+    // JSON reply parser, so this also round-trips the response contract)
+    // must produce the same labels however rows are grouped into batches
+    // or partitions — the batch is an efficiency boundary, not a
+    // semantic one
+    val client = new Classify.RawReplyClient(batch =>
+      batch.map { case (id, text) => s""""$id": "L${(id + text).length}"""" }
+        .mkString("{", ", ", "}"))
+    val rows = (1 to 37).map(i => (i.toString, randStr()))
+    val df = rows.toDF("id", "text")
+    val expected = rows.map { case (id, text) =>
+      id -> s"L${(id + text).length}"
+    }.toMap
+    for (batchSize <- Seq(1, 3, 20, 100); parts <- Seq(1, 4)) {
+      val got = Classify.classifyBatched(df.repartition(parts), "id", "text",
+          "lab", client, batchSize)
+        .select("id", "lab").as[(String, String)].collect().toMap
+      assert(got == expected, s"batchSize=$batchSize parts=$parts")
+    }
+  }
+
   test("normalization operators are idempotent (100 generated docs)") {
     // A normalization pass applied twice must equal one pass — otherwise
     // incremental re-processing of already-clean state drifts the data.

@@ -47,4 +47,33 @@ class VocabSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("an over-threshold dictionary falls back to a shuffle join, same result") {
+    val v = Vocab.build(toks, "token", n = 2)
+    val shuffled =
+      Vocab.encode(docs, "doc_id", split(col("text"), " "), v,
+        maxBroadcastBytes = 1L)
+    // the hint is withheld: the lookup must NOT be a forced broadcast
+    // (Catalyst may still auto-broadcast a genuinely tiny side, so pin
+    // the logical plan: no ResolvedHint survives analysis)
+    val logical = shuffled.queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
+      logical)
+    // and with auto-broadcast off it plans as a real shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Vocab.encode(docs, "doc_id", split(col("text"), " "), v,
+        maxBroadcastBytes = 1L).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // both shapes agree on the encoding
+    val broadcasted =
+      Vocab.encode(docs, "doc_id", split(col("text"), " "), v)
+        .orderBy("doc_id").collect().map(_.toString).toList
+    assert(shuffled.orderBy("doc_id").collect().map(_.toString).toList
+      == broadcasted)
+  }
 }
