@@ -1,35 +1,72 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Delta, Fingerprint, Upsert}
 import graft.queries.Q
 
-/** Scale smoke: the shuffle-heavy core operators at ~10× the bench corpus
-  * (sf0.1 lineitem unioned 10× ≈ 6M rows) — evidence the partition
-  * strategy holds as data grows, not just at the verified SF.
-  * Run: sbt "runMain graft.ScaleSmoke [multiplier]" */
+/** Scale smoke: the shuffle-heavy core operators at N× the bench corpus
+  * (sf0.1 lineitem unioned N× — 10× ≈ 6M rows, 100× ≈ 60M) — evidence the
+  * partition strategy holds as data grows, not just at the verified SF.
+  * Includes the Zipfian-skew twins (same column math, hot-key
+  * distribution) whose skewed/uniform ratios SCALE.md records.
+  * Run: sbt "runMain graft.ScaleSmoke [multiplier] [stageSubstr,...]"
+  * — the optional second arg runs only stages whose label contains one of
+  * the comma-separated substrings (the 100× runs target the flagship
+  * compositions without paying for the whole suite). */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] =
+      args.drop(1).headOption.map(_.split(",").toSet).getOrElse(Set.empty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(s"local[$cpus]", cpus)
 
-    val base = Tables.load(spark, sfDir, "lineitem")
-    // union-multiply with perturbed keys so cardinality actually grows
-    val big = (0 until mult).map { i =>
-      base.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L))
-    }.reduce(_ unionByName _)
-
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale] $label%-22s rows=$n%10d  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    // The N× corpora are MATERIALIZED to parquet once and re-read — a
+    // real 100× corpus is a table on disk, not an N-way union plan. The
+    // union form was measured to poison every downstream number at 100×:
+    // each branch carries distinct perturbation expressions, so analysis/
+    // optimization/codegen cost grows with N in every action (an
+    // annSearchBatch that runs in 44 s against materialized parquet took
+    // 200 s against the live 100-branch union). Materialization cost is
+    // reported separately and excluded from stage timings.
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scale")
+    def materialize(name: String, build: => DataFrame): DataFrame = {
+      val path = s"$scratch/${name}_x$mult"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val t0 = System.nanoTime()
+        build.write.mode("overwrite").parquet(path)
+        println(f"[scale] materialize $name x$mult  ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      spark.read.parquet(path)
     }
 
-    val rows = big.count()
-    println(s"[scale] input rows=$rows (x$mult)")
+    val base = Tables.load(spark, sfDir, "lineitem")
+    // union-multiply with perturbed keys so cardinality actually grows
+    val big = materialize("lineitem", (0 until mult).map { i =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _))
+
+    val durations = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def time(label: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(label.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        durations(label) = s
+        println(f"[scale] $label%-22s rows=$n%10d  $s%7.2f s")
+      }
+    def withConf[T](kvs: (String, String)*)(f: => T): T = {
+      val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f
+      finally saved.foreach { case (k, old) =>
+        old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+
+    if (only.isEmpty) println(s"[scale] input rows=${big.count()} (x$mult)")
 
     time("fingerprint+scan") {
       big.select(Fingerprint.rowHash(Seq(col("l_orderkey"), col("l_linenumber"),
@@ -53,14 +90,74 @@ object ScaleSmoke {
         .count()
     }
 
+    // ---- Zipfian-skew robustness (VERDICT r7 next-round #2) ----
+    // The J1 delta split (the reference's soul, dags/scraping_etl.py:51-74)
+    // and W2 keep-first dedup (storage.py:108-117) under a hot-key
+    // distribution. Both twins derive their key from the SAME md5 uniform
+    // u∈[0,1) — identical per-row cost, only the distribution differs:
+    //   zipf   k = floor(exp(u·ln K))  → P(k) ∝ 1/k, ~6% of ALL rows on k=1
+    //   unif   k = floor(u·K)
+    // The measured claim (SCALE.md): skewed/uniform wall-clock < 2× on both
+    // shapes — W2 because keep-first plans a partial WindowGroupLimit
+    // (the hot key collapses to ≤1 row per map task before the shuffle),
+    // J1 because AQE's skew-join split divides the hot partition (broadcast
+    // is disabled for the stage to force the shuffled corpus-scale plan).
+    val keySpace = 100000.0
+    val uniformU =
+      conv(substring(md5((col("l_orderkey") * 31 + col("l_linenumber"))
+        .cast("string")), 1, 8), 16, 10).cast("double") / 4.294967296e9
+    def keyedCopy(k: Column): DataFrame =
+      big.withColumn("__u", uniformU).withColumn("k", k.cast("long")).drop("__u")
+    val skewTwins = Seq(
+      "zipf" -> keyedCopy(floor(exp(col("__u") * math.log(keySpace))) + 1),
+      "unif" -> keyedCopy(floor(col("__u") * keySpace) + 1))
+
+    for ((dist, keyed) <- skewTwins) {
+      time(s"delta-split-$dist") {
+        // corpus-scale state (one stored fingerprint per key) with
+        // broadcast OFF: the join MUST run shuffled, like 100 TB state
+        val fresh = keyed.select(col("k"), col("l_quantity"),
+          Fingerprint.rowHash(Seq(col("l_orderkey"), col("l_partkey")))
+            .as("row_hash"))
+        val state = fresh.groupBy("k").agg(min("row_hash").as("row_hash"))
+        withConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+          Delta.split(fresh, state, Seq("k"))._1.count()
+        }
+      }
+      time(s"window-dedup-$dist") {
+        Upsert.keepFirst(keyed, Seq("k"),
+          Seq(col("l_partkey").asc_nulls_first,
+            col("l_suppkey").asc_nulls_first,
+            col("l_orderkey").asc_nulls_first)).count()
+      }
+    }
+    for (shape <- Seq("delta-split", "window-dedup")
+         if durations.contains(s"$shape-zipf") && durations.contains(s"$shape-unif")) {
+      val r = durations(s"$shape-zipf") / durations(s"$shape-unif")
+      println(f"[scale] $shape%-22s zipf/unif ratio = $r%.2f (target < 2)")
+    }
+
     // LLM-op scale paths: LSH candidates (never all-pairs) over a 10×
     // documents corpus, and IVF-bucketed cosine pairs over 10× embeddings
     // (brute force would be |V|²; bucket pruning keeps it linear-ish).
     val docsBase = Tables.load(spark, sfDir, "documents")
-    val bigDocs = (0 until mult).map { i =>
-      docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-    }.reduce(_ unionByName _)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    // DISTINCT-content growth model for the near-dup path: each replica's
+    // tokens carry a replica prefix, so the N× corpus behaves like N
+    // independent sf0.1 corpora (same bucket-depth distribution, N× more
+    // buckets). Plain replication would put every doc in a 100-deep
+    // identical clone group — the mega-bucket cap then (correctly) drops
+    // EVERY bucket and the stage measures nothing. Real corpus growth is
+    // new content, not 100 copies of the same web page; the
+    // replication-shaped semantics are covered by bigDocsOrdered below
+    // (decontaminate / jaccard rows, documented in SCALE.md).
+    val bigDocs = materialize("docs_toks", (0 until mult).map { i =>
+      docsBase.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        transform(array_distinct(split(col("text"), " ")),
+          t => concat(lit(s"r$i"), t)).as("toks"))
+    }.reduce(_ unionByName _))
     time("minhash-lsh-cands") {
       val sigs = bigDocs.select(col("doc_id"),
         operators.Dedup.minhashSignature(col("toks"), 8).as("sig"))
@@ -97,9 +194,9 @@ object ScaleSmoke {
     }
     // shared 10× docs union with ORIGINAL token order (bigDocs above is
     // distinct-token shaped for minhash) — one definition, two stages
-    val bigDocsOrdered = (0 until mult).map { i =>
+    val bigDocsOrdered = materialize("docs_ordered", (0 until mult).map { i =>
       docsBase.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
     time("unigram-logprob") {
       // q97/q71 shuffle shape at 10×: token explode → tf + counts hash
       // aggs → token equi-join → per-doc agg. Work ∝ total tokens. The
@@ -148,13 +245,41 @@ object ScaleSmoke {
         .filter(col("is_rep")).count()
     }
     val vecBase = Tables.load(spark, sfDir, "embeddings")
-    val bigVecs = (0 until mult).map { i =>
-      vecBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
-    }.reduce(_ unionByName _)
+    // distinct-direction growth model (same reasoning as bigDocs): each
+    // replica circularly shifts the components, producing genuinely new
+    // directions with the same norm distribution — plain replication
+    // would make every IVF bucket a 100-deep clone pile that the bucket
+    // cap (correctly) drops whole.
+    val vecDim = vecBase.select(size(col("embedding"))).head().getInt(0)
+    val bigVecs = materialize("vecs", (0 until mult).map { i =>
+      val s = i % vecDim
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, vecDim - s),
+          slice(col("embedding"), 1, s))
+      vecBase.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        shifted.cast("array<float>").as("embedding"))
+    }.reduce(_ unionByName _))
+    // The IVF bucket space must GROW with the corpus — 2^probeDims
+    // buckets at constant per-bucket occupancy (~8 vectors here). A fixed
+    // probeDims at 100× pushes every bucket past the mega-bucket cap and
+    // the guard (correctly) drops the whole corpus: the cap is the
+    // adversarial-shape guard, bucket-count scaling is the capacity knob.
+    val probeDims =
+      8 + (math.log(mult.toDouble) / math.log(2)).ceil.toInt.max(0)
+    // The synthetic embeddings are CLUSTERED (~13 tight clusters; the
+    // shift replicas add directions, so bucket count grows ∝ mult while
+    // occupancy stays at the cluster size, ~150-240). The caps below sit
+    // just ABOVE that natural occupancy: they are adversarial-blowup
+    // guards, not tuning knobs — a cap under the natural bucket size
+    // (correctly) drops the whole corpus and the stage measures nothing.
+    val vecBucketCap = 300
     time("ivf-cosine-pairs") {
-      val bucketed = bigVecs.select(col("vec_id"), col("embedding"),
-        operators.Similarity.ivfAssign(col("embedding"), 8).as("bkt"),
-        operators.Similarity.norm(col("embedding")).as("nrm"))
+      val bucketed = operators.Similarity.capBuckets(
+        bigVecs.select(col("vec_id"), col("embedding"),
+          operators.Similarity.ivfAssign(col("embedding"), probeDims).as("bkt"),
+          operators.Similarity.norm(col("embedding")).as("nrm")),
+        "bkt", vecBucketCap)
       val a = bucketed.select(col("vec_id").as("ida"), col("embedding").as("va"),
         col("bkt"), col("nrm").as("na"))
       val b = bucketed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
@@ -169,15 +294,28 @@ object ScaleSmoke {
       // stored bucketed corpus instead of re-pairing it — cost ∝ |fresh|
       // × matched-bucket membership, the embedding twin of q93.
       val bucketed = bigVecs
-        .withColumn("bucket", operators.Similarity.ivfAssign(col("embedding"), 8))
+        .withColumn("bucket",
+          operators.Similarity.ivfAssign(col("embedding"), probeDims))
         .filter(col("bucket").isNotNull)
       operators.Similarity.incrementalEmbeddingCandidates(
         state = bucketed.filter(col("vec_id") % 10 =!= 0)
           .select("vec_id", "bucket", "embedding"),
         fresh = bucketed.filter(col("vec_id") % 10 === 0)
           .select("vec_id", "embedding"),
-        "vec_id", "embedding", probeDims = 8, maxBucketSize = 100,
-        minCosine = 0.3).count()
+        "vec_id", "embedding", probeDims = probeDims,
+        maxBucketSize = vecBucketCap, minCosine = 0.3).count()
+    }
+    time("ann-search-batch") {
+      // the flagship batch-ANN composition (q23/q86/q99's production
+      // form): 16 query vectors against the N× corpus in ONE corpus scan
+      // — centroids are bounded by the bucket key space (≤2^probeDims),
+      // never by corpus rows, so the only corpus-sized work is the
+      // bucket equi-join + per-query top-k rank.
+      val queries = vecBase.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      operators.Similarity.annSearchBatch(bigVecs, "vec_id", "embedding",
+        queries, "qid", "qvec", probeDims = probeDims, nprobe = 8,
+        k = 10).count()
     }
     spark.stop()
   }

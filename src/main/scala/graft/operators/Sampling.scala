@@ -46,34 +46,35 @@ object Sampling {
     * (plain flooring undershot by up to #sources−1 rows, ADVICE r7).
     *
     * One partial+final groupBy over the corpus; everything after runs on
-    * the ∼#sources-row table (two broadcast 1-row crossJoins, one global
-    * rank window over #sources rows — bounded, never corpus-sized) and
-    * the driver never sees the data.
+    * the ∼#sources-row table as single-partition window functions (the
+    * denominator, the leftover, and the fractional rank all share one
+    * exchange — no extra aggregate/crossJoin round-trips; the
+    * "no partition defined" window is deliberate and bounded by
+    * construction) and the driver never sees the data.
     */
   def mixtureWeights(df: DataFrame, sourceCol: Column, sizeCol: Column,
                      budget: Long): DataFrame = {
-    val bySource = df.groupBy(sourceCol.as("source"))
+    import org.apache.spark.sql.expressions.Window
+    val allRows = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byFrac = Window.partitionBy()
+      .orderBy((col("__exact") - col("__base")).desc_nulls_last,
+        col("source").asc_nulls_first)
+    df.groupBy(sourceCol.as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(sizeCol).cast("long").as("n_tok"))
       .withColumn("w",
         round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(18,6)"))
-    val total = bySource.agg(sum(col("w")).cast("decimal(28,6)").as("tw"))
-    val exact = bySource.crossJoin(broadcast(total))
-      .select(
-        col("source"), col("n_docs"), col("n_tok"),
+      .withColumn("tw", sum(col("w")).over(allRows).cast("decimal(28,6)"))
+      .withColumn("__exact",
+        lit(budget) * (col("w").cast("double") / col("tw").cast("double")))
+      .withColumn("__base", floor(col("__exact")).cast("long"))
+      .withColumn("__leftover",
+        (lit(budget) - sum(col("__base")).over(allRows)).cast("long"))
+      .withColumn("__rk", row_number().over(byFrac))
+      .select(col("source"), col("n_docs"), col("n_tok"),
         round(col("w").cast("double") / col("tw").cast("double"), 6)
           .as("weight"),
-        (lit(budget) * (col("w").cast("double") / col("tw").cast("double")))
-          .as("__exact"))
-      .withColumn("__base", floor(col("__exact")).cast("long"))
-    val leftover = exact
-      .agg((lit(budget) - sum(col("__base"))).cast("long").as("__leftover"))
-    val byFrac = org.apache.spark.sql.expressions.Window
-      .orderBy((col("__exact") - col("__base")).desc_nulls_last,
-        col("source").asc_nulls_first)
-    exact.crossJoin(broadcast(leftover))
-      .withColumn("__rk", row_number().over(byFrac))
-      .select(col("source"), col("n_docs"), col("n_tok"), col("weight"),
         (col("__base") +
           when(col("__rk") <= col("__leftover"), 1L).otherwise(0L))
           .cast("long").as("target_rows"))

@@ -58,15 +58,26 @@ object Writers {
     * — and commit as the next version directory. Returns the new state.
     * Writing a NEW directory (never in-place) keeps readers of the old
     * version consistent — the parquet analog of the reference's
-    * transactional ON CONFLICT statement. */
+    * transactional ON CONFLICT statement.
+    *
+    * `evict` is the compaction hook: merged rows matching the predicate
+    * are dropped before the write, so a caller with a retention rule
+    * (epoch age, event-time TTL) keeps the state table bounded instead
+    * of growing per merge forever. Eviction runs AFTER the keep-winner
+    * merge, so a row that was just refreshed by `incoming` survives under
+    * its new version value. The predicate must be a deterministic
+    * function of the row and the caller's version watermark — then a
+    * replayed merge evicts identically and stays content-idempotent. */
   def mergeState(spark: SparkSession, stateDir: String, incoming: DataFrame,
-                 pk: Seq[String], version: Column): DataFrame = {
+                 pk: Seq[String], version: Column,
+                 evict: Option[Column] = None): DataFrame = {
     val next = latestVersion(stateDir).getOrElse(-1L) + 1
     val merged = readState(spark, stateDir) match {
       case Some(existing) => Upsert.merge(existing, incoming, pk, version)
       case None => Upsert.keepFirst(incoming, pk, Seq(version.desc))
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/v$next")
+    val retained = evict.fold(merged)(p => merged.filter(!p))
+    retained.write.mode("overwrite").parquet(s"$stateDir/v$next")
     spark.read.parquet(s"$stateDir/v$next")
   }
 }

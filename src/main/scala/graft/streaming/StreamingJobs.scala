@@ -91,17 +91,29 @@ object StreamingJobs {
     * current epoch (a replayed batch must not see its own half-merged
     * buckets), flagged pairs overwrite a per-epoch directory instead of
     * blind-appending, and the (id, band)-keyed state merge with the epoch
-    * as version is content-idempotent under replay. */
+    * as version is content-idempotent under replay.
+    *
+    * `maxEpochAge` is the state-compaction knob (VERDICT r7 #3 — without
+    * it the bucket table grows per epoch forever, becoming its own 100 TB
+    * problem): N > 0 keeps only the last N epochs' buckets — each merge
+    * evicts rows with `__epoch <= epochId - N`, so state size plateaus at
+    * the N-epoch working set. The semantic trade (same as
+    * [[deltaStreamBounded]]'s TTL): a fresh doc whose only near-dup
+    * entered MORE than N epochs ago is no longer flagged — the sliding-
+    * window dedup contract. 0 = retain forever (the exact contract).
+    * Eviction depends only on (row epoch, current epochId), so replay
+    * stays content-idempotent. */
   def incrementalDedupSink(docs: DataFrame, idCol: String,
                            tokensCol: org.apache.spark.sql.Column,
                            stateDir: String, outDir: String,
                            k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
-                           maxBucketSize: Int = 50): DataStreamWriter[Row] =
+                           maxBucketSize: Int = 50,
+                           maxEpochAge: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         incrementalDedupBatch(batch, epochId, idCol, tokensCol,
-          stateDir, outDir, k, bands, rowsPerBand, maxBucketSize)
+          stateDir, outDir, k, bands, rowsPerBand, maxBucketSize, maxEpochAge)
       }
 
   /** One epoch of [[incrementalDedupSink]], exposed so replay semantics
@@ -111,7 +123,8 @@ object StreamingJobs {
                             tokensCol: org.apache.spark.sql.Column,
                             stateDir: String, outDir: String,
                             k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
-                            maxBucketSize: Int = 50): Unit = {
+                            maxBucketSize: Int = 50,
+                            maxEpochAge: Int = 0): Unit = {
     val spark = batch.sparkSession
     val sigs = batch.select(col(idCol),
       graft.operators.Dedup.minhashSignature(tokensCol, k).as("sig"))
@@ -127,7 +140,9 @@ object StreamingJobs {
         state.drop("__epoch"), buckets.drop("__epoch"), maxBucketSize)
       .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     graft.sources.Writers.mergeState(
-      spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"))
+      spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
     ()
   }
 
@@ -141,16 +156,20 @@ object StreamingJobs {
     * near-dup vectors arriving in the SAME micro-batch are never flagged
     * against each other — run
     * `Similarity.incrementalEmbeddingCandidates(batch, batch, …)` (or a
-    * batch self-pair pass) on the micro-batch when that matters. */
+    * batch self-pair pass) on the micro-batch when that matters. And the
+    * same compaction knob: `maxEpochAge` N > 0 keeps only the last N
+    * epochs' vectors in state (sliding-window dedup; older near-dups go
+    * unflagged), 0 retains forever. */
   def incrementalEmbeddingSink(vecs: DataFrame, idCol: String, vecCol: String,
                                stateDir: String, outDir: String,
                                probeDims: Int = 8, maxBucketSize: Int = 100,
-                               minCosine: Double = 0.9): DataStreamWriter[Row] =
+                               minCosine: Double = 0.9,
+                               maxEpochAge: Int = 0): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         incrementalEmbeddingBatch(batch, epochId, idCol, vecCol,
-          stateDir, outDir, probeDims, maxBucketSize, minCosine)
+          stateDir, outDir, probeDims, maxBucketSize, minCosine, maxEpochAge)
       }
 
   /** One epoch of [[incrementalEmbeddingSink]], exposed for replay tests
@@ -159,7 +178,8 @@ object StreamingJobs {
                                 idCol: String, vecCol: String,
                                 stateDir: String, outDir: String,
                                 probeDims: Int = 8, maxBucketSize: Int = 100,
-                                minCosine: Double = 0.9): Unit = {
+                                minCosine: Double = 0.9,
+                                maxEpochAge: Int = 0): Unit = {
     val spark = batch.sparkSession
     val bucketed = batch
       .withColumn("bucket",
@@ -177,7 +197,9 @@ object StreamingJobs {
         idCol, vecCol, probeDims, maxBucketSize, minCosine)
       .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     graft.sources.Writers.mergeState(
-      spark, stateDir, bucketed, Seq(idCol), col("__epoch"))
+      spark, stateDir, bucketed, Seq(idCol), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
     ()
   }
 

@@ -28,9 +28,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q89_decontamination",
     // q97 broadcasts the 1-row total-token count (the q71-tfidf shape)
     "q97_unigram_logprob",
-    // q28 broadcasts the 1-row (n_docs, avgdl) corpus stats; q29 its
-    // 1-row mixture-weight denominator — both bounded by construction
-    "q28_bm25", "q29_mixture_weights",
+    // q28 broadcasts the 1-row (n_docs, avgdl) corpus stats (q29's
+    // mixture denominator became a single-partition window — no cross
+    // join left in that plan)
+    "q28_bm25",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign")

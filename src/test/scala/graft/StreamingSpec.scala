@@ -133,6 +133,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows == s1)
   }
 
+  test("dedup state compaction: size plateaus across epochs, replay still idempotent") {
+    val stateDir = java.nio.file.Files.createTempDirectory("lshcompact").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lshcompactout").toString
+    // each epoch delivers 2 fresh docs with distinct vocab (no cross-dup
+    // noise); maxEpochAge=2 must hold the bucket table at the 2-epoch
+    // working set while the uncompacted form would grow linearly
+    def run(epoch: Long): Unit =
+      StreamingJobs.incrementalDedupBatch(
+        Seq((epoch * 10 + 1, s"w${epoch}a w${epoch}b w${epoch}c w${epoch}d"),
+            (epoch * 10 + 2, s"x${epoch}a x${epoch}b x${epoch}c x${epoch}d"))
+          .toDF("doc_id", "text"),
+        epoch, "doc_id", split(col("text"), " "), stateDir, outDir,
+        maxEpochAge = 2)
+    def stateCount = {
+      val v = graft.sources.Writers.latestVersion(stateDir).get
+      spark.read.parquet(s"$stateDir/v$v").count()
+    }
+    val sizes = (0L to 5L).map { e => run(e); stateCount }
+    // epoch 0: one epoch of buckets; epoch 1 on: exactly two epochs' worth
+    assert(sizes.head * 2 == sizes(1), s"sizes=$sizes")
+    assert(sizes.drop(1).distinct.size == 1,
+      s"state should plateau at the 2-epoch working set: $sizes")
+    // retained epochs are exactly (e-1, e]
+    val v = graft.sources.Writers.latestVersion(stateDir).get
+    val epochs = spark.read.parquet(s"$stateDir/v$v")
+      .select("__epoch").distinct().as[Long].collect().toSet
+    assert(epochs == Set(4L, 5L))
+    // a dup of an EVICTED epoch's doc is no longer flagged (the sliding-
+    // window trade, documented); a dup of a RETAINED epoch still is
+    StreamingJobs.incrementalDedupBatch(
+      Seq((100L, "w0a w0b w0c w0d"), (101L, "w5a w5b w5c w5d"))
+        .toDF("doc_id", "text"),
+      6L, "doc_id", split(col("text"), " "), stateDir, outDir,
+      maxEpochAge = 2)
+    val flagged = spark.read.parquet(s"$outDir/epoch=6")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((101L, 51L)), s"flagged=$flagged")
+    // crash-after-commit replay of epoch 6 under compaction: output and
+    // state must be byte-identical to the first run
+    val stateBefore = spark.read.parquet(
+      s"$stateDir/v${graft.sources.Writers.latestVersion(stateDir).get}")
+      .select("doc_id", "band", "bucket", "__epoch")
+      .as[(Long, Int, String, Long)].collect().toSet
+    StreamingJobs.incrementalDedupBatch(
+      Seq((100L, "w0a w0b w0c w0d"), (101L, "w5a w5b w5c w5d"))
+        .toDF("doc_id", "text"),
+      6L, "doc_id", split(col("text"), " "), stateDir, outDir,
+      maxEpochAge = 2)
+    val stateAfter = spark.read.parquet(
+      s"$stateDir/v${graft.sources.Writers.latestVersion(stateDir).get}")
+      .select("doc_id", "band", "bucket", "__epoch")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(stateAfter == stateBefore)
+    assert(spark.read.parquet(s"$outDir/epoch=6")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet == flagged)
+  }
+
+  test("embedding state compaction plateaus and keeps only recent epochs") {
+    val stateDir = java.nio.file.Files.createTempDirectory("embcompact").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embcompactout").toString
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // one fresh orthogonal-ish vector per epoch
+    def run(epoch: Long): Unit = {
+      val base = new Array[Double](8)
+      base((epoch % 8).toInt) = 0.9
+      StreamingJobs.incrementalEmbeddingBatch(
+        Seq((epoch + 1, v(base.toIndexedSeq: _*))).toDF("vec_id", "embedding"),
+        epoch, "vec_id", "embedding", stateDir, outDir,
+        probeDims = 8, maxBucketSize = 100, minCosine = 0.9,
+        maxEpochAge = 3)
+    }
+    def stateCount = {
+      val ver = graft.sources.Writers.latestVersion(stateDir).get
+      spark.read.parquet(s"$stateDir/v$ver").count()
+    }
+    val sizes = (0L to 5L).map { e => run(e); stateCount }
+    assert(sizes == Seq(1L, 2L, 3L, 3L, 3L, 3L),
+      s"state should plateau at 3 epochs: $sizes")
+    val ver = graft.sources.Writers.latestVersion(stateDir).get
+    val epochs = spark.read.parquet(s"$stateDir/v$ver")
+      .select("__epoch").distinct().as[Long].collect().toSet
+    assert(epochs == Set(3L, 4L, 5L))
+  }
+
   test("curation metrics and PII scrub run unchanged in a stream (map-only ops)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
