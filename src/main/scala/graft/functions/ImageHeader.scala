@@ -122,6 +122,40 @@ object ImageHeader {
     val signedH = if (h > Int.MaxValue) -(h - 0x100000000L) else h
     dims(le32(b, 18), math.abs(signedH))
   }
+
+  /** WAV (RIFF/WAVE) audio header → -1 when not well-formed, else
+    * sampleRate<<24 | durationMs (the audio analog of [[packedDims]];
+    * duration saturates at 2^24-1 ms ≈ 4.6 h). Walks RIFF chunks to
+    * `fmt ` (sample rate LE32 at chunk offset +4, byte rate at +8) and
+    * `data` (payload byte length), duration = dataLen·1000 / byteRate —
+    * called from generated code like packedDims. */
+  def packedWav(b: Array[Byte]): Long = {
+    if (b == null || b.length < 12) return -1L
+    if (u8(b, 0) != 'R' || u8(b, 1) != 'I' || u8(b, 2) != 'F' || u8(b, 3) != 'F' ||
+      u8(b, 8) != 'W' || u8(b, 9) != 'A' || u8(b, 10) != 'V' || u8(b, 11) != 'E')
+      return -1L
+    var i = 12
+    var sampleRate = -1L
+    var byteRate = -1L
+    var dataLen = -1L
+    while (i + 8 <= b.length && (sampleRate < 0 || dataLen < 0)) {
+      val id = new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(b, i + 4)
+      if (id == "fmt ") {
+        if (i + 20 > b.length) return -1L
+        sampleRate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+      } else if (id == "data") dataLen = len
+      // chunks are word-aligned: odd lengths carry a pad byte
+      i += 8 + len.toInt + (len.toInt & 1)
+      if (len < 0 || len > Int.MaxValue) return -1L
+    }
+    if (sampleRate <= 0 || sampleRate > MaxDim || byteRate <= 0 || dataLen < 0)
+      return -1L
+    val durMs = math.min((dataLen * 1000L) / byteRate, MaxDim.toLong)
+    (sampleRate << 24) | durMs
+  }
 }
 
 /** `image_dims(binary) -> long` — NULL unless the payload starts with a
@@ -158,6 +192,39 @@ case class ImageDims(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `wav_info(binary) -> long` — NULL unless the payload is a well-formed
+  * RIFF/WAVE header; else sampleRate<<24|durationMs (unpacked by
+  * [[ImageFunctions.audioMeta]]). Same codegen shape as [[ImageDims]]. */
+case class WavInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wav_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedWav(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedWav($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WavInfo =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -184,5 +251,19 @@ object ImageFunctions {
       fmt.as("format"),
       shiftright(packed, 24).bitwiseAND(lit(0xffffffL)).cast("int").as("width"),
       packed.bitwiseAND(lit(0xffffffL)).cast("int").as("height"))
+  }
+
+  /** Packed (sampleRate, durationMs) long for RIFF/WAVE payloads, NULL
+    * otherwise. */
+  def wavInfo(payload: Column): Column =
+    ColumnBridge.column(WavInfo(ColumnBridge.expression(payload)))
+
+  /** Typed audio header metadata `{sample_rate, duration_ms}` — NULL
+    * fields for non-WAV payloads. */
+  def audioMeta(payload: Column): Column = {
+    val packed = wavInfo(payload)
+    struct(
+      shiftright(packed, 24).cast("int").as("sample_rate"),
+      packed.bitwiseAND(lit(0xffffffL)).as("duration_ms"))
   }
 }

@@ -44,19 +44,36 @@ object Multimodal {
     val w = (col("n_chars") % 640 + 1).cast("int")
     val h = (col("n_chars") % 480 + 1).cast("int")
     def be32(c: Column2): Column2 = unhex(lpad(hex(c), 8, "0"))
+    def le32(c: Column2): Column2 = {
+      val x = lpad(hex(c), 8, "0")
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
     // PNG signature + IHDR length(13) + "IHDR" + width + height
     val pngHeader = concat(
       unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")), be32(w), be32(h))
+    // RIFF/WAVE with a 16 kHz mono 16-bit fmt chunk (byteRate 32000) and
+    // a data chunk sized so durationMs = dataLen·1000/byteRate equals the
+    // meta duration (n_chars × 10 ms → dataLen = n_chars × 320); the body
+    // is the text bytes — header metadata, like a truncated download
+    val dataLen = (col("n_chars") * 320).cast("int")
+    val wavHeader = concat(
+      unhex(lit("52494646")), le32(dataLen + 36), unhex(lit("57415645")),
+      unhex(lit("666D7420")), unhex(lit("10000000")), unhex(lit("01000100")),
+      le32(lit(16000)), le32(lit(32000)), unhex(lit("02001000")),
+      unhex(lit("64617461")), le32(dataLen))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       ((col("doc_id") % 3) + 1).cast("int"))
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", concat(pngHeader, col("text").cast("binary")))
+        .when(kind === "audio", concat(wavHeader, col("text").cast("binary")))
         .otherwise(col("text").cast("binary")).as("payload"),
       struct(
-        when(kind === "image", lit("png")).otherwise(lit("synthetic"))
-          .as("format"),
+        when(kind === "image", lit("png"))
+          .when(kind === "audio", lit("wav"))
+          .otherwise(lit("synthetic")).as("format"),
         w.as("width"),
         h.as("height"),
         lit(16000).as("sample_rate"),

@@ -183,4 +183,39 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("hdr.format")).as[String].collect()
     assert(other.nonEmpty && other.forall(_ == null))
   }
+
+  test("synthesizeMedia audio payloads round-trip meta through the WAV parse") {
+    import graft.functions.ImageFunctions
+    val media = Multimodal.synthesizeMedia(docs)
+      .select(col("kind"), ImageFunctions.audioMeta(col("payload")).as("a"),
+        col("meta.sample_rate").as("sr"), col("meta.duration_ms").as("dur"))
+    val audio = media.filter(col("kind") === "audio")
+      .select(col("a.sample_rate") === col("sr"),
+        col("a.duration_ms") === col("dur"))
+      .as[(Boolean, Boolean)].collect()
+    assert(audio.nonEmpty && audio.forall(r => r._1 && r._2))
+    // image/video payloads are not RIFF: the WAV parse must return NULL
+    val other = media.filter(col("kind") =!= "audio")
+      .select(col("a.sample_rate")).as[Option[Int]].collect()
+    assert(other.nonEmpty && other.forall(_.isEmpty))
+  }
+
+  test("packedWav golden and corrupt fixtures") {
+    import graft.functions.ImageHeader
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 16 kHz mono 16-bit WAV, data chunk 64000 bytes → 2000 ms
+    val wav = hx("52494646 24FA0000 57415645" +
+      " 666D7420 10000000 0100 0100 803E0000 007D0000 0200 1000" +
+      " 64617461 00FA0000")
+    val packed = ImageHeader.packedWav(wav)
+    assert(packed >= 0)
+    assert((packed >> 24) == 16000L && (packed & 0xffffff) == 2000L)
+    // corrupt shapes → -1
+    assert(ImageHeader.packedWav(hx("52494646 24FA0000 57415646")) == -1L) // not WAVE
+    assert(ImageHeader.packedWav(hx("52494646")) == -1L)                   // truncated
+    assert(ImageHeader.packedWav("RIFFxxxxWAVE".getBytes("UTF-8")) == -1L) // no chunks
+    assert(ImageHeader.packedWav(Array.empty[Byte]) == -1L)
+  }
 }
