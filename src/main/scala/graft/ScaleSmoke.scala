@@ -50,8 +50,10 @@ object ScaleSmoke {
     }.reduce(_ unionByName _))
 
     val durations = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def stageActive(label: String): Boolean =
+      only.isEmpty || only.exists(label.contains)
     def time(label: String)(f: => Long): Unit =
-      if (only.isEmpty || only.exists(label.contains)) {
+      if (stageActive(label)) {
         val t0 = System.nanoTime()
         val n = f
         val s = (System.nanoTime() - t0) / 1e9
@@ -269,11 +271,22 @@ object ScaleSmoke {
       8 + (math.log(mult.toDouble) / math.log(2)).ceil.toInt.max(0)
     // The synthetic embeddings are CLUSTERED (~13 tight clusters; the
     // shift replicas add directions, so bucket count grows ∝ mult while
-    // occupancy stays at the cluster size, ~150-240). The caps below sit
-    // just ABOVE that natural occupancy: they are adversarial-blowup
-    // guards, not tuning knobs — a cap under the natural bucket size
-    // (correctly) drops the whole corpus and the stage measures nothing.
-    val vecBucketCap = 300
+    // occupancy stays at the cluster size, ~150-240). The cap is DERIVED
+    // from the corpus's own occupancy distribution (3 × p99 — SCALE.md's
+    // "caps sit above natural occupancy" rule made mechanical): it
+    // guards the adversarial tail, and a corpus whose occupancy grows
+    // can never be silently zeroed by a stale constant. Derivation cost
+    // (one quantile over the bucket-count table) is setup, not stage
+    // time.
+    val vecBucketCap =
+      if (stageActive("ivf-cosine-pairs") || stageActive("incr-embedding-probe")) {
+        val bucketed = bigVecs.select(
+          operators.Similarity.ivfAssign(col("embedding"), probeDims).as("bkt"))
+          .filter(col("bkt").isNotNull)
+        val cap = operators.Similarity.capBucketsAuto(bucketed, "bkt")._2
+        println(s"[scale] derived vec bucket cap = $cap (3 x p99 occupancy)")
+        cap
+      } else 300
     time("ivf-cosine-pairs") {
       val bucketed = operators.Similarity.capBuckets(
         bigVecs.select(col("vec_id"), col("embedding"),
