@@ -142,6 +142,7 @@ object ImageHeader {
       val id = new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
         java.nio.charset.StandardCharsets.US_ASCII)
       val len = le32(b, i + 4)
+      if (len < 0 || len > Int.MaxValue - 16) return -1L // before any use
       if (id == "fmt ") {
         if (i + 20 > b.length) return -1L
         sampleRate = le32(b, i + 12)
@@ -149,12 +150,82 @@ object ImageHeader {
       } else if (id == "data") dataLen = len
       // chunks are word-aligned: odd lengths carry a pad byte
       i += 8 + len.toInt + (len.toInt & 1)
-      if (len < 0 || len > Int.MaxValue) return -1L
+      if (i < 0) return -1L // int overflow on a hostile length
     }
     if (sampleRate <= 0 || sampleRate > MaxDim || byteRate <= 0 || dataLen < 0)
       return -1L
     val durMs = math.min((dataLen * 1000L) / byteRate, MaxDim.toLong)
     (sampleRate << 24) | durMs
+  }
+
+  private final val MaxDim20 = (1 << 20) - 1
+
+  /** MP4/ISO-BMFF video header → -1 when not well-formed, else
+    * width<<44 | height<<24 | durationMs (dims < 2^20, duration
+    * saturates at 2^24-1 ms). Walks top-level boxes to `moov`, reads
+    * `mvhd` (timescale + duration, version 0 and 1 layouts) and the
+    * first `trak`→`tkhd` with a non-zero 16.16 fixed-point
+    * width/height. 64-bit largesize boxes and truncated walks → -1. */
+  def packedMp4(b: Array[Byte]): Long = {
+    if (b == null || b.length < 16) return -1L
+    // box walk over [from, to): returns the offset of the first box with
+    // the wanted type, or -1
+    def findBox(from: Int, to: Int, want: String): Int = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(b, i)
+        if (size < 8 || size > to - i) return -1 // size==0/1 forms unsupported
+        if (u8(b, i + 4) == want.charAt(0) && u8(b, i + 5) == want.charAt(1) &&
+          u8(b, i + 6) == want.charAt(2) && u8(b, i + 7) == want.charAt(3)) return i
+        i += size.toInt
+      }
+      -1
+    }
+    // the file must LEAD with a box structure (ftyp or moov first)
+    if (findBox(0, b.length, "ftyp") != 0 && findBox(0, b.length, "moov") != 0)
+      return -1L
+    val moov = findBox(0, b.length, "moov")
+    if (moov < 0) return -1L
+    val moovEnd = moov + be32(b, moov).toInt
+    val mvhd = findBox(moov + 8, moovEnd, "mvhd")
+    if (mvhd < 0 || mvhd + 12 >= moovEnd) return -1L
+    val (timescale, duration) = u8(b, mvhd + 8) match {
+      case 0 =>
+        if (mvhd + 28 > moovEnd) return -1L
+        (be32(b, mvhd + 20), be32(b, mvhd + 24))
+      case 1 =>
+        if (mvhd + 40 > moovEnd) return -1L
+        // 64-bit duration: read the low 32 bits after checking the high
+        val hi = be32(b, mvhd + 32)
+        if (hi != 0) return -1L // > 2^32 ticks — saturate path not needed
+        (be32(b, mvhd + 28), be32(b, mvhd + 36))
+      case _ => return -1L
+    }
+    // first trak whose tkhd carries non-zero dims (the video track)
+    var trak = findBox(moov + 8, moovEnd, "trak")
+    while (trak >= 0) {
+      val trakEnd = trak + be32(b, trak).toInt
+      val tkhd = findBox(trak + 8, trakEnd, "tkhd")
+      if (tkhd >= 0) {
+        val whOff = u8(b, tkhd + 8) match {
+          case 0 => 84
+          case 1 => 96
+          case _ => -1
+        }
+        if (whOff > 0 && tkhd + whOff + 8 <= trakEnd) {
+          val w = be32(b, tkhd + whOff) >> 16    // 16.16 fixed point
+          val h = be32(b, tkhd + whOff + 4) >> 16
+          if (w >= 1 && w <= MaxDim20 && h >= 1 && h <= MaxDim20 &&
+            timescale > 0) {
+            val durMs = math.min(duration * 1000L / timescale, MaxDim.toLong)
+            return (w << 44) | (h << 24) | durMs
+          }
+        }
+      }
+      val next = findBox(trakEnd, moovEnd, "trak")
+      trak = next
+    }
+    -1L
   }
 }
 
@@ -225,6 +296,39 @@ case class WavInfo(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mp4_info(binary) -> long` — NULL unless the payload is a well-formed
+  * MP4/ISO-BMFF header; else width<<44|height<<24|durationMs (unpacked
+  * by [[ImageFunctions.videoMeta]]). Same codegen shape as [[ImageDims]]. */
+case class Mp4Info(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp4_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mp4_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedMp4(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedMp4($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Info =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -264,6 +368,21 @@ object ImageFunctions {
     val packed = wavInfo(payload)
     struct(
       shiftright(packed, 24).cast("int").as("sample_rate"),
+      packed.bitwiseAND(lit(0xffffffL)).as("duration_ms"))
+  }
+
+  /** Packed (width, height, durationMs) long for MP4 payloads, NULL
+    * otherwise. */
+  def mp4Info(payload: Column): Column =
+    ColumnBridge.column(Mp4Info(ColumnBridge.expression(payload)))
+
+  /** Typed video header metadata `{width, height, duration_ms}` — NULL
+    * fields for non-MP4 payloads. */
+  def videoMeta(payload: Column): Column = {
+    val packed = mp4Info(payload)
+    struct(
+      shiftright(packed, 44).bitwiseAND(lit(0xfffffL)).cast("int").as("width"),
+      shiftright(packed, 24).bitwiseAND(lit(0xfffffL)).cast("int").as("height"),
       packed.bitwiseAND(lit(0xffffffL)).as("duration_ms"))
   }
 }

@@ -62,6 +62,25 @@ object Multimodal {
       unhex(lit("666D7420")), unhex(lit("10000000")), unhex(lit("01000100")),
       le32(lit(16000)), le32(lit(32000)), unhex(lit("02001000")),
       unhex(lit("64617461")), le32(dataLen))
+    // minimal-but-structurally-genuine MP4: ftyp + moov[mvhd(v0,
+    // timescale 1000, duration = n_chars×10 ticks ≙ ms) + trak[tkhd(v0,
+    // identity matrix, 16.16 fixed-point width/height)]] — every box
+    // size field is correct, so a real box walker traverses it
+    val durTicks = (col("n_chars") * 10).cast("int")
+    val matrixHex = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val mp4Header = concat(
+      unhex(lit("00000010" + "66747970" + "69736F6D" + "00000200")), // ftyp
+      unhex(lit("000000D8" + "6D6F6F76")),                           // moov(216)
+      unhex(lit("0000006C" + "6D766864" + "00000000" + "00000000" +
+        "00000000" + "000003E8")),                                   // mvhd v0, ts=1000
+      be32(durTicks), unhex(lit("00" * 80)),                         // duration + pad
+      unhex(lit("00000064" + "7472616B")),                           // trak(100)
+      unhex(lit("0000005C" + "746B6864" + "00000007" + "00000000" +
+        "00000000" + "00000001" + "00000000")),                      // tkhd v0, id 1
+      be32(durTicks), unhex(lit("00" * 16)), unhex(lit(matrixHex)),
+      be32((w.cast("long") * 65536).cast("int")),                    // 16.16 width
+      be32((h.cast("long") * 65536).cast("int")))                    // 16.16 height
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       ((col("doc_id") % 3) + 1).cast("int"))
     docs.select(
@@ -69,11 +88,11 @@ object Multimodal {
       kind.as("kind"),
       when(kind === "image", concat(pngHeader, col("text").cast("binary")))
         .when(kind === "audio", concat(wavHeader, col("text").cast("binary")))
-        .otherwise(col("text").cast("binary")).as("payload"),
+        .otherwise(concat(mp4Header, col("text").cast("binary"))).as("payload"),
       struct(
         when(kind === "image", lit("png"))
           .when(kind === "audio", lit("wav"))
-          .otherwise(lit("synthetic")).as("format"),
+          .otherwise(lit("mp4")).as("format"),
         w.as("width"),
         h.as("height"),
         lit(16000).as("sample_rate"),

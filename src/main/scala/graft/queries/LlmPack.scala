@@ -152,18 +152,22 @@ object LlmPack extends QueryPack {
         new Multimodal.ByteHistogramDecoder())
         .withColumn("hdr", graft.functions.ImageFunctions.imageMeta(col("payload")))
         .withColumn("ahdr", graft.functions.ImageFunctions.audioMeta(col("payload")))
+        .withColumn("vhdr", graft.functions.ImageFunctions.videoMeta(col("payload")))
         .select(col("media_id"), col("kind"), col("ok"), col("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
-          // REAL container-header parses (native image_dims / wav_info
-          // expressions): image rows carry a genuine PNG header and audio
-          // rows a genuine RIFF/WAVE header whose metadata must round-
-          // trip the synthesized meta; every other payload parses to
-          // NULL, not garbage
+          // REAL container-header parses (native image_dims / wav_info /
+          // mp4_info expressions): image rows carry a genuine PNG
+          // header, audio rows RIFF/WAVE, video rows MP4 ftyp+moov —
+          // each kind's metadata must round-trip the synthesized meta
+          // and every foreign payload parses to NULL, not garbage
           col("hdr.format").as("hdr_format"),
           col("hdr.width").as("hdr_w"),
           col("hdr.height").as("hdr_h"),
           col("ahdr.sample_rate").as("hdr_sr"),
-          col("ahdr.duration_ms").as("hdr_dur")))),
+          col("ahdr.duration_ms").as("hdr_dur"),
+          col("vhdr.width").as("hdr_vw"),
+          col("vhdr.height").as("hdr_vh"),
+          col("vhdr.duration_ms").as("hdr_vdur")))),
 
     // W3: final-sink JSONB wrap (reference src/storage.py:146-147) — the
     // documentos array serialized to a JSON string column, NULL → '[]'.

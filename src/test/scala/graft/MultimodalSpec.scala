@@ -200,6 +200,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.forall(_.isEmpty))
   }
 
+  test("synthesizeMedia video payloads round-trip meta through the MP4 parse") {
+    import graft.functions.ImageFunctions
+    val media = Multimodal.synthesizeMedia(docs)
+      .select(col("kind"), ImageFunctions.videoMeta(col("payload")).as("v"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("meta.duration_ms").as("dur"))
+    val video = media.filter(col("kind") === "video")
+      .select(col("v.width") === col("w"), col("v.height") === col("h"),
+        col("v.duration_ms") === col("dur"))
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(video.nonEmpty && video.forall(r => r._1 && r._2 && r._3))
+    // image/audio payloads are not MP4: the box walk must return NULL
+    val other = media.filter(col("kind") =!= "video")
+      .select(col("v.width")).as[Option[Int]].collect()
+    assert(other.nonEmpty && other.forall(_.isEmpty))
+  }
+
+  test("packedMp4 golden and corrupt fixtures") {
+    import graft.functions.ImageHeader
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // minimal ftyp + moov[mvhd v0 (ts 1000, dur 2500) + trak[tkhd v0,
+    // 320x240 as 16.16 fixed]] — box sizes all correct
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val mp4 = hx(
+      "00000010 66747970 69736F6D 00000200" +
+        "000000D8 6D6F6F76" +
+        "0000006C 6D766864 00000000 00000000 00000000 000003E8 000009C4" +
+        "00" * 80 +
+        "00000064 7472616B" +
+        "0000005C 746B6864 00000007 00000000 00000000 00000001 00000000 000009C4" +
+        "00" * 16 + matrix +
+        "01400000 00F00000")
+    val packed = ImageHeader.packedMp4(mp4)
+    assert(packed >= 0)
+    assert((packed >> 44) == 320L, s"w=${packed >> 44}")
+    assert(((packed >> 24) & 0xfffff) == 240L)
+    assert((packed & 0xffffff) == 2500L)
+    // corrupt shapes → -1
+    assert(ImageHeader.packedMp4(mp4.take(40)) == -1L)        // truncated moov
+    assert(ImageHeader.packedMp4(hx("00000010 66747970 69736F6D 00000200")) == -1L) // no moov
+    assert(ImageHeader.packedMp4("not a video at all".getBytes("UTF-8")) == -1L)
+    assert(ImageHeader.packedMp4(Array.empty[Byte]) == -1L)
+  }
+
   test("packedWav golden and corrupt fixtures") {
     import graft.functions.ImageHeader
     def hx(s: String): Array[Byte] =

@@ -232,6 +232,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parseBatchReply round-trips any rendered id→label map (200 maps)") {
+    def render(m: Seq[(String, String)]): String = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\t' => "\\t"; case '\r' => "\\r"; case c => c.toString
+      }
+      m.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+        .mkString("{", ", ", "}")
+    }
+    (1 to 200).foreach { i =>
+      val n = rnd.nextInt(6)
+      val m = (0 until n).map(j => s"id$i-$j-${randStr()}" -> randStr())
+      assert(Classify.parseBatchReply(render(m)) == m.toMap, s"case $i: $m")
+    }
+  }
+
   test("classifyBatched labels are independent of batch and partition boundaries") {
     // a per-id deterministic client (the reply goes through the strict
     // JSON reply parser, so this also round-trips the response contract)
