@@ -60,6 +60,22 @@ object ScaleSmoke {
         durations(label) = s
         println(f"[scale] $label%-22s rows=$n%10d  $s%7.2f s")
       }
+    // best-of-N for stages whose RATIO is the claim (the skew twins): a
+    // transient load spike on a shared box poisons a single measurement
+    // and flips a ratio both ways — min-of-3 measures the plan, not the
+    // machine (same rationale as Bench's best-of-passes)
+    def timeBest(label: String, passes: Int = 3)(f: => Long): Unit =
+      if (stageActive(label)) {
+        var best = Double.MaxValue
+        var n = 0L
+        (1 to passes).foreach { _ =>
+          val t0 = System.nanoTime()
+          n = f
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        durations(label) = best
+        println(f"[scale] $label%-22s rows=$n%10d  $best%7.2f s (best of $passes)")
+      }
     def withConf[T](kvs: (String, String)*)(f: => T): T = {
       val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
       kvs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -115,7 +131,7 @@ object ScaleSmoke {
       "unif" -> keyedCopy(floor(col("__u") * keySpace) + 1))
 
     for ((dist, keyed) <- skewTwins) {
-      time(s"delta-split-$dist") {
+      timeBest(s"delta-split-$dist") {
         // corpus-scale state (one stored fingerprint per key) with
         // broadcast OFF: the join MUST run shuffled, like 100 TB state
         val fresh = keyed.select(col("k"), col("l_quantity"),
@@ -128,7 +144,7 @@ object ScaleSmoke {
           Delta.split(fresh, state, Seq("k"))._1.count()
         }
       }
-      time(s"window-dedup-$dist") {
+      timeBest(s"window-dedup-$dist") {
         Upsert.keepFirst(keyed, Seq("k"),
           Seq(col("l_partkey").asc_nulls_first,
             col("l_suppkey").asc_nulls_first,
