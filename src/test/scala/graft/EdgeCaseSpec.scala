@@ -138,4 +138,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.annSearchBatch(vecs, "vec_id", "embedding",
       emptyQ, "qid", "qvec", probeDims = 8, nprobe = 4, k = 5).count() == 0)
   }
+
+  test("header expressions reject non-binary input at analysis, not runtime") {
+    import graft.functions.ImageFunctions
+    val df = Seq(("not-bytes", 1)).toDF("s", "n")
+    for (f <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      ImageFunctions.imageDims, ImageFunctions.wavInfo, ImageFunctions.mp4Info)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        df.select(f(col("s"))).collect())
+      assert(e.getMessage.contains("binary"), e.getMessage)
+    }
+    // NULL binary input → NULL output (nullSafeEval path), not a crash
+    val nulls = Seq(Tuple1(null: Array[Byte])).toDF("payload")
+    assert(nulls.select(ImageFunctions.imageMeta(col("payload")).getField("format"))
+      .as[String].collect().head == null)
+  }
+
+  test("capBucketsAuto rejects a sub-1 margin loudly") {
+    val df = Seq((1, 1L)).toDF("bucket", "id")
+    assertThrows[IllegalArgumentException](
+      Similarity.capBucketsAuto(df, "bucket", margin = 0.5))
+  }
+
+  test("Vocab.encode at the exact threshold boundary still broadcasts") {
+    import graft.operators.Vocab
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val v = Vocab.build(toks, "token", n = 2)
+    val est = v.select(col("token"), col("token_id"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    // threshold == estimate → small side, hint applied
+    val plan = Vocab.encode(docs, "doc_id", split(col("text"), " "), v,
+        maxBroadcastBytes = est.toLong)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
