@@ -85,25 +85,44 @@ object Classify {
   }
 
   /** Adapter from a raw-reply batch endpoint (what an LLM actually
-    * returns: one string) to [[BatchClient]]: the reply must be one flat
-    * JSON object mapping each row id to its label (the reference's
-    * response contract, classifier.py:91-120). A malformed reply — prose
-    * wrapping, truncation, non-string values — THROWS, and
-    * [[classifyBatched]]'s per-batch isolation turns that into
-    * [[DefaultLabel]] for exactly that batch, never a task failure. */
-  final class RawReplyClient(call: Seq[(String, String)] => String)
+    * returns: one string) to [[BatchClient]]. The default contract is the
+    * reference's (classifier.py:86-120): the reply is a JSON **array** of
+    * `{"id": …, "label": …}` records, salvaged per record — an invalid
+    * record (missing/empty/non-string id or label) is skipped, a length
+    * mismatch with the request batch is tolerated, and only a reply that
+    * fails to parse or isn't an array THROWS, which
+    * [[classifyBatched]]'s per-batch isolation turns into
+    * [[DefaultLabel]] for exactly that batch (the reference returns `{}`
+    * there, classifier.py:98-104 — same rows, same labels), never a task
+    * failure. `strict = true` opts into the unforgiving legacy contract
+    * ([[parseStrictObjectReply]]: one flat `{"id": "label", …}` object,
+    * any drift throws). */
+  final class RawReplyClient(call: Seq[(String, String)] => String,
+                             strict: Boolean = false)
       extends BatchClient {
     override def classify(batch: Seq[(String, String)]): Map[String, String] =
-      parseBatchReply(call(batch))
+      if (strict) parseStrictObjectReply(call(batch))
+      else parseBatchReply(call(batch))
   }
 
-  /** Strict parser for the batch-reply contract: exactly one flat JSON
-    * object of string→string pairs (`{"id": "label", …}`), nothing before
-    * or after. Dependency-free by design (the build adds no JSON library)
-    * and deliberately unforgiving — an LLM reply that drifts from the
-    * contract must fail the batch loudly, not half-parse. */
-  def parseBatchReply(raw: String): Map[String, String] = {
-    val s = raw
+  // ── Minimal JSON reader (dependency-free by design: the build adds no
+  // JSON library, and the hot path never touches this — it runs once per
+  // foreign-call batch). Full value grammar, so a tolerant reply parse
+  // can inspect shapes instead of rejecting them. ──────────────────────
+  private sealed trait JVal
+  private final case class JStr(s: String) extends JVal
+  private final case class JNum(raw: String) extends JVal
+  private final case class JBool(b: Boolean) extends JVal
+  private case object JNull extends JVal
+  private final case class JArr(items: List[JVal]) extends JVal
+  private final case class JObj(fields: List[(String, JVal)]) extends JVal
+
+  /** Parses exactly one JSON value spanning the whole (trimmed) input;
+    * anything else — prose wrapping, truncation, trailing text — throws
+    * IllegalArgumentException. Mirrors `json.loads(raw.strip())`
+    * (classifier.py:95-97): the reference does NOT strip code fences or
+    * salvage prose-wrapped JSON, so neither do we. */
+  private def parseJsonValue(s: String): JVal = {
     var i = 0
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"malformed batch reply at $i: $msg")
@@ -126,6 +145,8 @@ object Classify {
               case 'n'  => b += '\n'
               case 't'  => b += '\t'
               case 'r'  => b += '\r'
+              case 'b'  => b += '\b'
+              case 'f'  => b += '\f'
               case 'u' =>
                 if (i + 5 >= s.length) fail("truncated \\u escape")
                 b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
@@ -139,23 +160,128 @@ object Classify {
       expect('"')
       b.result()
     }
-    ws(); expect('{'); ws()
-    val out = scala.collection.mutable.LinkedHashMap[String, String]()
-    if (i < s.length && s.charAt(i) == '}') i += 1
-    else {
-      var more = true
-      while (more) {
-        val k = str(); ws(); expect(':'); ws(); val v = str(); ws()
-        if (out.contains(k)) fail(s"duplicate id '$k'")
-        out(k) = v
-        if (i < s.length && s.charAt(i) == ',') { i += 1; ws(); more = true }
-        else { expect('}'); more = false }
+    def lit(word: String, v: JVal): JVal = {
+      if (!s.startsWith(word, i)) fail(s"expected '$word'")
+      i += word.length; v
+    }
+    def num(): JVal = {
+      val start = i
+      if (i < s.length && s.charAt(i) == '-') i += 1
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      if (i < s.length && s.charAt(i) == '.') {
+        i += 1; while (i < s.length && s.charAt(i).isDigit) i += 1
+      }
+      if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        i += 1
+        if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+      }
+      if (i == start || s.substring(start, i).matches("-?") ) fail("bad number")
+      JNum(s.substring(start, i))
+    }
+    def value(): JVal = {
+      ws()
+      if (i >= s.length) fail("empty value")
+      s.charAt(i) match {
+        case '"' => JStr(str())
+        case '{' =>
+          i += 1; ws()
+          val fields = List.newBuilder[(String, JVal)]
+          if (i < s.length && s.charAt(i) == '}') i += 1
+          else {
+            var more = true
+            while (more) {
+              ws(); val k = str(); ws(); expect(':')
+              fields += (k -> value()); ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { expect('}'); more = false }
+            }
+          }
+          JObj(fields.result())
+        case '[' =>
+          i += 1; ws()
+          val items = List.newBuilder[JVal]
+          if (i < s.length && s.charAt(i) == ']') i += 1
+          else {
+            var more = true
+            while (more) {
+              items += value(); ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { expect(']'); more = false }
+            }
+          }
+          JArr(items.result())
+        case 't' => lit("true", JBool(true))
+        case 'f' => lit("false", JBool(false))
+        case 'n' => lit("null", JNull)
+        case _   => num()
       }
     }
+    val v = value()
     ws()
-    if (i != s.length) fail("trailing content after object")
-    out.toMap
+    if (i != s.length) fail("trailing content after value")
+    v
   }
+
+  /** Tolerant parser for the reference's batch-reply contract
+    * (classifier.py:98-120): a JSON array of `{"id": …, "label": …}`
+    * records. Per-record salvage — a record missing either field, with an
+    * empty value (Python's `if key and val` truthiness,
+    * classifier.py:115), or a non-object/non-string shape is skipped;
+    * later duplicates of the same id overwrite earlier ones (Python dict
+    * insert, classifier.py:116); a count that doesn't match the request
+    * batch is tolerated (log-only in the reference, classifier.py:106-109
+    * — unmatched rows default downstream via [[classifyBatched]]'s
+    * `getOrElse`). Only parse failure or a non-array top level throws
+    * (the reference zeroes the batch there, classifier.py:98-104).
+    * Non-string ids/labels are skipped rather than stringified: the
+    * reference keeps a truthy non-string, but it can never equal a row's
+    * string key / pass K3 domain validation, so both engines land the
+    * same rows on [[DefaultLabel]]. */
+  def parseBatchReply(raw: String): Map[String, String] =
+    parseJsonValue(raw) match {
+      case JArr(items) =>
+        val out = scala.collection.mutable.LinkedHashMap[String, String]()
+        items.foreach {
+          case JObj(fields) =>
+            val m = fields.toMap // later duplicate field wins, like json.loads
+            (m.get("id"), m.get("label")) match {
+              case (Some(JStr(id)), Some(JStr(label)))
+                  if id.nonEmpty && label.nonEmpty =>
+                out(id) = label
+              case _ => () // warn-skip in the reference; record salvaged past
+            }
+          case _ => () // non-object record: no id/label to salvage
+        }
+        out.toMap
+      case other =>
+        throw new IllegalArgumentException(
+          s"batch reply is ${other.getClass.getSimpleName.stripPrefix("J")}, expected a JSON array")
+    }
+
+  /** Opt-in strict contract (pre-round-10 default): exactly one flat JSON
+    * object of string→string pairs (`{"id": "label", …}`), nothing before
+    * or after — any drift (duplicate id, non-string value, trailing
+    * prose) throws. Useful against endpoints with response-schema
+    * enforcement where drift means a bug, not noise. */
+  def parseStrictObjectReply(raw: String): Map[String, String] =
+    parseJsonValue(raw) match {
+      case JObj(fields) =>
+        val out = scala.collection.mutable.LinkedHashMap[String, String]()
+        fields.foreach {
+          case (k, JStr(v)) =>
+            if (out.contains(k))
+              throw new IllegalArgumentException(s"duplicate id '$k'")
+            out(k) = v
+          case (k, other) =>
+            throw new IllegalArgumentException(
+              s"non-string value for id '$k': $other")
+        }
+        out.toMap
+      case other =>
+        throw new IllegalArgumentException(
+          s"batch reply is ${other.getClass.getSimpleName.stripPrefix("J")}, expected a flat JSON object")
+    }
 
   /** K2 production shape: batched foreign calls inside mapPartitions —
     * the partition is the natural batch boundary; `batchSize` bounds each

