@@ -82,9 +82,14 @@ object StreamingJobs {
     * candidate pairs to `outDir`, then (b) merged into the state for the
     * following batches. Probe cost per batch ∝ batch size, never corpus
     * size; the state table is the same versioned-parquet merge the batch
-    * path uses, so batch and stream agree on state layout. Within-batch
-    * dups are NOT flagged here (the probe runs against prior state only) —
-    * run `Dedup.lshCandidates` on the batch when that matters.
+    * path uses, so batch and stream agree on state layout. By default
+    * within-batch dups are NOT flagged (the probe runs against prior
+    * state only); `withinBatch = true` closes that gap by also running
+    * the batch-form `Dedup.lshCandidates` self-pairing on the
+    * micro-batch — same bucket cap — and unioning those pairs (oriented
+    * id_new > id_old, the later doc flagged against the earlier) into
+    * the epoch output. The trade is one extra bucket self-join per
+    * batch, ∝ batch², never corpus.
     *
     * Replay-safe (foreachBatch re-executes an epoch after failure):
     * bucket rows carry their epoch, the probe EXCLUDES state rows of the
@@ -108,12 +113,14 @@ object StreamingJobs {
                            stateDir: String, outDir: String,
                            k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
                            maxBucketSize: Int = 50,
-                           maxEpochAge: Int = 0): DataStreamWriter[Row] =
+                           maxEpochAge: Int = 0,
+                           withinBatch: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         incrementalDedupBatch(batch, epochId, idCol, tokensCol,
-          stateDir, outDir, k, bands, rowsPerBand, maxBucketSize, maxEpochAge)
+          stateDir, outDir, k, bands, rowsPerBand, maxBucketSize, maxEpochAge,
+          withinBatch)
       }
 
   /** One epoch of [[incrementalDedupSink]], exposed so replay semantics
@@ -124,7 +131,8 @@ object StreamingJobs {
                             stateDir: String, outDir: String,
                             k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
                             maxBucketSize: Int = 50,
-                            maxEpochAge: Int = 0): Unit = {
+                            maxEpochAge: Int = 0,
+                            withinBatch: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val sigs = batch.select(col(idCol),
       graft.operators.Dedup.minhashSignature(tokensCol, k).as("sig"))
@@ -136,9 +144,18 @@ object StreamingJobs {
         .filter(col("__epoch") < epochId)
       case None => buckets.limit(0)
     }
-    graft.operators.Dedup.incrementalLshCandidates(
-        state.drop("__epoch"), buckets.drop("__epoch"), maxBucketSize)
-      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    val cross = graft.operators.Dedup.incrementalLshCandidates(
+      state.drop("__epoch"), buckets.drop("__epoch"), maxBucketSize)
+    val flagged = if (!withinBatch) cross else {
+      // same-batch pairs via the batch-form self-pairing (same cap);
+      // lshCandidates orients id_a < id_b, so the LATER id is flagged
+      // against the earlier — deterministic under replay
+      val within = graft.operators.Dedup.lshCandidates(
+          buckets.drop("__epoch"), maxBucketSize)
+        .select(col("id_b").as("id_new"), col("id_a").as("id_old"))
+      cross.unionByName(within).distinct()
+    }
+    flagged.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     graft.sources.Writers.mergeState(
       spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"),
       evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
@@ -151,12 +168,12 @@ object StreamingJobs {
     * near-dups, then merges its own buckets into the state — the
     * embedding-dedup-at-ingest shape. Same replay contract: epoch-keyed
     * output overwrite + versioned keep-max state merge make a re-run of
-    * the SAME (batch, epochId) a no-op. Same within-batch caveat as the
-    * text sink, too: the probe runs against PRIOR state only, so two
-    * near-dup vectors arriving in the SAME micro-batch are never flagged
-    * against each other — run
-    * `Similarity.incrementalEmbeddingCandidates(batch, batch, …)` (or a
-    * batch self-pair pass) on the micro-batch when that matters. And the
+    * the SAME (batch, epochId) a no-op. Same within-batch option as the
+    * text sink: by default the probe runs against PRIOR state only, so
+    * two near-dup vectors arriving in the SAME micro-batch are not
+    * flagged against each other; `withinBatch = true` also self-probes
+    * the micro-batch (same bucket cap, pairs oriented id_new > id_old)
+    * and unions those pairs into the epoch output. And the
     * same compaction knob: `maxEpochAge` N > 0 keeps only the last N
     * epochs' vectors in state (sliding-window dedup; older near-dups go
     * unflagged), 0 retains forever. */
@@ -164,12 +181,14 @@ object StreamingJobs {
                                stateDir: String, outDir: String,
                                probeDims: Int = 8, maxBucketSize: Int = 100,
                                minCosine: Double = 0.9,
-                               maxEpochAge: Int = 0): DataStreamWriter[Row] =
+                               maxEpochAge: Int = 0,
+                               withinBatch: Boolean = false): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         incrementalEmbeddingBatch(batch, epochId, idCol, vecCol,
-          stateDir, outDir, probeDims, maxBucketSize, minCosine, maxEpochAge)
+          stateDir, outDir, probeDims, maxBucketSize, minCosine, maxEpochAge,
+          withinBatch)
       }
 
   /** One epoch of [[incrementalEmbeddingSink]], exposed for replay tests
@@ -179,7 +198,8 @@ object StreamingJobs {
                                 stateDir: String, outDir: String,
                                 probeDims: Int = 8, maxBucketSize: Int = 100,
                                 minCosine: Double = 0.9,
-                                maxEpochAge: Int = 0): Unit = {
+                                maxEpochAge: Int = 0,
+                                withinBatch: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val bucketed = batch
       .withColumn("bucket",
@@ -192,10 +212,20 @@ object StreamingJobs {
         .filter(col("__epoch") < epochId)
       case None => bucketed.limit(0)
     }
-    graft.operators.Similarity.incrementalEmbeddingCandidates(
-        state.drop("__epoch"), bucketed.drop("__epoch").drop("bucket"),
-        idCol, vecCol, probeDims, maxBucketSize, minCosine)
-      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    val cross = graft.operators.Similarity.incrementalEmbeddingCandidates(
+      state.drop("__epoch"), bucketed.drop("__epoch").drop("bucket"),
+      idCol, vecCol, probeDims, maxBucketSize, minCosine)
+    val flagged = if (!withinBatch) cross else {
+      // self-probe yields both orientations of every same-batch pair
+      // (self-matches already excluded); keep one, later id flagged
+      // against the earlier — consistent with the text sink
+      val within = graft.operators.Similarity.incrementalEmbeddingCandidates(
+          bucketed.drop("__epoch"), bucketed.drop("__epoch").drop("bucket"),
+          idCol, vecCol, probeDims, maxBucketSize, minCosine)
+        .filter(col("id_new") > col("id_old"))
+      cross.unionByName(within).distinct()
+    }
+    flagged.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     graft.sources.Writers.mergeState(
       spark, stateDir, bucketed, Seq(idCol), col("__epoch"),
       evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)

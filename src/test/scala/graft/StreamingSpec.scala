@@ -133,6 +133,116 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows == s1)
   }
 
+  test("withinBatch flags same-batch text near-dups; off by default; replay stable") {
+    def dirs(tag: String) =
+      (java.nio.file.Files.createTempDirectory(s"$tag-state").toString,
+       java.nio.file.Files.createTempDirectory(s"$tag-out").toString)
+    // docs 1 and 2 are near-dups arriving in the SAME micro-batch
+    val batch0 = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"))
+    def run(stateDir: String, outDir: String, epoch: Long, within: Boolean,
+            docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalDedupBatch(docs.toDF("doc_id", "text"), epoch,
+        "doc_id", split(col("text"), " "), stateDir, outDir,
+        withinBatch = within)
+    def flagged(outDir: String, epoch: Long) =
+      spark.read.parquet(s"$outDir/epoch=$epoch")
+        .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // OFF (default): the same-batch pair is invisible — probe sees prior
+    // state only, and epoch 0 has none
+    val (sOff, oOff) = dirs("lshwb-off")
+    run(sOff, oOff, 0L, within = false, batch0)
+    assert(flagged(oOff, 0L) == Set.empty)
+    // ON: the pair is flagged, later id against earlier
+    val (sOn, oOn) = dirs("lshwb-on")
+    run(sOn, oOn, 0L, within = true, batch0)
+    assert(flagged(oOn, 0L) == Set((2L, 1L)))
+    // cross-batch probing is unchanged: doc 4 dups docs 1/2 from state
+    run(sOn, oOn, 1L, within = true, Seq((4L, "alpha beta gamma delta")))
+    assert(flagged(oOn, 1L) == Set((4L, 1L), (4L, 2L)))
+    // crash-after-commit replay of epoch 0 with the option on: output and
+    // state stay content-identical (within pairs derive only from the
+    // batch, so the overwrite reproduces them exactly)
+    def stateRows(stateDir: String) = {
+      val v = graft.sources.Writers.latestVersion(stateDir).get
+      spark.read.parquet(s"$stateDir/v$v")
+        .select("doc_id", "band", "bucket", "__epoch")
+        .as[(Long, Int, String, Long)].collect().toSet
+    }
+    val (f0, s0) = (flagged(oOn, 0L), stateRows(sOn))
+    run(sOn, oOn, 0L, within = true, batch0)
+    assert(flagged(oOn, 0L) == f0 && stateRows(sOn) == s0)
+  }
+
+  test("withinBatch flags same-batch embedding near-dups; off by default") {
+    def v(xs: Double*) = xs.map(_.toFloat)
+    def dirs(tag: String) =
+      (java.nio.file.Files.createTempDirectory(s"$tag-state").toString,
+       java.nio.file.Files.createTempDirectory(s"$tag-out").toString)
+    // vecs 1 and 2 are near-identical, arriving together; vec 3 is far
+    val batch0 = Seq(
+      (1L, v(0.9, 0.3, 0, 0, 0, 0, 0, 0)),
+      (2L, v(0.88, 0.31, 0, 0, 0, 0, 0, 0)),
+      (3L, v(0, 0, 0.9, -0.4, 0, 0, 0, 0)))
+    def run(stateDir: String, outDir: String, epoch: Long, within: Boolean,
+            rows: Seq[(Long, Seq[Float])]): Unit =
+      StreamingJobs.incrementalEmbeddingBatch(
+        rows.toDF("vec_id", "embedding"), epoch, "vec_id", "embedding",
+        stateDir, outDir, probeDims = 8, maxBucketSize = 100,
+        minCosine = 0.9, withinBatch = within)
+    def flagged(outDir: String, epoch: Long) =
+      spark.read.parquet(s"$outDir/epoch=$epoch")
+        .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val (sOff, oOff) = dirs("embwb-off")
+    run(sOff, oOff, 0L, within = false, batch0)
+    assert(flagged(oOff, 0L) == Set.empty)
+    val (sOn, oOn) = dirs("embwb-on")
+    run(sOn, oOn, 0L, within = true, batch0)
+    assert(flagged(oOn, 0L) == Set((2L, 1L)))
+    // replay of the same epoch with the option on stays idempotent
+    run(sOn, oOn, 0L, within = true, batch0)
+    assert(flagged(oOn, 0L) == Set((2L, 1L)))
+  }
+
+  test("incrementalDedupSink e2e on a FILE source: trigger, checkpoint restart, versioned state") {
+    // the production shape: docs land as parquet files in a directory,
+    // the sink runs on a trigger with a checkpoint, and a restarted query
+    // resumes from the checkpoint — new files become the next epoch
+    // against the SAME versioned state the first run left behind
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("lshsrc").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("lshfsstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lshfsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lshfsckpt").toString
+    def start() = StreamingJobs.incrementalDedupSink(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir),
+        "doc_id", split(col("text"), " "), stateDir, outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    def flagged = spark.read.parquet(outDir)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // run 1: two novel docs seed the state, nothing to flag
+    Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.awaitTermination()
+    assert(flagged == Set.empty)
+    val v1 = graft.sources.Writers.latestVersion(stateDir).get
+    assert(spark.read.parquet(s"$stateDir/v$v1")
+      .select("doc_id").distinct().count() == 2)
+    // run 2 (fresh query object, same checkpoint): a new file arrives
+    // with a dup of doc 1 — only the NEW file is processed, probing the
+    // state run 1 persisted
+    Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.awaitTermination()
+    assert(flagged == Set((3L, 1L)))
+    val v2 = graft.sources.Writers.latestVersion(stateDir).get
+    assert(v2 > v1) // a new state version per processed epoch
+    assert(spark.read.parquet(s"$stateDir/v$v2")
+      .select("doc_id").distinct().count() == 3)
+  }
+
   test("dedup state compaction: size plateaus across epochs, replay still idempotent") {
     val stateDir = java.nio.file.Files.createTempDirectory("lshcompact").toString
     val outDir = java.nio.file.Files.createTempDirectory("lshcompactout").toString
