@@ -227,6 +227,171 @@ object ImageHeader {
     }
     -1L
   }
+
+  // ── Matroska/WebM (EBML) ─────────────────────────────────────────────
+
+  private final val Mask56 = (1L << 56) - 1
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** EBML element id at `i`: lenBytes<<56 | raw id (length marker
+    * included, as ids are written in the file); -1 when malformed or
+    * truncated. Ids span 1-4 bytes; the leading byte's first set bit
+    * gives the length. */
+  private def ebmlId(b: Array[Byte], i: Int): Long = {
+    if (i >= b.length) return -1L
+    val b0 = u8(b, i)
+    if (b0 == 0) return -1L
+    val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+    if (len > 4 || i + len > b.length) return -1L
+    var v = 0L
+    var j = 0
+    while (j < len) { v = (v << 8) | u8(b, i + j); j += 1 }
+    (len.toLong << 56) | v
+  }
+
+  /** EBML size vint at `i`: lenBytes<<56 | value (marker bit stripped);
+    * -1 malformed/truncated; -(lenBytes+1) for the reserved all-ones
+    * "unknown size" form (legal only on the Segment). */
+  private def ebmlSize(b: Array[Byte], i: Int): Long = {
+    if (i >= b.length) return -1L
+    val b0 = u8(b, i)
+    if (b0 == 0) return -1L
+    val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+    if (len > 8 || i + len > b.length) return -1L
+    var v = (b0 & (0xff >>> len)).toLong
+    var j = 1
+    while (j < len) { v = (v << 8) | u8(b, i + j); j += 1 }
+    if (v == (1L << (7 * len)) - 1) return -(len.toLong + 1)
+    (len.toLong << 56) | v
+  }
+
+  /** First child with EBML id `want` in [from, to): contentStart<<32 |
+    * contentEnd, or -1. A child with an unknown size is malformed here —
+    * only the Segment (handled by the caller) may use that form. */
+  private def ebmlFind(b: Array[Byte], from: Int, to: Int, want: Long): Long = {
+    var i = from
+    while (i < to) {
+      val idr = ebmlId(b, i)
+      if (idr < 0) return -1L
+      val sz = ebmlSize(b, i + (idr >>> 56).toInt)
+      if (sz < 0) return -1L
+      val start = i + (idr >>> 56).toInt + (sz >>> 56).toInt
+      val n = sz & Mask56
+      if (n > to - start) return -1L
+      if ((idr & Mask56) == want) return (start.toLong << 32) | (start + n)
+      i = (start + n).toInt
+    }
+    -1L
+  }
+
+  /** Big-endian EBML unsigned int over [start, end) (0-8 bytes; zero
+    * bytes decode to 0, per spec element defaults). */
+  private def ebmlUint(b: Array[Byte], start: Int, end: Int): Long = {
+    val n = end - start
+    if (n < 0 || n > 8) return -1L
+    var v = 0L
+    var i = start
+    while (i < end) { v = (v << 8) | u8(b, i); i += 1 }
+    v
+  }
+
+  /** Matroska/WebM (EBML) video header → -1 when not well-formed, else
+    * width<<44 | height<<24 | durationMs — the same packing as
+    * [[packedMp4]], completing the L3 video-container family (WebM is
+    * the other dominant crawl video container). Requires: a leading
+    * EBML header whose DocType is `webm` or `matroska`; a Segment
+    * (unknown-size form clamps to the buffer, which also admits
+    * header-only prefixes of a large file); Tracks → a TrackEntry with
+    * a Video element carrying sane PixelWidth/PixelHeight. Duration is
+    * optional (absent on live-muxed files → 0 ms): Info's Duration
+    * float (4 or 8 bytes) scaled by TimestampScale (default 1,000,000
+    * ns per tick) to ms, saturating at 2^24-1. Audio-only files parse
+    * to -1 — this is the video-metadata reader, like packedMp4's
+    * first-video-trak contract. Called from generated code — must stay
+    * a pure static-forwardable function. */
+  def packedMkv(b: Array[Byte]): Long = {
+    if (b == null || b.length < 16) return -1L
+    val idr = ebmlId(b, 0)
+    if (idr < 0 || (idr & Mask56) != 0x1A45DFA3L) return -1L
+    val hdrSz = ebmlSize(b, (idr >>> 56).toInt)
+    if (hdrSz < 0) return -1L
+    val hdrStart = (idr >>> 56).toInt + (hdrSz >>> 56).toInt
+    val hdrLen = hdrSz & Mask56
+    if (hdrLen > b.length - hdrStart) return -1L
+    val hdrEnd = hdrStart + hdrLen.toInt
+    val dt = ebmlFind(b, hdrStart, hdrEnd, 0x4282L)
+    if (dt < 0) return -1L
+    val docType = new String(b, (dt >>> 32).toInt,
+      (dt & 0xffffffffL).toInt - (dt >>> 32).toInt,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (docType != "webm" && docType != "matroska") return -1L
+    val segIdr = ebmlId(b, hdrEnd)
+    if (segIdr < 0 || (segIdr & Mask56) != 0x18538067L) return -1L
+    val segSzOff = hdrEnd + (segIdr >>> 56).toInt
+    val segSz = ebmlSize(b, segSzOff)
+    if (segSz == -1L) return -1L
+    var segStart = 0
+    var segEnd = 0
+    if (segSz < -1) { // unknown size: the segment runs to end of buffer
+      segStart = segSzOff + (-segSz - 1).toInt
+      segEnd = b.length
+    } else {
+      segStart = segSzOff + (segSz >>> 56).toInt
+      val n = segSz & Mask56
+      segEnd = if (n > b.length - segStart) b.length else (segStart + n).toInt
+    }
+    var durMs = 0L
+    val info = ebmlFind(b, segStart, segEnd, 0x1549A966L)
+    if (info >= 0) {
+      val iS = (info >>> 32).toInt
+      val iE = (info & 0xffffffffL).toInt
+      var scale = 1000000L // ns per tick, the spec default
+      val ts = ebmlFind(b, iS, iE, 0x2AD7B1L)
+      if (ts >= 0) {
+        val v = ebmlUint(b, (ts >>> 32).toInt, (ts & 0xffffffffL).toInt)
+        if (v <= 0) return -1L
+        scale = v
+      }
+      val du = ebmlFind(b, iS, iE, 0x4489L)
+      if (du >= 0) {
+        val dS = (du >>> 32).toInt
+        val dur = ((du & 0xffffffffL).toInt - dS) match {
+          case 4 => java.lang.Float.intBitsToFloat(be32(b, dS).toInt).toDouble
+          case 8 => java.lang.Double.longBitsToDouble(be64(b, dS))
+          case 0 => 0.0
+          case _ => return -1L
+        }
+        if (java.lang.Double.isNaN(dur) || dur < 0) return -1L
+        durMs = math.min((dur * scale / 1e6).toLong, MaxDim.toLong)
+      }
+    }
+    val tracks = ebmlFind(b, segStart, segEnd, 0x1654AE6BL)
+    if (tracks < 0) return -1L
+    var from = (tracks >>> 32).toInt
+    val tEnd = (tracks & 0xffffffffL).toInt
+    while (from < tEnd) {
+      val te = ebmlFind(b, from, tEnd, 0xAEL)
+      if (te < 0) return -1L
+      val teS = (te >>> 32).toInt
+      val teE = (te & 0xffffffffL).toInt
+      val vid = ebmlFind(b, teS, teE, 0xE0L)
+      if (vid >= 0) {
+        val vS = (vid >>> 32).toInt
+        val vE = (vid & 0xffffffffL).toInt
+        val pw = ebmlFind(b, vS, vE, 0xB0L)
+        val ph = ebmlFind(b, vS, vE, 0xBAL)
+        if (pw < 0 || ph < 0) return -1L
+        val w = ebmlUint(b, (pw >>> 32).toInt, (pw & 0xffffffffL).toInt)
+        val h = ebmlUint(b, (ph >>> 32).toInt, (ph & 0xffffffffL).toInt)
+        if (w < 1 || w > MaxDim20 || h < 1 || h > MaxDim20) return -1L
+        return (w << 44) | (h << 24) | durMs
+      }
+      from = teE
+    }
+    -1L
+  }
 }
 
 /** `image_dims(binary) -> long` — NULL unless the payload starts with a
@@ -329,6 +494,40 @@ case class Mp4Info(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mkv_info(binary) -> long` — NULL unless the payload is a well-formed
+  * Matroska/WebM (EBML) header; else width<<44|height<<24|durationMs —
+  * MP4's packing, so [[ImageFunctions.videoMeta]]-style unpacking applies
+  * to either container. Same codegen shape as [[ImageDims]]. */
+case class MkvInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mkv_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mkv_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedMkv(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedMkv($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MkvInfo =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -378,11 +577,26 @@ object ImageFunctions {
 
   /** Typed video header metadata `{width, height, duration_ms}` — NULL
     * fields for non-MP4 payloads. */
-  def videoMeta(payload: Column): Column = {
-    val packed = mp4Info(payload)
+  def videoMeta(payload: Column): Column = unpackVideo(mp4Info(payload))
+
+  /** Packed (width, height, durationMs) long for Matroska/WebM payloads,
+    * NULL otherwise. */
+  def mkvInfo(payload: Column): Column =
+    ColumnBridge.column(MkvInfo(ColumnBridge.expression(payload)))
+
+  /** Typed video header metadata for Matroska/WebM payloads — NULL
+    * fields otherwise. */
+  def webmMeta(payload: Column): Column = unpackVideo(mkvInfo(payload))
+
+  /** Container-agnostic video metadata: MP4 and Matroska/WebM share the
+    * packed layout, so one coalesce covers both — the column a crawl
+    * pipeline actually filters on when the container is unknown. */
+  def anyVideoMeta(payload: Column): Column =
+    unpackVideo(coalesce(mp4Info(payload), mkvInfo(payload)))
+
+  private def unpackVideo(packed: Column): Column =
     struct(
       shiftright(packed, 44).bitwiseAND(lit(0xfffffL)).cast("int").as("width"),
       shiftright(packed, 24).bitwiseAND(lit(0xfffffL)).cast("int").as("height"),
       packed.bitwiseAND(lit(0xffffffL)).as("duration_ms"))
-  }
 }

@@ -37,13 +37,28 @@ object Multimodal {
     * built from hex column math — `unhex(lpad(hex(w),8,'0'))` is the
     * 4-byte big-endian encoder) prepended to the text bytes, so the
     * header-parse stage ([[graft.functions.ImageFunctions.imageMeta]])
-    * runs against genuine container bytes; audio/video payloads stay
-    * opaque text bytes. Gives the binary-column pipeline a real
-    * distributed input without shipping codecs. */
+    * runs against genuine container bytes; audio rows RIFF/WAVE, video
+    * rows alternate MP4 (doc_id % 6 == 2) and WebM/EBML (doc_id % 6 ==
+    * 5) — the two dominant crawl video containers. Gives the
+    * binary-column pipeline a real distributed input without shipping
+    * codecs. */
   def synthesizeMedia(docs: DataFrame): DataFrame = {
     val w = (col("n_chars") % 640 + 1).cast("int")
     val h = (col("n_chars") % 480 + 1).cast("int")
+    def be16(c: Column2): Column2 = unhex(lpad(hex(c), 4, "0"))
     def be32(c: Column2): Column2 = unhex(lpad(hex(c), 8, "0"))
+    // IEEE-754 float64 big-endian bytes of a non-negative integer column,
+    // EXACT via integer column math (no UDF): exponent = |bin(n)|-1,
+    // bits = (e+1023)·2^52 + n·2^(52-e) − 2^52 (n < 2^24 keeps every
+    // shift in-range); 0 encodes as all-zero bits
+    def f64be(n: Column2): Column2 = {
+      val e = (length(bin(n)) - 1).cast("int")
+      val bits = shiftleft((e + 1023).cast("long"), 52) +
+        call_function("shiftleft", n.cast("long"), lit(52) - e) -
+        shiftleft(lit(1L), 52)
+      when(n > 0, unhex(lpad(hex(bits), 16, "0")))
+        .otherwise(unhex(lit("0000000000000000")))
+    }
     def le32(c: Column2): Column2 = {
       val x = lpad(hex(c), 8, "0")
       unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
@@ -81,18 +96,33 @@ object Multimodal {
       be32(durTicks), unhex(lit("00" * 16)), unhex(lit(matrixHex)),
       be32((w.cast("long") * 65536).cast("int")),                    // 16.16 width
       be32((h.cast("long") * 65536).cast("int")))                    // 16.16 height
+    // minimal-but-structurally-genuine WebM: EBML header (DocType
+    // "webm") + Segment[Info(TimestampScale 1e6 ns ≙ 1 ms/tick,
+    // Duration f64 = n_chars×10) + Tracks[TrackEntry[Video[PixelWidth,
+    // PixelHeight]]]] — every EBML size vint is correct, so a real
+    // EBML walker traverses it; the text body trails the segment
+    val webmHeader = concat(
+      unhex(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D")),    // EBML: DocType webm
+      unhex(lit("18538067" + "A9")),                                 // Segment(41)
+      unhex(lit("1549A966" + "93" + "2AD7B1" + "84" + "000F4240" +   // Info(19): scale 1e6
+        "4489" + "88")), f64be(durTicks),                            // Duration f64 (ms ticks)
+      unhex(lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" +      // Tracks>Track>Video
+        "B0" + "82")), be16(w), unhex(lit("BA" + "82")), be16(h))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       ((col("doc_id") % 3) + 1).cast("int"))
+    val isMp4 = (col("doc_id") % 6) === 2
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", concat(pngHeader, col("text").cast("binary")))
         .when(kind === "audio", concat(wavHeader, col("text").cast("binary")))
-        .otherwise(concat(mp4Header, col("text").cast("binary"))).as("payload"),
+        .when(isMp4, concat(mp4Header, col("text").cast("binary")))
+        .otherwise(concat(webmHeader, col("text").cast("binary"))).as("payload"),
       struct(
         when(kind === "image", lit("png"))
           .when(kind === "audio", lit("wav"))
-          .otherwise(lit("mp4")).as("format"),
+          .when(isMp4, lit("mp4"))
+          .otherwise(lit("webm")).as("format"),
         w.as("width"),
         h.as("height"),
         lit(16000).as("sample_rate"),

@@ -152,12 +152,13 @@ object LlmPack extends QueryPack {
         new Multimodal.ByteHistogramDecoder())
         .withColumn("hdr", graft.functions.ImageFunctions.imageMeta(col("payload")))
         .withColumn("ahdr", graft.functions.ImageFunctions.audioMeta(col("payload")))
-        .withColumn("vhdr", graft.functions.ImageFunctions.videoMeta(col("payload")))
+        .withColumn("vhdr", graft.functions.ImageFunctions.anyVideoMeta(col("payload")))
         .select(col("media_id"), col("kind"), col("ok"), col("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
           // REAL container-header parses (native image_dims / wav_info /
-          // mp4_info expressions): image rows carry a genuine PNG
-          // header, audio rows RIFF/WAVE, video rows MP4 ftyp+moov —
+          // mp4_info / mkv_info expressions): image rows carry a genuine
+          // PNG header, audio rows RIFF/WAVE, video rows alternate MP4
+          // ftyp+moov and WebM EBML (anyVideoMeta coalesces the two) —
           // each kind's metadata must round-trip the synthesized meta
           // and every foreign payload parses to NULL, not garbage
           col("hdr.format").as("hdr_format"),

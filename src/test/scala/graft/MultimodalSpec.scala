@@ -15,7 +15,10 @@ class MultimodalSpec extends AnyFunSuite {
   private val docs = Seq(
     (0L, "hello world tokens", "es", "src0", 18L),
     (1L, "another doc body", "de", "src1", 16L),
-    (2L, "third payload text", "en", "src2", 18L)
+    (2L, "third payload text", "en", "src2", 18L), // video: doc_id%6==2 → mp4
+    (3L, "fourth image doc", "en", "src0", 16L),
+    (4L, "fifth audio doc", "fr", "src1", 15L),
+    (5L, "sixth video doc", "en", "src2", 15L)     // video: doc_id%6==5 → webm
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
   test("synthesizeMedia schema: opaque binary payload + typed metadata") {
@@ -200,20 +203,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.forall(_.isEmpty))
   }
 
-  test("synthesizeMedia video payloads round-trip meta through the MP4 parse") {
+  test("synthesizeMedia video payloads round-trip meta through MP4 and WebM parses") {
     import graft.functions.ImageFunctions
     val media = Multimodal.synthesizeMedia(docs)
-      .select(col("kind"), ImageFunctions.videoMeta(col("payload")).as("v"),
+      .select(col("kind"), col("meta.format").as("fmt"),
+        ImageFunctions.videoMeta(col("payload")).as("v"),
+        ImageFunctions.webmMeta(col("payload")).as("wm"),
+        ImageFunctions.anyVideoMeta(col("payload")).as("any"),
         col("meta.width").as("w"), col("meta.height").as("h"),
         col("meta.duration_ms").as("dur"))
-    val video = media.filter(col("kind") === "video")
+    // each container's rows round-trip through ITS parser…
+    val mp4 = media.filter(col("fmt") === "mp4")
       .select(col("v.width") === col("w"), col("v.height") === col("h"),
-        col("v.duration_ms") === col("dur"))
-      .as[(Boolean, Boolean, Boolean)].collect()
-    assert(video.nonEmpty && video.forall(r => r._1 && r._2 && r._3))
-    // image/audio payloads are not MP4: the box walk must return NULL
+        col("v.duration_ms") === col("dur"), col("wm.width").isNull)
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(mp4.nonEmpty && mp4.forall(r => r._1 && r._2 && r._3 && r._4))
+    val webm = media.filter(col("fmt") === "webm")
+      .select(col("wm.width") === col("w"), col("wm.height") === col("h"),
+        col("wm.duration_ms") === col("dur"), col("v.width").isNull)
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(webm.nonEmpty && webm.forall(r => r._1 && r._2 && r._3 && r._4))
+    // …and the container-agnostic coalesce covers every video row
+    val any = media.filter(col("kind") === "video")
+      .select(col("any.width") === col("w"), col("any.duration_ms") === col("dur"))
+      .as[(Boolean, Boolean)].collect()
+    assert(any.nonEmpty && any.forall(r => r._1 && r._2))
+    // image/audio payloads are neither MP4 nor EBML: both walks → NULL
     val other = media.filter(col("kind") =!= "video")
-      .select(col("v.width")).as[Option[Int]].collect()
+      .select(col("any.width")).as[Option[Int]].collect()
     assert(other.nonEmpty && other.forall(_.isEmpty))
   }
 
@@ -245,6 +262,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageHeader.packedMp4(hx("00000010 66747970 69736F6D 00000200")) == -1L) // no moov
     assert(ImageHeader.packedMp4("not a video at all".getBytes("UTF-8")) == -1L)
     assert(ImageHeader.packedMp4(Array.empty[Byte]) == -1L)
+  }
+
+  test("packedMkv golden and corrupt fixtures; codegen parity") {
+    import graft.functions.{ImageFunctions, ImageHeader}
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    // minimal WebM: EBML(DocType webm) + Segment[Info(scale 1e6,
+    // Duration f64 2500.0) + Tracks[TrackEntry[Video[320x240]]]] —
+    // every size vint correct per the EBML spec
+    val webm = hx(
+      "1A45DFA3 87 4282 84 7765626D" +
+        " 18538067 A9" +
+        " 1549A966 93 2AD7B1 84 000F4240 4489 88 40A3880000000000" +
+        " 1654AE6B 8C AE 8A E0 88 B0 82 0140 BA 82 00F0")
+    val packed = ImageHeader.packedMkv(webm)
+    assert(packed >= 0)
+    assert((packed >> 44) == 320L, s"w=${packed >> 44}")
+    assert(((packed >> 24) & 0xfffff) == 240L)
+    assert((packed & 0xffffff) == 2500L)
+    // matroska DocType + UNKNOWN-size segment (clamps to buffer) +
+    // float32 Duration — all legal spec variants
+    val mkvUnknown = hx(
+      "1A45DFA3 8B 4282 88 6D6174726F736B61" +
+        " 18538067 FF" +
+        " 1549A966 8F 2AD7B1 84 000F4240 4489 84 451C4000" +
+        " 1654AE6B 8C AE 8A E0 88 B0 82 0140 BA 82 00F0")
+    val p2 = ImageHeader.packedMkv(mkvUnknown)
+    assert(p2 >= 0 && (p2 & 0xffffff) == 2500L && (p2 >> 44) == 320L)
+    // no Info at all → duration 0, dims still parse (live-muxed shape)
+    val noInfo = hx(
+      "1A45DFA3 87 4282 84 7765626D" +
+        " 18538067 91" +
+        " 1654AE6B 8C AE 8A E0 88 B0 82 0140 BA 82 00F0")
+    val p3 = ImageHeader.packedMkv(noInfo)
+    assert(p3 >= 0 && (p3 & 0xffffff) == 0L && ((p3 >> 24) & 0xfffff) == 240L)
+    // corrupt / foreign shapes → -1
+    val audioOnly = hx( // TrackEntry with no Video child
+      "1A45DFA3 87 4282 84 7765626D" +
+        " 18538067 8A 1654AE6B 85 AE 83 D7 81 01")
+    assert(ImageHeader.packedMkv(audioOnly) == -1L)
+    assert(ImageHeader.packedMkv(hx(
+      "1A45DFA3 87 4282 84 786D6C21" + " 18538067 A9")) == -1L) // DocType "xml!"
+    assert(ImageHeader.packedMkv(webm.take(30)) == -1L)          // truncated walk
+    assert(ImageHeader.packedMkv("not a video at all".getBytes("UTF-8")) == -1L)
+    assert(ImageHeader.packedMkv(Array.empty[Byte]) == -1L)
+    // interpreted (static) vs codegen (plan) parity on every fixture
+    val all = Seq(webm, mkvUnknown, noInfo, audioOnly,
+      "junk".getBytes("UTF-8"), Array.empty[Byte])
+    val viaStatic = all.map(b => Option(ImageHeader.packedMkv(b)).filter(_ >= 0))
+    val viaPlan = all.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "payload")
+      .select(col("i"), ImageFunctions.mkvInfo(col("payload")).as("d"))
+      .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaPlan == viaStatic)
   }
 
   test("packedWav golden and corrupt fixtures") {
