@@ -84,6 +84,28 @@ object Classify {
     def classify(batch: Seq[(String, String)]): Map[String, String]
   }
 
+  /** The reference's request prompt (classifier.py:77-90), made
+    * executable so a production [[RawReplyClient]] call function only
+    * supplies transport: category instruction block asking for exactly
+    * the JSON array of `{"id", "label"}` records that
+    * [[parseBatchReply]] parses, then one `id: text` line per row (the
+    * reference renders `id: titulo -- detalle`; pass text already
+    * joined with " -- " to match). Pure string assembly — batching,
+    * per-batch isolation, and reply parsing stay where they are. */
+  def referencePrompt(categories: Seq[String],
+                      batch: Seq[(String, String)]): String = {
+    val head =
+      "Agrupa **exclusivamente** cada uno de estos proyectos en uno de " +
+        "los siguientes sectores económicos:\n" +
+        categories.mkString(", ") + ".\n" +
+        "Si no encaja claramente en ninguno, entonces clasifícalo como " +
+        "\"" + DefaultLabel + "\".\n" +
+        "Respóndeme un JSON-Array con objetos de la forma:\n" +
+        "  {\"id\": \"<ID_DEL_PROYECTO>\", \"label\": \"<categoría>\"}\n" +
+        "sin ningún texto adicional.\n\n"
+    head + batch.map { case (id, text) => s"$id: $text" }.mkString("\n")
+  }
+
   /** Adapter from a raw-reply batch endpoint (what an LLM actually
     * returns: one string) to [[BatchClient]]. The default contract is the
     * reference's (classifier.py:86-120): the reply is a JSON **array** of

@@ -179,6 +179,24 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("referencePrompt renders the reference's request contract") {
+    val p = Classify.referencePrompt(Seq("salud", "economía"),
+      Seq(("CAM-1", "dotación hospital -- obra civil"),
+          ("CAM-2", "via terciaria -- mantenimiento")))
+    // the instruction block requests exactly the array-of-records shape
+    // parseBatchReply parses (classifier.py:86-88)
+    assert(p.contains("salud, economía"))
+    assert(p.contains("""{"id": "<ID_DEL_PROYECTO>", "label": "<categoría>"}"""))
+    assert(p.contains("sin ningún texto adicional"))
+    // one id-prefixed line per row, reference line shape (classifier.py:77-80)
+    assert(p.endsWith(
+      "CAM-1: dotación hospital -- obra civil\nCAM-2: via terciaria -- mantenimiento"))
+    // a reply in the requested shape round-trips through the parser
+    assert(Classify.parseBatchReply(
+      """[{"id": "CAM-1", "label": "salud"}, {"id": "CAM-2", "label": "otros"}]""")
+      == Map("CAM-1" -> "salud", "CAM-2" -> "otros"))
+  }
+
   test("a real-shaped Gemini transcript runs RawReplyClient end-to-end") {
     // Recorded-shape transcript: pretty-printed JSON array exactly as the
     // reference's prompt requests it (classifier.py:86-88) and as a
