@@ -309,9 +309,20 @@ object ImageHeader {
     * float (4 or 8 bytes) scaled by TimestampScale (default 1,000,000
     * ns per tick) to ms, saturating at 2^24-1. Audio-only files parse
     * to -1 — this is the video-metadata reader, like packedMp4's
-    * first-video-trak contract. Called from generated code — must stay
-    * a pure static-forwardable function. */
-  def packedMkv(b: Array[Byte]): Long = {
+    * first-video-trak contract ([[packedMkvAudio]] is the audio one).
+    * Called from generated code — must stay a pure static-forwardable
+    * function. */
+  def packedMkv(b: Array[Byte]): Long = mkvWalk(b, audio = false)
+
+  /** The audio twin of [[packedMkv]]: -1 when not a well-formed
+    * Matroska/WebM with an audio track, else sampleRate<<24 |
+    * durationMs — [[packedWav]]'s packing, so the two audio containers
+    * unpack identically. Reads the first TrackEntry carrying an Audio
+    * element; SamplingFrequency is an EBML float (default 8000 per
+    * spec). Video-only files parse to -1. */
+  def packedMkvAudio(b: Array[Byte]): Long = mkvWalk(b, audio = true)
+
+  private def mkvWalk(b: Array[Byte], audio: Boolean): Long = {
     if (b == null || b.length < 16) return -1L
     val idr = ebmlId(b, 0)
     if (idr < 0 || (idr & Mask56) != 0x1A45DFA3L) return -1L
@@ -376,17 +387,39 @@ object ImageHeader {
       if (te < 0) return -1L
       val teS = (te >>> 32).toInt
       val teE = (te & 0xffffffffL).toInt
-      val vid = ebmlFind(b, teS, teE, 0xE0L)
-      if (vid >= 0) {
-        val vS = (vid >>> 32).toInt
-        val vE = (vid & 0xffffffffL).toInt
-        val pw = ebmlFind(b, vS, vE, 0xB0L)
-        val ph = ebmlFind(b, vS, vE, 0xBAL)
-        if (pw < 0 || ph < 0) return -1L
-        val w = ebmlUint(b, (pw >>> 32).toInt, (pw & 0xffffffffL).toInt)
-        val h = ebmlUint(b, (ph >>> 32).toInt, (ph & 0xffffffffL).toInt)
-        if (w < 1 || w > MaxDim20 || h < 1 || h > MaxDim20) return -1L
-        return (w << 44) | (h << 24) | durMs
+      if (audio) {
+        val au = ebmlFind(b, teS, teE, 0xE1L)
+        if (au >= 0) {
+          val aS = (au >>> 32).toInt
+          val aE = (au & 0xffffffffL).toInt
+          var rate = 8000L // SamplingFrequency spec default
+          val sf = ebmlFind(b, aS, aE, 0xB5L)
+          if (sf >= 0) {
+            val fS = (sf >>> 32).toInt
+            val f = ((sf & 0xffffffffL).toInt - fS) match {
+              case 4 => java.lang.Float.intBitsToFloat(be32(b, fS).toInt).toDouble
+              case 8 => java.lang.Double.longBitsToDouble(be64(b, fS))
+              case 0 => 8000.0
+              case _ => return -1L
+            }
+            if (java.lang.Double.isNaN(f) || f < 1 || f > MaxDim) return -1L
+            rate = f.toLong
+          }
+          return (rate << 24) | durMs
+        }
+      } else {
+        val vid = ebmlFind(b, teS, teE, 0xE0L)
+        if (vid >= 0) {
+          val vS = (vid >>> 32).toInt
+          val vE = (vid & 0xffffffffL).toInt
+          val pw = ebmlFind(b, vS, vE, 0xB0L)
+          val ph = ebmlFind(b, vS, vE, 0xBAL)
+          if (pw < 0 || ph < 0) return -1L
+          val w = ebmlUint(b, (pw >>> 32).toInt, (pw & 0xffffffffL).toInt)
+          val h = ebmlUint(b, (ph >>> 32).toInt, (ph & 0xffffffffL).toInt)
+          if (w < 1 || w > MaxDim20 || h < 1 || h > MaxDim20) return -1L
+          return (w << 44) | (h << 24) | durMs
+        }
       }
       from = teE
     }
@@ -528,6 +561,41 @@ case class MkvInfo(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mkv_audio_info(binary) -> long` — NULL unless the payload is a
+  * well-formed Matroska/WebM with an audio track; else
+  * sampleRate<<24|durationMs — WAV's packing, so
+  * [[ImageFunctions.audioMeta]]-style unpacking applies to either audio
+  * container. Same codegen shape as [[ImageDims]]. */
+case class MkvAudioInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mkv_audio_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mkv_audio_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedMkvAudio(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedMkvAudio($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MkvAudioInfo =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -563,12 +631,27 @@ object ImageFunctions {
 
   /** Typed audio header metadata `{sample_rate, duration_ms}` — NULL
     * fields for non-WAV payloads. */
-  def audioMeta(payload: Column): Column = {
-    val packed = wavInfo(payload)
+  def audioMeta(payload: Column): Column = unpackAudio(wavInfo(payload))
+
+  /** Packed (sampleRate, durationMs) long for Matroska/WebM payloads
+    * carrying an audio track, NULL otherwise. */
+  def mkvAudioInfo(payload: Column): Column =
+    ColumnBridge.column(MkvAudioInfo(ColumnBridge.expression(payload)))
+
+  /** Typed audio header metadata for Matroska/WebM audio — NULL fields
+    * otherwise. */
+  def webmAudioMeta(payload: Column): Column =
+    unpackAudio(mkvAudioInfo(payload))
+
+  /** Container-agnostic audio metadata: WAV and Matroska/WebM audio
+    * share the packed layout — the audio twin of [[anyVideoMeta]]. */
+  def anyAudioMeta(payload: Column): Column =
+    unpackAudio(coalesce(wavInfo(payload), mkvAudioInfo(payload)))
+
+  private def unpackAudio(packed: Column): Column =
     struct(
       shiftright(packed, 24).cast("int").as("sample_rate"),
       packed.bitwiseAND(lit(0xffffffL)).as("duration_ms"))
-  }
 
   /** Packed (width, height, durationMs) long for MP4 payloads, NULL
     * otherwise. */

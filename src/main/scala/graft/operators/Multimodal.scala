@@ -37,9 +37,10 @@ object Multimodal {
     * built from hex column math — `unhex(lpad(hex(w),8,'0'))` is the
     * 4-byte big-endian encoder) prepended to the text bytes, so the
     * header-parse stage ([[graft.functions.ImageFunctions.imageMeta]])
-    * runs against genuine container bytes; audio rows RIFF/WAVE, video
-    * rows alternate MP4 (doc_id % 6 == 2) and WebM/EBML (doc_id % 6 ==
-    * 5) — the two dominant crawl video containers. Gives the
+    * runs against genuine container bytes; audio rows alternate
+    * RIFF/WAVE (doc_id % 6 == 1) and WebM audio (doc_id % 6 == 4),
+    * video rows MP4 (doc_id % 6 == 2) and WebM video (doc_id % 6 ==
+    * 5) — the dominant crawl containers per modality. Gives the
     * binary-column pipeline a real distributed input without shipping
     * codecs. */
   def synthesizeMedia(docs: DataFrame): DataFrame = {
@@ -108,19 +109,32 @@ object Multimodal {
         "4489" + "88")), f64be(durTicks),                            // Duration f64 (ms ticks)
       unhex(lit("1654AE6B" + "8C" + "AE" + "8A" + "E0" + "88" +      // Tracks>Track>Video
         "B0" + "82")), be16(w), unhex(lit("BA" + "82")), be16(h))
+    // …and its audio sibling: same EBML header + Info, the TrackEntry
+    // carries an Audio element (SamplingFrequency f64 = 16 kHz, matching
+    // the WAV rows' meta) instead of a Video one
+    val webmAudioHeader = concat(
+      unhex(lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D")),    // EBML: DocType webm
+      unhex(lit("18538067" + "AB")),                                 // Segment(43)
+      unhex(lit("1549A966" + "93" + "2AD7B1" + "84" + "000F4240" +   // Info(19): scale 1e6
+        "4489" + "88")), f64be(durTicks),                            // Duration f64 (ms ticks)
+      unhex(lit("1654AE6B" + "8E" + "AE" + "8C" + "E1" + "8A" +      // Tracks>Track>Audio
+        "B5" + "88")), f64be(lit(16000)))                            // SamplingFrequency f64
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       ((col("doc_id") % 3) + 1).cast("int"))
     val isMp4 = (col("doc_id") % 6) === 2
+    val isWav = (col("doc_id") % 6) === 1
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", concat(pngHeader, col("text").cast("binary")))
-        .when(kind === "audio", concat(wavHeader, col("text").cast("binary")))
+        .when(isWav, concat(wavHeader, col("text").cast("binary")))
+        .when(kind === "audio", concat(webmAudioHeader, col("text").cast("binary")))
         .when(isMp4, concat(mp4Header, col("text").cast("binary")))
         .otherwise(concat(webmHeader, col("text").cast("binary"))).as("payload"),
       struct(
         when(kind === "image", lit("png"))
-          .when(kind === "audio", lit("wav"))
+          .when(isWav, lit("wav"))
+          .when(kind === "audio", lit("webm_audio"))
           .when(isMp4, lit("mp4"))
           .otherwise(lit("webm")).as("format"),
         w.as("width"),

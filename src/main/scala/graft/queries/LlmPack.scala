@@ -151,14 +151,15 @@ object LlmPack extends QueryPack {
         Multimodal.synthesizeMedia(Q.t(s, dir, "documents")),
         new Multimodal.ByteHistogramDecoder())
         .withColumn("hdr", graft.functions.ImageFunctions.imageMeta(col("payload")))
-        .withColumn("ahdr", graft.functions.ImageFunctions.audioMeta(col("payload")))
+        .withColumn("ahdr", graft.functions.ImageFunctions.anyAudioMeta(col("payload")))
         .withColumn("vhdr", graft.functions.ImageFunctions.anyVideoMeta(col("payload")))
         .select(col("media_id"), col("kind"), col("ok"), col("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
           // REAL container-header parses (native image_dims / wav_info /
-          // mp4_info / mkv_info expressions): image rows carry a genuine
-          // PNG header, audio rows RIFF/WAVE, video rows alternate MP4
-          // ftyp+moov and WebM EBML (anyVideoMeta coalesces the two) —
+          // mp4_info / mkv_info / mkv_audio_info expressions): image
+          // rows carry a genuine PNG header, audio rows alternate
+          // RIFF/WAVE and WebM audio, video rows MP4 ftyp+moov and WebM
+          // video (anyAudioMeta / anyVideoMeta coalesce per modality) —
           // each kind's metadata must round-trip the synthesized meta
           // and every foreign payload parses to NULL, not garbage
           col("hdr.format").as("hdr_format"),

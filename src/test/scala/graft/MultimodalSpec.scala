@@ -187,19 +187,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.forall(_ == null))
   }
 
-  test("synthesizeMedia audio payloads round-trip meta through the WAV parse") {
+  test("synthesizeMedia audio payloads round-trip meta through WAV and WebM parses") {
     import graft.functions.ImageFunctions
     val media = Multimodal.synthesizeMedia(docs)
-      .select(col("kind"), ImageFunctions.audioMeta(col("payload")).as("a"),
+      .select(col("kind"), col("meta.format").as("fmt"),
+        ImageFunctions.audioMeta(col("payload")).as("a"),
+        ImageFunctions.webmAudioMeta(col("payload")).as("wa"),
+        ImageFunctions.anyAudioMeta(col("payload")).as("any"),
         col("meta.sample_rate").as("sr"), col("meta.duration_ms").as("dur"))
-    val audio = media.filter(col("kind") === "audio")
+    // each container's rows round-trip through ITS parser…
+    val wav = media.filter(col("fmt") === "wav")
       .select(col("a.sample_rate") === col("sr"),
-        col("a.duration_ms") === col("dur"))
+        col("a.duration_ms") === col("dur"), col("wa.sample_rate").isNull)
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(wav.nonEmpty && wav.forall(r => r._1 && r._2 && r._3))
+    val webm = media.filter(col("fmt") === "webm_audio")
+      .select(col("wa.sample_rate") === col("sr"),
+        col("wa.duration_ms") === col("dur"), col("a.sample_rate").isNull)
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(webm.nonEmpty && webm.forall(r => r._1 && r._2 && r._3))
+    // …and the container-agnostic coalesce covers every audio row
+    val any = media.filter(col("kind") === "audio")
+      .select(col("any.sample_rate") === col("sr"),
+        col("any.duration_ms") === col("dur"))
       .as[(Boolean, Boolean)].collect()
-    assert(audio.nonEmpty && audio.forall(r => r._1 && r._2))
-    // image/video payloads are not RIFF: the WAV parse must return NULL
+    assert(any.nonEmpty && any.forall(r => r._1 && r._2))
+    // image/video payloads are neither RIFF nor EBML audio: both → NULL
     val other = media.filter(col("kind") =!= "audio")
-      .select(col("a.sample_rate")).as[Option[Int]].collect()
+      .select(col("any.sample_rate")).as[Option[Int]].collect()
     assert(other.nonEmpty && other.forall(_.isEmpty))
   }
 
@@ -298,24 +313,48 @@ class MultimodalSpec extends AnyFunSuite {
         " 1654AE6B 8C AE 8A E0 88 B0 82 0140 BA 82 00F0")
     val p3 = ImageHeader.packedMkv(noInfo)
     assert(p3 >= 0 && (p3 & 0xffffff) == 0L && ((p3 >> 24) & 0xfffff) == 240L)
+    // audio twin: TrackEntry carries an Audio element (SamplingFrequency
+    // f64 16 kHz) — video walk → -1, audio walk → rate+duration
+    val webmAudio = hx(
+      "1A45DFA3 87 4282 84 7765626D" +
+        " 18538067 AB" +
+        " 1549A966 93 2AD7B1 84 000F4240 4489 88 40A3880000000000" +
+        " 1654AE6B 8E AE 8C E1 8A B5 88 40CF400000000000")
+    assert(ImageHeader.packedMkv(webmAudio) == -1L)
+    val pa = ImageHeader.packedMkvAudio(webmAudio)
+    assert(pa >= 0 && (pa >> 24) == 16000L && (pa & 0xffffff) == 2500L)
+    // an Audio element with NO SamplingFrequency uses the spec default
+    val webmAudioDefault = hx(
+      "1A45DFA3 87 4282 84 7765626D" +
+        " 18538067 8B 1654AE6B 86 AE 84 E1 82 9F 80")
+    val pd = ImageHeader.packedMkvAudio(webmAudioDefault)
+    assert(pd >= 0 && (pd >> 24) == 8000L && (pd & 0xffffff) == 0L)
+    // video files are not audio, and vice versa
+    assert(ImageHeader.packedMkvAudio(webm) == -1L)
     // corrupt / foreign shapes → -1
     val audioOnly = hx( // TrackEntry with no Video child
       "1A45DFA3 87 4282 84 7765626D" +
         " 18538067 8A 1654AE6B 85 AE 83 D7 81 01")
     assert(ImageHeader.packedMkv(audioOnly) == -1L)
+    assert(ImageHeader.packedMkvAudio(audioOnly) == -1L) // no Audio element either
     assert(ImageHeader.packedMkv(hx(
       "1A45DFA3 87 4282 84 786D6C21" + " 18538067 A9")) == -1L) // DocType "xml!"
     assert(ImageHeader.packedMkv(webm.take(30)) == -1L)          // truncated walk
     assert(ImageHeader.packedMkv("not a video at all".getBytes("UTF-8")) == -1L)
     assert(ImageHeader.packedMkv(Array.empty[Byte]) == -1L)
-    // interpreted (static) vs codegen (plan) parity on every fixture
-    val all = Seq(webm, mkvUnknown, noInfo, audioOnly,
-      "junk".getBytes("UTF-8"), Array.empty[Byte])
-    val viaStatic = all.map(b => Option(ImageHeader.packedMkv(b)).filter(_ >= 0))
+    // interpreted (static) vs codegen (plan) parity on every fixture,
+    // both walks
+    val all = Seq(webm, mkvUnknown, noInfo, webmAudio, webmAudioDefault,
+      audioOnly, "junk".getBytes("UTF-8"), Array.empty[Byte])
+    val viaStatic = all.map(b => (
+      Option(ImageHeader.packedMkv(b)).filter(_ >= 0),
+      Option(ImageHeader.packedMkvAudio(b)).filter(_ >= 0)))
     val viaPlan = all.zipWithIndex.map { case (b, i) => (i, b) }
       .toDF("i", "payload")
-      .select(col("i"), ImageFunctions.mkvInfo(col("payload")).as("d"))
-      .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+      .select(col("i"), ImageFunctions.mkvInfo(col("payload")).as("d"),
+        ImageFunctions.mkvAudioInfo(col("payload")).as("a"))
+      .as[(Int, Option[Long], Option[Long])].collect()
+      .sortBy(_._1).map(r => (r._2, r._3)).toSeq
     assert(viaPlan == viaStatic)
   }
 

@@ -274,6 +274,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("container parsers never throw on arbitrary bytes (2000 fuzz blobs)") {
+    // the 100 TB contract: corrupt bytes are DATA (→ -1/NULL), never a
+    // task failure. Random blobs, plus blobs seeded with each format's
+    // magic so the walkers get PAST the signature check into length
+    // arithmetic on garbage — the overflow/truncation paths.
+    import graft.functions.ImageHeader
+    val magics = Seq(
+      Array.empty[Byte],
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), // PNG
+      Array(0xff, 0xd8).map(_.toByte),                                     // JPEG
+      "GIF89a".getBytes("US-ASCII"), "BM".getBytes("US-ASCII"),
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      Array(0, 0, 0, 0x10, 'f', 't', 'y', 'p').map(_.toByte),              // MP4
+      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte))                        // EBML
+    (1 to 2000).foreach { i =>
+      val magic = magics(rnd.nextInt(magics.size))
+      val tail = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(tail)
+      val blob = magic ++ tail
+      // must return, whatever the value — an exception fails the test
+      ImageHeader.packedDims(blob)
+      ImageHeader.packedWav(blob)
+      ImageHeader.packedMp4(blob)
+      ImageHeader.packedMkv(blob)
+      ImageHeader.packedMkvAudio(blob)
+    }
+  }
+
   test("normalization operators are idempotent (100 generated docs)") {
     // A normalization pass applied twice must equal one pass — otherwise
     // incremental re-processing of already-clean state drifts the data.
