@@ -228,6 +228,55 @@ object ImageHeader {
     -1L
   }
 
+  // ── MP3 (MPEG audio Layer III) ───────────────────────────────────────
+
+  // public-spec tables: bitrate kbps by index (MPEG1 / MPEG2+2.5, Layer
+  // III; 0 = free, 15 = bad — both rejected) and sample rate by
+  // (version, index); version code 1 is reserved
+  private val Mp3BitratesV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitratesV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3Rates = Map(
+    0 -> Array(11025, 12000, 8000),  // MPEG 2.5
+    2 -> Array(22050, 24000, 16000), // MPEG 2
+    3 -> Array(44100, 48000, 32000)) // MPEG 1
+
+  /** MP3 audio header → -1 when not well-formed, else
+    * sampleRate<<24 | durationMs ([[packedWav]]'s packing — the web's
+    * most common crawl audio format). Skips a leading ID3v2 tag
+    * (syncsafe length), then requires an MPEG-1/2/2.5 **Layer III**
+    * frame header at exactly that offset (no sync scanning — a crawl
+    * metadata gate wants the well-formed-file case, and scanning
+    * arbitrary bytes for 11 sync bits invites false positives). The
+    * duration is the CBR estimate payloadBytes×8/kbps from the frame
+    * start — like the WAV reader's data-chunk math, it reflects the
+    * bytes actually present (a truncated download reports its truncated
+    * duration). VBR files underestimate; parsing Xing/VBRI headers is
+    * codec territory, not container math. Called from generated code. */
+  def packedMp3(b: Array[Byte]): Long = {
+    if (b == null || b.length < 4) return -1L
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: 4 syncsafe size bytes (high bit clear) after version+flags
+      if (((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) & 0x80) != 0) return -1L
+      val sz = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      i = 10 + sz
+      if (i + 4 > b.length) return -1L
+    }
+    if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xe0) != 0xe0) return -1L
+    val version = (u8(b, i + 1) >> 3) & 3
+    val layer = (u8(b, i + 1) >> 1) & 3
+    if (version == 1 || layer != 1) return -1L // reserved version / not Layer III
+    val brIdx = (u8(b, i + 2) >> 4) & 0xf
+    val srIdx = (u8(b, i + 2) >> 2) & 3
+    if (brIdx < 1 || brIdx > 14 || srIdx == 3) return -1L
+    val kbps = if (version == 3) Mp3BitratesV1(brIdx) else Mp3BitratesV2(brIdx)
+    val rate = Mp3Rates(version)(srIdx)
+    val durMs = math.min((b.length - i).toLong * 8 / kbps, MaxDim.toLong)
+    (rate.toLong << 24) | durMs
+  }
+
   // ── Matroska/WebM (EBML) ─────────────────────────────────────────────
 
   private final val Mask56 = (1L << 56) - 1
@@ -596,6 +645,40 @@ case class MkvAudioInfo(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `mp3_info(binary) -> long` — NULL unless the payload is a well-formed
+  * MP3 (optional ID3v2 + MPEG Layer III frame header); else
+  * sampleRate<<24|durationMs (CBR estimate), WAV's packing. Same codegen
+  * shape as [[ImageDims]]. */
+case class Mp3Info(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mp3_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mp3_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedMp3(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedMp3($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mp3Info =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -643,10 +726,19 @@ object ImageFunctions {
   def webmAudioMeta(payload: Column): Column =
     unpackAudio(mkvAudioInfo(payload))
 
-  /** Container-agnostic audio metadata: WAV and Matroska/WebM audio
-    * share the packed layout — the audio twin of [[anyVideoMeta]]. */
+  /** Packed (sampleRate, durationMs) long for MP3 payloads, NULL
+    * otherwise. */
+  def mp3Info(payload: Column): Column =
+    ColumnBridge.column(Mp3Info(ColumnBridge.expression(payload)))
+
+  /** Typed audio header metadata for MP3 — NULL fields otherwise. */
+  def mp3Meta(payload: Column): Column = unpackAudio(mp3Info(payload))
+
+  /** Container-agnostic audio metadata: WAV, Matroska/WebM audio, and
+    * MP3 share the packed layout — the audio twin of [[anyVideoMeta]]. */
   def anyAudioMeta(payload: Column): Column =
-    unpackAudio(coalesce(wavInfo(payload), mkvAudioInfo(payload)))
+    unpackAudio(coalesce(wavInfo(payload), mkvAudioInfo(payload),
+      mp3Info(payload)))
 
   private def unpackAudio(packed: Column): Column =
     struct(

@@ -358,6 +358,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPlan == viaStatic)
   }
 
+  test("packedMp3 golden and corrupt fixtures; codegen parity") {
+    import graft.functions.{ImageFunctions, ImageHeader}
+    // MPEG1 Layer III 128 kbps 44100 Hz header (FF FB 90 00), padded to
+    // 1600 bytes total → CBR duration 1600·8/128 = 100 ms
+    val mp3 = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](1596)
+    val p = ImageHeader.packedMp3(mp3)
+    assert(p >= 0 && (p >> 24) == 44100L && (p & 0xffffff) == 100L)
+    // ID3v2-prefixed (syncsafe size 10 → frame at offset 20): duration
+    // counts from the frame start, not the tag
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array(4, 0, 0, 0, 0, 0, 10).map(_.toByte) ++ new Array[Byte](10) ++
+      Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++ new Array[Byte](1596)
+    val p2 = ImageHeader.packedMp3(id3)
+    assert(p2 >= 0 && (p2 >> 24) == 44100L && (p2 & 0xffffff) == 100L)
+    // MPEG2.5 Layer III (FF E3), 32 kbps (V2 table idx 4), 8000 Hz (idx 2)
+    val v25 = Array(0xff, 0xe3, 0x48, 0x00).map(_.toByte) ++ new Array[Byte](396)
+    val p3 = ImageHeader.packedMp3(v25)
+    assert(p3 >= 0 && (p3 >> 24) == 8000L && (p3 & 0xffffff) == 100L)
+    // corrupt / foreign shapes → -1
+    val bad = Seq(
+      Array(0xff, 0xfd, 0x90, 0x00).map(_.toByte), // Layer II
+      Array(0xff, 0xeb, 0x90, 0x00).map(_.toByte), // reserved version
+      Array(0xff, 0xfb, 0x00, 0x00).map(_.toByte), // free bitrate
+      Array(0xff, 0xfb, 0xf0, 0x00).map(_.toByte), // bad bitrate idx 15
+      Array(0xff, 0xfb, 0x9c, 0x00).map(_.toByte), // reserved sample idx
+      "ID3".getBytes("US-ASCII") ++ Array(4, 0, 0, 0, 0, 0, 0x80).map(_.toByte), // non-syncsafe
+      "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 0, 0, 10),    // tag past EOF
+      "not audio".getBytes("UTF-8"), Array.empty[Byte])
+    bad.foreach(b => assert(ImageHeader.packedMp3(b) == -1L))
+    // interpreted vs codegen parity
+    val all = Seq(mp3, id3, v25) ++ bad
+    val viaStatic = all.map(b => Option(ImageHeader.packedMp3(b)).filter(_ >= 0))
+    val viaPlan = all.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "payload")
+      .select(col("i"), ImageFunctions.mp3Info(col("payload")).as("d"))
+      .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaPlan == viaStatic)
+    // anyAudioMeta picks it up alongside WAV and WebM audio
+    val m = Seq(Tuple1(mp3)).toDF("payload")
+      .select(ImageFunctions.anyAudioMeta(col("payload")).as("a"))
+      .select(col("a.sample_rate"), col("a.duration_ms"))
+      .as[(Int, Long)].head()
+    assert(m == ((44100, 100L)))
+  }
+
   test("packedWav golden and corrupt fixtures") {
     import graft.functions.ImageHeader
     def hx(s: String): Array[Byte] =

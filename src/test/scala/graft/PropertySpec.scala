@@ -287,7 +287,8 @@ class PropertySpec extends AnyFunSuite {
       "GIF89a".getBytes("US-ASCII"), "BM".getBytes("US-ASCII"),
       "RIFFxxxxWAVE".getBytes("US-ASCII"),
       Array(0, 0, 0, 0x10, 'f', 't', 'y', 'p').map(_.toByte),              // MP4
-      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte))                        // EBML
+      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),                         // EBML
+      Array(0xff, 0xfb).map(_.toByte), "ID3".getBytes("US-ASCII"))         // MP3
     (1 to 2000).foreach { i =>
       val magic = magics(rnd.nextInt(magics.size))
       val tail = new Array[Byte](rnd.nextInt(64))
@@ -299,6 +300,7 @@ class PropertySpec extends AnyFunSuite {
       ImageHeader.packedMp4(blob)
       ImageHeader.packedMkv(blob)
       ImageHeader.packedMkvAudio(blob)
+      ImageHeader.packedMp3(blob)
     }
   }
 

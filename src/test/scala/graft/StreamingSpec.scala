@@ -243,6 +243,38 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() == 3)
   }
 
+  test("incrementalEmbeddingSink e2e on a FILE source: checkpoint restart + versioned state") {
+    import org.apache.spark.sql.streaming.Trigger
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val srcDir = java.nio.file.Files.createTempDirectory("embsrc").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("embfsstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("embfsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("embfsckpt").toString
+    def start() = StreamingJobs.incrementalEmbeddingSink(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(srcDir),
+        "vec_id", "embedding", stateDir, outDir,
+        probeDims = 8, maxBucketSize = 100, minCosine = 0.9)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    def flagged = spark.read.parquet(outDir)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    Seq((1L, v(0.9, 0.3, 0, 0, 0, 0, 0, 0)),
+        (2L, v(0, 0, 0.9, -0.4, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.awaitTermination()
+    assert(flagged == Set.empty)
+    // restart from the same checkpoint: only the new file is processed,
+    // probing the IVF bucket state the first run persisted
+    Seq((3L, v(0.88, 0.31, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.awaitTermination()
+    assert(flagged == Set((3L, 1L)))
+    val ver = graft.sources.Writers.latestVersion(stateDir).get
+    assert(spark.read.parquet(s"$stateDir/v$ver")
+      .select("vec_id").distinct().count() == 3)
+  }
+
   test("dedup state compaction: size plateaus across epochs, replay still idempotent") {
     val stateDir = java.nio.file.Files.createTempDirectory("lshcompact").toString
     val outDir = java.nio.file.Files.createTempDirectory("lshcompactout").toString
