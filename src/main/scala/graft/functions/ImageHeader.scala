@@ -277,6 +277,81 @@ object ImageHeader {
     (rate.toLong << 24) | durMs
   }
 
+  // ── FLAC (native container, STREAMINFO block) ────────────────────────
+
+  /** FLAC audio header → -1 when not well-formed, else
+    * sampleRate<<24 | durationMs. Requires the `fLaC` magic followed by
+    * a STREAMINFO metadata block (spec: always first, type 0, 34
+    * bytes); the 20-bit sample rate and 36-bit total-sample count sit
+    * at fixed bit offsets inside it, so the duration is exact container
+    * math — no frame scan. A zero total-sample count is the spec's
+    * "unknown" and reports duration 0 (header alone can't say more).
+    * Called from generated code. */
+  def packedFlac(b: Array[Byte]): Long = {
+    if (b == null || b.length < 42) return -1L // 4 magic + 4 header + 34 body
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return -1L
+    if ((u8(b, 4) & 0x7f) != 0) return -1L // first block must be STREAMINFO
+    val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (len != 34) return -1L
+    val si = 8
+    val rate = (u8(b, si + 10) << 12) | (u8(b, si + 11) << 4) | (u8(b, si + 12) >> 4)
+    if (rate <= 0) return -1L // 0 is invalid for audio per spec
+    val totalSamples = ((u8(b, si + 13) & 0x0f).toLong << 32) |
+      (be32(b, si + 14) & 0xffffffffL)
+    val durMs = math.min(totalSamples * 1000L / rate, MaxDim.toLong)
+    (rate.toLong << 24) | durMs
+  }
+
+  // ── OGG (Vorbis / Opus identification header) ────────────────────────
+
+  /** OGG audio header → -1 when not well-formed, else
+    * sampleRate<<24 | durationMs. The first page must open with `OggS`
+    * (stream-structure version 0) and its first packet must be a Vorbis
+    * (`\x01vorbis`) or Opus (`OpusHead`) identification header; the
+    * declared input sample rate sits at a fixed LE32 offset in both.
+    * Duration comes from the LAST page's granule position present in
+    * the payload (backward `OggS` scan, skipping the -1 "no packet
+    * ends here" sentinel) — granules count PCM frames at the codec
+    * clock (the declared rate for Vorbis, 48 kHz for Opus), so a
+    * truncated download reports the duration of the bytes it actually
+    * has, like the WAV/MP3 readers. Opus pre-skip trimming is codec
+    * territory and ignored. Called from generated code. */
+  def packedOgg(b: Array[Byte]): Long = {
+    if (b == null || b.length < 27) return -1L
+    if (b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S' ||
+      u8(b, 4) != 0) return -1L
+    val nSegs = u8(b, 26)
+    val pkt = 27 + nSegs
+    if (pkt + 16 > b.length) return -1L
+    def le32(i: Int): Long =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+        (u8(b, i + 3).toLong << 24)
+    val isVorbis = u8(b, pkt) == 1 && b(pkt + 1) == 'v' && b(pkt + 2) == 'o' &&
+      b(pkt + 3) == 'r' && b(pkt + 4) == 'b' && b(pkt + 5) == 'i' &&
+      b(pkt + 6) == 's'
+    val isOpus = b(pkt) == 'O' && b(pkt + 1) == 'p' && b(pkt + 2) == 'u' &&
+      b(pkt + 3) == 's' && b(pkt + 4) == 'H' && b(pkt + 5) == 'e' &&
+      b(pkt + 6) == 'a' && b(pkt + 7) == 'd'
+    if (!isVorbis && !isOpus) return -1L
+    val rate = le32(pkt + 12)
+    if (rate <= 0 || rate > MaxDim) return -1L
+    val clock = if (isOpus) 48000L else rate // Opus granules tick at 48 kHz
+    // last page whose granule is set: backward scan for the OggS capture
+    var g = -1L
+    var i = b.length - 27
+    while (i >= 0 && g < 0) {
+      if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S' &&
+        u8(b, i + 4) == 0) {
+        val granule = (0 until 8).foldLeft(0L)((acc, k) =>
+          acc | (u8(b, i + 6 + k).toLong << (8 * k)))
+        if (granule != -1L) g = granule
+      }
+      i -= 1
+    }
+    val durMs = if (g <= 0) 0L else math.min(g * 1000L / clock, MaxDim.toLong)
+    (rate << 24) | durMs
+  }
+
   // ── Matroska/WebM (EBML) ─────────────────────────────────────────────
 
   private final val Mask56 = (1L << 56) - 1
@@ -679,6 +754,73 @@ case class Mp3Info(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `flac_info(binary) -> long` — NULL unless the payload is a well-formed
+  * FLAC (fLaC magic + STREAMINFO); else sampleRate<<24|durationMs, WAV's
+  * packing. Same codegen shape as [[ImageDims]]. */
+case class FlacInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"flac_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "flac_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedFlac(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedFlac($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FlacInfo =
+    copy(child = newChild)
+}
+
+/** `ogg_info(binary) -> long` — NULL unless the payload is a well-formed
+  * OGG Vorbis/Opus (OggS page + identification header); else
+  * sampleRate<<24|durationMs, WAV's packing. Same codegen shape as
+  * [[ImageDims]]. */
+case class OggInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ogg_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ogg_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedOgg(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedOgg($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OggInfo =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -734,11 +876,29 @@ object ImageFunctions {
   /** Typed audio header metadata for MP3 — NULL fields otherwise. */
   def mp3Meta(payload: Column): Column = unpackAudio(mp3Info(payload))
 
-  /** Container-agnostic audio metadata: WAV, Matroska/WebM audio, and
-    * MP3 share the packed layout — the audio twin of [[anyVideoMeta]]. */
+  /** Packed (sampleRate, durationMs) long for FLAC payloads, NULL
+    * otherwise. */
+  def flacInfo(payload: Column): Column =
+    ColumnBridge.column(FlacInfo(ColumnBridge.expression(payload)))
+
+  /** Typed audio header metadata for FLAC — NULL fields otherwise. */
+  def flacMeta(payload: Column): Column = unpackAudio(flacInfo(payload))
+
+  /** Packed (sampleRate, durationMs) long for OGG Vorbis/Opus payloads,
+    * NULL otherwise. */
+  def oggInfo(payload: Column): Column =
+    ColumnBridge.column(OggInfo(ColumnBridge.expression(payload)))
+
+  /** Typed audio header metadata for OGG — NULL fields otherwise. */
+  def oggMeta(payload: Column): Column = unpackAudio(oggInfo(payload))
+
+  /** Container-agnostic audio metadata: WAV, Matroska/WebM audio, MP3,
+    * FLAC, and OGG share the packed layout — the audio twin of
+    * [[anyVideoMeta]]. The magic-gated parsers are mutually exclusive,
+    * so coalesce order is cosmetic. */
   def anyAudioMeta(payload: Column): Column =
     unpackAudio(coalesce(wavInfo(payload), mkvAudioInfo(payload),
-      mp3Info(payload)))
+      mp3Info(payload), flacInfo(payload), oggInfo(payload)))
 
   private def unpackAudio(packed: Column): Column =
     struct(

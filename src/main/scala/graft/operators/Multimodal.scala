@@ -37,12 +37,12 @@ object Multimodal {
     * built from hex column math — `unhex(lpad(hex(w),8,'0'))` is the
     * 4-byte big-endian encoder) prepended to the text bytes, so the
     * header-parse stage ([[graft.functions.ImageFunctions.imageMeta]])
-    * runs against genuine container bytes; audio rows alternate
-    * RIFF/WAVE (doc_id % 6 == 1) and WebM audio (doc_id % 6 == 4),
-    * video rows MP4 (doc_id % 6 == 2) and WebM video (doc_id % 6 ==
-    * 5) — the dominant crawl containers per modality. Gives the
-    * binary-column pipeline a real distributed input without shipping
-    * codecs. */
+    * runs against genuine container bytes; audio rows cycle RIFF/WAVE
+    * (doc_id % 12 == 1), WebM audio (== 4), FLAC (== 7), and OGG
+    * Vorbis (== 10), video rows MP4 (doc_id % 6 == 2) and WebM video
+    * (doc_id % 6 == 5) — the dominant crawl containers per modality.
+    * Gives the binary-column pipeline a real distributed input without
+    * shipping codecs. */
   def synthesizeMedia(docs: DataFrame): DataFrame = {
     val w = (col("n_chars") % 640 + 1).cast("int")
     val h = (col("n_chars") % 480 + 1).cast("int")
@@ -119,21 +119,45 @@ object Multimodal {
         "4489" + "88")), f64be(durTicks),                            // Duration f64 (ms ticks)
       unhex(lit("1654AE6B" + "8E" + "AE" + "8C" + "E1" + "8A" +      // Tracks>Track>Audio
         "B5" + "88")), f64be(lit(16000)))                            // SamplingFrequency f64
+    // FLAC: fLaC + last-block STREAMINFO(34) — 20-bit rate 16000
+    // (bytes 10-12: 0x03 0xE8 0x00) and 36-bit total samples =
+    // 16000·durMs/1000 = n_chars×160, so the parsed duration is exactly
+    // the meta duration
+    val flacSamples = (col("n_chars") * 160).cast("int")
+    val flacHeader = concat(
+      unhex(lit("664C6143" + "80000022" + "00" * 10 + "03E800" + "00")),
+      be32(flacSamples), unhex(lit("00" * 16)))
+    // OGG Vorbis: BOS page carrying the 16-byte identification header
+    // (rate LE32 = 16000) — all-constant bytes — and an EOS page whose
+    // granule position (PCM frames at 16 kHz) encodes the duration; the
+    // text body sits between them like a real stream's data pages
+    val oggBosPage = unhex(lit(
+      "4F676753" + "00" + "02" + "00" * 8 + "00" * 12 + "01" + "10" + // page hdr, 1 seg of 16
+        "01" + "766F72626973" + "00000000" + "01" + "803E0000"))      // \x01vorbis id, rate 16000
+    val oggEosPage = concat(
+      unhex(lit("4F676753" + "00" + "04")),                           // page hdr, EOS
+      le32(flacSamples), unhex(lit("00000000")),                      // granule LE64 (< 2^32)
+      unhex(lit("00" * 13)))                                          // serial/seq/crc/0 segs
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       ((col("doc_id") % 3) + 1).cast("int"))
     val isMp4 = (col("doc_id") % 6) === 2
-    val isWav = (col("doc_id") % 6) === 1
+    val audioSlot = col("doc_id") % 12 // audio rows: 1, 4, 7, 10
+    val body = col("text").cast("binary")
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
-      when(kind === "image", concat(pngHeader, col("text").cast("binary")))
-        .when(isWav, concat(wavHeader, col("text").cast("binary")))
-        .when(kind === "audio", concat(webmAudioHeader, col("text").cast("binary")))
-        .when(isMp4, concat(mp4Header, col("text").cast("binary")))
-        .otherwise(concat(webmHeader, col("text").cast("binary"))).as("payload"),
+      when(kind === "image", concat(pngHeader, body))
+        .when(audioSlot === 1, concat(wavHeader, body))
+        .when(audioSlot === 7, concat(flacHeader, body))
+        .when(audioSlot === 10, concat(oggBosPage, body, oggEosPage))
+        .when(kind === "audio", concat(webmAudioHeader, body))
+        .when(isMp4, concat(mp4Header, body))
+        .otherwise(concat(webmHeader, body)).as("payload"),
       struct(
         when(kind === "image", lit("png"))
-          .when(isWav, lit("wav"))
+          .when(audioSlot === 1, lit("wav"))
+          .when(audioSlot === 7, lit("flac"))
+          .when(audioSlot === 10, lit("ogg"))
           .when(kind === "audio", lit("webm_audio"))
           .when(isMp4, lit("mp4"))
           .otherwise(lit("webm")).as("format"),

@@ -14,11 +14,17 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val docs = Seq(
     (0L, "hello world tokens", "es", "src0", 18L),
-    (1L, "another doc body", "de", "src1", 16L),
+    (1L, "another doc body", "de", "src1", 16L),   // audio: doc_id%12==1 → wav
     (2L, "third payload text", "en", "src2", 18L), // video: doc_id%6==2 → mp4
     (3L, "fourth image doc", "en", "src0", 16L),
-    (4L, "fifth audio doc", "fr", "src1", 15L),
-    (5L, "sixth video doc", "en", "src2", 15L)     // video: doc_id%6==5 → webm
+    (4L, "fifth audio doc", "fr", "src1", 15L),    // audio: doc_id%12==4 → webm
+    (5L, "sixth video doc", "en", "src2", 15L),    // video: doc_id%6==5 → webm
+    (6L, "seventh image doc", "en", "src0", 17L),
+    (7L, "eighth audio doc", "pt", "src1", 16L),   // audio: doc_id%12==7 → flac
+    (8L, "ninth video doc", "en", "src2", 15L),
+    (9L, "tenth image doc", "en", "src0", 15L),
+    (10L, "eleventh audio doc", "it", "src1", 18L), // audio: doc_id%12==10 → ogg
+    (11L, "twelfth video doc", "en", "src2", 17L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
   test("synthesizeMedia schema: opaque binary payload + typed metadata") {
@@ -187,12 +193,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.forall(_ == null))
   }
 
-  test("synthesizeMedia audio payloads round-trip meta through WAV and WebM parses") {
+  test("synthesizeMedia audio payloads round-trip meta through WAV/WebM/FLAC/OGG parses") {
     import graft.functions.ImageFunctions
     val media = Multimodal.synthesizeMedia(docs)
       .select(col("kind"), col("meta.format").as("fmt"),
         ImageFunctions.audioMeta(col("payload")).as("a"),
         ImageFunctions.webmAudioMeta(col("payload")).as("wa"),
+        ImageFunctions.flacMeta(col("payload")).as("fl"),
+        ImageFunctions.oggMeta(col("payload")).as("og"),
         ImageFunctions.anyAudioMeta(col("payload")).as("any"),
         col("meta.sample_rate").as("sr"), col("meta.duration_ms").as("dur"))
     // each container's rows round-trip through ITS parser…
@@ -206,6 +214,16 @@ class MultimodalSpec extends AnyFunSuite {
         col("wa.duration_ms") === col("dur"), col("a.sample_rate").isNull)
       .as[(Boolean, Boolean, Boolean)].collect()
     assert(webm.nonEmpty && webm.forall(r => r._1 && r._2 && r._3))
+    val flac = media.filter(col("fmt") === "flac")
+      .select(col("fl.sample_rate") === col("sr"),
+        col("fl.duration_ms") === col("dur"), col("og.sample_rate").isNull)
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(flac.nonEmpty && flac.forall(r => r._1 && r._2 && r._3))
+    val ogg = media.filter(col("fmt") === "ogg")
+      .select(col("og.sample_rate") === col("sr"),
+        col("og.duration_ms") === col("dur"), col("fl.sample_rate").isNull)
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(ogg.nonEmpty && ogg.forall(r => r._1 && r._2 && r._3))
     // …and the container-agnostic coalesce covers every audio row
     val any = media.filter(col("kind") === "audio")
       .select(col("any.sample_rate") === col("sr"),
@@ -402,6 +420,89 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("a.sample_rate"), col("a.duration_ms"))
       .as[(Int, Long)].head()
     assert(m == ((44100, 100L)))
+  }
+
+  test("packedFlac / packedOgg golden and corrupt fixtures; codegen parity") {
+    import graft.functions.{ImageFunctions, ImageHeader}
+    // FLAC: fLaC + STREAMINFO(34B): rate 44100 at bit offset 80 of the
+    // block (bytes 10-12: 44100<<4 = 0x0AC440), total samples 44100
+    // (36-bit field: low nibble of byte 13 ++ bytes 14-17) → 1000 ms
+    def flacFix(rate: Int, samples: Long): Array[Byte] = {
+      val si = new Array[Byte](34)
+      si(10) = ((rate >> 12) & 0xff).toByte
+      si(11) = ((rate >> 4) & 0xff).toByte
+      si(12) = ((rate & 0xf) << 4).toByte
+      si(13) = ((samples >> 32) & 0xf).toByte
+      si(14) = ((samples >> 24) & 0xff).toByte
+      si(15) = ((samples >> 16) & 0xff).toByte
+      si(16) = ((samples >> 8) & 0xff).toByte
+      si(17) = (samples & 0xff).toByte
+      "fLaC".getBytes("US-ASCII") ++
+        Array(0x80, 0, 0, 34).map(_.toByte) ++ si // last-block flag set
+    }
+    val flac = flacFix(44100, 44100L)
+    val pf = ImageHeader.packedFlac(flac)
+    assert(pf >= 0 && (pf >> 24) == 44100L && (pf & 0xffffff) == 1000L)
+    // unknown length (total samples 0) → duration 0, rate still reported
+    val pu = ImageHeader.packedFlac(flacFix(8000, 0L))
+    assert(pu >= 0 && (pu >> 24) == 8000L && (pu & 0xffffff) == 0L)
+    // OGG: first page (granule 0) carrying a Vorbis id header, then a
+    // data page with granule 22050 at the Vorbis 44100 clock → 500 ms
+    def oggPage(granule: Long, packet: Array[Byte]): Array[Byte] = {
+      require(packet.length < 255)
+      val h = new Array[Byte](27)
+      "OggS".getBytes("US-ASCII").copyToArray(h)
+      (0 until 8).foreach(k => h(6 + k) = ((granule >> (8 * k)) & 0xff).toByte)
+      h(26) = 1 // one segment
+      h ++ Array(packet.length.toByte) ++ packet
+    }
+    val vorbisId = Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      new Array[Byte](4) ++ Array(2.toByte) ++ // version, channels
+      Array(0x44, 0xac, 0, 0).map(_.toByte) ++ new Array[Byte](11) // rate LE
+    val ogg = oggPage(0L, vorbisId) ++ oggPage(22050L, new Array[Byte](8))
+    val po = ImageHeader.packedOgg(ogg)
+    assert(po >= 0 && (po >> 24) == 44100L && (po & 0xffffff) == 500L)
+    // Opus: declared input rate 16000 reported, but granules tick at
+    // 48 kHz → 24000 ticks = 500 ms
+    val opusId = "OpusHead".getBytes("US-ASCII") ++
+      Array(1, 2, 0, 0).map(_.toByte) ++ // version, ch, pre-skip
+      Array(0x80, 0x3e, 0, 0).map(_.toByte) ++ new Array[Byte](3) // 16000 LE
+    val opus = oggPage(0L, opusId) ++ oggPage(24000L, new Array[Byte](8))
+    val pop = ImageHeader.packedOgg(opus)
+    assert(pop >= 0 && (pop >> 24) == 16000L && (pop & 0xffffff) == 500L)
+    // header-only download: only the granule-0 id page present → 0 ms
+    val hdrOnly = ImageHeader.packedOgg(oggPage(0L, vorbisId))
+    assert(hdrOnly >= 0 && (hdrOnly & 0xffffff) == 0L)
+    // corrupt / foreign shapes → -1
+    val bad = Seq(
+      "fLaC".getBytes("US-ASCII"),                                   // truncated
+      "fLaC".getBytes("US-ASCII") ++ Array(0x84, 0, 0, 34).map(_.toByte) ++
+        new Array[Byte](34),                                          // wrong first block type
+      "fLaC".getBytes("US-ASCII") ++ Array(0x80, 0, 0, 20).map(_.toByte) ++
+        new Array[Byte](34),                                          // wrong STREAMINFO length
+      flacFix(0, 44100L),                                             // zero rate
+      oggPage(0L, "notavalidheader!".getBytes("US-ASCII")),           // foreign first packet
+      { val p = oggPage(0L, vorbisId); p(4) = 1; p },                 // bad stream version
+      "OggS".getBytes("US-ASCII"),                                    // truncated page
+      "not audio".getBytes("UTF-8"), Array.empty[Byte])
+    bad.foreach(b => assert(ImageHeader.packedFlac(b) == -1L &&
+      ImageHeader.packedOgg(b) == -1L))
+    // interpreted vs codegen parity over every fixture, both parsers
+    val all = Seq(flac, ogg, opus) ++ bad
+    def viaStatic(f: Array[Byte] => Long) =
+      all.map(b => Option(f(b)).filter(_ >= 0))
+    def viaPlan(mk: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      all.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "payload")
+        .select(col("i"), mk(col("payload")).as("d"))
+        .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaPlan(ImageFunctions.flacInfo) == viaStatic(ImageHeader.packedFlac))
+    assert(viaPlan(ImageFunctions.oggInfo) == viaStatic(ImageHeader.packedOgg))
+    // anyAudioMeta picks both up alongside WAV/WebM/MP3
+    val m = Seq(Tuple1(flac), Tuple1(opus)).toDF("payload")
+      .select(ImageFunctions.anyAudioMeta(col("payload")).as("a"))
+      .select(col("a.sample_rate"), col("a.duration_ms"))
+      .as[(Int, Long)].collect().toSet
+    assert(m == Set((44100, 1000L), (16000, 500L)))
   }
 
   test("packedWav golden and corrupt fixtures") {

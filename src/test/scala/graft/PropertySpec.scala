@@ -288,7 +288,8 @@ class PropertySpec extends AnyFunSuite {
       "RIFFxxxxWAVE".getBytes("US-ASCII"),
       Array(0, 0, 0, 0x10, 'f', 't', 'y', 'p').map(_.toByte),              // MP4
       Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),                         // EBML
-      Array(0xff, 0xfb).map(_.toByte), "ID3".getBytes("US-ASCII"))         // MP3
+      Array(0xff, 0xfb).map(_.toByte), "ID3".getBytes("US-ASCII"),         // MP3
+      "fLaC".getBytes("US-ASCII"), "OggS".getBytes("US-ASCII"))
     (1 to 2000).foreach { i =>
       val magic = magics(rnd.nextInt(magics.size))
       val tail = new Array[Byte](rnd.nextInt(64))
@@ -301,6 +302,8 @@ class PropertySpec extends AnyFunSuite {
       ImageHeader.packedMkv(blob)
       ImageHeader.packedMkvAudio(blob)
       ImageHeader.packedMp3(blob)
+      ImageHeader.packedFlac(blob)
+      ImageHeader.packedOgg(blob)
     }
   }
 
