@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotFunction)
     ext.injectFunction(GraftFunctions.xmlFieldsFunction)
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
+    GraftFunctions.mediaFunctions.foreach(ext.injectFunction)
   }
 }
 
@@ -73,11 +74,42 @@ object GraftFunctions {
       new ExpressionInfo(classOf[XmlLabeledLinks].getName, "graft_xml_labeled_links"),
       xmlLabeledLinksBuilder)
 
+  private def unary(fn: String, mk: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(e) => mk(e)
+    case other => throw new IllegalArgumentException(
+      s"$fn expects 1 argument, got ${other.size}")
+  }
+
+  /** The packed-long media header expressions, SQL-named after their
+    * [[ImageFunctions]] column twins. Unpacking stays in SQL shift/mask
+    * arithmetic on the returned long — the same layout
+    * [[ImageFunctions.imageMeta]]/`unpackAudio`/`unpackVideo` decode
+    * column-side. */
+  private[functions] val mediaBuilders: Seq[(String, Class[_], Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_image_dims", classOf[ImageDims], unary("graft_image_dims", ImageDims)),
+      ("graft_wav_info", classOf[WavInfo], unary("graft_wav_info", WavInfo)),
+      ("graft_mp4_info", classOf[Mp4Info], unary("graft_mp4_info", Mp4Info)),
+      ("graft_mkv_info", classOf[MkvInfo], unary("graft_mkv_info", MkvInfo)),
+      ("graft_mkv_audio_info", classOf[MkvAudioInfo],
+        unary("graft_mkv_audio_info", MkvAudioInfo)),
+      ("graft_mp3_info", classOf[Mp3Info], unary("graft_mp3_info", Mp3Info)),
+      ("graft_flac_info", classOf[FlacInfo], unary("graft_flac_info", FlacInfo)),
+      ("graft_ogg_info", classOf[OggInfo], unary("graft_ogg_info", OggInfo)))
+
+  val mediaFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    mediaBuilders.map { case (name, cls, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+    }
+
   /** Register all graft native functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerExpression(spark, "graft_dot", dotBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_fields", xmlFieldsBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_labeled_links",
       xmlLabeledLinksBuilder)
+    mediaBuilders.foreach { case (name, _, builder) =>
+      ColumnBridge.registerExpression(spark, name, builder)
+    }
   }
 }

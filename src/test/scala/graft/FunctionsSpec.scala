@@ -75,6 +75,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("media header expressions are SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    // 3x2 PNG (IHDR width/height at fixed offsets) and a bare MP3 frame
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 3, 0, 0, 0, 2).map(_.toByte)
+    val mp3 = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](1596)
+    val got = Seq((png, mp3)).toDF("png", "mp3")
+      .createOrReplaceTempView("media_sql")
+    val row = spark.sql(
+      """SELECT CAST(shiftright(graft_image_dims(png), 24) & 16777215 AS INT) AS w,
+                CAST(graft_image_dims(png) & 16777215 AS INT) AS h,
+                CAST(shiftright(graft_mp3_info(mp3), 24) AS INT) AS rate,
+                graft_wav_info(png) AS not_wav,
+                graft_mp4_info(png) AS not_mp4,
+                graft_mkv_info(png) AS not_mkv,
+                graft_mkv_audio_info(png) AS not_mkv_audio
+         FROM media_sql""").collect().head
+    assert(row.getInt(0) == 3 && row.getInt(1) == 2 && row.getInt(2) == 44100)
+    (3 to 6).foreach(i => assert(row.isNullAt(i)))
+    // arity is validated at the registry boundary
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_mp3_info(X'00', X'00')").collect()
+    }
+    assert(err.getMessage.contains("1 argument"))
+  }
+
   test("XorFingerprint aggregator: order-insensitive, partial-merge-safe") {
     import graft.functions.XorFingerprint
     val df = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("h", "a")).toDF("k", "v")
