@@ -171,6 +171,28 @@ object LlmPack extends QueryPack {
           col("vhdr.height").as("hdr_vh"),
           col("vhdr.duration_ms").as("hdr_vdur")))),
 
+    // L3 oracle-checked twin of q62: the container-header parses ONLY.
+    // synthesizeMedia's meta is pure arithmetic over n_chars, so DuckDB
+    // can recompute the expected values independently — the Spark side
+    // must recover them by PARSING the synthesized PNG/WAV/WebM/FLAC/
+    // OGG/MP4 binary payloads with the native expressions. A parser bug
+    // (or a header-synthesis bug) breaks the hash match; q62 keeps the
+    // rows-only decode-stub composition.
+    "q100_media_meta" -> ((s, dir) => Q.ordered(
+      Multimodal.synthesizeMedia(Q.t(s, dir, "documents"))
+        .withColumn("hdr", graft.functions.ImageFunctions.imageMeta(col("payload")))
+        .withColumn("ahdr", graft.functions.ImageFunctions.anyAudioMeta(col("payload")))
+        .withColumn("vhdr", graft.functions.ImageFunctions.anyVideoMeta(col("payload")))
+        .select(col("media_id"), col("kind"),
+          col("hdr.format").as("img_format"),
+          col("hdr.width").as("img_w"),
+          col("hdr.height").as("img_h"),
+          col("ahdr.sample_rate").as("sample_rate"),
+          col("ahdr.duration_ms").as("audio_ms"),
+          col("vhdr.width").as("vid_w"),
+          col("vhdr.height").as("vid_h"),
+          col("vhdr.duration_ms").as("video_ms")))),
+
     // W3: final-sink JSONB wrap (reference src/storage.py:146-147) — the
     // documentos array serialized to a JSON string column, NULL → '[]'.
     // Spark's and DuckDB's compact to_json formats agree byte-for-byte.
@@ -316,6 +338,24 @@ object LlmPack extends QueryPack {
                         ELSE []::STRUCT(label VARCHAR, url VARCHAR)[]
                         END)::VARCHAR AS documentos_json
          FROM u ORDER BY ALL NULLS FIRST""",
+
+    // the arithmetic twin of the Spark side's binary-header PARSE: kind
+    // and metadata derive from doc_id/n_chars exactly as synthesizeMedia
+    // builds them into the container bytes
+    "q100_media_meta" ->
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image'
+                                WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS kind,
+                CASE WHEN doc_id % 3 = 0 THEN 'png' END AS img_format,
+                CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 640 + 1 AS INT) END AS img_w,
+                CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 480 + 1 AS INT) END AS img_h,
+                CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate,
+                CASE WHEN doc_id % 3 = 1 THEN CAST(n_chars * 10 AS BIGINT) END AS audio_ms,
+                CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 640 + 1 AS INT) END AS vid_w,
+                CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 480 + 1 AS INT) END AS vid_h,
+                CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS video_ms
+         FROM documents ORDER BY ALL NULLS FIRST""",
 
     "q53_token_stats" ->
       """SELECT lang, token, cnt, rn FROM (
