@@ -26,7 +26,7 @@ object ImageHeader {
   /** Format ids packed into the result long (format<<48 | width<<24 |
     * height). Kept stable — [[ImageFunctions.imageMeta]] indexes a
     * string array with them. */
-  val Formats: Seq[String] = Seq("png", "jpeg", "gif", "bmp")
+  val Formats: Seq[String] = Seq("png", "jpeg", "gif", "bmp", "webp", "tiff")
 
   private final val MaxDim = (1 << 24) - 1
 
@@ -44,6 +44,10 @@ object ImageHeader {
     if (gif >= 0) return pack(3, gif)
     val bmp = parseBmp(b)
     if (bmp >= 0) return pack(4, bmp)
+    val webp = parseWebp(b)
+    if (webp >= 0) return pack(5, webp)
+    val tiff = parseTiff(b)
+    if (tiff >= 0) return pack(6, tiff)
     -1L
   }
 
@@ -121,6 +125,76 @@ object ImageHeader {
     val h = le32(b, 22)
     val signedH = if (h > Int.MaxValue) -(h - 0x100000000L) else h
     dims(le32(b, 18), math.abs(signedH))
+  }
+
+  /** RIFF/WEBP, all three first-chunk variants (the web's #2 image
+    * format after JPEG): `VP8 ` lossy (keyframe sync 9D 01 2A, 14-bit
+    * LE dims), `VP8L` lossless (0x2F, 14-bit packed dims-minus-one),
+    * `VP8X` extended (24-bit LE canvas dims-minus-one). The WAV reader
+    * owns `RIFF....WAVE`; the two never overlap. */
+  private def parseWebp(b: Array[Byte]): Long = {
+    if (b.length < 30) return -1L
+    if (u8(b, 0) != 'R' || u8(b, 1) != 'I' || u8(b, 2) != 'F' || u8(b, 3) != 'F' ||
+      u8(b, 8) != 'W' || u8(b, 9) != 'E' || u8(b, 10) != 'B' || u8(b, 11) != 'P')
+      return -1L
+    val d = 20 // first chunk payload (fourcc at 12, size at 16)
+    if (u8(b, 12) == 'V' && u8(b, 13) == 'P' && u8(b, 14) == '8' && u8(b, 15) == ' ') {
+      // lossy: 3-byte frame tag, then the keyframe start code
+      if (u8(b, d + 3) != 0x9d || u8(b, d + 4) != 0x01 || u8(b, d + 5) != 0x2a)
+        return -1L
+      dims(le16(b, d + 6) & 0x3fff, le16(b, d + 8) & 0x3fff)
+    } else if (u8(b, 12) == 'V' && u8(b, 13) == 'P' && u8(b, 14) == '8' &&
+      u8(b, 15) == 'L') {
+      if (u8(b, d) != 0x2f) return -1L // lossless signature byte
+      val bits = le32(b, d + 1)
+      dims((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)
+    } else if (u8(b, 12) == 'V' && u8(b, 13) == 'P' && u8(b, 14) == '8' &&
+      u8(b, 15) == 'X') {
+      // extended: flags(1) + reserved(3), then 24-bit LE canvas dims - 1
+      val w = (u8(b, d + 4) | (u8(b, d + 5) << 8) | (u8(b, d + 6) << 16)).toLong + 1
+      val h = (u8(b, d + 7) | (u8(b, d + 8) << 8) | (u8(b, d + 9) << 16)).toLong + 1
+      dims(w, h)
+    } else -1L
+  }
+
+  /** TIFF: `II*\0` (little-endian) or `MM\0*` (big-endian), then the
+    * first IFD's ImageWidth (tag 256) and ImageLength (tag 257) entries
+    * — SHORT or LONG, both inline in the 12-byte entry's value field.
+    * The IFD walk is offset-bounds-checked; a truncated download that
+    * cuts the IFD off → -1. */
+  private def parseTiff(b: Array[Byte]): Long = {
+    if (b.length < 8) return -1L
+    val le =
+      if (u8(b, 0) == 'I' && u8(b, 1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) true
+      else if (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a) false
+      else return -1L
+    def rd16(i: Int): Long = if (le) le16(b, i) else be16(b, i)
+    def rd32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+    val ifd = rd32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return -1L
+    val n = rd16(ifd.toInt).toInt
+    var w = -1L
+    var h = -1L
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + 12 * k
+      if (e + 12 > b.length) return -1L
+      val tag = rd16(e)
+      if (tag == 256 || tag == 257) {
+        val typ = rd16(e + 2)
+        // value is inline: SHORT (3) in the field's first 2 bytes (per
+        // byte order), LONG (4) as the full 4 bytes
+        val v = typ match {
+          case 3 => rd16(e + 8)
+          case 4 => rd32(e + 8)
+          case _ => return -1L
+        }
+        if (tag == 256) w = v else h = v
+      }
+      k += 1
+    }
+    if (w < 0 || h < 0) return -1L
+    dims(w, h)
   }
 
   /** WAV (RIFF/WAVE) audio header → -1 when not well-formed, else

@@ -140,6 +140,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("bmp") == (("bmp", Some(123), Some(77))))
   }
 
+  test("imageMeta WebP golden cases: VP8 / VP8L / VP8X dims off real header bytes") {
+    // lossy VP8: RIFF + WEBP + 'VP8 ' chunk, 3-byte frame tag, keyframe
+    // sync 9D012A, then 14-bit LE width/height (550x368)
+    val vp8 = hex(
+      "52494646 24000000 57454250 56503820 18000000 300100 9D012A 2602 7001")
+    // lossless VP8L: 0x2F then 14-bit packed dims-minus-one
+    // bits = (400-1) | (301-1) << 14 → 0x4B118F... compute: 399 | 300<<14
+    val vp8lBits = 399L | (300L << 14)
+    val vp8l = hex("52494646 1A000000 57454250 5650384C 0D000000 2F" +
+      f"${vp8lBits & 0xff}%02X${(vp8lBits >> 8) & 0xff}%02X" +
+      f"${(vp8lBits >> 16) & 0xff}%02X${(vp8lBits >> 24) & 0xff}%02X" + "00" * 8)
+    // extended VP8X: flags + 24-bit LE canvas dims-minus-one (1920x1080)
+    val vp8x = hex("52494646 1E000000 57454250 56503858 0A000000" +
+      "00 000000" + "7F0700" + "370400" + "00" * 6)
+    val got = Seq(("vp8", vp8), ("vp8l", vp8l), ("vp8x", vp8x))
+      .toDF("case", "payload")
+      .select(col("case"), ImageFunctions.imageMeta(col("payload")).as("m"))
+      .select(col("case"), col("m.format"), col("m.width"), col("m.height"))
+      .as[(String, String, Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("vp8") == (("webp", Some(550), Some(368))))
+    assert(got("vp8l") == (("webp", Some(400), Some(301))))
+    assert(got("vp8x") == (("webp", Some(1920), Some(1080))))
+    // a WAV payload is RIFF but not WEBP; a WEBP is not WAV
+    assert(ImageHeader.packedDims(hex("52494646 24000000 57415645")) == -1L)
+    assert(ImageHeader.packedWav(vp8) == -1L)
+  }
+
+  test("imageMeta TIFF golden cases: both byte orders, SHORT and LONG tags") {
+    // little-endian: II*\0, IFD at 8 with 2 entries — width 256 (LONG
+    // 800), length 257 (SHORT 600)
+    val tiffLe = hex("49492A00 08000000" + "0200" +
+      "0001 0400 01000000 20030000" + // tag 256, LONG, 800
+      "0101 0300 01000000 58020000" + // tag 257, SHORT, 600
+      "00000000")
+    // big-endian: MM\0*, same IFD big-endian — width SHORT 123, length LONG 45
+    val tiffBe = hex("4D4D002A 00000008" + "0002" +
+      "0100 0003 00000001 007B0000" + // tag 256, SHORT, 123 (first 2 bytes)
+      "0101 0004 00000001 0000002D" + // tag 257, LONG, 45
+      "00000000")
+    val got = Seq(("le", tiffLe), ("be", tiffBe)).toDF("case", "payload")
+      .select(col("case"), ImageFunctions.imageMeta(col("payload")).as("m"))
+      .select(col("case"), col("m.format"), col("m.width"), col("m.height"))
+      .as[(String, String, Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("le") == (("tiff", Some(800), Some(600))))
+    assert(got("be") == (("tiff", Some(123), Some(45))))
+    // corrupt: IFD offset past EOF, missing dim tag, bad value type
+    assert(ImageHeader.packedDims(hex("49492A00 FF000000")) == -1L)
+    assert(ImageHeader.packedDims(hex("49492A00 08000000" + "0100" +
+      "0001 0400 01000000 20030000")) == -1L) // width only, no length
+    assert(ImageHeader.packedDims(hex("49492A00 08000000" + "0100" +
+      "0001 0200 01000000 20030000")) == -1L) // ASCII-typed dim tag
+  }
+
   test("imageMeta yields NULL fields for non-image and corrupt payloads") {
     val junk = Seq(
       "text" -> "just some text".getBytes("UTF-8"),

@@ -289,7 +289,12 @@ class PropertySpec extends AnyFunSuite {
       Array(0, 0, 0, 0x10, 'f', 't', 'y', 'p').map(_.toByte),              // MP4
       Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),                         // EBML
       Array(0xff, 0xfb).map(_.toByte), "ID3".getBytes("US-ASCII"),         // MP3
-      "fLaC".getBytes("US-ASCII"), "OggS".getBytes("US-ASCII"))
+      "fLaC".getBytes("US-ASCII"), "OggS".getBytes("US-ASCII"),
+      "RIFFxxxxWEBPVP8 ".getBytes("US-ASCII"),
+      "RIFFxxxxWEBPVP8L".getBytes("US-ASCII"),
+      "RIFFxxxxWEBPVP8X".getBytes("US-ASCII"),
+      Array('I', 'I', 0x2a, 0).map(_.toByte),                              // TIFF LE
+      Array('M', 'M', 0, 0x2a).map(_.toByte))                              // TIFF BE
     (1 to 2000).foreach { i =>
       val magic = magics(rnd.nextInt(magics.size))
       val tail = new Array[Byte](rnd.nextInt(64))
