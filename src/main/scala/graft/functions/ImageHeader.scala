@@ -302,6 +302,32 @@ object ImageHeader {
     -1L
   }
 
+  /** AVI (RIFF/`AVI `) video header → -1 when not well-formed, else
+    * [[packedMp4]]'s packing width<<44 | height<<24 | durationMs. The
+    * `avih` main header is spec-mandated first inside the `hdrl` LIST,
+    * so its dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight sit
+    * at fixed offsets — duration = frames × µs-per-frame, pure
+    * container math. Completes the RIFF trio (WAV audio, WebP image,
+    * AVI video). Called from generated code. */
+  def packedAvi(b: Array[Byte]): Long = {
+    if (b == null || b.length < 72) return -1L
+    if (u8(b, 0) != 'R' || u8(b, 1) != 'I' || u8(b, 2) != 'F' || u8(b, 3) != 'F' ||
+      u8(b, 8) != 'A' || u8(b, 9) != 'V' || u8(b, 10) != 'I' || u8(b, 11) != ' ')
+      return -1L
+    if (u8(b, 12) != 'L' || u8(b, 13) != 'I' || u8(b, 14) != 'S' || u8(b, 15) != 'T' ||
+      u8(b, 20) != 'h' || u8(b, 21) != 'd' || u8(b, 22) != 'r' || u8(b, 23) != 'l' ||
+      u8(b, 24) != 'a' || u8(b, 25) != 'v' || u8(b, 26) != 'i' || u8(b, 27) != 'h')
+      return -1L
+    val microPerFrame = le32(b, 32)
+    val totalFrames = le32(b, 48)
+    val w = le32(b, 64)
+    val h = le32(b, 68)
+    if (w < 1 || w > MaxDim20 || h < 1 || h > MaxDim20 || microPerFrame <= 0)
+      return -1L
+    val durMs = math.min(totalFrames * microPerFrame / 1000L, MaxDim.toLong)
+    (w << 44) | (h << 24) | durMs
+  }
+
   // ── MP3 (MPEG audio Layer III) ───────────────────────────────────────
 
   // public-spec tables: bitrate kbps by index (MPEG1 / MPEG2+2.5, Layer
@@ -828,6 +854,39 @@ case class Mp3Info(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `avi_info(binary) -> long` — NULL unless the payload is a well-formed
+  * AVI (RIFF/AVI + hdrl LIST + avih); else width<<44|height<<24|durationMs,
+  * MP4's packing. Same codegen shape as [[ImageDims]]. */
+case class AviInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"avi_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "avi_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedAvi(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedAvi($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AviInfo =
+    copy(child = newChild)
+}
+
 /** `flac_info(binary) -> long` — NULL unless the payload is a well-formed
   * FLAC (fLaC magic + STREAMINFO); else sampleRate<<24|durationMs, WAV's
   * packing. Same codegen shape as [[ImageDims]]. */
@@ -997,11 +1056,21 @@ object ImageFunctions {
     * fields otherwise. */
   def webmMeta(payload: Column): Column = unpackVideo(mkvInfo(payload))
 
-  /** Container-agnostic video metadata: MP4 and Matroska/WebM share the
-    * packed layout, so one coalesce covers both — the column a crawl
-    * pipeline actually filters on when the container is unknown. */
+  /** Packed (width, height, durationMs) long for AVI payloads, NULL
+    * otherwise. */
+  def aviInfo(payload: Column): Column =
+    ColumnBridge.column(AviInfo(ColumnBridge.expression(payload)))
+
+  /** Typed video header metadata for AVI payloads — NULL fields
+    * otherwise. */
+  def aviMeta(payload: Column): Column = unpackVideo(aviInfo(payload))
+
+  /** Container-agnostic video metadata: MP4, Matroska/WebM, and AVI
+    * share the packed layout, so one coalesce covers all — the column a
+    * crawl pipeline actually filters on when the container is unknown. */
   def anyVideoMeta(payload: Column): Column =
-    unpackVideo(coalesce(mp4Info(payload), mkvInfo(payload)))
+    unpackVideo(coalesce(mp4Info(payload), mkvInfo(payload),
+      aviInfo(payload)))
 
   private def unpackVideo(packed: Column): Column =
     struct(

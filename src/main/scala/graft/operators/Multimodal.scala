@@ -39,9 +39,9 @@ object Multimodal {
     * header-parse stage ([[graft.functions.ImageFunctions.imageMeta]])
     * runs against genuine container bytes; audio rows cycle RIFF/WAVE
     * (doc_id % 12 == 1), WebM audio (== 4), FLAC (== 7), and OGG
-    * Vorbis (== 10), video rows MP4 (doc_id % 6 == 2) and WebM video
-    * (doc_id % 6 == 5) — the dominant crawl containers per modality.
-    * Gives the binary-column pipeline a real distributed input without
+    * Vorbis (== 10), video rows MP4 (== 2), AVI (== 8), and WebM video
+    * (== 5, == 11) — the dominant crawl containers per modality. Gives
+    * the binary-column pipeline a real distributed input without
     * shipping codecs. */
   def synthesizeMedia(docs: DataFrame): DataFrame = {
     val w = (col("n_chars") % 640 + 1).cast("int")
@@ -138,28 +138,39 @@ object Multimodal {
       unhex(lit("4F676753" + "00" + "04")),                           // page hdr, EOS
       le32(flacSamples), unhex(lit("00000000")),                      // granule LE64 (< 2^32)
       unhex(lit("00" * 13)))                                          // serial/seq/crc/0 segs
+    // AVI: RIFF/AVI + hdrl LIST + avih at its mandated first position —
+    // dwMicroSecPerFrame 1000 makes dwTotalFrames ≙ ms, so duration =
+    // n_chars×10 exactly like the other containers
+    val aviHeader = concat(
+      unhex(lit("52494646" + "C8000000")),                            // RIFF, size
+      unhex(lit("41564920" + "4C495354" + "40000000")),               // AVI , LIST
+      unhex(lit("6864726C" + "61766968" + "38000000")),               // hdrl, avih, cb 56
+      le32(lit(1000)), unhex(lit("00" * 12)),                         // µs/frame = 1000
+      le32(durTicks), unhex(lit("00" * 12)),                          // total frames ≙ ms
+      le32(w), le32(h))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       ((col("doc_id") % 3) + 1).cast("int"))
-    val isMp4 = (col("doc_id") % 6) === 2
-    val audioSlot = col("doc_id") % 12 // audio rows: 1, 4, 7, 10
+    val slot = col("doc_id") % 12 // audio rows: 1,4,7,10; video: 2,5,8,11
     val body = col("text").cast("binary")
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", concat(pngHeader, body))
-        .when(audioSlot === 1, concat(wavHeader, body))
-        .when(audioSlot === 7, concat(flacHeader, body))
-        .when(audioSlot === 10, concat(oggBosPage, body, oggEosPage))
+        .when(slot === 1, concat(wavHeader, body))
+        .when(slot === 7, concat(flacHeader, body))
+        .when(slot === 10, concat(oggBosPage, body, oggEosPage))
         .when(kind === "audio", concat(webmAudioHeader, body))
-        .when(isMp4, concat(mp4Header, body))
+        .when(slot === 2, concat(mp4Header, body))
+        .when(slot === 8, concat(aviHeader, body))
         .otherwise(concat(webmHeader, body)).as("payload"),
       struct(
         when(kind === "image", lit("png"))
-          .when(audioSlot === 1, lit("wav"))
-          .when(audioSlot === 7, lit("flac"))
-          .when(audioSlot === 10, lit("ogg"))
+          .when(slot === 1, lit("wav"))
+          .when(slot === 7, lit("flac"))
+          .when(slot === 10, lit("ogg"))
           .when(kind === "audio", lit("webm_audio"))
-          .when(isMp4, lit("mp4"))
+          .when(slot === 2, lit("mp4"))
+          .when(slot === 8, lit("avi"))
           .otherwise(lit("webm")).as("format"),
         w.as("width"),
         h.as("height"),

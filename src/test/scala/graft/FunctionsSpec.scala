@@ -92,10 +92,13 @@ class FunctionsSpec extends AnyFunSuite {
                 graft_wav_info(png) AS not_wav,
                 graft_mp4_info(png) AS not_mp4,
                 graft_mkv_info(png) AS not_mkv,
-                graft_mkv_audio_info(png) AS not_mkv_audio
+                graft_mkv_audio_info(png) AS not_mkv_audio,
+                graft_flac_info(png) AS not_flac,
+                graft_ogg_info(png) AS not_ogg,
+                graft_avi_info(png) AS not_avi
          FROM media_sql""").collect().head
     assert(row.getInt(0) == 3 && row.getInt(1) == 2 && row.getInt(2) == 44100)
-    (3 to 6).foreach(i => assert(row.isNullAt(i)))
+    (3 to 9).foreach(i => assert(row.isNullAt(i)))
     // arity is validated at the registry boundary
     val err = intercept[Exception] {
       spark.sql("SELECT graft_mp3_info(X'00', X'00')").collect()

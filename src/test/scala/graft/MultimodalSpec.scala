@@ -291,12 +291,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.nonEmpty && other.forall(_.isEmpty))
   }
 
-  test("synthesizeMedia video payloads round-trip meta through MP4 and WebM parses") {
+  test("synthesizeMedia video payloads round-trip meta through MP4/WebM/AVI parses") {
     import graft.functions.ImageFunctions
     val media = Multimodal.synthesizeMedia(docs)
       .select(col("kind"), col("meta.format").as("fmt"),
         ImageFunctions.videoMeta(col("payload")).as("v"),
         ImageFunctions.webmMeta(col("payload")).as("wm"),
+        ImageFunctions.aviMeta(col("payload")).as("av"),
         ImageFunctions.anyVideoMeta(col("payload")).as("any"),
         col("meta.width").as("w"), col("meta.height").as("h"),
         col("meta.duration_ms").as("dur"))
@@ -311,6 +312,12 @@ class MultimodalSpec extends AnyFunSuite {
         col("wm.duration_ms") === col("dur"), col("v.width").isNull)
       .as[(Boolean, Boolean, Boolean, Boolean)].collect()
     assert(webm.nonEmpty && webm.forall(r => r._1 && r._2 && r._3 && r._4))
+    val avi = media.filter(col("fmt") === "avi")
+      .select(col("av.width") === col("w"), col("av.height") === col("h"),
+        col("av.duration_ms") === col("dur"), col("v.width").isNull,
+        col("wm.width").isNull)
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(avi.nonEmpty && avi.forall(r => r._1 && r._2 && r._3 && r._4 && r._5))
     // …and the container-agnostic coalesce covers every video row
     val any = media.filter(col("kind") === "video")
       .select(col("any.width") === col("w"), col("any.duration_ms") === col("dur"))
@@ -320,6 +327,45 @@ class MultimodalSpec extends AnyFunSuite {
     val other = media.filter(col("kind") =!= "video")
       .select(col("any.width")).as[Option[Int]].collect()
     assert(other.nonEmpty && other.forall(_.isEmpty))
+  }
+
+  test("packedAvi golden and corrupt fixtures; codegen parity") {
+    import graft.functions.ImageFunctions
+    // RIFF/AVI + LIST hdrl + avih: 40 µs/frame (25 fps), 250 frames
+    // (→ 10000 ms), 320x240 — every field at its spec offset
+    def le4(v: Long): Array[Byte] =
+      (0 until 4).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    def aviFix(micro: Long, frames: Long, w: Long, h: Long): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ hex("C8000000") ++
+        "AVI LIST".getBytes("US-ASCII") ++ hex("40000000") ++
+        "hdrlavih".getBytes("US-ASCII") ++ hex("38000000") ++
+        le4(micro) ++ hex("00000000" * 3) ++ le4(frames) ++
+        hex("00000000" * 3) ++ le4(w) ++ le4(h)
+    val avi = aviFix(40000L, 250L, 320L, 240L)
+    val p = ImageHeader.packedAvi(avi)
+    assert(p >= 0 && (p >> 44) == 320L && ((p >> 24) & 0xfffff) == 240L &&
+      (p & 0xffffff) == 10000L)
+    val bad = Seq(
+      aviFix(0L, 250L, 320L, 240L),          // zero µs/frame
+      aviFix(40000L, 250L, 0L, 240L),        // zero width
+      "RIFF".getBytes("US-ASCII") ++ hex("C8000000") ++
+        "WAVELIST".getBytes("US-ASCII") ++ new Array[Byte](56), // RIFF but WAVE
+      avi.take(40),                           // truncated
+      "not video".getBytes("UTF-8"), Array.empty[Byte])
+    bad.foreach(b => assert(ImageHeader.packedAvi(b) == -1L))
+    // interpreted vs codegen parity + anyVideoMeta pickup
+    val all = Seq(avi) ++ bad
+    val viaStatic = all.map(b => Option(ImageHeader.packedAvi(b)).filter(_ >= 0))
+    val viaPlan = all.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "payload")
+      .select(col("i"), ImageFunctions.aviInfo(col("payload")).as("d"))
+      .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaPlan == viaStatic)
+    val m = Seq(Tuple1(avi)).toDF("payload")
+      .select(ImageFunctions.anyVideoMeta(col("payload")).as("v"))
+      .select(col("v.width"), col("v.height"), col("v.duration_ms"))
+      .as[(Int, Int, Long)].head()
+    assert(m == ((320, 240, 10000L)))
   }
 
   test("packedMp4 golden and corrupt fixtures") {

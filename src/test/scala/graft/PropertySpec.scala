@@ -291,6 +291,7 @@ class PropertySpec extends AnyFunSuite {
       Array(0xff, 0xfb).map(_.toByte), "ID3".getBytes("US-ASCII"),         // MP3
       "fLaC".getBytes("US-ASCII"), "OggS".getBytes("US-ASCII"),
       "RIFFxxxxWEBPVP8 ".getBytes("US-ASCII"),
+      "RIFFxxxxAVI LISTxxxxhdrlavih".getBytes("US-ASCII"),
       "RIFFxxxxWEBPVP8L".getBytes("US-ASCII"),
       "RIFFxxxxWEBPVP8X".getBytes("US-ASCII"),
       Array('I', 'I', 0x2a, 0).map(_.toByte),                              // TIFF LE
@@ -309,6 +310,7 @@ class PropertySpec extends AnyFunSuite {
       ImageHeader.packedMp3(blob)
       ImageHeader.packedFlac(blob)
       ImageHeader.packedOgg(blob)
+      ImageHeader.packedAvi(blob)
     }
   }
 
