@@ -324,7 +324,12 @@ object ImageHeader {
     val h = le32(b, 68)
     if (w < 1 || w > MaxDim20 || h < 1 || h > MaxDim20 || microPerFrame <= 0)
       return -1L
-    val durMs = math.min(totalFrames * microPerFrame / 1000L, MaxDim.toLong)
+    // both factors are unsigned-32 reads: the product can exceed Long on
+    // hostile lengths — saturate instead of overflowing into garbage
+    val durMs =
+      if (totalFrames > 0 && microPerFrame > Long.MaxValue / totalFrames)
+        MaxDim.toLong
+      else math.min(totalFrames * microPerFrame / 1000L, MaxDim.toLong)
     (w << 44) | (h << 24) | durMs
   }
 
@@ -448,7 +453,11 @@ object ImageHeader {
       }
       i -= 1
     }
-    val durMs = if (g <= 0) 0L else math.min(g * 1000L / clock, MaxDim.toLong)
+    // hostile 63-bit granules would overflow g*1000 — saturate instead
+    val durMs =
+      if (g <= 0) 0L
+      else if (g > Long.MaxValue / 1000L) MaxDim.toLong
+      else math.min(g * 1000L / clock, MaxDim.toLong)
     (rate << 24) | durMs
   }
 

@@ -163,6 +163,55 @@ object AggPack extends QueryPack {
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn")))),
 
+    // G6 composition: 3-stage sequential funnel (view → click →
+    // purchase, each strictly after the previous AND within a 24 h
+    // conversion window, per user). Three chained conditional-min
+    // windows over the SAME user_id partition — ONE exchange, no
+    // self-joins (at 100 TB the join formulation re-shuffles events
+    // three times; this shuffles once), then a per-user collapse and a
+    // stage histogram.
+    "q101_funnel" -> ((s, dir) => Q.ordered {
+      val w = Window.partitionBy(col("user_id"))
+      def within24h(t: Column) =
+        col("ts") > t && col("ts") <= t + expr("INTERVAL 24 HOURS")
+      Q.t(s, dir, "events")
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && within24h(col("t1")),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && within24h(col("t2")),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+        .select(
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    // G6 composition: weekly cohort retention — cohort = the user's
+    // first-event week, retention = distinct active users per (cohort,
+    // week offset). Both aggregates key on user_id (AQE co-partitions
+    // the join with the cohort agg's exchange); the offset division is
+    // exact (both dates are week-truncated, datediff is a multiple of
+    // 7), floor() pins identical semantics on both engines anyway.
+    "q102_retention" -> ((s, dir) => Q.ordered {
+      val ev = Q.t(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      val weekly = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      weekly.join(cohort, "user_id")
+        .select(col("cohort"),
+          floor(datediff(col("wk"), col("cohort")) / 7).cast("int")
+            .as("week_offset"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // G11 scale form: custom typed Aggregator — incremental XOR group
     // fingerprint, one-long buffer per group (vs q45's collect_list).
     "q69_xor_fingerprint" -> ((s, dir) => Q.ordered(
@@ -200,6 +249,42 @@ object AggPack extends QueryPack {
     Fingerprint.sqlExpr(Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
 
   override val oracleSql: Map[String, String] = Map(
+    // sequential-dependency oracle in its natural SQL form: three
+    // chained conditional-min CTEs (the join formulation the Spark side
+    // deliberately avoids), then the same stage histogram
+    "q101_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+              t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+                     JOIN t1 ON e.user_id = t1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                       AND e.ts <= t1.ts1 + INTERVAL 24 HOURS GROUP BY 1),
+              t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+                     JOIN t2 ON e.user_id = t2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                       AND e.ts <= t2.ts2 + INTERVAL 24 HOURS GROUP BY 1),
+              u AS (SELECT DISTINCT user_id FROM events)
+         SELECT CASE WHEN ts3 IS NOT NULL THEN 3
+                     WHEN ts2 IS NOT NULL THEN 2
+                     WHEN ts1 IS NOT NULL THEN 1
+                     ELSE 0 END AS stage,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM u LEFT JOIN t1 USING (user_id)
+                LEFT JOIN t2 USING (user_id)
+                LEFT JOIN t3 USING (user_id)
+         GROUP BY 1 ORDER BY ALL NULLS FIRST""",
+
+    "q102_retention" ->
+      """WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                         FROM events GROUP BY 1),
+              weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                         FROM events)
+         SELECT cohort,
+                CAST(floor(date_diff('day', cohort, wk) / 7) AS INT) AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM weekly JOIN cohort USING (user_id)
+         GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""",
+
     "q49_range_window" ->
       """SELECT user_id, event_id,
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (

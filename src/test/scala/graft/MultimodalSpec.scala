@@ -345,6 +345,9 @@ class MultimodalSpec extends AnyFunSuite {
     val p = ImageHeader.packedAvi(avi)
     assert(p >= 0 && (p >> 44) == 320L && ((p >> 24) & 0xfffff) == 240L &&
       (p & 0xffffff) == 10000L)
+    // hostile unsigned-32 µs×frames product saturates, never overflows
+    val sat = ImageHeader.packedAvi(aviFix(0xffffffffL, 0xffffffffL, 320L, 240L))
+    assert(sat >= 0 && (sat & 0xffffff) == 0xffffff)
     val bad = Seq(
       aviFix(0L, 250L, 320L, 240L),          // zero µs/frame
       aviFix(40000L, 250L, 0L, 240L),        // zero width
@@ -574,6 +577,10 @@ class MultimodalSpec extends AnyFunSuite {
     // header-only download: only the granule-0 id page present → 0 ms
     val hdrOnly = ImageHeader.packedOgg(oggPage(0L, vorbisId))
     assert(hdrOnly >= 0 && (hdrOnly & 0xffffff) == 0L)
+    // hostile near-max granule saturates the duration, never overflows
+    val satOgg = ImageHeader.packedOgg(
+      oggPage(0L, vorbisId) ++ oggPage(Long.MaxValue - 1, new Array[Byte](8)))
+    assert(satOgg >= 0 && (satOgg & 0xffffff) == 0xffffff)
     // corrupt / foreign shapes → -1
     val bad = Seq(
       "fLaC".getBytes("US-ASCII"),                                   // truncated
