@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity, TextStats}
+import graft.operators.{Dedup, Graph, Similarity, TextStats}
 
 /** Near-duplicate detection at scale — SURVEY §2.9 L1/L2 extended.
   * Four mechanisms, each the oracle-checked form of a 100 TB design:
@@ -138,6 +138,29 @@ object NearDupPack extends QueryPack {
         maxDfFrac = 0.5)
       Dedup.clusterPairs(pairs, "id_a", "id_b",
         slice.select(col("doc_id")), "doc_id")
+    }),
+
+    // Link-graph centrality as a document quality prior (the classic
+    // PageRank-weighted web-corpus sampling): a deterministic synthetic
+    // link graph (3 out-edges per doc, (id*31+k) mod N, self-loops
+    // dropped) ranked by 3 fixed damped iterations. Per iteration: ONE
+    // src-keyed equi-join + ONE dst aggregation, lineage truncated by
+    // localCheckpoint — q92's iterative shape with numeric mass instead
+    // of min-labels. Float parity: contribution sums are decimal-exact,
+    // everything else is IEEE-deterministic scalar math (teleport
+    // written as 1.0 - 0.85 on BOTH engines — the two literals differ
+    // in binary from 0.15).
+    "q103_pagerank" -> ((s, dir) => Q.ordered {
+      val docs = Q.t(s, dir, "documents").select(col("doc_id"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val edges = docs.crossJoin(n)
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k")) % col("n_docs")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
     }),
 
     // L1: edit-distance near-dup. Scale shape: a LOSSLESS length-band
@@ -362,6 +385,51 @@ object NearDupPack extends QueryPack {
                 coalesce(cl.cluster, c.doc_id) AS cluster,
                 coalesce(cl.cluster, c.doc_id) = c.doc_id AS is_rep
          FROM cand c LEFT JOIN cl ON c.doc_id = cl.id
+         ORDER BY ALL NULLS FIRST""",
+
+    // the 3 iterations unrolled as CTE levels; contribution sums are
+    // decimal-exact on both engines (DECIMAL(38,18) accumulate →
+    // DECIMAL(28,12) → DOUBLE, the Graph.decSum contract), the teleport
+    // term is spelled 1.0 - 0.85 (NOT 0.15 — different binary double)
+    "q103_pagerank" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         e AS (SELECT doc_id AS src,
+                      (doc_id * 31 + k) % (SELECT n_docs FROM n) AS dst
+               FROM documents, (VALUES (1), (2), (3)) AS ks(k)
+               WHERE doc_id <> (doc_id * 31 + k) % (SELECT n_docs FROM n)),
+         outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+                    FROM e GROUP BY 1),
+         pr0 AS (SELECT doc_id AS node, 1.0 / (SELECT nd FROM n) AS pr
+                 FROM documents),
+         s1 AS (SELECT e.dst AS node,
+                       CAST(CAST(sum(CAST(p.pr / o.outdeg AS DECIMAL(38,18)))
+                            AS DECIMAL(28,12)) AS DOUBLE) AS in_sum
+                FROM e JOIN pr0 p ON e.src = p.node
+                       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         pr1 AS (SELECT d.node,
+                        (1.0 - 0.85) / (SELECT nd FROM n) +
+                          0.85 * coalesce(s.in_sum, 0.0) AS pr
+                 FROM pr0 d LEFT JOIN s1 s ON d.node = s.node),
+         s2 AS (SELECT e.dst AS node,
+                       CAST(CAST(sum(CAST(p.pr / o.outdeg AS DECIMAL(38,18)))
+                            AS DECIMAL(28,12)) AS DOUBLE) AS in_sum
+                FROM e JOIN pr1 p ON e.src = p.node
+                       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         pr2 AS (SELECT d.node,
+                        (1.0 - 0.85) / (SELECT nd FROM n) +
+                          0.85 * coalesce(s.in_sum, 0.0) AS pr
+                 FROM pr1 d LEFT JOIN s2 s ON d.node = s.node),
+         s3 AS (SELECT e.dst AS node,
+                       CAST(CAST(sum(CAST(p.pr / o.outdeg AS DECIMAL(38,18)))
+                            AS DECIMAL(28,12)) AS DOUBLE) AS in_sum
+                FROM e JOIN pr2 p ON e.src = p.node
+                       JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         pr3 AS (SELECT d.node,
+                        (1.0 - 0.85) / (SELECT nd FROM n) +
+                          0.85 * coalesce(s.in_sum, 0.0) AS pr
+                 FROM pr2 d LEFT JOIN s3 s ON d.node = s.node)
+         SELECT node AS doc_id, round(pr, 6) AS pr FROM pr3
          ORDER BY ALL NULLS FIRST""",
 
     "q60_ngram_jaccard" ->
