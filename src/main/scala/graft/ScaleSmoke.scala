@@ -346,6 +346,22 @@ object ScaleSmoke {
         queries, "qid", "qvec", probeDims = probeDims, nprobe = 8,
         k = 10).count()
     }
+
+    time("pagerank-3iter") {
+      // q103's iterative link-graph shape at N×: 3 out-edges per node
+      // over an N×-sized id space (no union-plan concern — the edge
+      // table is one narrow range transform). Expect ~linear in edges:
+      // each iteration is one src-keyed join + one dst aggregation.
+      val ids = spark.range(5000L * mult).select(col("id").as("doc_id"))
+      val n = broadcast(ids.agg(count(lit(1)).as("n_docs")))
+      val edges = ids.crossJoin(n)
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k")) % col("n_docs")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.Graph.pageRank(edges, "src", "dst", iterations = 3).count()
+    }
     spark.stop()
   }
 }
