@@ -170,27 +170,11 @@ object AggPack extends QueryPack {
     // self-joins (at 100 TB the join formulation re-shuffles events
     // three times; this shuffles once), then a per-user collapse and a
     // stage histogram.
-    "q101_funnel" -> ((s, dir) => Q.ordered {
-      val w = Window.partitionBy(col("user_id"))
-      def within24h(t: Column) =
-        col("ts") > t && col("ts") <= t + expr("INTERVAL 24 HOURS")
-      Q.t(s, dir, "events")
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("ts"))).over(w))
-        .withColumn("t2",
-          min(when(col("event_type") === "click" && within24h(col("t1")),
-            col("ts"))).over(w))
-        .withColumn("t3",
-          min(when(col("event_type") === "purchase" && within24h(col("t2")),
-            col("ts"))).over(w))
-        .groupBy(col("user_id"))
-        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
-          max(col("t3")).as("t3"))
-        .select(
-          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
-            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
-        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
-    }),
+    "q101_funnel" -> ((s, dir) => Q.ordered(
+      graft.operators.Funnel.stage(Q.t(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), expr("INTERVAL 24 HOURS"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users")))),
 
     // G6 composition: weekly cohort retention — cohort = the user's
     // first-event week, retention = distinct active users per (cohort,

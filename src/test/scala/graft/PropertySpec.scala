@@ -274,6 +274,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stage equals the brute-force per-entity walk (20 random event sets)") {
+    // The chained conditional-min window formulation must agree with the
+    // direct definition: t1 = first 'a'; t_{i+1} = first step_{i+1}
+    // strictly after t_i and within the window of it; stage = furthest
+    // t_i that exists.
+    import java.sql.Timestamp
+    val steps = Seq("a", "b", "c")
+    val types = Seq("a", "b", "c", "x", "y")
+    val windowSec = 50L
+    (1 to 20).foreach { _ =>
+      val events = (1 to 300).map { i =>
+        (rnd.nextInt(12).toLong,                     // user
+          types(rnd.nextInt(types.size)),            // type
+          new Timestamp(1700000000000L + i * 1000L + rnd.nextInt(999)))
+      }
+      def expected(user: Long): Int = {
+        val mine = events.filter(_._1 == user).sortBy(_._3.getTime)
+        var last: Option[Long] = None
+        var stage = 0
+        var blocked = false
+        steps.foreach { s =>
+          if (!blocked) {
+            val next = last match {
+              case None => mine.find(_._2 == s).map(_._3.getTime)
+              case Some(t) => mine.find(e => e._2 == s && e._3.getTime > t &&
+                e._3.getTime <= t + windowSec * 1000L).map(_._3.getTime)
+            }
+            next match {
+              case Some(t) => stage += 1; last = Some(t)
+              case None => blocked = true
+            }
+          }
+        }
+        stage
+      }
+      val got = graft.operators.Funnel.stage(
+          events.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps,
+          expr(s"INTERVAL $windowSec SECONDS"))
+        .as[(Long, Int)].collect().toMap
+      events.map(_._1).distinct.foreach { u =>
+        assert(got(u) == expected(u), s"user $u: got ${got(u)}, want ${expected(u)}")
+      }
+    }
+  }
+
   test("container parsers never throw on arbitrary bytes (2000 fuzz blobs)") {
     // the 100 TB contract: corrupt bytes are DATA (→ -1/NULL), never a
     // task failure. Random blobs, plus blobs seeded with each format's
