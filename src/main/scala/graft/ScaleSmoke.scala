@@ -151,7 +151,32 @@ object ScaleSmoke {
             col("l_orderkey").asc_nulls_first)).count()
       }
     }
-    for (shape <- Seq("delta-split", "window-dedup")
+    // Funnel skew twins: the window form (one shuffle, but WindowExec
+    // buffers each entity's full partition) vs the agg/join form (one
+    // shuffle per step, but partial aggregation collapses the hot key
+    // map-side). The claim: the agg/join form's zipf/unif ratio stays
+    // < 2 where the window form's degrades with the hot key.
+    for ((dist, keyed) <- skewTwins) {
+      val ev = keyed.select(col("k"),
+        element_at(array(lit("view"), lit("click"), lit("purchase"),
+          lit("x"), lit("y")), (col("l_linenumber") % 5 + 1).cast("int"))
+          .as("etype"),
+        col("l_shipdate").as("ts"))
+      val steps = Seq("view", "click", "purchase")
+      timeBest(s"funnel-window-$dist") {
+        operators.Funnel.stageUnbounded(ev, "k", "etype", "ts", steps).count()
+      }
+      timeBest(s"funnel-aggjoin-$dist") {
+        withConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+          operators.Funnel.stageSkewSafeUnbounded(ev, "k", "etype", "ts",
+            steps).count()
+        }
+      }
+    }
+    for (shape <- Seq("delta-split", "window-dedup",
+                      "funnel-window", "funnel-aggjoin")
          if durations.contains(s"$shape-zipf") && durations.contains(s"$shape-unif")) {
       val r = durations(s"$shape-zipf") / durations(s"$shape-unif")
       println(f"[scale] $shape%-22s zipf/unif ratio = $r%.2f (target < 2)")

@@ -33,6 +33,54 @@ object Funnel {
                      tsCol: String, steps: Seq[String]): DataFrame =
     stageImpl(events, entityCol, typeCol, tsCol, steps, None)
 
+  /** [[stage]]'s skew-safe twin: identical result, different physical
+    * shape. The window form shuffles events once but WindowExec buffers
+    * each entity's full partition — a hot entity with 10^8 events
+    * buffers 10^8 rows in one task. This form computes each step as a
+    * filtered `groupBy(entity).min` (partial aggregation collapses the
+    * hot key to one row per map task BEFORE the shuffle — the
+    * keep-first/W2 skew argument) joined back to the per-entity step
+    * table (events-side skew there is AQE's skew-join split, the J1
+    * argument). Costs one events-shuffle per step instead of one total;
+    * choose by skew, not by default. Equality with [[stage]] is pinned
+    * property-style in PropertySpec. */
+  def stageSkewSafe(events: DataFrame, entityCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    window: Column): DataFrame =
+    stageSkewSafeImpl(events, entityCol, typeCol, tsCol, steps, Some(window))
+
+  /** [[stageSkewSafe]] with no conversion-window bound. */
+  def stageSkewSafeUnbounded(events: DataFrame, entityCol: String,
+                             typeCol: String, tsCol: String,
+                             steps: Seq[String]): DataFrame =
+    stageSkewSafeImpl(events, entityCol, typeCol, tsCol, steps, None)
+
+  private def stageSkewSafeImpl(events: DataFrame, entityCol: String,
+                                typeCol: String, tsCol: String,
+                                steps: Seq[String],
+                                window: Option[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var t = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("_t0"))
+    steps.tail.zipWithIndex.foreach { case (s, i0) =>
+      val i = i0 + 1
+      val prev = s"_t${i - 1}"
+      val cond = window.fold(col(tsCol) > col(prev))(iv =>
+        col(tsCol) > col(prev) && col(tsCol) <= col(prev) + iv)
+      val next = events.filter(col(typeCol) === s)
+        .join(t.select(col(entityCol), col(prev)), entityCol)
+        .filter(cond)
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(s"_t$i"))
+      t = t.join(next, Seq(entityCol), "left")
+    }
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, i + 1).otherwise(acc)
+    }
+    events.select(col(entityCol)).distinct()
+      .join(t, Seq(entityCol), "left")
+      .select(col(entityCol), coalesce(stage, lit(0)).as("stage"))
+  }
+
   private def stageImpl(events: DataFrame, entityCol: String, typeCol: String,
                         tsCol: String, steps: Seq[String],
                         window: Option[Column]): DataFrame = {

@@ -309,11 +309,16 @@ class PropertySpec extends AnyFunSuite {
         }
         stage
       }
+      val df = events.toDF("user_id", "event_type", "ts")
+      val iv = expr(s"INTERVAL $windowSec SECONDS")
       val got = graft.operators.Funnel.stage(
-          events.toDF("user_id", "event_type", "ts"),
-          "user_id", "event_type", "ts", steps,
-          expr(s"INTERVAL $windowSec SECONDS"))
+          df, "user_id", "event_type", "ts", steps, iv)
         .as[(Long, Int)].collect().toMap
+      // the skew-safe agg/join twin must agree row-for-row
+      val gotSkewSafe = graft.operators.Funnel.stageSkewSafe(
+          df, "user_id", "event_type", "ts", steps, iv)
+        .as[(Long, Int)].collect().toMap
+      assert(got == gotSkewSafe)
       events.map(_._1).distinct.foreach { u =>
         assert(got(u) == expected(u), s"user $u: got ${got(u)}, want ${expected(u)}")
       }
