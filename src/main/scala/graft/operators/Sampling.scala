@@ -80,6 +80,26 @@ object Sampling {
           .cast("long").as("target_rows"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res): each row draws a stable uniform u from md5(key)
+    * and ranks by ln(u)/w — the log-monotone form of the u^(1/w) key,
+    * avoiding cross-engine pow() — so a row's selection probability is
+    * proportional to its weight. The standard way to draw a
+    * quality-weighted training subset: one scan + global top-k, which
+    * plans as TakeOrderedAndProject (per-partition top-k then a k-row
+    * merge — no full sort, no shuffle of the corpus). Weights must be
+    * > 0. u is shifted to (0,1) strictly (+0.5/2^32) so ln never sees 0;
+    * exact key ties break by the key column for full determinism. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4.294967296e9
+    df.withColumn("__es", log(u) / weight)
+      .orderBy(col("__es").desc_nulls_last, key.asc_nulls_first)
+      .limit(k)
+      .drop("__es")
+  }
+
   /** Stratified deterministic sample: `perGroup` rows per group, chosen
     * by hash order (stable, engine-portable). One shuffle on the group
     * key. */

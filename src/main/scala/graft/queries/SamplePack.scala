@@ -32,6 +32,15 @@ object SamplePack extends QueryPack {
         col("doc_id"), 3)
         .select(col("lang"), col("doc_id")))),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    // quality-weighted subset draw — selection probability ∝ n_chars.
+    // ln(u)/w ranking with md5-stable u; plans as TakeOrderedAndProject
+    // (per-partition top-k, no corpus shuffle/sort).
+    "q104_weighted_sample" -> ((s, dir) => Q.ordered(
+      Sampling.weightedSample(Q.t(s, dir, "documents"),
+          col("doc_id"), col("n_chars").cast("double"), 100)
+        .select(col("doc_id"), col("n_chars")))),
+
     // temperature-scaled source mixture: w_s = sqrt(n_tok_s) / Σ sqrt —
     // the count^α (α=0.5) reweighting for assembling a training mix.
     // sqrt is IEEE-exact in every engine (pow/exp are not).
@@ -74,6 +83,18 @@ object SamplePack extends QueryPack {
          SELECT source, n_docs, n_tok, weight,
                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS target_rows
          FROM r CROSS JOIN l ORDER BY ALL NULLS FIRST""",
+
+    // the same A-Res key: u shifted to (0,1) strictly, ln-form to avoid
+    // cross-engine pow(); exact ties break by doc_id
+    "q104_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0)
+                    / CAST(n_chars AS DOUBLE) AS es
+           FROM documents
+           ORDER BY es DESC, doc_id ASC LIMIT 100)
+         ORDER BY ALL NULLS FIRST""",
 
     "q77_stratified_sample" ->
       """SELECT lang, doc_id FROM (

@@ -136,4 +136,24 @@ class RetrievalSpec extends AnyFunSuite {
     // raw share of tiny = 1%; sqrt share = 1/(1+sqrt(99)) ≈ 9.1%
     assert(w("tiny") > 0.01 && w("tiny") < w("huge"))
   }
+
+  test("weightedSample favors heavy rows, is deterministic, and plans no full sort") {
+    // 1000 rows, half weight 1, half weight 50: an unweighted 100-row
+    // draw would pick ~50 heavy rows; the E-S draw must pick far more.
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) 1.0 else 50.0)).toDF("id", "w")
+    val pick = Sampling.weightedSample(df, col("id"), col("w"), 100)
+      .as[(Long, Double)].collect()
+    assert(pick.length == 100)
+    val heavy = pick.count(_._2 == 50.0)
+    assert(heavy > 80, s"expected heavy-row dominance, got $heavy/100")
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(df.repartition(13), col("id"), col("w"), 100)
+      .as[(Long, Double)].collect()
+    assert(pick.map(_._1).toSet == again.map(_._1).toSet)
+    // global top-k plans as TakeOrderedAndProject — never a full Sort
+    val plan = Sampling.weightedSample(df, col("id"), col("w"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
