@@ -105,6 +105,37 @@ object MicroBench {
           "qvec", probeDims = 8, nprobe = 8, k = 10).collect()
       }
     }
+
+    // Media header-parse throughput: the resolution/duration gate a
+    // crawl pipeline runs on EVERY binary payload. 2M synthetic
+    // PNG-headered and WAV-headered payloads; the parse is a codegen'd
+    // static call, so rows/s here is the per-payload ceiling of the
+    // metadata gate (payload generation is cached out of the timing).
+    import graft.functions.ImageFunctions
+    def be32c(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    def le32c(c: org.apache.spark.sql.Column) = {
+      val x = lpad(hex(c), 8, "0")
+      unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2)))
+    }
+    val media = spark.range(rows).select(
+      concat(unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        be32c(col("id") % 640 + 1), be32c(col("id") % 480 + 1)).as("png"),
+      concat(unhex(lit("52494646")), le32c(col("id") % 100000 + 36),
+        unhex(lit("57415645" + "666D7420" + "10000000" + "01000100")),
+        le32c(lit(16000)), le32c(lit(32000)), unhex(lit("02001000" + "64617461")),
+        le32c(col("id") % 100000)).as("wav")).cache()
+    media.count()
+    media.limit(1000).select(ImageFunctions.imageDims(col("png"))).collect() // warmup
+    time("image-dims-2M") {
+      media.select(count(ImageFunctions.imageDims(col("png")))).collect()
+    }
+    time("any-audio-2M") {
+      // the 5-parser coalesce: WAV matches first here, the other four
+      // magic-gates reject in O(1)
+      media.select(count(ImageFunctions.anyAudioMeta(col("wav"))
+        .getField("sample_rate"))).collect()
+    }
     spark.stop()
   }
 }
