@@ -182,8 +182,13 @@ object ImageHeader {
       val tag = rd16(e)
       if (tag == 256 || tag == 257) {
         val typ = rd16(e + 2)
-        // value is inline: SHORT (3) in the field's first 2 bytes (per
-        // byte order), LONG (4) as the full 4 bytes
+        // value is inline ONLY when count == 1: for count > 1 the value
+        // field holds an offset to the array, which would be misread as
+        // a plausible-but-wrong dimension (r10 ADVICE) — reject it.
+        val cnt = rd32(e + 4)
+        if (cnt != 1) return -1L
+        // SHORT (3) in the field's first 2 bytes (per byte order),
+        // LONG (4) as the full 4 bytes
         val v = typ match {
           case 3 => rd16(e + 8)
           case 4 => rd32(e + 8)

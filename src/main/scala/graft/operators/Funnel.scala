@@ -21,7 +21,8 @@ object Funnel {
     * Returns (entityCol, stage). `window` is the max gap between
     * consecutive steps (an INTERVAL column, e.g.
     * `expr("INTERVAL 24 HOURS")`); pass a null Column-less overload via
-    * [[stageUnbounded]] for no window.
+    * [[stageUnbounded]] for no window. Rows whose entity id is NULL are
+    * dropped (no output row) — NULL is not an identity.
     */
   def stage(events: DataFrame, entityCol: String, typeCol: String,
             tsCol: String, steps: Seq[String], window: Column): DataFrame =
@@ -55,11 +56,16 @@ object Funnel {
                              steps: Seq[String]): DataFrame =
     stageSkewSafeImpl(events, entityCol, typeCol, tsCol, steps, None)
 
-  private def stageSkewSafeImpl(events: DataFrame, entityCol: String,
+  private def stageSkewSafeImpl(events0: DataFrame, entityCol: String,
                                 typeCol: String, tsCol: String,
                                 steps: Seq[String],
                                 window: Option[Column]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // NULL entity ids carry no identity — dropped up front so both
+    // physical forms agree (window partitioning groups NULLs together,
+    // equi-joins never match them; without this filter the two forms
+    // diverge on NULL keys).
+    val events = events0.filter(col(entityCol).isNotNull)
     var t = events.filter(col(typeCol) === steps.head)
       .groupBy(col(entityCol)).agg(min(col(tsCol)).as("_t0"))
     steps.tail.zipWithIndex.foreach { case (s, i0) =>
@@ -81,10 +87,12 @@ object Funnel {
       .select(col(entityCol), coalesce(stage, lit(0)).as("stage"))
   }
 
-  private def stageImpl(events: DataFrame, entityCol: String, typeCol: String,
+  private def stageImpl(events0: DataFrame, entityCol: String, typeCol: String,
                         tsCol: String, steps: Seq[String],
                         window: Option[Column]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // NULL entity ids dropped — see stageSkewSafeImpl.
+    val events = events0.filter(col(entityCol).isNotNull)
     val w = Window.partitionBy(col(entityCol))
     val withTimes = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
       val cond =

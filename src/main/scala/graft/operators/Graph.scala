@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   * identically by any engine — no per-iteration rounding is needed, and
   * none is applied (round() itself is the one op whose decimal
   * interpretation can differ across engines). Callers matching an
-  * oracle must spell the teleport constant the same way on both sides:
-  * `1.0 - damping` and a literal like `0.15` are DIFFERENT doubles.
+  * oracle must force DOUBLE subtraction for the teleport constant:
+  * Spark's `lit(1.0 - damping)` is IEEE double math
+  * (0.15000000000000002 for damping=0.85), but a SQL engine like
+  * DuckDB evaluates the bare literal expression `1.0 - 0.85` in exact
+  * DECIMAL arithmetic (= the different double 0.15) — write
+  * `CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)` on the oracle side.
   */
 object Graph {
 

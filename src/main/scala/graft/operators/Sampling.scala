@@ -89,7 +89,15 @@ object Sampling {
     * plans as TakeOrderedAndProject (per-partition top-k then a k-row
     * merge — no full sort, no shuffle of the corpus). Weights must be
     * > 0. u is shifted to (0,1) strictly (+0.5/2^32) so ln never sees 0;
-    * exact key ties break by the key column for full determinism. */
+    * exact key ties break by the key column for full determinism.
+    *
+    * Cross-engine caveat: ln() is only ~1-ulp-accurate and its exact
+    * bits differ between libm implementations (JVM StrictMath vs
+    * DuckDB's C libm), so a near-tie at the top-k BOUNDARY can flip
+    * which row an oracle on another engine selects — the within-engine
+    * result is fully deterministic, the cross-engine hash match is
+    * probabilistic in corpus size (fine at verify SF; a strict-parity
+    * variant would need an integer/decimal rank key). */
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame = {
     val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)

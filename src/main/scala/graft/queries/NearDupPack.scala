@@ -147,9 +147,11 @@ object NearDupPack extends QueryPack {
     // src-keyed equi-join + ONE dst aggregation, lineage truncated by
     // localCheckpoint — q92's iterative shape with numeric mass instead
     // of min-labels. Float parity: contribution sums are decimal-exact,
-    // everything else is IEEE-deterministic scalar math (teleport
-    // written as 1.0 - 0.85 on BOTH engines — the two literals differ
-    // in binary from 0.15).
+    // everything else is IEEE-deterministic scalar math. Teleport
+    // parity: Spark computes lit(1.0 - 0.85) in IEEE double
+    // (0.15000000000000002); the oracle must CAST both operands to
+    // DOUBLE before subtracting, because DuckDB's bare 1.0 - 0.85 is
+    // exact DECIMAL arithmetic (= the different double 0.15).
     "q103_pagerank" -> ((s, dir) => Q.ordered {
       val docs = Q.t(s, dir, "documents").select(col("doc_id"))
       val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
@@ -390,7 +392,9 @@ object NearDupPack extends QueryPack {
     // the 3 iterations unrolled as CTE levels; contribution sums are
     // decimal-exact on both engines (DECIMAL(38,18) accumulate →
     // DECIMAL(28,12) → DOUBLE, the Graph.decSum contract), the teleport
-    // term is spelled 1.0 - 0.85 (NOT 0.15 — different binary double)
+    // term forces DOUBLE subtraction — DuckDB's bare `1.0 - 0.85` is
+    // DECIMAL arithmetic (exactly 0.15), a DIFFERENT double from
+    // Spark's lit(1.0 - 0.85) = 0.15000000000000002
     "q103_pagerank" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                            CAST(count(*) AS DOUBLE) AS nd FROM documents),
@@ -408,7 +412,7 @@ object NearDupPack extends QueryPack {
                 FROM e JOIN pr0 p ON e.src = p.node
                        JOIN outdeg o ON e.src = o.src GROUP BY 1),
          pr1 AS (SELECT d.node,
-                        (1.0 - 0.85) / (SELECT nd FROM n) +
+                        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nd FROM n) +
                           0.85 * coalesce(s.in_sum, 0.0) AS pr
                  FROM pr0 d LEFT JOIN s1 s ON d.node = s.node),
          s2 AS (SELECT e.dst AS node,
@@ -417,7 +421,7 @@ object NearDupPack extends QueryPack {
                 FROM e JOIN pr1 p ON e.src = p.node
                        JOIN outdeg o ON e.src = o.src GROUP BY 1),
          pr2 AS (SELECT d.node,
-                        (1.0 - 0.85) / (SELECT nd FROM n) +
+                        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nd FROM n) +
                           0.85 * coalesce(s.in_sum, 0.0) AS pr
                  FROM pr1 d LEFT JOIN s2 s ON d.node = s.node),
          s3 AS (SELECT e.dst AS node,
@@ -426,7 +430,7 @@ object NearDupPack extends QueryPack {
                 FROM e JOIN pr2 p ON e.src = p.node
                        JOIN outdeg o ON e.src = o.src GROUP BY 1),
          pr3 AS (SELECT d.node,
-                        (1.0 - 0.85) / (SELECT nd FROM n) +
+                        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nd FROM n) +
                           0.85 * coalesce(s.in_sum, 0.0) AS pr
                  FROM pr2 d LEFT JOIN s3 s ON d.node = s.node)
          SELECT node AS doc_id, round(pr, 6) AS pr FROM pr3

@@ -193,6 +193,11 @@ class MultimodalSpec extends AnyFunSuite {
       "0001 0400 01000000 20030000")) == -1L) // width only, no length
     assert(ImageHeader.packedDims(hex("49492A00 08000000" + "0100" +
       "0001 0200 01000000 20030000")) == -1L) // ASCII-typed dim tag
+    // count > 1: value field is an OFFSET, not the dimension — must be
+    // rejected, not misread as width=0x320 (r10 ADVICE)
+    assert(ImageHeader.packedDims(hex("49492A00 08000000" + "0200" +
+      "0001 0400 02000000 20030000" +
+      "0101 0300 01000000 58020000" + "00000000")) == -1L)
   }
 
   test("imageMeta yields NULL fields for non-image and corrupt payloads") {

@@ -309,7 +309,13 @@ class PropertySpec extends AnyFunSuite {
         }
         stage
       }
+      // NULL entity ids must be dropped identically by both physical
+      // forms (window partitioning would otherwise group NULLs into a
+      // real funnel while the join form yields stage 0 — the r10 ADVICE
+      // divergence).
       val df = events.toDF("user_id", "event_type", "ts")
+        .union(events.take(5).toDF("user_id", "event_type", "ts")
+          .withColumn("user_id", lit(null).cast("bigint")))
       val iv = expr(s"INTERVAL $windowSec SECONDS")
       val got = graft.operators.Funnel.stage(
           df, "user_id", "event_type", "ts", steps, iv)
@@ -319,6 +325,8 @@ class PropertySpec extends AnyFunSuite {
           df, "user_id", "event_type", "ts", steps, iv)
         .as[(Long, Int)].collect().toMap
       assert(got == gotSkewSafe)
+      // exactly the non-NULL entities — NULL rows produced no output
+      assert(got.size == events.map(_._1).distinct.size)
       events.map(_._1).distinct.foreach { u =>
         assert(got(u) == expected(u), s"user $u: got ${got(u)}, want ${expected(u)}")
       }
