@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotFunction)
     ext.injectFunction(GraftFunctions.xmlFieldsFunction)
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
+    ext.injectFunction(GraftFunctions.mainContentFunction)
     GraftFunctions.mediaFunctions.foreach(ext.injectFunction)
   }
 }
@@ -74,6 +75,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[XmlLabeledLinks].getName, "graft_xml_labeled_links"),
       xmlLabeledLinksBuilder)
 
+  val mainContentFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_main_content"),
+      new ExpressionInfo(classOf[HtmlMainContent].getName, "graft_main_content"),
+      unary("graft_main_content", HtmlMainContent))
+
   private def unary(fn: String, mk: Expression => Expression): Seq[Expression] => Expression = {
     case Seq(e) => mk(e)
     case other => throw new IllegalArgumentException(
@@ -109,6 +115,8 @@ object GraftFunctions {
     ColumnBridge.registerExpression(spark, "graft_xml_fields", xmlFieldsBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_labeled_links",
       xmlLabeledLinksBuilder)
+    ColumnBridge.registerExpression(spark, "graft_main_content",
+      unary("graft_main_content", HtmlMainContent))
     mediaBuilders.foreach { case (name, _, builder) =>
       ColumnBridge.registerExpression(spark, name, builder)
     }

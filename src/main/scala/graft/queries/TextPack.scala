@@ -253,9 +253,101 @@ object TextPack extends QueryPack {
         TextStats.prefixFingerprint(toks, 16).as("prefix_fp"),
         TextStats.hashBucket(TextStats.fullFingerprint(col("text")), 1024).as("bucket"))
     }),
+
+    // L4/P-family closure: generic HTML main-content extraction
+    // (boilerplate removal) — the q100 pattern applied to markup: a page
+    // is SYNTHESIZED around each document's words (head/title/style/
+    // script chrome, a link-only nav and menu, three prose paragraphs —
+    // one carrying an inline link, one an entity — a short copyright
+    // block, a footer), so DuckDB can recompute the expected extraction
+    // with pure string arithmetic over `text` while the Spark side must
+    // recover it by actually LEXING the page with the one-pass native
+    // graft_main_content expression. Any rule regression (drop
+    // containers, raw-text skip, entity decode, whitespace collapse,
+    // 25-char minimum, 1/3 link-density cap) breaks the hash. Map-only
+    // at any scale.
+    "q105_main_content" -> ((s, dir) => Q.ordered {
+      import graft.functions.HtmlFunctions
+      val base = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("a", ((col("n") + 2) / 3).cast("int"))
+        .withColumn("p1", array_join(slice(col("toks"), lit(1), col("a")), " "))
+        .withColumn("p2toks", slice(col("toks"), col("a") + 1, col("a")))
+        .withColumn("p3", array_join(
+          slice(col("toks"), col("a") * 2 + 1,
+            greatest(col("n") - col("a") * 2, lit(0))), " "))
+        .withColumn("menu", array_join(
+          transform(slice(col("toks"), lit(1), least(col("n"), lit(4))),
+            (t, i) => concat(lit("<a href=\"/t/"), i.cast("string"),
+              lit("\">"), t, lit("</a>"))), " "))
+      val p2html = when(size(col("p2toks")) > 0, concat(
+        lit("<p><a href=\"/rel\">"), element_at(col("p2toks"), 1), lit("</a>"),
+        when(size(col("p2toks")) > 1, concat(lit(" "),
+          array_join(slice(col("p2toks"), lit(2),
+            size(col("p2toks")) - 1), " "))).otherwise(lit("")),
+        lit("</p>"))).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>Doc</title><style>p{margin:0}</style>" +
+          "<script>if(1<2){var x='<p>';}</script></head><body>" +
+          "<header><h1>Corpus Viewer</h1></header>" +
+          "<nav><ul><li><a href=\"/\">Home</a></li>" +
+          "<li><a href=\"/browse\">Browse</a></li></ul></nav>" +
+          "<div class=\"menu\">"), col("menu"), lit("</div><main>"),
+        when(length(col("p1")) > 0,
+          concat(lit("<p>"), col("p1"), lit("</p>"))).otherwise(lit("")),
+        p2html,
+        lit("<p>"), col("p3"), lit(" Q&amp;A</p></main>" +
+          "<div class=\"foot\">(c) 2026 Example Corp</div>" +
+          "<footer><a href=\"/tos\">Terms</a> &middot; " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      base.withColumn("m", HtmlFunctions.mainContent(html))
+        .select(col("doc_id"), col("m.text").as("main_text"),
+          col("m.kept").as("kept_blocks"), col("m.blocks").as("total_blocks"))
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
+    // Recomputes the expected main-content extraction of the q105
+    // synthesized page with pure string arithmetic: paragraph texts from
+    // the same token slices, the 25-char minimum, the 1/3 link-density
+    // cap (paragraph 2's only anchor is its first word; the menu block
+    // is all anchors, hence always dense: 3L > L + (k-1) for k words of
+    // total length L >= k >= 1). Non-content chrome (head/title/style/
+    // script/nav/header/footer) must contribute NOTHING — blocks are
+    // exactly: menu, p1, p2 (when non-empty), p3 (always; 'Q&A' suffix
+    // exercises entity decode), and the 21-char copyright line.
+    "q105_main_content" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n, (len(toks) + 2) // 3 AS a FROM d),
+         p AS (SELECT doc_id, n,
+                      array_to_string(list_slice(toks, 1, a), ' ') AS p1,
+                      array_to_string(list_slice(toks, a + 1, 2 * a), ' ') AS p2,
+                      CASE WHEN n >= a + 1 THEN length(toks[a + 1]) ELSE 0 END AS w1len,
+                      array_to_string(list_slice(toks, 2 * a + 1, n), ' ') AS p3base
+               FROM s),
+         e AS (SELECT doc_id, n, p1, p2, w1len,
+                      CASE WHEN p3base = '' THEN 'Q&A'
+                           ELSE p3base || ' Q&A' END AS p3
+               FROM p),
+         k AS (SELECT doc_id,
+                      CASE WHEN length(p1) >= 25 THEN p1 END AS k1,
+                      CASE WHEN length(p2) >= 25 AND 3 * w1len <= length(p2) THEN p2 END AS k2,
+                      CASE WHEN length(p3) >= 25 THEN p3 END AS k3,
+                      CAST(n > 0 AS INT) + CAST(p1 <> '' AS INT) +
+                        CAST(p2 <> '' AS INT) + 1 + 1 AS total_blocks
+               FROM e)
+         SELECT doc_id,
+                concat_ws(chr(10), k1, k2, k3) AS main_text,
+                CAST(k1 IS NOT NULL AS INT) + CAST(k2 IS NOT NULL AS INT) +
+                  CAST(k3 IS NOT NULL AS INT) AS kept_blocks,
+                total_blocks
+         FROM k
+         ORDER BY ALL NULLS FIRST""",
+
     // Constants are CAST to DOUBLE so DuckDB's decimal literals don't
     // introduce exact-decimal intermediate math the Spark side (pure
     // doubles) can't reproduce; idf's ln is rounded to 8 before use
