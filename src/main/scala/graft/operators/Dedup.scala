@@ -280,4 +280,64 @@ object Dedup {
       (col("__id") === col("__lab")).as("is_rep"))
   }
 
+  /** L1, sub-document granularity: cross-document paragraph-level exact
+    * dedup — the Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" ExactSubstr modality at paragraph grain. Doc-level
+    * dedup (keep-first / MinHash) cannot catch the boilerplate paragraph
+    * shared by millions of otherwise-distinct pages; this removes every
+    * repeated paragraph from all but its globally-first occurrence and
+    * reassembles the surviving text.
+    *
+    * Shape (three exchanges, all key-partitioned, no driver state):
+    *  1. split + posexplode to (id, pos, para), blank paragraphs dropped;
+    *  2. global keep-first per canonical paragraph hash:
+    *     `min(struct(id, pos))` — partial aggregation collapses each
+    *     hash's occurrences map-side before the ONE shuffle on the
+    *     fixed-width hash key (the W2 keep-first skew argument: a
+    *     boilerplate paragraph appearing in every doc arrives at the
+    *     reducer as one row per map task, not one row per doc);
+    *  3. equi-join winners back on the hash (same partitioning, AQE
+    *     handles residual skew) and reassemble per doc via
+    *     sort_array(collect_list(struct(pos, para))) — one shuffle on the
+    *     doc id, order restored by the pos sort, no window.
+    *
+    * Returns one row per input doc: (idCol, clean_text, n_paras, n_kept)
+    * — docs whose every paragraph lost keep-first come back with empty
+    * text and n_kept = 0 (left join against the input spine), so the
+    * caller can thread quality filters on the survival ratio.
+    *
+    * Canonicalization is trim-only (md5 of the trimmed paragraph);
+    * callers wanting case-/punctuation-insensitive grain pass a
+    * pre-normalized text column. md5 keeps the oracle replayable
+    * engine-portably (file-wide contract).
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__h", md5(trim(col("__para"))))
+    val winners = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
+      .select(col("__h"), col("__w").getField(idCol).as("__wid"),
+        col("__w").getField("__pos").as("__wpos"))
+    val kept = paras.join(winners, Seq("__h"))
+      .filter(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
+            p => p.getField("__para")), sep).as("__clean"))
+    val spine = docs.select(col(idCol),
+      size(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        p => trim(p) =!= "")).cast("long").as("n_paras"))
+    spine.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+  }
+
 }

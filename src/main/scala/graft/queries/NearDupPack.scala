@@ -252,9 +252,71 @@ object NearDupPack extends QueryPack {
             .as("cos"))
         .filter(col("cos") >= 0.3)
     }),
+
+    // L1 sub-document grain: cross-document paragraph-level exact dedup
+    // (the Lee et al. boilerplate-paragraph modality). Each document is
+    // given a paragraph structure — a shared subscribe banner, its own
+    // 7-token content chunks, a shared rights footer — and
+    // Dedup.dedupParagraphs must strip every repeated paragraph from all
+    // but its globally-first (doc_id, pos) occurrence and reassemble:
+    // only doc 0 keeps the banner/footer, and any content chunk repeated
+    // across (or within) documents survives exactly once. The oracle
+    // replays keep-first with a row_number window over the same md5
+    // paragraph key.
+    "q106_paragraph_dedup" -> ((s, dir) => Q.ordered {
+      val bp1 = "subscribe to our newsletter for updates and offers"
+      val bp2 = "all rights reserved contact our support team today"
+      val base = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nc", ((col("n") + 6) / 7).cast("int"))
+        .select(col("doc_id"), array_join(concat(
+          array(lit(bp1)),
+          transform(sequence(lit(0), col("nc") - 1),
+            i => array_join(slice(col("toks"), i * 7 + 1, lit(7)), " ")),
+          array(lit(bp2))), "\n").as("ptext"))
+      Dedup.dedupParagraphs(base, "doc_id", "ptext", "\n")
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
+    // Keep-first at paragraph grain: the window's (doc_id, pos) order is
+    // the oracle twin of the operator's min(struct(doc_id, pos)) winner;
+    // reassembly order is the pos sort on both sides.
+    "q106_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+                      (len(toks) + 6) // 7 AS nc FROM d),
+         ps AS (SELECT doc_id,
+                       ['subscribe to our newsletter for updates and offers'] ||
+                         list_transform(range(0, nc), i ->
+                           array_to_string(list_slice(toks, i * 7 + 1,
+                             least((i + 1) * 7, n)), ' ')) ||
+                         ['all rights reserved contact our support team today'] AS paras
+                FROM c),
+         p AS (SELECT doc_id,
+                      generate_subscripts(paras, 1) - 1 AS pos,
+                      unnest(paras) AS para
+               FROM ps),
+         w AS (SELECT doc_id, pos, para,
+                      row_number() OVER (PARTITION BY md5(para)
+                                         ORDER BY doc_id, pos) AS rn
+               FROM p),
+         k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1),
+         r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      array_to_string(list(para ORDER BY pos), chr(10)) AS clean_text
+               FROM k GROUP BY doc_id),
+         spine AS (SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras FROM ps)
+         SELECT s.doc_id,
+                coalesce(r.clean_text, '') AS clean_text,
+                s.n_paras,
+                coalesce(r.n_kept, 0) AS n_kept
+         FROM spine s LEFT JOIN r USING (doc_id)
+         ORDER BY ALL NULLS FIRST""",
+
     "q58_minhash_lsh" ->
       """WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
                        FROM documents WHERE doc_id % 5 = 0),

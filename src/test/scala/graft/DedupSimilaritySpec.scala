@@ -10,6 +10,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dedupParagraphs: keep-first by (id, pos), reassembly, empty-doc spine") {
+    val docs = Seq(
+      (1L, "shared banner\nunique one\nshared banner"), // within-doc repeat
+      (2L, "shared banner\nunique two"),
+      (3L, "shared banner"),                            // loses everything
+      (4L, " \n  \n"),                                  // only blanks → 0 paras
+      (5L, "unique one\nown tail")                      // cross-doc repeat of doc 1's para
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("shared banner\nunique one", 3L, 2L)))
+    assert(got(2L) == (("unique two", 2L, 1L)))
+    assert(got(3L) == (("", 1L, 0L)))
+    assert(got(4L) == (("", 0L, 0L)))
+    assert(got(5L) == (("own tail", 2L, 1L)))
+    assert(got.size == 5)
+  }
+
   test("jaccardPairs computes exact token-set Jaccard") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")

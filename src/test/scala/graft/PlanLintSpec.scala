@@ -69,7 +69,11 @@ class PlanLintSpec extends AnyFunSuite {
       "group = one document's own token sequence (Vocab.encode re-assembly)",
     "q99_ivf_centroids" ->
       ("group = one centroid's own components, bounded by vector dim " +
-        "(Similarity.centroidMeans re-assembly)"))
+        "(Similarity.centroidMeans re-assembly)"),
+    "q106_paragraph_dedup" ->
+      ("group = one document's own surviving paragraphs, bounded by that " +
+        "document's input size (Dedup.dedupParagraphs re-assembly after " +
+        "posexplode of the same doc's text — not a foreign-key fan-in)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {
