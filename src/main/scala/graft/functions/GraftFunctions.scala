@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.xmlFieldsFunction)
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
     ext.injectFunction(GraftFunctions.mainContentFunction)
+    ext.injectFunction(GraftFunctions.bpeFunction)
     GraftFunctions.mediaFunctions.foreach(ext.injectFunction)
   }
 }
@@ -50,6 +51,27 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"graft_xml_fields expects (xml, path, ...), got ${other.size} arguments")
   }
+
+  /** Merge-table arguments are `'x y'` string literals in rank order —
+    * model configuration, compiled once per plan like the xpath paths. */
+  private[functions] val bpeBuilder: Seq[Expression] => Expression = {
+    case word +: rest if rest.nonEmpty =>
+      val merges = rest.map(litString("graft_bpe")).map { p =>
+        p.split(' ') match {
+          case Array(x, y) => (x, y)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bpe merge literals are 'x y' pairs, got '$p'")
+        }
+      }
+      BpeTokens(word, merges)
+    case other => throw new IllegalArgumentException(
+      s"graft_bpe expects (word, 'x y', ...), got ${other.size} arguments")
+  }
+
+  val bpeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe"),
+      bpeBuilder)
 
   private[functions] val xmlLabeledLinksBuilder: Seq[Expression] => Expression = {
     case Seq(xml, path, attr, labelAttr) =>
@@ -117,6 +139,7 @@ object GraftFunctions {
       xmlLabeledLinksBuilder)
     ColumnBridge.registerExpression(spark, "graft_main_content",
       unary("graft_main_content", HtmlMainContent))
+    ColumnBridge.registerExpression(spark, "graft_bpe", bpeBuilder)
     mediaBuilders.foreach { case (name, _, builder) =>
       ColumnBridge.registerExpression(spark, name, builder)
     }

@@ -306,7 +306,41 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), col("m.text").as("main_text"),
           col("m.kept").as("kept_blocks"), col("m.blocks").as("total_blocks"))
     }),
+
+    // L4: REAL byte-pair encoding — the canonical greedy merge loop as a
+    // native codegen expression (functions.BpeTokens), per word, flattened
+    // back per document. The oracle replays a genuinely DIFFERENT
+    // algorithm (one ascending nested-`replace` pass over ranks on a
+    // `|sym|`-wrapped string — equivalent for a valid merge table, see
+    // Bpe scaladoc; BpeSpec brute-forces the equivalence), so a greedy-
+    // loop bug on either side breaks the hash. Map-only at any scale:
+    // the merge table rides the expression to executors (the broadcast
+    // role); no shuffle touches the corpus.
+    "q107_bpe_encode" -> ((s, dir) => Q.ordered {
+      import graft.functions.BpeFunctions
+      val words = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+      Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"), words.as("words"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          flatten(transform(col("words"),
+            w => BpeFunctions.bpeTokens(w, BpeFunctions.EnMerges))).as("toks"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("toks")).cast("long").as("n_bpe"),
+          array_join(col("toks"), " ").as("bpe_text"))
+    }),
   )
+
+  /** q107's oracle: one word's BPE as the ascending nested-replace pass —
+    * each char wrapped `|c|`, then rank-ordered `replace('|x||y|','|xy|')`
+    * (leftmost-non-overlapping in both engines), then unwrapped. */
+  private val bpeWordSql: String = {
+    val wrapped = """regexp_replace(w, '(.)', '|\1|', 'g')"""
+    val merged = graft.functions.BpeFunctions.EnMerges.foldLeft(wrapped) {
+      case (acc, (x, y)) => s"replace($acc, '|$x||$y|', '|$x$y|')"
+    }
+    s"str_split(trim($merged, '|'), '||')"
+  }
 
   override val oracleSql: Map[String, String] = Map(
     // Recomputes the expected main-content extraction of the q105
@@ -577,5 +611,19 @@ object TextPack extends QueryPack {
                 md5(array_to_string(str_split(text, ' ')[1:16], ' ')) AS prefix_fp,
                 CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1024 AS bucket
          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q107_bpe_encode" ->
+      s"""WITH w AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '[a-z]+') AS words
+                     FROM documents),
+          t AS (SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       flatten(list_transform(words, w -> $bpeWordSql)) AS toks
+                FROM w)
+          SELECT doc_id, n_words,
+                 CAST(len(toks) AS BIGINT) AS n_bpe,
+                 array_to_string(toks, ' ') AS bpe_text
+          FROM t
+          ORDER BY ALL NULLS FIRST""",
   )
 }
