@@ -124,7 +124,8 @@ object GraftFunctions {
       ("graft_mp3_info", classOf[Mp3Info], unary("graft_mp3_info", Mp3Info)),
       ("graft_flac_info", classOf[FlacInfo], unary("graft_flac_info", FlacInfo)),
       ("graft_ogg_info", classOf[OggInfo], unary("graft_ogg_info", OggInfo)),
-      ("graft_avi_info", classOf[AviInfo], unary("graft_avi_info", AviInfo)))
+      ("graft_avi_info", classOf[AviInfo], unary("graft_avi_info", AviInfo)),
+      ("graft_dhash", classOf[ImageDHash], unary("graft_dhash", ImageDHash)))
 
   val mediaFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     mediaBuilders.map { case (name, cls, builder) =>

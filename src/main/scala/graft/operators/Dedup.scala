@@ -340,4 +340,36 @@ object Dedup {
         coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Hamming near-dup candidate pairs over a 64-bit perceptual hash
+    * (dHash/SimHash family): split the hash into four 16-bit bands and
+    * equi-join per band — the q58/q59 LSH shape, never all-pairs. By
+    * pigeonhole the candidate set is EXACT for `maxDist` ≤ 3 (a pair
+    * within 3 bit flips shares at least one untouched band); above that
+    * it is the standard multi-index approximation, and the operator's
+    * contract (mirrored by the oracle) is band-match AND distance ≤
+    * `maxDist`. Scale: cost ∝ Σ bucket², bounded by band-value
+    * occupancy over a 2^16 space per band — the same occupancy math as
+    * [[lshPairs]]'s derived caps; no shuffle beyond the one band join.
+    *
+    * Output: (a_id, b_id, hamming), a < b, deduped across bands. */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
+        posexplode(array((0 to 3).map(b =>
+          shiftrightunsigned(col("__h"), b * 16)
+            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("__band", "__bv")))
+    val a = banded.select(col("__id").as("a_id"), col("__h").as("__ha"),
+      col("__band"), col("__bv"))
+    val b = banded.select(col("__id").as("b_id"), col("__h").as("__hb"),
+      col("__band"), col("__bv"))
+    a.join(b, Seq("__band", "__bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -278,6 +278,42 @@ object NearDupPack extends QueryPack {
           array(lit(bp2))), "\n").as("ptext"))
       Dedup.dedupParagraphs(base, "doc_id", "ptext", "\n")
     }),
+
+    // L3 content grain: perceptual image near-dup — the q100 pattern
+    // taken all the way to PIXELS. Each doc synthesizes a real
+    // uncompressed 24-bpp 18×16 BMP (column math only: header constant,
+    // pixel bytes from an integer formula over (x, y, key, variant);
+    // rows stored bottom-up with the 2-byte stride pad), graft_dhash
+    // must DECODE it (offsets, stride, row order, luma) and hash the
+    // 9×8 cell grid; Dedup.hammingPairs then finds near-dup pairs via
+    // the 4×16-bit band join. Docs sharing doc_id%40 are variants of
+    // one image (brightness nudged on every 5th pixel column by
+    // (doc_id DIV 40)%3), so intra-key pairs sit at small Hamming
+    // distance and everything else is far. The oracle recomputes the
+    // hash ARITHMETICALLY from the pixel formula — any decode bug
+    // (stride, bottom-up flip, cell boundary, strictness) breaks it.
+    "q108_image_neardup" -> ((s, dir) => Q.ordered {
+      import graft.functions.PerceptualHashFunctions
+      val key = (col("doc_id") % 40).cast("int")
+      val variant = expr("CAST(doc_id DIV 40 AS INT) % 3")
+      def g(xx: Column, yy: Column): Column =
+        (lit(7) * xx * xx + lit(11) * yy * yy +
+          lit(13) * key * (xx + lit(1)) + lit(17) * key * yy) % 250 +
+          variant * when(xx % 5 === 0, lit(3)).otherwise(lit(0))
+      val headerHex = "424D" + "B6030000" + "00000000" + "36000000" +
+        "28000000" + "12000000" + "10000000" + "0100" + "1800" +
+        "00000000" + "80030000" + "00000000" * 4
+      val pixelsHex = array_join(
+        transform(sequence(lit(15), lit(0), lit(-1)), yy => concat(
+          array_join(transform(sequence(lit(0), lit(17)), xx =>
+            repeat(lpad(hex(g(xx, yy)), 2, "0"), 3)), ""),
+          lit("0000"))), "")
+      val hashed = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          PerceptualHashFunctions.dHash(
+            unhex(concat(lit(headerHex), pixelsHex))).as("h"))
+      Dedup.hammingPairs(hashed, "doc_id", "h", maxDist = 16)
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -315,6 +351,52 @@ object NearDupPack extends QueryPack {
                 s.n_paras,
                 coalesce(r.n_kept, 0) AS n_kept
          FROM spine s LEFT JOIN r USING (doc_id)
+         ORDER BY ALL NULLS FIRST""",
+
+    // Recomputes each doc's dHash arithmetically from the q108 pixel
+    // formula (never touching BMP bytes), in two positive 32-bit halves
+    // so every shift/xor stays in signed-BIGINT range, then replays the
+    // same 4-band candidate join and Hamming filter. Cell luma scale
+    // (×1000 for gray pixels) and equal 2×2 cell areas cancel out of
+    // the strict comparison, so raw gray sums suffice.
+    "q108_image_neardup" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(doc_id % 40 AS INT) AS key,
+                           CAST(doc_id // 40 AS INT) % 3 AS variant
+                    FROM documents),
+         px AS (SELECT doc_id, x.x AS x, y.y AS y,
+                       (7*x.x*x.x + 11*y.y*y.y + 13*key*(x.x+1) + 17*key*y.y) % 250
+                         + variant * (CASE WHEN x.x % 5 = 0 THEN 3 ELSE 0 END) AS g
+                FROM d, generate_series(0, 17) x(x), generate_series(0, 15) y(y)),
+         cells AS (SELECT doc_id, y // 2 AS r, x // 2 AS c,
+                          CAST(SUM(g) AS BIGINT) AS s
+                   FROM px GROUP BY ALL),
+         bits AS (SELECT a.doc_id, a.r, a.c,
+                         CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+                  FROM cells a
+                  JOIN cells b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+                  WHERE a.c < 8),
+         hs AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN r < 4
+                                     THEN CAST(bit AS BIGINT) << (r*8+c)
+                                     ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(SUM(CASE WHEN r >= 4
+                                     THEN CAST(bit AS BIGINT) << ((r-4)*8+c)
+                                     ELSE 0 END) AS BIGINT) AS hi
+                FROM bits GROUP BY doc_id),
+         bands AS (SELECT doc_id, lo, hi, b.b AS band,
+                          CASE b.b WHEN 0 THEN lo & 65535
+                                   WHEN 1 THEN lo >> 16
+                                   WHEN 2 THEN hi & 65535
+                                   ELSE hi >> 16 END AS bv
+                   FROM hs, generate_series(0, 3) b(b)),
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                          CAST(bit_count(xor(a.lo, b.lo)) +
+                               bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+                   FROM bands a
+                   JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                               AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 16
          ORDER BY ALL NULLS FIRST""",
 
     "q58_minhash_lsh" ->
