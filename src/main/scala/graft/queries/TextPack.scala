@@ -329,6 +329,23 @@ object TextPack extends QueryPack {
           size(col("toks")).cast("long").as("n_bpe"),
           array_join(col("toks"), " ").as("bpe_text"))
     }),
+
+    // L4/K-family middle tier: model-based quality scoring — a
+    // fastText-shaped linear classifier over md5-hashed unigram+bigram
+    // features with integer micro-unit weights. The Spark side exercises
+    // the REAL model path (broadcast weight-table join + partial-agg
+    // sums); the oracle recomputes each feature's weight from the
+    // fixture's generating formula inline — a hashing, bigram, join, or
+    // aggregation bug on either side breaks the exact w_sum match before
+    // the single rounded division even happens.
+    "q109_quality_model" -> ((s, dir) => Q.ordered {
+      import graft.operators.QualityModel
+      val docs = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      QualityModel.score(docs, "doc_id", col("toks"),
+        QualityModel.fixtureWeights(s, 4096), 4096)
+    }),
   )
 
   /** q107's oracle: one word's BPE as the ascending nested-replace pass —
@@ -625,5 +642,36 @@ object TextPack extends QueryPack {
                  array_to_string(toks, ' ') AS bpe_text
           FROM t
           ORDER BY ALL NULLS FIRST""",
+
+    // Weight lookup replayed from the fixture's generating formula
+    // ((bucket*41+7)%2001-1000 micro-units) instead of the table join;
+    // the only float op is the one final double division + round(6),
+    // spelled identically on the Spark side.
+    "q109_quality_model" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+                      unnest(toks || list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS feat
+               FROM d),
+         b AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096 AS bucket
+               FROM f),
+         s AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_feats,
+                      CAST(sum((bucket * 41 + 7) % 2001 - 1000) AS BIGINT) AS w_sum
+               FROM b GROUP BY doc_id),
+         t AS (SELECT d.doc_id,
+                      coalesce(s.n_feats, 0) AS n_feats,
+                      coalesce(s.w_sum, 0) AS w_sum,
+                      round(CAST(s.w_sum AS DOUBLE) /
+                            (CAST(s.n_feats AS DOUBLE) * CAST(1000000.0 AS DOUBLE)),
+                            6) + CAST(0.0 AS DOUBLE) AS logit
+               FROM d LEFT JOIN s USING (doc_id))
+         SELECT doc_id, n_feats, w_sum, logit,
+                CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM t
+         ORDER BY ALL NULLS FIRST""",
   )
 }
