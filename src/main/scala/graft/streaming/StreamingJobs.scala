@@ -160,7 +160,10 @@ object StreamingJobs {
       spark, stateDir, buckets, Seq(idCol, "band"), col("__epoch"),
       evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
               else None)
-    ()
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flaggedPairs = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = stateDir)
   }
 
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of
@@ -230,7 +233,66 @@ object StreamingJobs {
       spark, stateDir, bucketed, Seq(idCol), col("__epoch"),
       evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
               else None)
-    ()
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flaggedPairs = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = stateDir)
+  }
+
+  /** Per-epoch sink observability (the reference's per-run delta-count
+    * logging, dags/scraping_etl.py:71, generalized): each incremental
+    * sink epoch writes ONE counter row under `outDir/_metrics/epoch=N`
+    * — input rows, flagged pairs, post-merge state rows. The underscore
+    * prefix keeps the sidecar invisible to readers of `outDir` itself
+    * (parquet readers skip `_`-paths), the per-epoch overwrite keeps it
+    * replay-idempotent like the data it describes, and the counts come
+    * from parquet footers of files just written (metadata reads, no
+    * payload rescan) plus one count of the pinned micro-batch.
+    *
+    * `state_rows` counts at the epoch's OWN horizon (`__epoch <=
+    * epochId`, the same filter the probe applies), so a replayed epoch
+    * re-records the number it recorded the first time even when later
+    * epochs have merged since — replay-deterministic unless compaction
+    * has already evicted rows from before the replayed epoch's window
+    * (the same sliding-window trade the data path documents). */
+  private def writeEpochMetrics(spark: org.apache.spark.sql.SparkSession,
+                                outDir: String, epochId: Long,
+                                inputRows: Long, flaggedPairs: Long,
+                                stateDir: String): Unit = {
+    import spark.implicits._
+    val stateRows = graft.sources.Writers.latestVersion(stateDir)
+      .map(v => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") <= epochId).count()).getOrElse(0L)
+    Seq((inputRows, flaggedPairs, stateRows))
+      .toDF("input_rows", "flagged_pairs", "state_rows")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_metrics/epoch=$epochId")
+  }
+
+  /** The metrics sidecar of an incremental sink's `outDir` as a
+    * DataFrame: (epoch, input_rows, flagged_pairs, state_rows), one row
+    * per processed epoch. `state_rows` deltas across consecutive epochs
+    * expose compaction (eviction) at work. */
+  def epochMetrics(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/_metrics")
+
+  /** Watermark-side observability for the query-surface jobs
+    * ([[tumblingCounts]]/[[sessionCounts]]/[[dedupWithinWatermark]]):
+    * the engine's own progress feed as a DataFrame — per micro-batch
+    * input rows, live state rows, and rows DROPPED AS TOO LATE by the
+    * watermark (the counter a pipeline alerts on when upstream lag
+    * starts eating data). Snapshot of `recentProgress`; call after
+    * `processAllAvailable()` in tests or on a schedule in production. */
+  def progressMetrics(query: org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val spark = query.sparkSession
+    import spark.implicits._
+    query.recentProgress.toSeq.map { p =>
+      val ops = Option(p.stateOperators).getOrElse(Array.empty)
+      (p.batchId, p.numInputRows,
+        ops.map(_.numRowsTotal).sum,
+        ops.map(_.numRowsDroppedByWatermark).sum)
+    }.toDF("batch_id", "input_rows", "state_rows", "dropped_late_rows")
   }
 
   /** A fingerprinted record flowing through the delta stream. */

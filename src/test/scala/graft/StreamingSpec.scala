@@ -521,4 +521,53 @@ class StreamingSpec extends AnyFunSuite {
         KeyedRecord("k1", "h9", "v2")))
     } finally q.stop()
   }
+
+  test("epoch metrics: per-epoch counters, stable under replay, invisible to data readers") {
+    val stateDir = java.nio.file.Files.createTempDirectory("mstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mout").toString
+    def run(epoch: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalDedupBatch(
+        docs.toDF("doc_id", "text"), epoch, "doc_id",
+        split(col("text"), " "), stateDir, outDir)
+    run(0, Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")))
+    run(1, Seq((3L, "alpha beta gamma delta")))
+    run(2, Seq((4L, "iota kappa lambda mu")))
+    def metrics = StreamingJobs.epochMetrics(spark, outDir)
+      .select(col("epoch").cast("long"), col("input_rows"),
+        col("flagged_pairs"), col("state_rows"))
+      .as[(Long, Long, Long, Long)].collect().toList.sorted
+    val m1 = metrics
+    // 4 bands per doc → state grows 8 → 12 → 16; only epoch 1 flags a pair
+    assert(m1 == List((0L, 2L, 0L, 8L), (1L, 1L, 1L, 12L), (2L, 1L, 0L, 16L)))
+    // crash-after-commit replay of epoch 1: counters must not double
+    run(1, Seq((3L, "alpha beta gamma delta")))
+    assert(metrics == m1)
+    // the sidecar must not leak into reads of the data directory
+    assert(!spark.read.parquet(outDir).columns.contains("input_rows"))
+  }
+
+  test("progressMetrics surfaces watermark-dropped late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingJobs.tumblingCounts(in.toDF(), "ts", "5 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wm_metrics")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts(1), "a", 1, 1.0), Ev(ts(2), "a", 1, 2.0))
+      q.processAllAvailable()
+      // advance the watermark to 10:49...
+      in.addData(Ev(ts(59), "b", 2, 0.0))
+      q.processAllAvailable()
+      // ...then a 10:05 straggler is too late and must be dropped
+      in.addData(Ev(ts(5), "a", 1, 9.0))
+      q.processAllAvailable()
+      val m = StreamingJobs.progressMetrics(q)
+      assert(m.columns.toSeq ==
+        Seq("batch_id", "input_rows", "state_rows", "dropped_late_rows"))
+      val agg = m.agg(sum("input_rows"), sum("dropped_late_rows"))
+        .as[(Long, Long)].collect()(0)
+      assert(agg._1 == 4L)
+      assert(agg._2 >= 1L, m.collect().mkString("; "))
+    } finally q.stop()
+  }
 }
