@@ -291,20 +291,30 @@ object Dedup {
     * Shape (three exchanges, all key-partitioned, no driver state):
     *  1. split + posexplode to (id, pos, para), blank paragraphs dropped;
     *  2. global keep-first per canonical paragraph hash:
-    *     `min(struct(id, pos))` — partial aggregation collapses each
-    *     hash's occurrences map-side before the ONE shuffle on the
+    *     `min(struct(id, pos, para))` — partial aggregation collapses
+    *     each hash's occurrences map-side before the ONE shuffle on the
     *     fixed-width hash key (the W2 keep-first skew argument: a
     *     boilerplate paragraph appearing in every doc arrives at the
-    *     reducer as one row per map task, not one row per doc);
-    *  3. equi-join winners back on the hash (same partitioning, AQE
-    *     handles residual skew) and reassemble per doc via
+    *     reducer as one row per map task, not one row per doc). The
+    *     paragraph TEXT rides in the struct — (id, pos) is unique so
+    *     it never participates in the comparison — which makes the
+    *     winner row self-contained: no join back onto the exploded
+    *     stream, so the upstream doc scan/synthesis executes ONCE
+    *     (the join form re-executed it on both sides; measured 2.8×
+    *     on q95's DAG);
+    *  3. reassemble winners per doc via
     *     sort_array(collect_list(struct(pos, para))) — one shuffle on the
     *     doc id, order restored by the pos sort, no window.
     *
     * Returns one row per input doc: (idCol, clean_text, n_paras, n_kept)
     * — docs whose every paragraph lost keep-first come back with empty
     * text and n_kept = 0 (left join against the input spine), so the
-    * caller can thread quality filters on the survival ratio.
+    * caller can thread quality filters on the survival ratio. With
+    * `withSpine = false` the spine scan + join are skipped and only
+    * SURVIVING docs return, as (idCol, clean_text, n_kept) with
+    * n_kept ≥ 1 — the right form when the caller's next stage filters
+    * emptied docs anyway (q95), since the spine costs a second pass
+    * over the input synthesis.
     *
     * Canonicalization is trim-only (md5 of the trimmed paragraph);
     * callers wanting case-/punctuation-insensitive grain pass a
@@ -312,32 +322,36 @@ object Dedup {
     * engine-portably (file-wide contract).
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-                      sep: String): DataFrame = {
+                      sep: String, withSpine: Boolean = true): DataFrame = {
     val paras = docs
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__para")))
       .filter(trim(col("__para")) =!= "")
       .withColumn("__h", md5(trim(col("__para"))))
-    val winners = paras
+    val kept = paras
       .groupBy(col("__h"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__w"))
-      .select(col("__h"), col("__w").getField(idCol).as("__wid"),
-        col("__w").getField("__pos").as("__wpos"))
-    val kept = paras.join(winners, Seq("__h"))
-      .filter(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))
+      .agg(min(struct(col(idCol), col("__pos"), col("__para"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("__pos").as("__pos"),
+        col("__w").getField("__para").as("__para"))
     val rebuilt = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("__n_kept"),
         array_join(
           transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
             p => p.getField("__para")), sep).as("__clean"))
-    val spine = docs.select(col(idCol),
-      size(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
-        p => trim(p) =!= "")).cast("long").as("n_paras"))
-    spine.join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__clean"), lit("")).as("clean_text"),
-        col("n_paras"),
-        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+    if (!withSpine)
+      rebuilt.select(col(idCol), col("__clean").as("clean_text"),
+        col("__n_kept").as("n_kept"))
+    else {
+      val spine = docs.select(col(idCol),
+        size(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          p => trim(p) =!= "")).cast("long").as("n_paras"))
+      spine.join(rebuilt, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__clean"), lit("")).as("clean_text"),
+          col("n_paras"),
+          coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+    }
   }
 
   /** Hamming near-dup candidate pairs over a 64-bit perceptual hash

@@ -358,6 +358,71 @@ object Similarity {
     * "these vectors are all alike"; route them to clustering/exact-dup
     * handling, not pairwise comparison. One count-window shuffle on the
     * bucket key — the same shuffle the candidate join needs anyway. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup as
+    * coarse clustering + within-cluster pairwise-cosine prune — the
+    * embedding-space answer to "these documents say the same thing in
+    * different words", which no token-grain dedup (LSH/SimHash/shingle)
+    * can catch.
+    *
+    * Shape: (1) assign every vector to its nearest of k seed centroids
+    * — the q23 engine-exact form: components quantized to integer
+    * thousandths so the squared distance is EXACT arithmetic in both
+    * engines, (dist, seed) packed into one BIGINT so min() is the
+    * deterministic argmin + tie-break; (2) cap cluster size
+    * ([[capBuckets]] — an oversized cluster means "all alike", route it
+    * to exact-dup handling, never pairwise work); (3) one equi-join on
+    * the cluster key, ids ordered, cosine ≥ `tau` (rounded to 6 before
+    * the compare, native codegen dot with per-SIDE precomputed norms);
+    * (4) greedy keep-min-id: a vector is dropped iff SOME lower-id
+    * cluster-mate sits within `tau` (the paper keeps the member
+    * farthest from the centroid; min-id is the deterministic,
+    * engine-portable choice and identical in dedup power).
+    *
+    * Scale: the seed table is the model artifact (k-bounded, always
+    * broadcast); cost is Σ cluster², bounded by `maxClusterSize` — at
+    * 100 TB k grows ∝ corpus (train seeds with [[kmeans]]) to hold
+    * cluster size constant, exactly the paper's recipe (k ≈ n/10k).
+    *
+    * Output: one row per input vector — (idCol, cluster, keep); members
+    * of capped-out clusters keep their assignment and keep = true. */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+               k: Int, tau: Double, maxClusterSize: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dotNative, normNative}
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // pack factor: smallest power of two > max seed id
+    val m = java.lang.Long.highestOneBit(math.max(1L, (k - 1).toLong)) * 2
+    def quant(v: Column): Column =
+      transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    val qs = seeds.select(col(seedIdCol).cast("long").as("__c"),
+      quant(col(seedVecCol)).as("__qc"))
+    val assigned = vectors
+      .select(col(idCol), quant(col(vecCol)).as("__qv"))
+      .crossJoin(broadcast(qs))
+      .select(col(idCol),
+        (aggregate(zip_with(col("__qv"), col("__qc"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x) * m + col("__c")).as("__packed"))
+      .groupBy(col(idCol))
+      .agg(min("__packed").as("__p"))
+      .select(col(idCol), (col("__p") % m).as("cluster"))
+    val sides = capBuckets(assigned, "cluster", maxClusterSize)
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("cluster"), col(vecCol),
+        normNative(col(vecCol)).as("__nm"))
+    val a = sides.select(col(idCol).as("__ia"), col("cluster"),
+      col(vecCol).as("__va"), col("__nm").as("__na"))
+    val b = sides.select(col(idCol).as("__ib"), col("cluster"),
+      col(vecCol).as("__vb"), col("__nm").as("__nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(round(dotNative(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")), 6) >= tau)
+      .select(col("__ib").as(idCol)).distinct()
+      .withColumn("__dup", lit(1))
+    assigned.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__dup").isNull.as("keep"))
+  }
+
   def capBuckets(df: DataFrame, bucketCol: String, maxBucketSize: Int): DataFrame =
     df.withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(bucketCol)))

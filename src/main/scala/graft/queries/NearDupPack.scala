@@ -292,6 +292,24 @@ object NearDupPack extends QueryPack {
     // distance and everything else is far. The oracle recomputes the
     // hash ARITHMETICALLY from the pixel formula — any decode bug
     // (stride, bottom-up flip, cell boundary, strictness) breaks it.
+    // L1/L2 semantic grain: SemDeDup (Abbas et al. 2023) — k-means
+    // coarse clustering + within-cluster cosine prune, the dedup no
+    // token-grain operator can do. Seeds are the first-32-vectors
+    // fixture (the q23 seed rule at k=32 — a trained model would load
+    // kmeans output; the operator contract is identical), assignment is
+    // the engine-exact quantized argmin, cluster size capped at 100
+    // (the q58/q86 standing guard), and a vector is dropped iff a
+    // lower-id cluster-mate has cosine ≥ 0.4 (this corpus's top
+    // within-cluster similarity band — real embedding models sit at
+    // ~0.95 with the same operator). The oracle replays assignment,
+    // cap, and pair prune from scratch.
+    "q110_semantic_dedup" -> ((s, dir) => Q.ordered {
+      val e = Q.wide(Q.t(s, dir, "embeddings"))
+      Similarity.semDedup(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 32), "vec_id", "embedding",
+        k = 32, tau = 0.4, maxClusterSize = 100)
+    }),
+
     "q108_image_neardup" -> ((s, dir) => Q.ordered {
       import graft.functions.PerceptualHashFunctions
       val key = (col("doc_id") % 40).cast("int")
@@ -351,6 +369,42 @@ object NearDupPack extends QueryPack {
                 s.n_paras,
                 coalesce(r.n_kept, 0) AS n_kept
          FROM spine s LEFT JOIN r USING (doc_id)
+         ORDER BY ALL NULLS FIRST""",
+
+    // Replays SemDeDup end-to-end: the q23 quantized-argmin assignment
+    // at k=32 (packed BIGINT min = argmin + tie-break), the cluster-size
+    // cap as a count window, and the greedy keep-min-id prune over
+    // within-cluster cosine (rounded to 6 before the compare, the q61
+    // parity form). Capped-out clusters never reach the pair join, so
+    // their members stay keep = true via the assignment spine.
+    "q110_semantic_dedup" ->
+      """WITH q AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                    FROM embeddings),
+         seeds AS (SELECT vec_id AS c, qv AS qc FROM q WHERE vec_id < 32),
+         ql AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS i FROM q),
+         sl AS (SELECT c, unnest(qc) AS y, generate_subscripts(qc, 1) AS i FROM seeds),
+         d AS (SELECT ql.vec_id, sl.c,
+                      CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS dist
+               FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1, 2),
+         a AS (SELECT vec_id, CAST(min(dist * 32 + c) % 32 AS BIGINT) AS cluster
+               FROM d GROUP BY 1),
+         capd AS (SELECT vec_id, cluster FROM (
+                    SELECT vec_id, cluster,
+                           count(*) OVER (PARTITION BY cluster) AS n FROM a)
+                  WHERE n <= 100),
+         v AS (SELECT c.vec_id, c.cluster,
+                      CAST(e.embedding AS DOUBLE[]) AS emb
+               FROM capd c JOIN embeddings e USING (vec_id)),
+         dups AS (SELECT DISTINCT y.vec_id
+                  FROM v x JOIN v y
+                    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                  WHERE round(list_dot_product(x.emb, y.emb) /
+                          (sqrt(list_dot_product(x.emb, x.emb)) *
+                           sqrt(list_dot_product(y.emb, y.emb))), 6) >= 0.4)
+         SELECT a.vec_id, a.cluster, (dp.vec_id IS NULL) AS keep
+         FROM a LEFT JOIN dups dp ON a.vec_id = dp.vec_id
          ORDER BY ALL NULLS FIRST""",
 
     // Recomputes each doc's dHash arithmetically from the q108 pixel

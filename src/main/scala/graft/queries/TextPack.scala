@@ -160,14 +160,40 @@ object TextPack extends QueryPack {
     }),
 
     // L4 flagship: the full curation DAG a training-data pipeline runs —
-    // langid → quality + repetition filters → exact-dedup keep-first on
-    // the content fingerprint → PII scrub → per-lang sequence packing.
-    // Pure operator composition; every stage filters on this corpus
-    // (322/500 pass the quality gates, 54 exact dups drop).
+    // cross-document paragraph dedup (boilerplate strip, VERDICT r10 #2)
+    // → langid + heuristic quality/repetition filters → model-based
+    // quality gate (VERDICT r10 #5) → exact-dedup keep-first on the
+    // content fingerprint → PII scrub → per-lang sequence packing. Pure
+    // operator composition; every stage filters on this corpus:
+    // 500 → 496 (paragraph dedup empties pure-duplicate pages) → 306
+    // (heuristics) → 147 (model gate, logit > 0) → 134 (token-set
+    // fingerprint dedup — catches reordered near-copies the 7-token
+    // chunk grain can't).
     "q95_curation_e2e" -> ((s, dir) => Q.ordered {
-      import graft.operators.{Cleaning, Packing, Upsert}
+      import graft.operators.{Cleaning, Dedup, Packing, QualityModel, Upsert}
+      // Stage 1 — sub-document exact dedup: page-structure the text
+      // (the q106 banner/chunk/footer synthesis), keep each paragraph's
+      // globally-first (doc_id, pos) occurrence, flatten survivors back
+      // to a clean token stream, drop docs that lose every paragraph.
+      val bp1 = "subscribe to our newsletter for updates and offers"
+      val bp2 = "all rights reserved contact our support team today"
+      val paged = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks0"))
+        .withColumn("n", size(col("toks0")))
+        .withColumn("nc", ((col("n") + 6) / 7).cast("int"))
+        .select(col("doc_id"), array_join(concat(
+          array(lit(bp1)),
+          transform(sequence(lit(0), col("nc") - 1),
+            i => array_join(slice(col("toks0"), i * 7 + 1, lit(7)), " ")),
+          array(lit(bp2))), "\n").as("ptext"))
+      val cleaned = Dedup.dedupParagraphs(paged, "doc_id", "ptext", "\n",
+          withSpine = false) // fully-emptied docs drop here by absence
+        .select(col("doc_id"),
+          translate(col("clean_text"), "\n", " ").as("text"))
+      // Stage 2 — heuristic scoring on the CLEANED text.
       val toks = split(col("text"), " ")
-      val scored = Q.wide(Q.t(s, dir, "documents")).select(
+      val scored = cleaned.select(
         col("doc_id"), col("text"),
         TextStats.langId(toks, profiles).as("pred_lang"),
         TextStats.wsTokenCount(col("text")).as("n_tok"),
@@ -182,7 +208,14 @@ object TextPack extends QueryPack {
           lit(0.3) * least(col("n_tok") / lit(100.0), lit(1.0)), 6))
         .filter(col("quality") >= 0.35 &&
           col("ttf") <= 0.12 && col("dbf") <= 0.06)
-      val deduped = Upsert.keepFirst(scored, Seq("content_fp"),
+      // Stage 3 — model gate: the fastText-shaped hashed-n-gram linear
+      // scorer (q109's model, same fixture artifact), keep logit > 0.
+      // Inline form: the 4096-bucket table ships as an array literal so
+      // the gate is map-side (the semi-join form would re-execute the
+      // whole paragraph-dedup subtree on its second `docs` reference).
+      val gated = QualityModel.gateInline(scored, split(col("text"), " "),
+        QualityModel.fixtureWeights(s, 4096), 4096, minLogit = 0.0)
+      val deduped = Upsert.keepFirst(gated, Seq("content_fp"),
         Seq(col("doc_id").asc_nulls_first))
       // redaction is a passthrough on this corpus (no natural PII) —
       // text_fp proves it ran without carrying full text in the output
@@ -539,7 +572,30 @@ object TextPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q95_curation_e2e" ->
-      s"""WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM documents),
+      s"""WITH d0 AS (SELECT doc_id,
+                             list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                      FROM documents),
+         c0 AS (SELECT doc_id, toks, len(toks) AS n,
+                       (len(toks) + 6) // 7 AS nc FROM d0),
+         ps AS (SELECT doc_id,
+                       ['subscribe to our newsletter for updates and offers'] ||
+                         list_transform(range(0, nc), i ->
+                           array_to_string(list_slice(toks, i * 7 + 1,
+                             least((i + 1) * 7, n)), ' ')) ||
+                         ['all rights reserved contact our support team today'] AS paras
+                FROM c0),
+         pp AS (SELECT doc_id,
+                       generate_subscripts(paras, 1) - 1 AS pos,
+                       unnest(paras) AS para
+                FROM ps),
+         w0 AS (SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM pp),
+         cl AS (SELECT doc_id,
+                       array_to_string(list(para ORDER BY pos), ' ') AS text
+                FROM w0 WHERE rn = 1 GROUP BY doc_id),
+         t AS (SELECT doc_id, text, str_split(text, ' ') AS toks FROM cl),
          m AS (SELECT doc_id, text, toks,
                       CASE WHEN ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("de")} THEN 'en'
                            WHEN ${hitsSql("es")} >= ${hitsSql("de")} THEN 'es'
@@ -563,7 +619,23 @@ object TextPack extends QueryPack {
                FROM m),
          kept AS (SELECT * FROM q
                   WHERE quality >= 0.35 AND ttf <= 0.12 AND dbf <= 0.06),
-         ded AS (SELECT * FROM kept
+         fe AS (SELECT doc_id,
+                       unnest(toks || list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS feat
+                FROM kept),
+         fb AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096 AS bucket
+                FROM fe),
+         fs AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_feats,
+                       CAST(sum((bucket * 41 + 7) % 2001 - 1000) AS BIGINT) AS w_sum
+                FROM fb GROUP BY doc_id),
+         g AS (SELECT doc_id FROM fs
+               WHERE round(CAST(w_sum AS DOUBLE) /
+                           (CAST(n_feats AS DOUBLE) * CAST(1000000.0 AS DOUBLE)),
+                           6) + CAST(0.0 AS DOUBLE) > CAST(0.0 AS DOUBLE)),
+         gated AS (SELECT k.* FROM kept k JOIN g USING (doc_id)),
+         ded AS (SELECT * FROM gated
                  QUALIFY row_number() OVER (PARTITION BY content_fp
                    ORDER BY doc_id NULLS FIRST) = 1),
          red AS (SELECT doc_id, pred_lang, n_tok, quality,

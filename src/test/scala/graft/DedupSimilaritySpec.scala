@@ -454,6 +454,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full.forall(_._2 == 1L))
   }
 
+  test("semDedup: greedy keep-min-id within clusters, capped clusters skip pruning") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // cluster 0 (seed)
+      (1L, Seq(0.0f, 1.0f)),   // cluster 1 (seed)
+      (2L, Seq(2.0f, 0.0f)),   // cluster 0, cos(v0)=1 → dropped
+      (3L, Seq(0.1f, 0.95f)),  // cluster 1, cos(v1)≈0.994 → dropped
+      (4L, Seq(0.7f, 0.7f))    // cos ≈ 0.707 < τ with everything → keeps
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 2, tau = 0.95, maxClusterSize = 100)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L)._2 && got(1L)._2 && got(4L)._2)
+    assert(!got(2L)._2 && !got(3L)._2)
+    assert(got(0L)._1 == 0L && got(2L)._1 == 0L)
+    assert(got(1L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got.size == 5)
+
+    // cap: an oversized ("all alike") cluster skips the pair stage whole
+    val alike = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedup(alike, "vec_id", "embedding",
+      alike.filter(col("vec_id") < 1), "vec_id", "embedding",
+      k = 1, tau = 0.95, maxClusterSize = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(capped.length == 3 && capped.forall(_._3))
+  }
+
   test("decontaminate df-cap drops boilerplate grams from the test set") {
     // gram a_b_c appears in BOTH train docs (df 2/2 = 1.0 > 0.5 cap) →
     // treated as boilerplate, so nothing is flagged.

@@ -34,7 +34,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q28_bm25",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
-    "q23_kmeans_assign")
+    "q23_kmeans_assign",
+    // q110 semDedup's assignment stage is the same corpus × broadcast-k
+    // seed shape as q23 (k=32); the pair stage itself is a capped
+    // cluster equi-join, never cross
+    "q110_semantic_dedup")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -73,7 +77,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q106_paragraph_dedup" ->
       ("group = one document's own surviving paragraphs, bounded by that " +
         "document's input size (Dedup.dedupParagraphs re-assembly after " +
-        "posexplode of the same doc's text — not a foreign-key fan-in)"))
+        "posexplode of the same doc's text — not a foreign-key fan-in)"),
+    "q95_curation_e2e" ->
+      ("group = one document's own surviving paragraphs — the same " +
+        "Dedup.dedupParagraphs re-assembly as q106, now the DAG's " +
+        "boilerplate-strip stage (VERDICT r10 #2)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {
@@ -110,6 +118,7 @@ class PlanLintSpec extends AnyFunSuite {
 
   assertBucketCap("q58_minhash_lsh", "<= 50")
   assertBucketCap("q86_ivf_neardup", "<= 100")
+  assertBucketCap("q110_semantic_dedup", "<= 100")
   // the incremental probe carries the same state-side mega-bucket guard
   assertBucketCap("q93_incremental_neardup", "<= 50")
 
@@ -150,7 +159,12 @@ class PlanLintSpec extends AnyFunSuite {
   assertShuffleBudget("q13_to_date", 0)
   assertShuffleBudget("q57_doc_fingerprint", 0)
   assertShuffleBudget("q94_sequence_packing", 1)
-  assertShuffleBudget("q95_curation_e2e", 2)
+  // v2 DAG (VERDICT r10 #2/#5): paragraph-hash keep-first agg +
+  // per-doc reassembly agg + fingerprint-dedup window + shard window.
+  // The heuristic scoring and the model gate add ZERO exchanges (the
+  // gate ships its weight table as an array literal — map-side), and
+  // the paragraph joins broadcast at this sf.
+  assertShuffleBudget("q95_curation_e2e", 4)
   // The derive-stats-from-tf rewrites: budgets pin that the token
   // statistics come off the aggregated tf stream (window + 1-row agg),
   // not from re-exploding the corpus into extra aggregation branches —
