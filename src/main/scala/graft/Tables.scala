@@ -21,13 +21,24 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read nanos as long and re-derive a proper
-    * TimestampType column (the corpus is µs-aligned, so the division is
-    * exact). DuckDB reads the same column as TIMESTAMP_NS natively. */
+  /** `events.ts` has shipped as two physical types across corpus
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * outright — read nanos as long and re-derive µs; the corpus is
+    * µs-aligned so the division is exact) and plain timestamp[us]
+    * without UTC adjustment (which Spark reads as TIMESTAMP_NTZ).
+    * Normalize both to session-zoned TimestampType: the session is
+    * pinned UTC (GraftSession), so the NTZ→LTZ cast reads the same
+    * instants the nanos path produced and every downstream query/oracle
+    * sees one stable type. DuckDB reads either physical form natively. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
