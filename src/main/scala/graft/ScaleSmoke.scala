@@ -287,6 +287,58 @@ object ScaleSmoke {
         slice.select(col("doc_id")), "doc_id")
         .filter(col("is_rep")).count()
     }
+    // Sub-document dedup family (q106/q112 shapes) on a replica-distinct
+    // ORDERED token corpus: tokens keep their positions (windows need
+    // order; bigDocs above is array_distinct'd for minhash) but carry a
+    // replica prefix, so the N× corpus behaves like N independent
+    // corpora — natural within-replica duplication only, the real-growth
+    // model (plain replication would empty every replica>0 doc and
+    // measure the degenerate all-duplicate shape instead).
+    val bigDocsRtoks = materialize("docs_rtoks", (0 until mult).map { i =>
+      docsBase.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        transform(split(col("text"), " "),
+          t => concat(lit(s"r$i"), t)).as("toks"))
+    }.reduce(_ unionByName _))
+    time("paragraph-dedup") {
+      // q106 shape at N×: page the token stream into 7-token chunk
+      // paragraphs (row-local synthesis), then keep-first at paragraph
+      // grain — one groupBy(paragraph hash) with a self-contained
+      // min-struct winner + one reassembly groupBy(doc). Work ∝ tokens.
+      val paged = bigDocsRtoks
+        .withColumn("n", size(col("toks")))
+        .withColumn("nc", ((col("n") + 6) / 7).cast("int"))
+        .select(col("doc_id"), array_join(
+          transform(sequence(lit(0), col("nc") - 1),
+            i => array_join(slice(col("toks"), i * 7 + 1, lit(7)), " ")),
+          "\n").as("ptext"))
+      operators.Dedup.dedupParagraphs(paged, "doc_id", "ptext", "\n",
+        withSpine = false).count()
+    }
+    time("substring-dedup") {
+      // q112 shape at N×: overlapping 8-token windows, keep-first winner
+      // per window hash, coverage explode (8× on duplicate windows
+      // only), position anti-join, reassembly. Three corpus passes, all
+      // keyed on high-cardinality hashes — expect ~linear in tokens.
+      operators.Dedup.dedupTokenWindows(bigDocsRtoks, "doc_id",
+        col("toks"), 8)
+        .filter(col("n_kept") < col("n_tok")).count()
+    }
+    time("hamming-neardup") {
+      // q108's pair stage at N×: 64-bit perceptual hashes in groups of 4
+      // (base ⊕ one flipped bit), banded 4×16-bit equi-join. Band-value
+      // occupancy governs cost: distinct bases grow ∝ corpus over a
+      // fixed 2^16-per-band space, so Σ bucket² grows ~quadratically
+      // ONCE occupancy passes 1 — the measured exponent documents where
+      // the banding needs a wider band space (the probeDims capacity
+      // knob, SCALE.md).
+      val hashes = bigDocsRtoks.select(col("doc_id"),
+        xxhash64(floor(col("doc_id") / 4).cast("string"))
+          .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 * 13 AS INT))"))
+          .as("phash"))
+      operators.Dedup.hammingPairs(hashes, "doc_id", "phash", maxDist = 2)
+        .count()
+    }
     val vecBase = Tables.load(spark, sfDir, "embeddings")
     // distinct-direction growth model (same reasoning as bigDocs): each
     // replica circularly shifts the components, producing genuinely new

@@ -53,6 +53,50 @@ object Cleaning {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, HostRe, 1))
 
+  /** Full URL parse for canonicalization: scheme, userinfo-stripped
+    * host, explicit port, path, query (fragment consumed, never kept).
+    * Same authority rules as [[HostRe]] (greedy userinfo over '@'). */
+  val UrlRe: String =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#]*@)?([^/:?#@]+)" +
+      "(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** Query params a canonicalizer drops: click/campaign trackers that
+    * vary per referral without changing the resource. Anchored — 'ref'
+    * matches the param name exactly, not a prefix. */
+  val TrackerRe: String =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$"
+
+  /** C7 at corpus grain: URL canonicalization — the key under which a
+    * crawl pipeline dedups fetched pages (the same resource arrives as
+    * tracking-parameter/case/port/slash variants from every referrer).
+    * Row-local, one regexp parse + array ops, engine-portable:
+    *  - scheme + host lowercased, userinfo stripped;
+    *  - default port dropped (http:80 / https:443), others kept;
+    *  - trailing slashes stripped, empty path → '/';
+    *  - tracking params ([[TrackerRe]]) removed, the rest SORTED (param
+    *    order is transport noise) and rejoined; empty query dropped;
+    *  - fragment always dropped (client-side only).
+    * Non-URL strings → NULL (C4's blank normal form). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, UrlRe, 1))
+    val host   = lower(regexp_extract(url, UrlRe, 2))
+    val port   = regexp_extract(url, UrlRe, 3)
+    val path0  = regexp_extract(url, UrlRe, 4)
+    val query0 = regexp_extract(url, UrlRe, 5)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(path0, "/+$", "")
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val params = array_sort(filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike(TrackerRe)))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
   /** Corpus-pipeline domain filter: drop rows whose host appears in the
     * blocklist — a broadcast LEFT ANTI join, so at 100 TB the corpus
     * streams past an in-memory blocklist with no shuffle on the big side

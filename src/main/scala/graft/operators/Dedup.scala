@@ -354,6 +354,83 @@ object Dedup {
     }
   }
 
+  /** Cross-document SUBSTRING-level exact dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * modality, re-grained): find every w-token window whose exact text
+    * occurs anywhere else in the corpus, keep only its globally-first
+    * (id, pos) occurrence, and strip the tokens covered by every other
+    * occurrence. Catches the shared boilerplate RUN that paragraph
+    * dedup ([[dedupParagraphs]]) misses when the duplicated text
+    * doesn't align with paragraph boundaries — overlapping windows
+    * (stride 1) make detection position-independent, and coverage
+    * merging turns overlapping duplicate windows into maximal removed
+    * spans for free (a token survives iff NO duplicate window covers
+    * it).
+    *
+    * Phases (all hash-partitioned, nothing driver-side):
+    *  1. window: explode positions 1..n-w+1, hash the w-token slice
+    *     (md5 of the space-joined window — engine-portable);
+    *  2. winner: ONE groupBy(window-hash) computing min(id, pos) and
+    *     the occurrence count — self-contained, like
+    *     [[dedupParagraphs]]'s winner stage;
+    *  3. coverage: windows join the (count > 1) winner table on the
+    *     hash; every non-winner occurrence explodes its w covered
+    *     token positions, distinct'd to (id, tpos);
+    *  4. rebuild: posexplode tokens, LEFT ANTI join the covered set on
+    *     (id, tpos), reassemble survivors per doc by position sort.
+    *
+    * Scale shape: the window stream is ~n_tokens rows (w-gram hashing
+    * is row-local); both shuffles key on high-cardinality hashes (no
+    * skew pivot — a mega-duplicated window concentrates only its OWN
+    * occurrences); coverage explode is w× on DUPLICATE windows only.
+    * The corpus is scanned three times (windows ×2 via the self-join,
+    * tokens ×1) — at 100 TB the caller materializes the tokenized
+    * input once (the W4 checkpoint handoff) exactly as q92/q103
+    * checkpoint their iteration state.
+    *
+    * Returns (idCol, clean_text, n_tok, n_kept) for every input doc —
+    * fully-covered docs come back empty with n_kept = 0 (input-spine
+    * left join). */
+  def dedupTokenWindows(docs: DataFrame, idCol: String, toks: Column,
+                        w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens (got $w)")
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val windows = base
+      .filter(col("__n") >= w)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        md5(array_join(slice(col("__toks"), col("__pos"), lit(w)), " ")).as("__h"))
+    val winners = windows
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos"))).as("__w"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__w.__wid").as("__wid"), col("__w.__wpos").as("__wpos"))
+    val covered = windows
+      .join(winners, Seq("__h"))
+      .filter(!(col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1)))
+        .as("__tpos"))
+      .distinct()
+    val kept = base
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .withColumn("__tpos", col("__p0") + 1)
+      .join(covered, Seq(idCol, "__tpos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__tpos"), col("__tok")))),
+            p => p.getField("__tok")), " ").as("__clean"))
+    base.select(col(idCol), col("__n").cast("long").as("n_tok"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_tok"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Hamming near-dup candidate pairs over a 64-bit perceptual hash
     * (dHash/SimHash family): split the hash into four 16-bit bands and
     * equi-join per band — the q58/q59 LSH shape, never all-pairs. By

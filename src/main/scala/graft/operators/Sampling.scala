@@ -120,4 +120,71 @@ object Sampling {
       .filter(col("__rn") <= perGroup)
       .drop("__rn")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each doc by
+    * how much more likely its hashed-n-gram features are under a TARGET
+    * distribution than under the RAW corpus distribution, then keep the
+    * top-k. The standard trick for skewing a crawl toward a wanted
+    * domain without a trained model: both distributions are bag-of-
+    * hashed-ngram unigram models estimated from the corpus itself
+    * (target = rows where `isTarget`), add-1 smoothed over the bucket
+    * space so unseen buckets stay finite.
+    *
+    * Determinism/parity: features are the md5-hashed unigram+bigram
+    * buckets ([[QualityModel.featureBuckets]]); per-bucket log ratios
+    * are `round(ln(p),8)` differences accumulated in DECIMAL(28,8) (the
+    * q97 parity technique — association order can't matter), and the
+    * only unrounded float op is the final mean + round(6). `selected`
+    * is a rank cut over (logratio desc, id asc) — exact given equal
+    * rounded scores.
+    *
+    * Scale shape: two corpus passes, both shuffle-lean. Pass 1
+    * estimates the distributions — explode features, ONE partial+final
+    * groupBy(bucket) counting target/raw occurrences; output is
+    * BOUNDED (≤ `buckets` rows), so the totals window and the log-ratio
+    * arithmetic run on a model-artifact-sized table. Pass 2 scores —
+    * the ratio table is BROADCAST back onto the exploded features and
+    * re-aggregated per doc (map-side partials; a doc's features are
+    * co-located by construction). Nothing unbounded ever reaches the
+    * driver; the rank cut never globally sorts the corpus — the k-th
+    * (logratio desc, id asc) row is found by a TakeOrderedAndProject
+    * top-k (per-partition top-k, k-row merge), reduced to ONE row and
+    * broadcast back as a threshold compare. */
+  def importanceWeights(docs: DataFrame, idCol: String, toks: Column,
+                        isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    val feats = docs.select(col(idCol), isTarget.cast("boolean").as("__t"),
+      explode(QualityModel.featureBuckets(toks, buckets)).as("bucket"))
+    val allRows = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def lp(c: Column, n: Column): Column =
+      round(log((c + lit(1)).cast("double") /
+        (n + lit(buckets)).cast("double")), 8)
+    val ratios = feats.groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr"))
+      .withColumn("__nt", sum(col("__ct")).over(allRows))
+      .withColumn("__nr", sum(col("__cr")).over(allRows))
+      .select(col("bucket"),
+        (lp(col("__ct"), col("__nt")) - lp(col("__cr"), col("__nr")))
+          .cast("decimal(18,8)").as("__lr"))
+    val scored = feats
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("__lr")).cast("decimal(28,8)").as("__lrs"))
+      .withColumn("logratio",
+        round(col("__lrs").cast("double") / col("n_feats"), 6) + lit(0.0))
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val kth = scored
+      .orderBy(col("logratio").desc_nulls_last, col(idCol).asc_nulls_first)
+      .limit(k)
+      .agg(max(struct((col("logratio") * -1).as("__nlr"), col(idCol).as("__id")))
+        .as("__kth"))
+    scored.crossJoin(broadcast(kth))
+      .select(col(idCol), col("n_feats"), col("logratio"),
+        (struct((col("logratio") * -1).as("__nlr"), col(idCol).as("__id"))
+          <= col("__kth")).as("selected"))
+  }
 }

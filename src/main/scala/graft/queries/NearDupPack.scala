@@ -279,6 +279,24 @@ object NearDupPack extends QueryPack {
       Dedup.dedupParagraphs(base, "doc_id", "ptext", "\n")
     }),
 
+    // L1 substring grain: windowed exact dedup on the RAW corpus (the
+    // Lee et al. modality at its native grain) — every 8-token window
+    // occurring more than once corpus-wide keeps only its globally-first
+    // (doc_id, pos) occurrence; tokens covered by any other occurrence
+    // are stripped and the survivors reassembled in position order.
+    // Position-independent, so it catches the shared run q106's
+    // paragraph boundaries miss; exact-duplicate documents come back
+    // EMPTIED (every window of the copy loses keep-first), which is this
+    // corpus's observed behavior (24 docs shortened, 14 of them full
+    // copies emptied at sf0.01). All-integer/md5 arithmetic — hash-exact
+    // on both engines.
+    "q112_substring_dedup" -> ((s, dir) => Q.ordered {
+      Dedup.dedupTokenWindows(
+        Q.wide(Q.t(s, dir, "documents"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", filter(split(col("text"), " "), t => t =!= ""), 8)
+    }),
+
     // L3 content grain: perceptual image near-dup — the q100 pattern
     // taken all the way to PIXELS. Each doc synthesizes a real
     // uncompressed 24-bpp 18×16 BMP (column math only: header constant,
@@ -369,6 +387,36 @@ object NearDupPack extends QueryPack {
                 s.n_paras,
                 coalesce(r.n_kept, 0) AS n_kept
          FROM spine s LEFT JOIN r USING (doc_id)
+         ORDER BY ALL NULLS FIRST""",
+
+    // Windowed substring keep-first: min-struct winner per window hash,
+    // non-winner occurrences explode their covered token range, a token
+    // survives iff uncovered; reassembly is the tpos sort on both sides.
+    "q112_substring_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         wnd AS (SELECT doc_id, pos,
+                        md5(array_to_string(list_slice(toks, pos, pos + 7), ' ')) AS h
+                 FROM n, unnest(range(1, n - 8 + 2)) AS t(pos)),
+         win AS (SELECT h, min({'i': doc_id, 'p': pos}) AS w, count(*) AS c
+                 FROM wnd GROUP BY 1),
+         dup AS (SELECT wnd.doc_id, wnd.pos FROM wnd JOIN win USING (h)
+                 WHERE win.c > 1
+                   AND NOT (wnd.doc_id = win.w.i AND wnd.pos = win.w.p)),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos
+                 FROM dup),
+         tok AS (SELECT doc_id, tpos, toks[tpos] AS tok
+                 FROM n, unnest(range(1, n + 1)) AS t(tpos)),
+         kept AS (SELECT tok.doc_id, tok.tpos, tok.tok
+                  FROM tok ANTI JOIN cov USING (doc_id, tpos)),
+         rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+                FROM kept GROUP BY 1)
+         SELECT n.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+                CAST(n.n AS BIGINT) AS n_tok, coalesce(rb.n_kept, 0) AS n_kept
+         FROM n LEFT JOIN rb USING (doc_id)
          ORDER BY ALL NULLS FIRST""",
 
     // Replays SemDeDup end-to-end: the q23 quantized-argmin assignment

@@ -41,6 +41,19 @@ object SamplePack extends QueryPack {
           col("doc_id"), col("n_chars").cast("double"), 100)
         .select(col("doc_id"), col("n_chars")))),
 
+    // DSIR importance resampling (Xie et al. 2023): skew the corpus
+    // toward a target slice (here lang='en') by hashed-n-gram log
+    // likelihood ratio — two shuffle-lean passes (bounded bucket-count
+    // table, broadcast ratios, map-side per-doc partials), top-k cut by
+    // broadcast threshold (never a global sort). Parity: q97's
+    // round-8-per-term DECIMAL-sum technique.
+    "q111_dsir_weights" -> ((s, dir) => Q.ordered {
+      Sampling.importanceWeights(
+        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("lang"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks")),
+        "doc_id", col("toks"), col("lang") === "en", 4096, 100)
+    }),
+
     // temperature-scaled source mixture: w_s = sqrt(n_tok_s) / Σ sqrt —
     // the count^α (α=0.5) reweighting for assembling a training mix.
     // sqrt is IEEE-exact in every engine (pow/exp are not).
@@ -95,6 +108,42 @@ object SamplePack extends QueryPack {
            FROM documents
            ORDER BY es DESC, doc_id ASC LIMIT 100)
          ORDER BY ALL NULLS FIRST""",
+
+    // DSIR: add-1-smoothed hashed-n-gram LM log ratio, target vs raw.
+    // Per-bucket round(ln,8) differences, DECIMAL-summed per doc (q97
+    // technique); the Spark side's broadcast-threshold top-k cut equals
+    // this row_number form exactly (doc_id makes the order total).
+    "q111_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id, lang,
+                      unnest(toks || list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS feat
+               FROM d),
+         b AS (SELECT doc_id, (lang = 'en') AS t,
+                      CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096 AS bucket
+               FROM f),
+         c AS (SELECT bucket,
+                      CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                      CAST(count(*) AS BIGINT) AS cr
+               FROM b GROUP BY 1),
+         c2 AS (SELECT *, sum(ct) OVER () AS nt, sum(cr) OVER () AS nr FROM c),
+         r AS (SELECT bucket,
+                      CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)), 8)
+                         - round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)), 8)
+                           AS DECIMAL(18,8)) AS lr
+               FROM c2),
+         s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                      CAST(sum(lr) AS DECIMAL(28,8)) AS lrs
+               FROM b JOIN r USING (bucket) GROUP BY 1),
+         t2 AS (SELECT doc_id, n_feats,
+                       round(CAST(lrs AS DOUBLE) / n_feats, 6)
+                         + CAST(0.0 AS DOUBLE) AS logratio
+                FROM s)
+         SELECT doc_id, n_feats, logratio,
+                row_number() OVER (ORDER BY logratio DESC, doc_id ASC) <= 100 AS selected
+         FROM t2 ORDER BY ALL NULLS FIRST""",
 
     "q77_stratified_sample" ->
       """SELECT lang, doc_id FROM (

@@ -229,6 +229,38 @@ object TextPack extends QueryPack {
     // C7/L4: domain-blocklist filter — URL synthesized deterministically
     // from `source` (q83 pattern), host extracted row-locally, blocklist
     // applied as a broadcast LEFT ANTI join (3 of 20 sources blocked).
+    // C7/L1: URL canonicalization + crawl-frontier dedup — the same
+    // resource synthesized as case/port/tracking/slash/fragment variants
+    // (doc_id % 100 keys ~5 docs to one resource; the mess mix cycles by
+    // doc_id residues), Cleaning.canonicalUrl collapses them and
+    // keep-first marks the gate decision a frontier makes per URL. The
+    // window keys on the canonical string (hash-partitioned, no skew
+    // pivot); kept = first (doc_id) occurrence.
+    "q113_url_canonical" -> ((s, dir) => Q.ordered {
+      import graft.operators.Cleaning
+      import org.apache.spark.sql.expressions.Window
+      val k = col("doc_id") % 100
+      val messy = Q.t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0,
+              concat(lit("WWW.Site"), k, lit(".Example.COM")))
+            .otherwise(concat(lit("www.site"), k, lit(".example.com"))),
+          when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+          lit("/a/b"), k,
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .otherwise(lit("?b=2&a=1")),
+          when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit(""))
+        ).as("url"))
+      messy
+        .withColumn("canonical_url", Cleaning.canonicalUrl(col("url")))
+        .withColumn("kept",
+          row_number().over(Window.partitionBy(col("canonical_url"))
+            .orderBy(col("doc_id").asc_nulls_first)) === 1)
+    }),
+
     "q96_domain_filter" -> ((s, dir) => Q.ordered {
       import s.implicits._
       import graft.operators.Cleaning
@@ -556,6 +588,52 @@ object TextPack extends QueryPack {
                 round(CAST(s AS DOUBLE) / n_tok, 6) AS mean_logprob,
                 round(CAST(s AS DOUBLE) / n_tok, 6) >= -3.45 AS keep
          FROM sc ORDER BY ALL NULLS FIRST""",
+
+    // Replays synthesis + canonicalization: same parse regex (RE2 and
+    // java.util.regex agree on this class-only pattern), same default-
+    // port/trailing-slash/tracker rules, params list_sort'd on both
+    // sides (ASCII, binary collation); kept = row_number 1 per
+    // canonical key.
+    "q113_url_canonical" ->
+      s"""WITH m AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+             (CASE WHEN doc_id % 3 = 0
+                   THEN 'WWW.Site' || CAST(doc_id % 100 AS VARCHAR) || '.Example.COM'
+                   ELSE 'www.site' || CAST(doc_id % 100 AS VARCHAR) || '.example.com' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+             '/a/b' || CAST(doc_id % 100 AS VARCHAR) ||
+             (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+                   ELSE '?b=2&a=1' END) ||
+             (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+                      lower(regexp_extract(url, '${graft.operators.Cleaning.UrlRe}', 1)) AS scheme,
+                      lower(regexp_extract(url, '${graft.operators.Cleaning.UrlRe}', 2)) AS host,
+                      regexp_extract(url, '${graft.operators.Cleaning.UrlRe}', 3) AS port,
+                      regexp_extract(url, '${graft.operators.Cleaning.UrlRe}', 4) AS path0,
+                      regexp_extract(url, '${graft.operators.Cleaning.UrlRe}', 5) AS query0
+               FROM m),
+         q AS (SELECT *, list_sort(list_filter(str_split(query0, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '${graft.operators.Cleaning.TrackerRe}'))) AS ps
+               FROM p),
+         c AS (SELECT doc_id, url,
+                      CASE WHEN host = '' THEN NULL ELSE
+                        scheme || '://' || host ||
+                        (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                            OR (scheme = 'https' AND port = '443')
+                              THEN '' ELSE ':' || port END) ||
+                        (CASE WHEN regexp_replace(path0, '/+$$', '') = ''
+                              THEN '/' ELSE regexp_replace(path0, '/+$$', '') END) ||
+                        (CASE WHEN len(ps) > 0
+                              THEN '?' || array_to_string(ps, '&') ELSE '' END)
+                      END AS canonical_url
+               FROM q)
+         SELECT doc_id, url, canonical_url,
+                row_number() OVER (PARTITION BY canonical_url
+                                   ORDER BY doc_id) = 1 AS kept
+         FROM c ORDER BY ALL NULLS FIRST""",
 
     "q96_domain_filter" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -38,7 +38,11 @@ class PlanLintSpec extends AnyFunSuite {
     // q110 semDedup's assignment stage is the same corpus × broadcast-k
     // seed shape as q23 (k=32); the pair stage itself is a capped
     // cluster equi-join, never cross
-    "q110_semantic_dedup")
+    "q110_semantic_dedup",
+    // q111 DSIR broadcasts the 1-row k-th-score threshold struct (the
+    // scale-sane replacement for a global row_number sort — the q71
+    // 1-row-stats shape)
+    "q111_dsir_weights")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -81,7 +85,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q95_curation_e2e" ->
       ("group = one document's own surviving paragraphs — the same " +
         "Dedup.dedupParagraphs re-assembly as q106, now the DAG's " +
-        "boilerplate-strip stage (VERDICT r10 #2)"))
+        "boilerplate-strip stage (VERDICT r10 #2)"),
+    "q112_substring_dedup" ->
+      ("group = one document's own surviving tokens, bounded by that " +
+        "document's input size (Dedup.dedupTokenWindows re-assembly " +
+        "after posexplode of the same doc's tokens — not a foreign-key " +
+        "fan-in)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {

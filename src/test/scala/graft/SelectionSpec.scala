@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cleaning, Dedup, Sampling}
+
+/** Round-11 curation-selection operators: windowed substring dedup
+  * (Dedup.dedupTokenWindows), DSIR importance weights
+  * (Sampling.importanceWeights), URL canonicalization
+  * (Cleaning.canonicalUrl). Fixtures are small enough to reason through
+  * by hand; the oracle queries (q111–q113) pin cross-engine parity.
+  */
+class SelectionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- dedupTokenWindows -------------------------------------------------
+
+  private def windowed(rows: Seq[(Long, String)], w: Int) =
+    Dedup.dedupTokenWindows(
+      rows.toDF("doc_id", "text"), "doc_id",
+      filter(split(col("text"), " "), t => t =!= ""), w)
+      .select("doc_id", "clean_text", "n_tok", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toList.sortBy(_._1)
+
+  test("substring dedup strips the repeated window from the later doc only") {
+    // 'a b' (w=2) occurs at doc1@1 and doc2@3 — winner (1,1) by min
+    // (doc_id, pos); doc2 loses positions 3..4.
+    val got = windowed(Seq(1L -> "a b c d", 2L -> "x y a b"), 2)
+    assert(got == List(
+      (1L, "a b c d", 4L, 4L),
+      (2L, "x y", 4L, 2L)))
+  }
+
+  test("an exact-copy document is fully emptied") {
+    val got = windowed(Seq(1L -> "a b c d", 3L -> "a b c d"), 2)
+    assert(got == List(
+      (1L, "a b c d", 4L, 4L),
+      (3L, "", 4L, 0L)))
+  }
+
+  test("overlapping duplicate windows merge into one maximal removed span") {
+    // doc2 repeats doc1's full 'a b c' run: windows 'a b' and 'b c' both
+    // lose, covering 2..5 — survivors are the flanks.
+    val got = windowed(Seq(1L -> "a b c", 2L -> "z a b c q"), 2)
+    assert(got == List(
+      (1L, "a b c", 3L, 3L),
+      (2L, "z q", 5L, 2L)))
+  }
+
+  test("docs shorter than the window pass through untouched") {
+    val got = windowed(Seq(1L -> "a b c", 2L -> "a"), 3)
+    assert(got == List(
+      (1L, "a b c", 3L, 3L),
+      (2L, "a", 1L, 1L)))
+  }
+
+  test("within-document repetition dedups against the doc's own first occurrence") {
+    val got = windowed(Seq(1L -> "a b x a b"), 2)
+    // windows: (1,'a b') (2,'b x') (3,'x a') (4,'a b') — @4 loses to @1,
+    // covering 4..5.
+    assert(got == List((1L, "a b x", 5L, 3L)))
+  }
+
+  // ---- importanceWeights -------------------------------------------------
+
+  test("DSIR importance weights rank target-like docs above raw-only docs") {
+    // Docs 1-2 are the target slice AND share its vocabulary; docs 3-4
+    // share a disjoint vocabulary. Target-distinctive features must get
+    // positive log ratios, raw-only features negative.
+    val docs = Seq(
+      (1L, true, "t u t u t"),
+      (2L, true, "u t u t u"),
+      (3L, false, "r s r s r"),
+      (4L, false, "s r s r s")
+    ).toDF("doc_id", "is_t", "text")
+      .select(col("doc_id"), col("is_t"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val got = Sampling.importanceWeights(docs, "doc_id", col("toks"),
+      col("is_t"), 4096, 2)
+      .select("doc_id", "n_feats", "logratio", "selected")
+      .as[(Long, Long, Double, Boolean)].collect().toList.sortBy(_._1)
+    // unigrams + bigrams of a 5-token doc = 9 features
+    assert(got.forall(_._2 == 9L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 > byId(3L)._3 && byId(2L)._3 > byId(4L)._3)
+    // k=2 cut selects exactly the two target docs
+    assert(got.filter(_._4).map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("DSIR top-k threshold breaks score ties by ascending id") {
+    // Identical docs tie exactly; k=2 must keep the two smallest ids.
+    val docs = Seq.tabulate(4)(i => ((i + 1).toLong, "w w w"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val got = Sampling.importanceWeights(docs, "doc_id", col("toks"),
+      col("doc_id") <= 2, 64, 2)
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toList
+    assert(got.filter(_._2).map(_._1).sorted == List(1L, 2L))
+  }
+
+  // ---- canonicalUrl ------------------------------------------------------
+
+  private def canon(u: String): Option[String] = {
+    val r = Seq(u).toDF("url")
+      .select(Cleaning.canonicalUrl(col("url")).as("c"))
+      .as[Option[String]].collect().head
+    r
+  }
+
+  test("canonicalUrl folds case/port/userinfo/trackers/fragment/slash") {
+    assert(canon("HTTP://User@WWW.Ex.COM:80/a/b/?utm_source=x&b=2&a=1#frag")
+      .contains("http://www.ex.com/a/b?a=1&b=2"))
+  }
+
+  test("canonicalUrl keeps non-default ports and sorts params") {
+    assert(canon("https://ex.com:8443/p?z=1&a=2")
+      .contains("https://ex.com:8443/p?z=1&a=2".replace("?z=1&a=2", "?a=2&z=1")))
+    assert(canon("https://ex.com:443/x").contains("https://ex.com/x"))
+  }
+
+  test("canonicalUrl normalizes an empty path to '/' and drops empty query") {
+    assert(canon("http://ex.com").contains("http://ex.com/"))
+    assert(canon("http://ex.com/?utm_source=a").contains("http://ex.com/"))
+  }
+
+  test("canonicalUrl tracker match is anchored — 'refresh' is not 'ref'") {
+    assert(canon("http://ex.com/?ref=abc").contains("http://ex.com/"))
+    assert(canon("http://ex.com/?refresh=1").contains("http://ex.com/?refresh=1"))
+  }
+
+  test("canonicalUrl returns NULL for non-URLs (blank normal form)") {
+    assert(canon("not a url").isEmpty)
+    assert(canon("").isEmpty)
+  }
+}
