@@ -370,23 +370,28 @@ object Dedup {
     * Phases (all hash-partitioned, nothing driver-side):
     *  1. window: explode positions 1..n-w+1, hash the w-token slice
     *     (md5 of the space-joined window — engine-portable);
-    *  2. winner: ONE groupBy(window-hash) computing min(id, pos) and
-    *     the occurrence count — self-contained, like
-    *     [[dedupParagraphs]]'s winner stage;
-    *  3. coverage: windows join the (count > 1) winner table on the
-    *     hash; every non-winner occurrence explodes its w covered
-    *     token positions, distinct'd to (id, tpos);
+    *  2. losers: ONE row_number window over (hash | id, pos) — a
+    *     window's non-first occurrences are exactly the rn > 1 rows.
+    *     A groupBy-min winner table (the [[dedupParagraphs]] shape)
+    *     would need the window stream JOINED BACK to find losers,
+    *     re-executing the whole corpus windowing on the second
+    *     reference (the q95 lesson, verified on this operator's
+    *     adaptive plan before the rewrite: exchange reuse cannot
+    *     deduplicate the two subtrees);
+    *  3. coverage: each loser explodes its w covered token positions,
+    *     distinct'd to (id, tpos);
     *  4. rebuild: posexplode tokens, LEFT ANTI join the covered set on
     *     (id, tpos), reassemble survivors per doc by position sort.
     *
     * Scale shape: the window stream is ~n_tokens rows (w-gram hashing
-    * is row-local); both shuffles key on high-cardinality hashes (no
-    * skew pivot — a mega-duplicated window concentrates only its OWN
-    * occurrences); coverage explode is w× on DUPLICATE windows only.
-    * The corpus is scanned three times (windows ×2 via the self-join,
-    * tokens ×1) — at 100 TB the caller materializes the tokenized
-    * input once (the W4 checkpoint handoff) exactly as q92/q103
-    * checkpoint their iteration state.
+    * is row-local) and is computed ONCE; both shuffles key on
+    * high-cardinality hashes (no skew pivot — a mega-duplicated window
+    * concentrates only its OWN occurrences, and its group buffers in
+    * the spillable window sorter); coverage explode is w× on DUPLICATE
+    * windows only. The corpus is scanned twice (windows ×1, tokens ×1)
+    * — at 100 TB the caller materializes the tokenized input once (the
+    * W4 checkpoint handoff) exactly as q92/q103 checkpoint their
+    * iteration state.
     *
     * Returns (idCol, clean_text, n_tok, n_kept) for every input doc —
     * fully-covered docs come back empty with n_kept = 0 (input-spine
@@ -402,15 +407,12 @@ object Dedup {
         explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"))
       .select(col(idCol), col("__pos"),
         md5(array_join(slice(col("__toks"), col("__pos"), lit(w)), " ")).as("__h"))
-    val winners = windows
-      .groupBy(col("__h"))
-      .agg(min(struct(col(idCol).as("__wid"), col("__pos").as("__wpos"))).as("__w"),
-        count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .select(col("__h"), col("__w.__wid").as("__wid"), col("__w.__wpos").as("__wpos"))
+    val byOccurrence = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+      .orderBy(col(idCol).asc_nulls_first, col("__pos").asc_nulls_first)
     val covered = windows
-      .join(winners, Seq("__h"))
-      .filter(!(col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
+      .withColumn("__rn", row_number().over(byOccurrence))
+      .filter(col("__rn") > 1)
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1)))
         .as("__tpos"))
       .distinct()

@@ -150,7 +150,16 @@ object Sampling {
     * driver; the rank cut never globally sorts the corpus — the k-th
     * (logratio desc, id asc) row is found by a TakeOrderedAndProject
     * top-k (per-partition top-k, k-row merge), reduced to ONE row and
-    * broadcast back as a threshold compare. */
+    * broadcast back as a threshold compare.
+    *
+    * The scored table is `localCheckpoint`ed before the cut: the
+    * threshold and the output both consume `scored`, and the two
+    * consumers' column sets differ enough that exchange reuse cannot
+    * deduplicate the subtrees — without the checkpoint the ENTIRE
+    * featurize→ratio→score pipeline executes twice (verified on the
+    * adaptive plan). Same executor-local materialization the q92/q103
+    * iteration state uses; the checkpointed table is narrow (id,
+    * n_feats, logratio). */
   def importanceWeights(docs: DataFrame, idCol: String, toks: Column,
                         isTarget: Column, buckets: Int, k: Int): DataFrame = {
     val feats = docs.select(col(idCol), isTarget.cast("boolean").as("__t"),
@@ -176,6 +185,7 @@ object Sampling {
         sum(col("__lr")).cast("decimal(28,8)").as("__lrs"))
       .withColumn("logratio",
         round(col("__lrs").cast("double") / col("n_feats"), 6) + lit(0.0))
+      .localCheckpoint()
     require(k >= 1, s"k must be >= 1 (got $k)")
     val kth = scored
       .orderBy(col("logratio").desc_nulls_last, col(idCol).asc_nulls_first)
