@@ -354,6 +354,55 @@ object Dedup {
     }
   }
 
+  /** Document-frequency boilerplate removal (the CCNet/C4 rule, the
+    * policy complement of [[dedupParagraphs]]): a paragraph appearing in
+    * MORE THAN `maxDf` distinct documents is chrome (nav text, cookie
+    * banners, footers) and is removed from EVERY document — including
+    * the first — while paragraphs under the threshold survive in all
+    * their occurrences. Keep-first answers "which copy is canonical?";
+    * the df rule answers "is this content at all?" — a real curation
+    * DAG wants the df rule for chrome and keep-first for content dups.
+    *
+    * Shape: paragraph explode + md5 (row-local) → ONE groupBy(hash)
+    * counting distinct docs (two-level agg — partial distinct on
+    * (hash, id) first, so the hot boilerplate hash partial-aggregates
+    * map-side) → the over-threshold hash set LEFT ANTI joins the
+    * paragraph stream (AQE broadcasts it while it fits — boilerplate
+    * sets are small by nature) → positional reassembly + input-spine
+    * left join (totality: fully-chrome docs come back empty).
+    *
+    * Returns (idCol, clean_text, n_paras, n_kept). */
+  def dropCommonParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                           sep: String, maxDf: Long): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__h", md5(trim(col("__para"))))
+    val common = paras
+      .select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"))
+    val rebuilt = paras
+      .join(common, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
+            p => p.getField("__para")), sep).as("__clean"))
+    docs
+      .select(col(idCol),
+        size(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          p => trim(p) =!= "")).cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Cross-document SUBSTRING-level exact dedup (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"
     * modality, re-grained): find every w-token window whose exact text

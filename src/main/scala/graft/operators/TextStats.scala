@@ -164,6 +164,47 @@ object TextStats {
         round(col("s").cast("double") / col("n_tok"), 6).as("mean_logprob"))
   }
 
+  /** Interpolated bigram-LM scoring (Jelinek–Mercer): per-doc mean
+    * log p(w2|w1) under p = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2), the
+    * perplexity-filter upgrade of [[unigramLogprob]] — a repetitive or
+    * template page scores HIGH (its bigrams are corpus-frequent), rare
+    * garbage scores low; curation gates on the band. λ must be
+    * binary-exact (0.75/0.25 here) so the interpolation multiplies
+    * identically cross-engine (the lit(1.0−0.85) trap, SKILL.md).
+    *
+    * Every statistic derives from the ONE (doc, bigram) tf table (the
+    * q97 plan lesson — never re-explode the corpus per statistic):
+    * bigram count, left-context count c1(w1) (= w1 occurrences as a
+    * bigram left, the ML-proper denominator), unigram-interp count
+    * c2(w2), each as a window sum over the tf table; total N as a
+    * 1-row broadcast. Division/interpolation are pure scalar IEEE
+    * (bit-equal cross-engine); ln is round(·,8)-pinned per term and
+    * DECIMAL-summed per doc. Docs with < 2 tokens have no bigrams and
+    * are absent (this corpus has none). Tokens must not contain '_'
+    * (the [[bigrams]] join marker — file-wide contract). */
+  def bigramLogprob(df: DataFrame, idCol: String, tokensCol: Column,
+                    lam: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(bigrams(tokensCol)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), "_", 1))
+      .withColumn("w2", substring_index(col("bg"), "_", -1))
+    val withC = tf
+      .withColumn("cb", sum(col("tf")).over(Window.partitionBy(col("bg"))))
+      .withColumn("c1", sum(col("tf")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("w2"))))
+    val n = tf.agg(sum(col("tf")).as("n"))
+    withC.crossJoin(broadcast(n))
+      .withColumn("lp", round(log(
+        lit(lam) * (col("cb").cast("double") / col("c1").cast("double")) +
+        lit(1.0 - lam) * (col("c2").cast("double") / col("n").cast("double"))), 8))
+      .groupBy(col(idCol))
+      .agg(sum((col("tf") * col("lp")).cast("decimal(28,8)")).as("s"),
+        sum(col("tf")).as("n_big"))
+      .select(col(idCol), col("n_big"),
+        round(col("s").cast("double") / col("n_big"), 6).as("mean_logprob"))
+  }
+
   /** Word n-grams as '_'-joined strings — [[bigrams]] generalized by
     * zipping n shifted slices (all length `size - n + 1`). Row-local,
     * codegen-friendly; arrays shorter than n yield []. */

@@ -279,6 +279,28 @@ object NearDupPack extends QueryPack {
       Dedup.dedupParagraphs(base, "doc_id", "ptext", "\n")
     }),
 
+    // L1 policy complement of q106: CCNet/C4-style document-frequency
+    // boilerplate removal on the SAME page synthesis — a paragraph in
+    // more than 5 distinct docs is chrome and drops from EVERY doc (the
+    // banner/footer vanish corpus-wide, doc 0 included — q106 kept
+    // doc 0's copy), while content chunks under the threshold keep ALL
+    // their occurrences (q106 kept exactly one).
+    "q114_boilerplate_df" -> ((s, dir) => Q.ordered {
+      val bp1 = "subscribe to our newsletter for updates and offers"
+      val bp2 = "all rights reserved contact our support team today"
+      val base = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nc", ((col("n") + 6) / 7).cast("int"))
+        .select(col("doc_id"), array_join(concat(
+          array(lit(bp1)),
+          transform(sequence(lit(0), col("nc") - 1),
+            i => array_join(slice(col("toks"), i * 7 + 1, lit(7)), " ")),
+          array(lit(bp2))), "\n").as("ptext"))
+      Dedup.dropCommonParagraphs(base, "doc_id", "ptext", "\n", maxDf = 5)
+    }),
+
     // L1 substring grain: windowed exact dedup on the RAW corpus (the
     // Lee et al. modality at its native grain) — every 8-token window
     // occurring more than once corpus-wide keeps only its globally-first
@@ -378,6 +400,41 @@ object NearDupPack extends QueryPack {
                                          ORDER BY doc_id, pos) AS rn
                FROM p),
          k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1),
+         r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      array_to_string(list(para ORDER BY pos), chr(10)) AS clean_text
+               FROM k GROUP BY doc_id),
+         spine AS (SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras FROM ps)
+         SELECT s.doc_id,
+                coalesce(r.clean_text, '') AS clean_text,
+                s.n_paras,
+                coalesce(r.n_kept, 0) AS n_kept
+         FROM spine s LEFT JOIN r USING (doc_id)
+         ORDER BY ALL NULLS FIRST""",
+
+    // df rule over the q106 page synthesis: count(DISTINCT doc_id) per
+    // md5 paragraph key, paragraphs over the threshold anti-joined away
+    // from every doc, positional reassembly + spine totality.
+    "q114_boilerplate_df" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+                      (len(toks) + 6) // 7 AS nc FROM d),
+         ps AS (SELECT doc_id,
+                       ['subscribe to our newsletter for updates and offers'] ||
+                         list_transform(range(0, nc), i ->
+                           array_to_string(list_slice(toks, i * 7 + 1,
+                             least((i + 1) * 7, n)), ' ')) ||
+                         ['all rights reserved contact our support team today'] AS paras
+                FROM c),
+         p AS (SELECT doc_id,
+                      generate_subscripts(paras, 1) - 1 AS pos,
+                      unnest(paras) AS para
+               FROM ps),
+         f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS df
+               FROM p GROUP BY 1),
+         k AS (SELECT doc_id, pos, para FROM p
+               WHERE md5(para) NOT IN (SELECT h FROM f WHERE df > 5)),
          r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
                       array_to_string(list(para ORDER BY pos), chr(10)) AS clean_text
                FROM k GROUP BY doc_id),

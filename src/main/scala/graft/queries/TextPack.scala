@@ -285,6 +285,17 @@ object TextPack extends QueryPack {
         .withColumn("keep", col("mean_logprob") >= -3.45)
     }),
 
+    // L4: interpolated bigram-LM scoring (Jelinek–Mercer, λ=0.75) — the
+    // perplexity-filter upgrade of q97: all statistics off the ONE
+    // (doc, bigram) tf table via window sums, 1-row N broadcast. Keep
+    // threshold -3.4 splits this corpus near its median (-3.387).
+    "q115_bigram_logprob" -> ((s, dir) => Q.ordered {
+      TextStats.bigramLogprob(
+        Q.t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "))
+        .withColumn("keep", col("mean_logprob") >= -3.4)
+    }),
+
     // L4: per-source corpus report — the monitoring rollup a pipeline
     // operator watches: doc/token volumes, language spread, exact-dup
     // rate (docs minus distinct content fingerprints), mean repetition.
@@ -634,6 +645,38 @@ object TextPack extends QueryPack {
                 row_number() OVER (PARTITION BY canonical_url
                                    ORDER BY doc_id) = 1 AS kept
          FROM c ORDER BY ALL NULLS FIRST""",
+
+    // JM-interpolated bigram LM: same single-tf-table derivation (window
+    // sums for cb/c1/c2, 1-row N), CAST(0.75/0.25 AS DOUBLE) forces
+    // double interpolation (binary-exact λ), round-8 ln + DECIMAL doc
+    // sums (q97 technique).
+    "q115_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         bgr AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || '_' || toks[i + 1])) AS bg
+                 FROM d),
+         tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2),
+         x AS (SELECT *, str_split(bg, '_')[1] AS w1,
+                      str_split(bg, '_')[-1] AS w2 FROM tf),
+         c AS (SELECT *, sum(tf) OVER (PARTITION BY bg) AS cb,
+                      sum(tf) OVER (PARTITION BY w1) AS c1,
+                      sum(tf) OVER (PARTITION BY w2) AS c2 FROM x),
+         n AS (SELECT sum(tf) AS n FROM tf),
+         l AS (SELECT doc_id, tf,
+                      round(ln(CAST(0.75 AS DOUBLE) *
+                               (CAST(cb AS DOUBLE) / CAST(c1 AS DOUBLE)) +
+                               CAST(0.25 AS DOUBLE) *
+                               (CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))), 8) AS lp
+               FROM c CROSS JOIN n),
+         s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_big,
+                      round(CAST(CAST(sum(CAST(tf * lp AS DECIMAL(28,8)))
+                                      AS DECIMAL(28,8)) AS DOUBLE)
+                            / sum(tf), 6) AS mean_logprob
+               FROM l GROUP BY 1)
+         SELECT doc_id, n_big, mean_logprob,
+                mean_logprob >= -3.4 AS keep
+         FROM s ORDER BY ALL NULLS FIRST""",
 
     "q96_domain_filter" ->
       s"""WITH d AS (SELECT doc_id, source,

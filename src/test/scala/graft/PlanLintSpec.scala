@@ -42,7 +42,10 @@ class PlanLintSpec extends AnyFunSuite {
     // q111 DSIR broadcasts the 1-row k-th-score threshold struct (the
     // scale-sane replacement for a global row_number sort — the q71
     // 1-row-stats shape)
-    "q111_dsir_weights")
+    "q111_dsir_weights",
+    // q115 bigram LM broadcasts the 1-row total-bigram count (the q97
+    // 1-row-N shape)
+    "q115_bigram_logprob")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -90,7 +93,10 @@ class PlanLintSpec extends AnyFunSuite {
       ("group = one document's own surviving tokens, bounded by that " +
         "document's input size (Dedup.dedupTokenWindows re-assembly " +
         "after posexplode of the same doc's tokens — not a foreign-key " +
-        "fan-in)"))
+        "fan-in)"),
+    "q114_boilerplate_df" ->
+      ("group = one document's own surviving paragraphs (the q106 " +
+        "re-assembly bound, Dedup.dropCommonParagraphs)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {

@@ -63,6 +63,38 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == List((1L, "a b x", 5L, 3L)))
   }
 
+  // ---- dropCommonParagraphs ----------------------------------------------
+
+  test("df boilerplate rule removes over-threshold paragraphs from EVERY doc") {
+    // 'chrome' appears in 3 distinct docs (> maxDf=2) — removed
+    // everywhere, first copy included; 'body1/body2' stay in all their
+    // occurrences (within-doc repetition doesn't inflate df).
+    val docs = Seq(
+      (1L, "chrome\nbody1\nbody1"),
+      (2L, "chrome\nbody2"),
+      (3L, "chrome\nbody1"),
+      (4L, "body2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropCommonParagraphs(docs, "doc_id", "text", "\n", maxDf = 2)
+      .select("doc_id", "clean_text", "n_paras", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (1L, "body1\nbody1", 3L, 2L),
+      (2L, "body2", 2L, 1L),
+      (3L, "body1", 2L, 1L),
+      (4L, "body2", 1L, 1L)))
+  }
+
+  test("a fully-chrome doc comes back empty, not absent") {
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"), (4L, "x")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropCommonParagraphs(docs, "doc_id", "text", "\n", maxDf = 3)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toList.sortBy(_._1)
+    assert(got.size == 4 && got.forall(r => r._2 == "" && r._3 == 0L))
+  }
+
   // ---- importanceWeights -------------------------------------------------
 
   test("DSIR importance weights rank target-like docs above raw-only docs") {
@@ -99,6 +131,23 @@ class SelectionSpec extends AnyFunSuite {
       col("doc_id") <= 2, 64, 2)
       .select("doc_id", "selected").as[(Long, Boolean)].collect().toList
     assert(got.filter(_._2).map(_._1).sorted == List(1L, 2L))
+  }
+
+  // ---- bigramLogprob -----------------------------------------------------
+
+  test("JM bigram logprob matches hand-computed values (λ=0.75)") {
+    // corpus bigrams: a_b ×1, b_a ×2; c1(a)=1, c1(b)=2; c2(b)=1,
+    // c2(a)=2; N=3.
+    // lp(a_b) = ln(0.75·1/1 + 0.25·1/3) = ln(0.83333…) → −0.18232156
+    // lp(b_a) = ln(0.75·2/2 + 0.25·2/3) = ln(0.91666…) → −0.08701138
+    // doc1 mean = (−0.18232156 − 0.08701138)/2 → −0.134666
+    // doc2 mean = −0.08701138 → −0.087011
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.bigramLogprob(
+      docs, "doc_id", split(col("text"), " "))
+      .select("doc_id", "n_big", "mean_logprob")
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+    assert(got == List((1L, 2L, -0.134666), (2L, 1L, -0.087011)))
   }
 
   // ---- canonicalUrl ------------------------------------------------------
