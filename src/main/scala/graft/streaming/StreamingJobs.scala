@@ -166,6 +166,90 @@ object StreamingJobs {
       stateDir = stateDir)
   }
 
+  /** [[incrementalDedupSink]]'s EXACT-grain sibling at paragraph level:
+    * each micro-batch of documents is paragraph-deduplicated against
+    * everything already ingested (the crawl-ingest form of
+    * [[graft.operators.Dedup.dedupParagraphs]] — dedup each new crawl
+    * against all prior crawls without re-pairing the corpus). Per
+    * epoch: hash paragraphs (md5, trim grain), keep-first WITHIN the
+    * batch (row_number over (hash | id, pos) — the q112 single-pass
+    * form), LEFT ANTI the persisted hash state (a paragraph seen in any
+    * PRIOR epoch drops from every doc of this one), reassemble cleaned
+    * docs to `outDir/epoch=N`, then merge this epoch's surviving hashes
+    * into the versioned state. Probe cost ∝ |batch| paragraphs; state
+    * is ONE narrow row per distinct paragraph hash ever kept.
+    *
+    * Same replay contract as the LSH sinks: state reads filter
+    * `__epoch < epochId` and output overwrites by epoch, so re-running
+    * the SAME (batch, epochId) is a no-op; same `maxEpochAge`
+    * compaction trade (N > 0 → a paragraph unseen for N epochs is
+    * forgotten and readmitted — the sliding-window contract; 0 =
+    * exact-forever). */
+  def incrementalParagraphSink(docs: DataFrame, idCol: String,
+                               textCol: String, sep: String,
+                               stateDir: String, outDir: String,
+                               maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        incrementalParagraphBatch(batch, epochId, idCol, textCol, sep,
+          stateDir, outDir, maxEpochAge)
+      }
+
+  /** One epoch of [[incrementalParagraphSink]], exposed for replay
+    * testing (same (batch, epochId) twice ⇒ identical output and
+    * state). */
+  def incrementalParagraphBatch(batch: DataFrame, epochId: Long,
+                                idCol: String, textCol: String, sep: String,
+                                stateDir: String, outDir: String,
+                                maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = batch
+      .select(col(idCol), posexplode(split(col(textCol), quoted))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__h", md5(trim(col("__para"))))
+    val byOccurrence = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+      .orderBy(col(idCol).asc_nulls_first, col("__pos").asc_nulls_first)
+    val batchWinners = paras
+      .withColumn("__rn", row_number().over(byOccurrence))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val state = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => spark.emptyDataFrame
+        .select(lit("").as("__h"), lit(0L).as("__epoch")).limit(0)
+    }
+    val kept = batchWinners
+      .join(state.select(col("__h")), Seq("__h"), "left_anti")
+    val cleaned = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
+            p => p.getField("__para")), sep).as("clean_text"))
+    batch.select(col(idCol))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir,
+      kept.select(col("__h")).distinct().withColumn("__epoch", lit(epochId)),
+      Seq("__h"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flaggedPairs = spark.read.parquet(s"$outDir/epoch=$epochId")
+        .filter(col("n_kept") === 0).count(),
+      stateDir = stateDir)
+  }
+
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of
     * embeddings probes the persisted IVF bucket state for cosine
     * near-dups, then merges its own buckets into the state — the

@@ -103,6 +103,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows == s1)
   }
 
+  test("incrementalParagraphBatch dedups each epoch against all prior epochs") {
+    val stateDir = java.nio.file.Files.createTempDirectory("parstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("parout").toString
+    def run(epoch: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalParagraphBatch(
+        docs.toDF("doc_id", "text"), epoch, "doc_id", "text", "\n",
+        stateDir, outDir)
+    // epoch 0: banner shared within the batch — doc 1 (first occurrence)
+    // keeps it, doc 2 loses it within-batch
+    run(0, Seq((1L, "banner\nbody-a"), (2L, "banner\nbody-b")))
+    def outAt(e: Long) = spark.read.parquet(s"$outDir/epoch=$e")
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(outAt(0) == Set(
+      (1L, "banner\nbody-a", 2L), (2L, "body-b", 1L)))
+    // epoch 1: banner and body-a are state-known → drop from EVERY doc;
+    // doc 4 is entirely prior content → emptied, not absent
+    run(1, Seq((3L, "banner\nbody-c"), (4L, "banner\nbody-a")))
+    assert(outAt(1) == Set((3L, "body-c", 1L), (4L, "", 0L)))
+    // replay epoch 1 after a crash-after-commit: identical output/state
+    val v1 = graft.sources.Writers.latestVersion(stateDir).get
+    run(1, Seq((3L, "banner\nbody-c"), (4L, "banner\nbody-a")))
+    assert(outAt(1) == Set((3L, "body-c", 1L), (4L, "", 0L)))
+    val v2 = graft.sources.Writers.latestVersion(stateDir).get
+    val s1 = spark.read.parquet(s"$stateDir/v$v1")
+      .select("__h").as[String].collect().toSet
+    val s2 = spark.read.parquet(s"$stateDir/v$v2")
+      .select("__h").as[String].collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("incrementalParagraphBatch eviction readmits paragraphs unseen for N epochs") {
+    val stateDir = java.nio.file.Files.createTempDirectory("parstate2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("parout2").toString
+    def run(epoch: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalParagraphBatch(
+        docs.toDF("doc_id", "text"), epoch, "doc_id", "text", "\n",
+        stateDir, outDir, maxEpochAge = 2)
+    run(0, Seq((1L, "sticky")))
+    run(1, Seq((2L, "other")))      // 'sticky' now 1 epoch old
+    run(2, Seq((3L, "third")))      // 'sticky' at age 2 → evicted
+    run(3, Seq((4L, "sticky")))     // readmitted: state forgot it
+    val got = spark.read.parquet(s"$outDir/epoch=3")
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((4L, "sticky", 1L)))
+  }
+
   test("incrementalEmbeddingBatch replay: same epoch re-run is a no-op") {
     val stateDir = java.nio.file.Files.createTempDirectory("embstate").toString
     val outDir = java.nio.file.Files.createTempDirectory("embout").toString
