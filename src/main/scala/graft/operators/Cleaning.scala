@@ -53,6 +53,27 @@ object Cleaning {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, HostRe, 1))
 
+  /** Unicode text normalization — the ftfy-lite pass a crawl pipeline
+    * runs before tokenization/hashing (curly quotes, em/en dashes,
+    * NBSP, zero-width chars, control bytes, ragged whitespace all make
+    * semantically-equal text hash differently, poisoning every dedup
+    * grain upstream of it). Three row-local steps, engine-portable:
+    *  1. fold typography: ‘ ’ → ', “ ” → ", – — → -, NBSP → space,
+    *     zero-width space DELETED (translate with a shorter to-string
+    *     deletes — same semantics both engines);
+    *  2. control bytes ([\x00-\x1f\x7f]) → space;
+    *  3. collapse whitespace runs to one space, trim. \s is ASCII-only
+    *     in BOTH regex engines (Java util.regex and RE2) — that parity
+    *     is why NBSP must be folded by translate FIRST. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(c,
+          "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0\u200B",
+          "''\"\"-- "),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** Full URL parse for canonicalization: scheme, userinfo-stripped
     * host, explicit port, path, query (fragment consumed, never kept).
     * Same authority rules as [[HostRe]] (greedy userinfo over '@'). */

@@ -285,6 +285,29 @@ object TextPack extends QueryPack {
         .withColumn("keep", col("mean_logprob") >= -3.45)
     }),
 
+    // C/L4: Unicode text normalization (the ftfy-lite pre-tokenization
+    // pass) — typography mess synthesized deterministically per doc_id
+    // residue (the q83/q91 pattern: curly quotes, en/em dashes, NBSP,
+    // zero-width space, tab/VT controls, ragged spaces), then folded by
+    // Cleaning.normalizeText. Map-only; the oracle rebuilds the mess
+    // from chr() codes and replays the same translate/regexp chain.
+    "q116_normalize_text" -> ((s, dir) => Q.ordered {
+      import graft.operators.Cleaning
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, lit("\u201Cq\u201D  ")).otherwise(lit("")),
+        array_join(slice(split(col("text"), " "), 1, 5), " "),
+        when(col("doc_id") % 3 === 0, lit(" x\u2013y\u2014z")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\u00A0nb\u00A0")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\tctl\u000B")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("  sp\u2018s\u2019  ")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\u200Bzw")).otherwise(lit("")))
+      Q.wide(Q.t(s, dir, "documents")).select(
+        col("doc_id"),
+        length(messy).cast("long").as("n_raw"),
+        Cleaning.normalizeText(messy).as("clean_text"))
+        .withColumn("n_clean", length(col("clean_text")).cast("long"))
+    }),
+
     // L4: interpolated bigram-LM scoring (Jelinek–Mercer, λ=0.75) — the
     // perplexity-filter upgrade of q97: all statistics off the ONE
     // (doc, bigram) tf table via window sums, 1-row N broadcast. Keep
@@ -645,6 +668,45 @@ object TextPack extends QueryPack {
                 row_number() OVER (PARTITION BY canonical_url
                                    ORDER BY doc_id) = 1 AS kept
          FROM c ORDER BY ALL NULLS FIRST""",
+
+    // Rebuilds the typography mess from chr() codes and replays the
+    // identical translate (shorter to-string deletes ZWSP on both
+    // engines) + control-class + \s-collapse chain. Both engines'
+    // length() counts these BMP chars identically (UTF-16 units =
+    // codepoints here).
+    "q116_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0
+                   THEN chr(8220) || 'q' || chr(8221) || '  ' ELSE '' END) ||
+             array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ') ||
+             (CASE WHEN doc_id % 3 = 0
+                   THEN ' x' || chr(8211) || 'y' || chr(8212) || 'z' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN chr(160) || 'nb' || chr(160) ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 0
+                   THEN chr(9) || 'ctl' || chr(11) ELSE '' END) ||
+             (CASE WHEN doc_id % 4 = 0
+                   THEN '  sp' || chr(8216) || 's' || chr(8217) || '  ' ELSE '' END) ||
+             (CASE WHEN doc_id % 11 = 0
+                   THEN chr(8203) || 'zw' ELSE '' END) AS messy
+           FROM documents)
+         SELECT doc_id,
+                CAST(length(messy) AS BIGINT) AS n_raw,
+                trim(regexp_replace(regexp_replace(
+                  translate(messy,
+                    chr(8216) || chr(8217) || chr(8220) || chr(8221) ||
+                    chr(8211) || chr(8212) || chr(160) || chr(8203),
+                    chr(39) || chr(39) || '""-- '),
+                  '[\x00-\x1f\x7f]', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS clean_text,
+                CAST(length(trim(regexp_replace(regexp_replace(
+                  translate(messy,
+                    chr(8216) || chr(8217) || chr(8220) || chr(8221) ||
+                    chr(8211) || chr(8212) || chr(160) || chr(8203),
+                    chr(39) || chr(39) || '""-- '),
+                  '[\x00-\x1f\x7f]', ' ', 'g'),
+                  '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
+         FROM m ORDER BY ALL NULLS FIRST""",
 
     // JM-interpolated bigram LM: same single-tf-table derivation (window
     // sums for cb/c1/c2, 1-row N), CAST(0.75/0.25 AS DOUBLE) forces

@@ -150,6 +150,16 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == List((1L, 2L, -0.134666), (2L, 1L, -0.087011)))
   }
 
+  // ---- normalizeText -----------------------------------------------------
+
+  test("normalizeText folds typography, strips controls, collapses whitespace") {
+    val messy = "\u201CHi\u201D\u00A0there\t\u2018x\u2019 \u2013 y\u2014z\u200B  end "
+    val got = Seq(messy).toDF("t")
+      .select(Cleaning.normalizeText(col("t")).as("c"))
+      .as[String].collect().head
+    assert(got == "\"Hi\" there 'x' - y-z end")
+  }
+
   // ---- canonicalUrl ------------------------------------------------------
 
   private def canon(u: String): Option[String] = {
