@@ -80,6 +80,19 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE decode is piece concatenation: every encoding reconstructs its word") {
+    // the round-trip a token-budget gate relies on: encode is a
+    // partition of the word's code points, so decode = concat
+    val rnd = new Random(1611)
+    val words = List("the", "thing", "other", "standing", "xyzzy",
+      new String(Character.toChars(0x1F600)) + "ab") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(12))
+        .map(_ => "abcdeth".charAt(rnd.nextInt(7))).mkString)
+    words.foreach { w =>
+      assert(enc(w).mkString == w, s"round-trip failed for '$w'")
+    }
+  }
+
   test("column expression: per-word flatten, NULL in -> NULL out") {
     val df = Seq((1L, "the thing"), (2L, null.asInstanceOf[String]))
       .toDF("id", "w")

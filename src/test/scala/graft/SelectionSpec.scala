@@ -133,6 +133,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(got.filter(_._2).map(_._1).sorted == List(1L, 2L))
   }
 
+  test("DSIR weights compose with the ES sampler for a stochastic resample") {
+    // the paper's full path: importance weights → weighted draw. The ES
+    // key ln(u)/w needs w > 0, so the logratio feeds through exp() —
+    // monotone, so the weighting preserves the DSIR ordering bias while
+    // the md5 uniforms supply the (deterministic) randomness.
+    val docs = Seq(
+      (1L, true, "t u t"), (2L, true, "u t u"),
+      (3L, false, "r s r"), (4L, false, "s r s"),
+      (5L, false, "r r s"), (6L, false, "s s r")
+    ).toDF("doc_id", "is_t", "text")
+      .select(col("doc_id"), col("is_t"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val weighted = Sampling.importanceWeights(docs, "doc_id", col("toks"),
+      col("is_t"), 4096, 6)
+    val drawn = Sampling.weightedSample(weighted, col("doc_id"),
+      exp(col("logratio") * 8), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(drawn.size == 3)
+    // ×8 sharpening makes the two target docs' weights dominate — both
+    // must survive any 3-draw under these md5 uniforms
+    assert(drawn.contains(1L) && drawn.contains(2L))
+  }
+
   // ---- bigramLogprob -----------------------------------------------------
 
   test("JM bigram logprob matches hand-computed values (λ=0.75)") {
