@@ -82,6 +82,22 @@ object MicroBench {
       xdf.select(viaShared: _*).write.format("noop").mode("overwrite").save()
     }
 
+    // md5 bucket hash: native digest-window read (Md5Hash32) vs the
+    // conv(substring(md5)) hex chain — same bits, minus three string
+    // allocations + a radix parse per row. The chain is the per-feature
+    // cost of every hashed-feature operator (q109/q111 featurize,
+    // sampling buckets, minhash windows).
+    val hashRows = args.lift(4).map(_.toLong).getOrElse(2000000L)
+    val sdf = spark.range(hashRows)
+      .select(concat(lit("key-"), col("id")).as("s")).cache()
+    sdf.count()
+    def chainHash = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    def nativeHash = graft.functions.HashFunctions.md5Window(col("s"), 0)
+    sdf.limit(1000).select(sum(chainHash)).collect()
+    sdf.limit(1000).select(sum(nativeHash)).collect()
+    time("md5-chain") { sdf.select(sum(chainHash)).collect() }
+    time("md5-native") { sdf.select(sum(nativeHash)).collect() }
+
     // Batch ANN: one annSearchBatch job over Q queries vs Q sequential
     // annSearch jobs — the driver-loop shape the batch operator exists
     // to kill (each per-query job re-scans and re-buckets the corpus).

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
     ext.injectFunction(GraftFunctions.mainContentFunction)
     ext.injectFunction(GraftFunctions.bpeFunction)
+    ext.injectFunction(GraftFunctions.md5BucketFunction)
     GraftFunctions.mediaFunctions.foreach(ext.injectFunction)
   }
 }
@@ -87,6 +88,22 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       dotBuilder)
 
+  /** Window argument is an int literal (expression configuration, the
+    * xpath-path contract); defaults to window 0 — the engine's standard
+    * first-8-hex bucket hash. */
+  private[functions] val md5BucketBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => Md5Hash32(s, 0)
+    case Seq(s, Literal(w: Int, org.apache.spark.sql.types.IntegerType)) =>
+      Md5Hash32(s, w)
+    case other => throw new IllegalArgumentException(
+      s"graft_md5_bucket expects (str[, window-literal]), got $other")
+  }
+
+  val md5BucketFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_bucket"),
+      new ExpressionInfo(classOf[Md5Hash32].getName, "graft_md5_bucket"),
+      md5BucketBuilder)
+
   val xmlFieldsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_xml_fields"),
       new ExpressionInfo(classOf[XmlFields].getName, "graft_xml_fields"),
@@ -141,6 +158,7 @@ object GraftFunctions {
     ColumnBridge.registerExpression(spark, "graft_main_content",
       unary("graft_main_content", HtmlMainContent))
     ColumnBridge.registerExpression(spark, "graft_bpe", bpeBuilder)
+    ColumnBridge.registerExpression(spark, "graft_md5_bucket", md5BucketBuilder)
     mediaBuilders.foreach { case (name, _, builder) =>
       ColumnBridge.registerExpression(spark, name, builder)
     }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native md5 bucket hash — the codegen twin of the engine's standard
+  * engine-portable hash chain
+  * `conv(substring(md5(x), 1+8w, 8), 16, 10)` (SURVEY §7.4.8's
+  * md5-derived hashing contract): window `w` of the digest read as an
+  * unsigned 32-bit int. Bit-identical to the built-in chain — the first
+  * 8 hex chars ARE digest bytes 0–3 big-endian — so every existing
+  * DuckDB oracle (`CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)`)
+  * covers it unchanged.
+  *
+  * Why native: the built-in chain materializes the 32-char hex string,
+  * substrings it, and re-parses hex via conv — three UTF8String
+  * allocations plus a radix parse per evaluation. This expression
+  * digests the raw bytes and masks out the window in one step, staying
+  * inside whole-stage codegen (static helper call, the DotProduct
+  * pattern). On the hashed-feature hot paths (q109/q111 featurize:
+  * ~40 hashes/doc; minhash signatures: 2 digests/token) the chain
+  * overhead is the dominant non-digest cost — MicroBench's `md5-*`
+  * rows quantify the delta.
+  */
+case class Md5Hash32(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window >= 0 && window <= 3,
+    s"md5 window must be in [0, 3] (got $window)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_bucket expects a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_bucket"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32.eval(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Hash32.eval($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash32 =
+    copy(child = newChild)
+}
+
+object Md5Hash32 {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Unsigned 32-bit read of digest bytes [4w, 4w+4) — the value of
+    * `conv(substring(md5(s), 1+8w, 8), 16, 10)`. Called from generated
+    * code; must stay a static-shaped helper (janino-friendly). */
+  def eval(s: UTF8String, window: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val o = window * 4
+    ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+      ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+  }
+}
+
+/** Column entry points for the native md5 hash windows. */
+object HashFunctions {
+
+  /** Window `w` (0–3) of md5 as an unsigned 32-bit long — bit-identical
+    * to `conv(substring(md5(c), 1+8w, 8), 16, 10).cast("long")`. */
+  def md5Window(c: Column, window: Int): Column =
+    ColumnBridge.column(Md5Hash32(ColumnBridge.expression(c), window))
+
+  /** The engine's standard bucket hash: first md5 window mod `buckets`. */
+  def md5Bucket(c: Column, buckets: Int): Column =
+    md5Window(c, 0) % buckets
+}

@@ -79,8 +79,8 @@ object Dedup {
     * md5 evaluations per token, not eight. Seed 0 is the first window of
     * md5('0|'||token), identical to the simple first-8-hex hash. */
   def tokenHash(token: Column, seed: Int): Column =
-    conv(substring(md5(concat_ws("|", lit((seed / 4).toString), token)),
-      1 + 8 * (seed % 4), 8), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5Window(
+      concat_ws("|", lit((seed / 4).toString), token), seed % 4)
 
   /** MinHash signature: for each of `k` seeds, the minimum [[tokenHash]]
     * over the doc's tokens. Row-local over the token array — no shuffle. */

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable per-row bucket in [0, buckets): md5 of the key column. */
+  /** Stable per-row bucket in [0, buckets): md5 of the key column.
+    * Native first-window digest read — bit-identical to the
+    * conv(substring(md5)) chain the oracles replay (Md5Hash32). */
   def hashBucketOf(key: Column, buckets: Int): Column =
-    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-      % buckets).cast("long")
+    graft.functions.HashFunctions.md5Bucket(key.cast("string"), buckets)
+      .cast("long")
 
   /** Keep ~pct/100 of rows, deterministically by key. */
   def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
@@ -100,7 +102,7 @@ object Sampling {
     * variant would need an integer/decimal rank key). */
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame = {
-    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+    val u = (graft.functions.HashFunctions.md5Window(key.cast("string"), 0)
       .cast("double") + 0.5) / 4.294967296e9
     df.withColumn("__es", log(u) / weight)
       .orderBy(col("__es").desc_nulls_last, key.asc_nulls_first)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.VectorFunctions
+import graft.functions.{GraftFunctions, HashFunctions, VectorFunctions}
 import graft.operators.Similarity
 
 /** Native codegen DotProduct vs the higher-order-function form: bit-exact
@@ -17,6 +17,29 @@ class FunctionsSpec extends AnyFunSuite {
     (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
     (Seq(0.1f, 0.2f, 0.3f), Seq(0.3f, 0.2f, 0.1f))
   ).toDF("a", "b")
+
+  test("md5Window is bit-identical to the conv(substring(md5)) chain, all windows") {
+    val strs = (Seq("", "a", "token", "0|word", "päällä", "日本語",
+      new String(Character.toChars(0x1F600))) ++
+      (1 to 200).map(i => s"s$i-${i * 37}")).toDF("s")
+    (0 to 3).foreach { w =>
+      val mismatches = strs.select(
+        HashFunctions.md5Window(col("s"), w).as("native"),
+        conv(substring(md5(col("s")), 1 + 8 * w, 8), 16, 10)
+          .cast("long").as("chain"))
+        .filter(col("native") =!= col("chain")).count()
+      assert(mismatches == 0, s"window $w diverged from the hex chain")
+    }
+  }
+
+  test("md5Window: NULL in, NULL out; SQL surface resolves") {
+    GraftFunctions.register(spark)
+    val r = Seq[Option[String]](Some("x"), None).toDF("s")
+      .selectExpr("graft_md5_bucket(s) AS b", "graft_md5_bucket(s, 1) AS b1")
+      .as[(Option[Long], Option[Long])].collect().toList
+    assert(r.head._1.isDefined && r.head._2.isDefined)
+    assert(r(1) == (None, None))
+  }
 
   test("dotNative is bit-identical to the aggregate/zip_with dot") {
     val got = vecs.select(
