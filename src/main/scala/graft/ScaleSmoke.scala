@@ -324,6 +324,20 @@ object ScaleSmoke {
         col("toks"), 8)
         .filter(col("n_kept") < col("n_tok")).count()
     }
+    time("substring-dedup-hotwin") {
+      // skew twin: every doc (every replica — the banner is NOT
+      // replica-prefixed) carries the same 8-token banner, so ONE
+      // window hash concentrates |corpus| occurrences in a single
+      // rank-window partition — the WindowExec group-buffer worst case
+      // (row_number streams through the spillable sorter; nothing is
+      // collected per group). Target: same order as the natural run.
+      val banner = array((1 to 8).map(i => lit(s"hw$i")): _*)
+      operators.Dedup.dedupTokenWindows(
+        bigDocsRtoks.select(col("doc_id"),
+          concat(col("toks"), banner).as("toks")),
+        "doc_id", col("toks"), 8)
+        .filter(col("n_kept") < col("n_tok")).count()
+    }
     time("hamming-neardup") {
       // q108's pair stage at N×: 64-bit perceptual hashes in groups of 4
       // (base ⊕ one flipped bit), banded 4×16-bit equi-join. Band-value

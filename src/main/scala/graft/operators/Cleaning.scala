@@ -76,9 +76,12 @@ object Cleaning {
 
   /** Full URL parse for canonicalization: scheme, userinfo-stripped
     * host, explicit port, path, query (fragment consumed, never kept).
-    * Same authority rules as [[HostRe]] (greedy userinfo over '@'). */
+    * Same authority rules as [[HostRe]] (greedy userinfo over '@'),
+    * plus brackets excluded from the host class so a bracketed IPv6
+    * authority ('http://[::1]/') FAILS the parse whole → NULL (the
+    * fail-closed contract), instead of emitting a '[' pseudo-host. */
   val UrlRe: String =
-    "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#]*@)?([^/:?#@]+)" +
+    "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#]*@)?([^/:?#@\\[\\]]+)" +
       "(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
 
   /** Query params a canonicalizer drops: click/campaign trackers that

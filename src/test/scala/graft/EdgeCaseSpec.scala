@@ -81,6 +81,49 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq("shard", "id", "n", "tok_before", "seq_id", "tok_offset"))
   }
 
+  test("dedupTokenWindows on an empty corpus and on all-short docs") {
+    val empty0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupTokenWindows(empty0, "doc_id",
+      split(col("text"), " "), 4).count() == 0)
+    val short = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = Dedup.dedupTokenWindows(short, "doc_id",
+      split(col("text"), " "), 4)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("dropCommonParagraphs with a threshold above every df is identity") {
+    val docs = Seq((1L, "x\ny"), (2L, "x")).toDF("doc_id", "text")
+    val got = Dedup.dropCommonParagraphs(docs, "doc_id", "text", "\n", maxDf = 10)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "x\ny", 2L -> "x"))
+  }
+
+  test("importanceWeights with an empty target slice still totals (pure raw penalty)") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val got = Sampling.importanceWeights(docs, "doc_id", col("toks"),
+      lit(false), 64, 1)
+      .select("doc_id", "logratio", "selected")
+      .as[(Long, Double, Boolean)].collect().toList.sortBy(_._1)
+    // ct = 0 everywhere: every feature scores ln(1/(0+64)) - ln(p_raw) —
+    // finite (add-1 smoothing), and the k=1 cut still picks exactly one
+    assert(got.size == 2 && got.forall(r => !r._2.isNaN && !r._2.isInfinite))
+    assert(got.count(_._3) == 1)
+  }
+
+  test("canonicalUrl null-propagates and keeps IPv6-less contract explicit") {
+    import graft.operators.Cleaning
+    val got = Seq[Option[String]](None, Some("http://[::1]/x"), Some("ftp://H.Co/Y/"))
+      .toDF("u").select(Cleaning.canonicalUrl(col("u")).as("c"))
+      .as[Option[String]].collect().toList
+    assert(got(0).isEmpty)        // NULL in, NULL out
+    assert(got(1).isEmpty)        // bracketed IPv6 authority: not parsed (documented)
+    assert(got(2).contains("ftp://h.co/Y"))  // non-http schemes pass through
+  }
+
   test("unigramLogprob on a single-doc corpus scores ln(1/N) per unique token") {
     // one doc "a b": N=2, each token p=1/2 → mean = ln(0.5) ≈ -0.693147
     val got = graft.operators.TextStats.unigramLogprob(
