@@ -253,6 +253,29 @@ object NearDupPack extends QueryPack {
         .filter(col("cos") >= 0.3)
     }),
 
+    // L1/L2: embedding-space train/test DECONTAMINATION — the vector
+    // twin of q89's trigram rule (paraphrased test leakage that no
+    // token-grain overlap catches). The held-out slice (vec_id%10=0)
+    // probes the capped train IVF buckets (the q93-shape asymmetric
+    // join: cost ∝ |test| × matched-bucket membership, never
+    // train×train); flagged = train vectors with cosine ≥ 0.3 to ANY
+    // test vector, summarized per train id.
+    "q117_embedding_decontamination" -> ((s, dir) => Q.ordered {
+      val e = Q.wide(Q.t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val train = e.filter(col("vec_id") % 10 =!= 0)
+        .withColumn("bucket", Similarity.ivfAssign(col("embedding"), probeDims = 8))
+        .filter(col("bucket").isNotNull)
+        .select(col("vec_id"), col("bucket"), col("embedding"))
+      val test = e.filter(col("vec_id") % 10 === 0)
+      Similarity.incrementalEmbeddingCandidates(
+          train, test, "vec_id", "embedding",
+          probeDims = 8, maxBucketSize = 100, minCosine = 0.1)
+        .groupBy(col("id_old"))
+        .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+        .select(col("id_old").as("train_id"), col("n_hits"), col("max_cos"))
+    }),
+
     // L1 sub-document grain: cross-document paragraph-level exact dedup
     // (the Lee et al. boilerplate-paragraph modality). Each document is
     // given a paragraph structure — a shared subscribe banner, its own
@@ -806,6 +829,34 @@ object NearDupPack extends QueryPack {
          SELECT bucket, CAST(max(n) AS BIGINT) AS n_vecs,
                 to_json(list(s ORDER BY pos))::VARCHAR AS centroid_msum
          FROM a GROUP BY bucket ORDER BY ALL NULLS FIRST""",
+
+    // The q86 bucket replay split into train/test slices: test probes
+    // the QUALIFY-capped train buckets, flags summarize per train id.
+    "q117_embedding_decontamination" ->
+      """WITH s AS (SELECT vec_id, embedding,
+                list_reverse_sort(list_transform(range(1, 9), i ->
+                  [abs(CAST(embedding[i] AS DOUBLE)),
+                   CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)])) AS st
+                FROM embeddings),
+         e AS (SELECT vec_id, embedding,
+                CASE WHEN len(embedding) >= 8 THEN
+                  (CAST(st[1][2] AS INT) + 8) * 17 + (CAST(st[2][2] AS INT) + 8) END AS bucket
+               FROM s),
+         train AS (SELECT vec_id, embedding, bucket FROM e
+                   WHERE vec_id % 10 <> 0 AND bucket IS NOT NULL
+                   QUALIFY count(*) OVER (PARTITION BY bucket) <= 100),
+         test AS (SELECT vec_id, embedding, bucket FROM e
+                  WHERE vec_id % 10 = 0 AND bucket IS NOT NULL),
+         hits AS (SELECT c.vec_id AS id_old,
+                         round(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+                  FROM test t JOIN train c USING (bucket)
+                  WHERE t.vec_id <> c.vec_id)
+         SELECT id_old AS train_id, CAST(count(*) AS BIGINT) AS n_hits,
+                max(cos) AS max_cos
+         FROM hits WHERE cos >= 0.1
+         GROUP BY 1 ORDER BY ALL NULLS FIRST""",
 
     "q86_ivf_neardup" ->
       """WITH s AS (SELECT vec_id, embedding,
