@@ -164,6 +164,48 @@ object TextStats {
         round(col("s").cast("double") / col("n_tok"), 6).as("mean_logprob"))
   }
 
+  /** Per-group distribution drift vs the corpus: KL(p_group ‖ p_corpus)
+    * over add-1-smoothed unigram distributions — the ingest monitor
+    * that catches a source going off-distribution (spam flood, language
+    * flip, template takeover) before any per-doc filter does. One
+    * (group, token) tf aggregation; group totals, corpus token counts
+    * and the corpus total all derive from it (two window sums + one
+    * 1-row broadcast — the q97 derivation lesson); per-term
+    * round(ln,8) ratios are DECIMAL-summed per group (engine-exact).
+    * Smoothing denominates over `vocab` (pass the corpus-wide distinct
+    * token count, or any fixed constant ≥ it — it only needs to be the
+    * SAME constant on the oracle side).
+    *
+    * KL here is Σ_t p_g(t)·(ln p_g(t) − ln p_c(t)) summed over the
+    * group's OWN tokens only — the unsmoothed-support form: terms where
+    * tf_g = 0 contribute 0, so the per-group sum needs no vocab
+    * explode. Nonnegative up to smoothing, 0 for a group that IS the
+    * corpus. */
+  def sourceDrift(df: DataFrame, groupCol: Column, tokensCol: Column,
+                  vocab: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(groupCol.as("group"), explode(tokensCol).as("token"))
+      .groupBy(col("group"), col("token")).agg(count(lit(1)).as("tf"))
+    val withC = tf
+      .withColumn("n_g", sum(col("tf")).over(Window.partitionBy(col("group"))))
+      .withColumn("c_t", sum(col("tf")).over(Window.partitionBy(col("token"))))
+    val n = tf.agg(sum(col("tf")).as("n"))
+    def lp(c: Column, tot: Column): Column =
+      round(log((c + lit(1)).cast("double") / (tot + lit(vocab)).cast("double")), 8)
+    withC.crossJoin(broadcast(n))
+      .withColumn("__pg",
+        (col("tf") + lit(1)).cast("double") / (col("n_g") + lit(vocab)).cast("double"))
+      .withColumn("__term",
+        (col("__pg") * (lp(col("tf"), col("n_g")) - lp(col("c_t"), col("n"))))
+          .cast("decimal(28,12)"))
+      .groupBy(col("group"))
+      .agg(max(col("n_g")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__term")).cast("decimal(28,12)").as("__s"))
+      .select(col("group"), col("n_tok"), col("n_distinct"),
+        (round(col("__s").cast("double"), 6) + lit(0.0)).as("kl"))
+  }
+
   /** Interpolated bigram-LM scoring (Jelinek–Mercer): per-doc mean
     * log p(w2|w1) under p = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2), the
     * perplexity-filter upgrade of [[unigramLogprob]] — a repetitive or

@@ -319,6 +319,19 @@ object TextPack extends QueryPack {
         .withColumn("keep", col("mean_logprob") >= -3.4)
     }),
 
+    // L4: per-source distribution-drift monitor — KL(source ‖ corpus)
+    // over add-1-smoothed unigram distributions, the q98 rollup's
+    // statistical upgrade (catches a source flooding off-distribution
+    // before any per-doc filter fires). All statistics off the ONE
+    // (source, token) tf table (two window sums + 1-row N broadcast);
+    // per-term products DECIMAL-summed (q97 mechanism).
+    "q118_source_drift" -> ((s, dir) => Q.ordered {
+      TextStats.sourceDrift(Q.t(s, dir, "documents"), col("source"),
+        split(col("text"), " "), 4096)
+        .select(col("group").as("source"), col("n_tok"),
+          col("n_distinct"), col("kl"))
+    }),
+
     // L4: per-source corpus report — the monitoring rollup a pipeline
     // operator watches: doc/token volumes, language spread, exact-dup
     // rate (docs minus distinct content fingerprints), mean repetition.
@@ -668,6 +681,29 @@ object TextPack extends QueryPack {
                 row_number() OVER (PARTITION BY canonical_url
                                    ORDER BY doc_id) = 1 AS kept
          FROM c ORDER BY ALL NULLS FIRST""",
+
+    // KL drift replay: same tf-table derivation (window sums go through
+    // HUGEINT — CAST the max back to BIGINT), same add-1/vocab
+    // smoothing constant, same round-8 log ratios and DECIMAL term sums.
+    "q118_source_drift" ->
+      """WITH tok AS (SELECT source AS grp, unnest(str_split(text, ' ')) AS token
+                      FROM documents),
+         tf AS (SELECT grp, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         c AS (SELECT *, sum(tf) OVER (PARTITION BY grp) AS n_g,
+                      sum(tf) OVER (PARTITION BY token) AS c_t FROM tf),
+         n AS (SELECT sum(tf) AS n FROM tf),
+         t AS (SELECT grp, n_g,
+                      CAST(((CAST(tf + 1 AS DOUBLE) / CAST(n_g + 4096 AS DOUBLE)) *
+                        (round(ln(CAST(tf + 1 AS DOUBLE) / CAST(n_g + 4096 AS DOUBLE)), 8) -
+                         round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n + 4096 AS DOUBLE)), 8)))
+                        AS DECIMAL(28,12)) AS term
+               FROM c CROSS JOIN n)
+         SELECT grp AS source,
+                CAST(max(n_g) AS BIGINT) AS n_tok,
+                CAST(count(*) AS BIGINT) AS n_distinct,
+                round(CAST(CAST(sum(term) AS DECIMAL(28,12)) AS DOUBLE), 6)
+                  + CAST(0.0 AS DOUBLE) AS kl
+         FROM t GROUP BY 1 ORDER BY ALL NULLS FIRST""",
 
     // Rebuilds the typography mess from chr() codes and replays the
     // identical translate (shorter to-string deletes ZWSP on both

@@ -45,7 +45,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q111_dsir_weights",
     // q115 bigram LM broadcasts the 1-row total-bigram count (the q97
     // 1-row-N shape)
-    "q115_bigram_logprob")
+    "q115_bigram_logprob",
+    // q118 KL drift broadcasts the 1-row corpus token total (same shape)
+    "q118_source_drift")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the

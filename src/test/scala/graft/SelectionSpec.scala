@@ -173,6 +173,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == List((1L, 2L, -0.134666), (2L, 1L, -0.087011)))
   }
 
+  // ---- sourceDrift -------------------------------------------------------
+
+  test("KL drift: an off-distribution source scores above in-distribution ones") {
+    // src a/b share the corpus-dominant vocabulary; src c is disjoint.
+    val docs = Seq(
+      ("a", "x y x y z"), ("a", "y x z x y"),
+      ("b", "x y z x y"), ("b", "z x y y x"),
+      ("c", "q r q r q")
+    ).toDF("source", "text")
+    val got = graft.operators.TextStats.sourceDrift(
+      docs, col("source"), split(col("text"), " "), 64)
+      .select("group", "n_tok", "kl")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 == 10L && got("c")._2 == 5L)
+    // the disjoint source is clearly above both in-distribution ones
+    // (absolute levels are smoothing-dependent on a corpus this small —
+    // vocab=64 dominates the tiny counts — so only the separation is
+    // asserted)
+    assert(got("c")._3 > 1.5 * got("a")._3 && got("c")._3 > 1.5 * got("b")._3)
+  }
+
   // ---- normalizeText -----------------------------------------------------
 
   test("normalizeText folds typography, strips controls, collapses whitespace") {
