@@ -73,6 +73,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT pairs — the quote/extract
+    * relation symmetric Jaccard misses. A short doc fully contained in a
+    * long one (a pull-quote, an excerpt page, a doc + appended chrome)
+    * has Jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0 as the length ratio grows,
+    * but containment |A∩B|/min(|A|,|B|) = 1 regardless. Same sparse
+    * token-join machinery as [[jaccardPairs]] (same df-cap guard — Σ
+    * df(t)² bounds the pair stream); emits both directions so the
+    * caller can tell "a inside b" from "b inside a".
+    *
+    * Output: (id_a, id_b, c_in_a = |∩|/|A|, c_in_b = |∩|/|B|) for pairs
+    * with max(c_in_a, c_in_b) ≥ tau, a < b. Shingle sets, not bags —
+    * callers pass the [[graft.operators.TextStats.bigrams]]/ngrams
+    * column and duplicates within a doc are collapsed here. */
+  def containmentPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                       tau: Double, maxDfFrac: Double = 1.0): DataFrame = {
+    val raw = tokens(df, idCol, tokensCol)
+    val tok = if (maxDfFrac >= 1.0) raw else {
+      val total = raw.agg(countDistinct(col(idCol)).cast("double").as("__total"))
+      val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(total))
+        .filter(col("__df") <= col("__total") * maxDfFrac)
+        .select("token")
+      raw.join(kept, Seq("token"))
+    }
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = tok.select(col(idCol).as("id_a"), col("token"))
+    val b = tok.select(col(idCol).as("id_b"), col("token"))
+    val inter = a.join(b, Seq("token")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("c_in_a", round(col("c").cast("double") / col("n_a"), 6))
+      .withColumn("c_in_b", round(col("c").cast("double") / col("n_b"), 6))
+      .filter(greatest(col("c_in_a"), col("c_in_b")) >= tau)
+      .select(col("id_a"), col("id_b"), col("c_in_a"), col("c_in_b"))
+  }
+
   /** Engine-portable token hash for permutation `seed`: an 8-hex window
     * of md5((seed/4)||'|'||token) read as an unsigned 32-bit int — one
     * digest serves four seeds (window seed%4), so k=8 signatures cost two
@@ -483,25 +521,36 @@ object Dedup {
   }
 
   /** Hamming near-dup candidate pairs over a 64-bit perceptual hash
-    * (dHash/SimHash family): split the hash into four 16-bit bands and
-    * equi-join per band — the q58/q59 LSH shape, never all-pairs. By
-    * pigeonhole the candidate set is EXACT for `maxDist` ≤ 3 (a pair
-    * within 3 bit flips shares at least one untouched band); above that
-    * it is the standard multi-index approximation, and the operator's
-    * contract (mirrored by the oracle) is band-match AND distance ≤
-    * `maxDist`. Scale: cost ∝ Σ bucket², bounded by band-value
-    * occupancy over a 2^16 space per band — the same occupancy math as
-    * [[lshPairs]]'s derived caps; no shuffle beyond the one band join.
+    * (dHash/SimHash family): split the hash into `bands` equal windows
+    * and equi-join per band — the q58/q59 LSH shape, never all-pairs.
+    * By pigeonhole the candidate set is EXACT for `maxDist` ≤
+    * `bands − 1` (a pair within that many bit flips shares at least
+    * one untouched band); above that it is the standard multi-index
+    * approximation, and the operator's contract (mirrored by the
+    * oracle) is band-match AND distance ≤ `maxDist`.
+    *
+    * `bands` is the CAPACITY knob (SCALE.md round-11): per-band
+    * occupancy is corpus ÷ 2^(64/bands), and Σ bucket² turns
+    * super-linear once it passes ~1 — at that point move to MORE,
+    * NARROWER bands (8×8-bit trades exactness radius for a recall
+    * boost at fixed cost) or fewer, wider ones (2×32-bit buys a 2^32
+    * band space when the corpus outgrows 2^16). Default 4×16-bit
+    * matches the q108 contract. Cost ∝ Σ bucket² — the same occupancy
+    * math as the LSH caps; no shuffle beyond the one band join.
     *
     * Output: (a_id, b_id, hamming), a < b, deduped across bands. */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2 (got $bands)")
+    val bw = 64 / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
     val banded = df
       .select(col(idCol).as("__id"), col(hashCol).as("__h"))
       .select(col("__id"), col("__h"),
-        posexplode(array((0 to 3).map(b =>
-          shiftrightunsigned(col("__h"), b * 16)
-            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("__band", "__bv")))
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("__h"), b * bw)
+            .bitwiseAND(lit(mask))): _*)).as(Seq("__band", "__bv")))
     val a = banded.select(col("__id").as("a_id"), col("__h").as("__ha"),
       col("__band"), col("__bv"))
     val b = banded.select(col("__id").as("b_id"), col("__h").as("__hb"),

@@ -88,6 +88,27 @@ object NearDupPack extends QueryPack {
         "doc_id", TextStats.bigrams(split(col("text"), " ")), tau = 0.06,
         maxDfFrac = 0.5))),
 
+    // L1 asymmetric grain: shingle CONTAINMENT pairs — the
+    // quote/excerpt relation symmetric Jaccard misses. Every 3rd doc of
+    // the slice gets an "excerpt" twin (its first third, ≥4 tokens,
+    // new id): the excerpt's bigrams are a contiguous subset of the
+    // original's, so c_in_b = 1.0 while Jaccard sits near 1/3 — the
+    // pair ONLY surfaces under a containment threshold. Same sparse
+    // token join + df-cap guard as q60.
+    "q119_containment_pairs" -> ((s, dir) => Q.ordered {
+      val base = Q.wide(Q.t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+        .select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val excerpts = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(floor(size(toks) / lit(3)).cast("int"), lit(4))), " ")
+            .as("text"))
+      Dedup.containmentPairs(base.unionByName(excerpts), "doc_id",
+        TextStats.bigrams(split(col("text"), " ")), tau = 0.8,
+        maxDfFrac = 0.5)
+    }),
+
     // L-family: train/test decontamination — trigram overlap of every
     // training doc against the held-out slice (doc_id%10=0). The df-cap
     // guard drops boilerplate grams (train-df > 50%) before the join;
@@ -760,6 +781,37 @@ object NearDupPack extends QueryPack {
                           0.85 * coalesce(s.in_sum, 0.0) AS pr
                  FROM pr2 d LEFT JOIN s3 s ON d.node = s.node)
          SELECT node AS doc_id, round(pr, 6) AS pr FROM pr3
+         ORDER BY ALL NULLS FIRST""",
+
+    // q60's replay with the excerpt union and both containment
+    // directions; greatest(n//3, 4) mirrors the Spark floor/greatest.
+    "q119_containment_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         exc AS (SELECT doc_id + 20000000 AS doc_id,
+                        array_to_string(list_slice(str_split(text, ' '), 1,
+                          greatest(len(str_split(text, ' ')) // 3, 4)), ' ') AS text
+                 FROM base WHERE doc_id % 3 = 0),
+         allr AS (SELECT * FROM base UNION ALL SELECT * FROM exc),
+         sh AS (SELECT doc_id,
+                       list_transform(range(1, len(str_split(text, ' '))),
+                         i -> str_split(text, ' ')[i] || '_' || str_split(text, ' ')[i+1]) AS shingles
+                FROM allr),
+         tok AS (SELECT DISTINCT doc_id, unnest(shingles) AS token FROM sh),
+         kept AS (SELECT token FROM tok GROUP BY token
+                  HAVING count(*) <= 0.5 * (SELECT count(DISTINCT doc_id) FROM tok)),
+         tok2 AS (SELECT tok.doc_id, tok.token FROM tok JOIN kept USING (token)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM tok2 a JOIN tok2 b ON a.token = b.token AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         sc AS (SELECT i.id_a, i.id_b,
+                       round(CAST(i.c AS DOUBLE) / sa.n, 6) AS c_in_a,
+                       round(CAST(i.c AS DOUBLE) / sb.n, 6) AS c_in_b
+                FROM inter i
+                JOIN sizes sa ON i.id_a = sa.doc_id
+                JOIN sizes sb ON i.id_b = sb.doc_id)
+         SELECT id_a, id_b, c_in_a, c_in_b FROM sc
+         WHERE greatest(c_in_a, c_in_b) >= 0.8
          ORDER BY ALL NULLS FIRST""",
 
     "q60_ngram_jaccard" ->

@@ -47,7 +47,10 @@ class PlanLintSpec extends AnyFunSuite {
     // 1-row-N shape)
     "q115_bigram_logprob",
     // q118 KL drift broadcasts the 1-row corpus token total (same shape)
-    "q118_source_drift")
+    "q118_source_drift",
+    // q119 containment shares jaccardPairs' 1-row df-cap count broadcast
+    // (the q50/q60 guard shape)
+    "q119_containment_pairs")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the

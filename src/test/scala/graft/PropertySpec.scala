@@ -85,6 +85,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupTokenWindows matches a brute-force reference (15 random corpora)") {
+    // Reference: hash every w-window, keep-first by (doc, pos), cover
+    // non-winner windows, strip covered tokens — computed in plain
+    // Scala over the same corpus.
+    val w = 3
+    (1 to 15).foreach { _ =>
+      val vocab = Seq("a", "b", "c", "d")
+      val docs = (1 to (2 + rnd.nextInt(5))).map { id =>
+        (id.toLong,
+          Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute force
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq
+      }.toMap
+      val wins = for {
+        (id, ts) <- toks.toSeq; p <- 1 to ts.length - w + 1
+      } yield (ts.slice(p - 1, p - 1 + w).mkString(" "), id, p)
+      val first = wins.groupBy(_._1).map { case (k, occ) =>
+        k -> occ.map(o => (o._2, o._3)).min
+      }
+      val covered = wins.filter(o => first(o._1) != ((o._2, o._3)))
+        .flatMap(o => (o._3 until o._3 + w).map(tp => (o._2, tp))).toSet
+      val expect = docs.map { case (id, _) =>
+        val ts = toks(id)
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !covered((id, i + 1)) => t
+        }
+        (id, kept.mkString(" "), ts.length.toLong, kept.length.toLong)
+      }.sortBy(_._1)
+      val got = Dedup.dedupTokenWindows(docs.toDF("doc_id", "text"),
+        "doc_id", filter(split(col("text"), " "), t => t =!= ""), w)
+        .select("doc_id", "clean_text", "n_tok", "n_kept")
+        .as[(Long, String, Long, Long)].collect().toList.sortBy(_._1)
+      assert(got == expect.toList)
+    }
+  }
+
+  test("dropCommonParagraphs: survivors = paragraphs with df <= threshold, order kept") {
+    (1 to 15).foreach { _ =>
+      val paras = Seq("p1", "p2", "p3", "p4")
+      val docs = (1 to (3 + rnd.nextInt(4))).map { id =>
+        (id.toLong,
+          Seq.fill(1 + rnd.nextInt(4))(paras(rnd.nextInt(paras.size))).mkString("\n"))
+      }
+      val maxDf = 2L
+      val df = docs.flatMap { case (id, t) => t.split("\n").distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (p, occ) => p -> occ.size.toLong }
+      val expect = docs.map { case (id, t) =>
+        val all = t.split("\n").toSeq
+        val kept = all.filter(p => df(p) <= maxDf)
+        (id, kept.mkString("\n"), all.length.toLong, kept.length.toLong)
+      }.sortBy(_._1)
+      val got = Dedup.dropCommonParagraphs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", "\n", maxDf)
+        .select("doc_id", "clean_text", "n_paras", "n_kept")
+        .as[(Long, String, Long, Long)].collect().toList.sortBy(_._1)
+      assert(got == expect.toList)
+    }
+  }
+
+  test("hammingPairs is exact within bands-1 flips, any band split (8 and 2 bands)") {
+    // 20 hashes in 5 groups: base xor up to 3 single-bit flips.
+    val hashes = (0 until 20).map { i =>
+      val base = rnd.nextLong()
+      (i.toLong, base ^ (if (i % 4 == 0) 0L else 1L << rnd.nextInt(64)))
+    }
+    def brute(maxD: Int) = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxD
+    } yield (ia, ib, d.toLong)).toSet
+    Seq(2, 8).foreach { bands =>
+      val maxD = bands - 1  // pigeonhole exactness radius
+      val got = Dedup.hammingPairs(
+        hashes.toDF("id", "h"), "id", "h", maxDist = maxD, bands = bands)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == brute(maxD), s"bands=$bands")
+    }
+  }
+
   test("ngrams: count = max(0, len-n+1), each gram joins n tokens (100 cases)") {
     val toks = Seq.fill(100)(Seq.fill(rnd.nextInt(6))(randStr().replace(" ", "").replace("_", "t")))
     for (n <- 1 to 4) {

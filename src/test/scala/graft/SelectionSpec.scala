@@ -173,6 +173,30 @@ class SelectionSpec extends AnyFunSuite {
     assert(got == List((1L, 2L, -0.134666), (2L, 1L, -0.087011)))
   }
 
+  // ---- containmentPairs --------------------------------------------------
+
+  test("containment finds the excerpt pair symmetric Jaccard misses") {
+    // doc 2 is a contiguous excerpt of doc 1 (1/3 of it); doc 3 is
+    // unrelated. Jaccard(1,2) ≈ 1/3 < 0.8, containment-in-2 = 1.0.
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = graft.operators.TextStats.bigrams(split(col("text"), " "))
+    val cont = Dedup.containmentPairs(docs, "doc_id", sh, tau = 0.8)
+      .select("id_a", "id_b", "c_in_a", "c_in_b")
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(cont == List((1L, 2L, round6(9.0 / 29.0), 1.0)))
+    val jac = Dedup.jaccardPairs(docs, "doc_id", sh, tau = 0.8)
+      .count()
+    assert(jac == 0)
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   // ---- sourceDrift -------------------------------------------------------
 
   test("KL drift: an off-distribution source scores above in-distribution ones") {
