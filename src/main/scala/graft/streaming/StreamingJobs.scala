@@ -184,7 +184,16 @@ object StreamingJobs {
     * the SAME (batch, epochId) is a no-op; same `maxEpochAge`
     * compaction trade (N > 0 → a paragraph unseen for N epochs is
     * forgotten and readmitted — the sliding-window contract; 0 =
-    * exact-forever). */
+    * exact-forever).
+    *
+    * Paragraph grain is deliberately the FINEST incremental grain:
+    * a q112-style substring sink would persist one state row per
+    * 8-token window — ~n_tokens rows, a state table the size of the
+    * tokenized corpus itself. Substring dedup stays batch
+    * ([[graft.operators.Dedup.dedupTokenWindows]], re-run over the
+    * materialized corpus); the ingest path catches exact/paragraph/
+    * near-dup grains incrementally and leaves window grain to the
+    * periodic batch pass. */
   def incrementalParagraphSink(docs: DataFrame, idCol: String,
                                textCol: String, sep: String,
                                stateDir: String, outDir: String,
