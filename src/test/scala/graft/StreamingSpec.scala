@@ -291,6 +291,42 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").distinct().count() == 3)
   }
 
+  test("incrementalParagraphSink e2e on a FILE source: checkpoint restart + versioned state") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("parsrc").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("parfsstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("parfsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("parfsckpt").toString
+    def start() = StreamingJobs.incrementalParagraphSink(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir),
+        "doc_id", "text", "\n", stateDir, outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    def cleaned = spark.read.parquet(outDir)
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    // run 1: banner dedups within the batch (doc 1 keeps the first copy)
+    Seq((1L, "banner\nbody-a"), (2L, "banner\nbody-b"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.awaitTermination()
+    assert(cleaned == Set((1L, "banner\nbody-a", 2L), (2L, "body-b", 1L)))
+    val v1 = graft.sources.Writers.latestVersion(stateDir).get
+    // run 2 (fresh query object, same checkpoint): only the NEW file is
+    // processed, probing the persisted paragraph-hash state — banner and
+    // body-a are known, doc 4 (pure prior content) comes back emptied
+    Seq((3L, "banner\nbody-c"), (4L, "banner\nbody-a"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.awaitTermination()
+    assert(cleaned == Set(
+      (1L, "banner\nbody-a", 2L), (2L, "body-b", 1L),
+      (3L, "body-c", 1L), (4L, "", 0L)))
+    val v2 = graft.sources.Writers.latestVersion(stateDir).get
+    assert(v2 > v1)
+    // state holds one row per distinct paragraph hash ever kept
+    assert(spark.read.parquet(s"$stateDir/v$v2")
+      .select("__h").distinct().count() == 4) // banner, body-a/b/c
+  }
+
   test("incrementalEmbeddingSink e2e on a FILE source: checkpoint restart + versioned state") {
     import org.apache.spark.sql.streaming.Trigger
     def v(xs: Double*) = xs.map(_.toFloat)
