@@ -100,7 +100,13 @@ object Cleaning {
     *  - tracking params ([[TrackerRe]]) removed, the rest SORTED (param
     *    order is transport noise) and rejoined; empty query dropped;
     *  - fragment always dropped (client-side only).
-    * Non-URL strings → NULL (C4's blank normal form). */
+    * Non-URL strings → NULL (C4's blank normal form). Known edges,
+    * deliberately out of contract: a zero-padded default port (':080')
+    * is kept (the compare is against the literal '80'/'443' — padded
+    * ports are malformed-client noise, and keeping them splits rather
+    * than wrongly merges resources, the safe direction for dedup);
+    * tracker-param names match case-sensitively (query params ARE
+    * case-sensitive; 'UTM_SOURCE' is a different param). */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, UrlRe, 1))
     val host   = lower(regexp_extract(url, UrlRe, 2))
