@@ -324,6 +324,24 @@ object ScaleSmoke {
         col("toks"), 8)
         .filter(col("n_kept") < col("n_tok")).count()
     }
+    time("substring-retokenize") {
+      // Materialize-once A/B (VERDICT r11 #4): the SAME corpus as
+      // substring-dedup, but stored as TEXT — the operator's token
+      // column is a live split(), so each of its two input references
+      // (window stream + token re-explode, operator scaladoc) re-splits
+      // the corpus instead of reading the persisted token arrays the
+      // stage above consumes. The delta vs substring-dedup measures what
+      // the W4 parquet handoff (sources/Writers — materialize the
+      // tokenized table once between stages) saves a 100 TB pipeline
+      // whose tokenization is carried as an expression into a
+      // multi-reference DAG. SCALE.md records both at 10×/100×.
+      val bigDocsRtext = materialize("docs_rtext",
+        bigDocsRtoks.select(col("doc_id"),
+          array_join(col("toks"), " ").as("text")))
+      operators.Dedup.dedupTokenWindows(bigDocsRtext, "doc_id",
+        split(col("text"), " "), 8)
+        .filter(col("n_kept") < col("n_tok")).count()
+    }
     time("substring-dedup-hotwin") {
       // skew twin: every doc (every replica — the banner is NOT
       // replica-prefixed) carries the same 8-token banner, so ONE

@@ -29,10 +29,14 @@ object Tables {
     * Normalize both to session-zoned TimestampType: the session is
     * pinned UTC (GraftSession), so the NTZ→LTZ cast reads the same
     * instants the nanos path produced and every downstream query/oracle
-    * sees one stable type. DuckDB reads either physical form natively. */
+    * sees one stable type. DuckDB reads either physical form natively.
+    *
+    * The nanos branch needs `spark.sql.legacy.parquet.nanosAsLong=true`
+    * AT SESSION BUILD — [[GraftSession]] (and TestSpark) pin it. It used
+    * to be (re)set here as a read side-effect, which raced concurrent
+    * readers on the shared session conf (VERDICT r11 #4). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = read(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

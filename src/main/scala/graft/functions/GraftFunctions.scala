@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
     ext.injectFunction(GraftFunctions.mainContentFunction)
     ext.injectFunction(GraftFunctions.bpeFunction)
+    ext.injectFunction(GraftFunctions.md5WindowFunction)
     ext.injectFunction(GraftFunctions.md5BucketFunction)
     GraftFunctions.mediaFunctions.foreach(ext.injectFunction)
   }
@@ -88,16 +89,36 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       dotBuilder)
 
-  /** Window argument is an int literal (expression configuration, the
-    * xpath-path contract); defaults to window 0 — the engine's standard
-    * first-8-hex bucket hash. */
-  private[functions] val md5BucketBuilder: Seq[Expression] => Expression = {
+  /** Raw digest window: the second argument is a digest-window INDEX 0–3
+    * (an int literal — expression configuration, the xpath-path
+    * contract), NOT a bucket count; defaults to window 0. */
+  private[functions] val md5WindowBuilder: Seq[Expression] => Expression = {
     case Seq(s) => Md5Hash32(s, 0)
     case Seq(s, Literal(w: Int, org.apache.spark.sql.types.IntegerType)) =>
       Md5Hash32(s, w)
     case other => throw new IllegalArgumentException(
-      s"graft_md5_bucket expects (str[, window-literal]), got $other")
+      "graft_md5_window expects (str[, digest-window index 0-3 as an int " +
+        s"literal]), got $other")
   }
+
+  /** Bucket hash: `graft_md5_window(s, 0) % buckets` — the SQL twin of
+    * [[HashFunctions.md5Bucket]]. The two-arg surface takes a bucket
+    * COUNT and applies the modulus (the r11 advisor flagged the old
+    * graft_md5_bucket, which returned the raw window and treated the
+    * second arg as a window index — an opaque trap for SQL callers). */
+  private[functions] val md5BucketBuilder: Seq[Expression] => Expression = {
+    case Seq(s, b) =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Remainder}
+      import org.apache.spark.sql.types.LongType
+      Remainder(Md5Hash32(s, 0), Cast(b, LongType))
+    case other => throw new IllegalArgumentException(
+      s"graft_md5_bucket expects (str, bucket-count), got ${other.size} arguments")
+  }
+
+  val md5WindowFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_window"),
+      new ExpressionInfo(classOf[Md5Hash32].getName, "graft_md5_window"),
+      md5WindowBuilder)
 
   val md5BucketFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_md5_bucket"),
@@ -158,6 +179,7 @@ object GraftFunctions {
     ColumnBridge.registerExpression(spark, "graft_main_content",
       unary("graft_main_content", HtmlMainContent))
     ColumnBridge.registerExpression(spark, "graft_bpe", bpeBuilder)
+    ColumnBridge.registerExpression(spark, "graft_md5_window", md5WindowBuilder)
     ColumnBridge.registerExpression(spark, "graft_md5_bucket", md5BucketBuilder)
     mediaBuilders.foreach { case (name, _, builder) =>
       ColumnBridge.registerExpression(spark, name, builder)

@@ -36,32 +36,39 @@ case class Md5Hash32(child: Expression, window: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_md5_bucket expects a string input, got ${t.sql}")
+      s"graft_md5_window expects a string input, got ${t.sql}")
   }
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_md5_bucket"
+  override def prettyName: String = "graft_md5_window"
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    Md5Hash32.eval(input.asInstanceOf[UTF8String], window)
+    Md5.hash32(input.asInstanceOf[UTF8String], window)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Md5Hash32.eval($c, $window)")
+      c => s"graft.functions.Md5.hash32($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash32 =
     copy(child = newChild)
 }
 
-object Md5Hash32 {
+/** Static digest helper for [[Md5Hash32]]'s generated code. Deliberately a
+  * STANDALONE object (the Bpe.encodeRow / HtmlContent.extractRow pattern),
+  * not the expression's companion: a companion method named `eval` gets no
+  * static forwarder because the class inherits `Expression.eval(InternalRow)`,
+  * so the generated Java found only the instance method and Janino rejected
+  * the call — dropping every md5 hot path into interpreted projection mode
+  * (VERDICT r11 #1). CodegenLintSpec now compiles the projection directly. */
+object Md5 {
   private val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** Unsigned 32-bit read of digest bytes [4w, 4w+4) — the value of
     * `conv(substring(md5(s), 1+8w, 8), 16, 10)`. Called from generated
     * code; must stay a static-shaped helper (janino-friendly). */
-  def eval(s: UTF8String, window: Int): Long = {
+  def hash32(s: UTF8String, window: Int): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)

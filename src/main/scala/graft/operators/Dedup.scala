@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection — SURVEY §2.9 L1 (seeded by the reference's
@@ -318,6 +319,43 @@ object Dedup {
       (col("__id") === col("__lab")).as("is_rep"))
   }
 
+  /** Shared single-scan paragraph stream (r12 rewrite of the q106/q114
+    * double-subtree shape, VERDICT r11 #6): `n_paras` rides ALONGSIDE the
+    * posexplode instead of a second spine scan of the input, and doc
+    * TOTALITY comes from flags instead of a spine left-join — every doc
+    * keeps at least its `__pos = 0` row (a doc with zero non-blank
+    * paragraphs contributes exactly that one `__live = false` placeholder,
+    * which reassembles to an empty doc). Placeholder rows get a per-doc
+    * sentinel hash (`~id` — disjoint from 32-hex md5) so they can never
+    * pile into one corpus-wide null-hash window partition at scale. */
+  private def paragraphRows(docs: DataFrame, idCol: String, textCol: String,
+                            sep: String): DataFrame =
+    docs
+      .select(col(idCol),
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__ps"))
+      .select(col(idCol),
+        size(filter(col("__ps"), p => trim(p) =!= "")).cast("long").as("n_paras"),
+        posexplode(col("__ps")).as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "" || col("__pos") === 0)
+      .withColumn("__live", trim(col("__para")) =!= "")
+      .withColumn("__h", when(col("__live"), md5(trim(col("__para"))))
+        .otherwise(concat(lit("~"), col(idCol).cast("string"))))
+
+  /** Per-doc reassembly of the flagged paragraph stream: survivors are
+    * collected conditionally (collect_list skips the NULL the `when`
+    * yields for dropped rows), so non-survivors keep the doc present in
+    * the group without a spine join. */
+  private def reassembleParagraphs(flagged: DataFrame, idCol: String,
+                                   sep: String): DataFrame =
+    flagged.groupBy(col(idCol), col("n_paras"))
+      .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__para"))))),
+            p => p.getField("__para")), sep).as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
+
   /** L1, sub-document granularity: cross-document paragraph-level exact
     * dedup — the Lee et al. "Deduplicating Training Data Makes Language
     * Models Better" ExactSubstr modality at paragraph grain. Doc-level
@@ -326,33 +364,17 @@ object Dedup {
     * repeated paragraph from all but its globally-first occurrence and
     * reassembles the surviving text.
     *
-    * Shape (three exchanges, all key-partitioned, no driver state):
-    *  1. split + posexplode to (id, pos, para), blank paragraphs dropped;
-    *  2. global keep-first per canonical paragraph hash:
-    *     `min(struct(id, pos, para))` — partial aggregation collapses
-    *     each hash's occurrences map-side before the ONE shuffle on the
-    *     fixed-width hash key (the W2 keep-first skew argument: a
-    *     boilerplate paragraph appearing in every doc arrives at the
-    *     reducer as one row per map task, not one row per doc). The
-    *     paragraph TEXT rides in the struct — (id, pos) is unique so
-    *     it never participates in the comparison — which makes the
-    *     winner row self-contained: no join back onto the exploded
-    *     stream, so the upstream doc scan/synthesis executes ONCE
-    *     (the join form re-executed it on both sides; measured 2.8×
-    *     on q95's DAG);
-    *  3. reassemble winners per doc via
-    *     sort_array(collect_list(struct(pos, para))) — one shuffle on the
-    *     doc id, order restored by the pos sort, no window.
+    * Shape (ONE scan of the input, two key-partitioned exchanges, no
+    * driver state): split + posexplode with `n_paras` riding alongside →
+    * keep-first flag via one row_number window on the paragraph hash →
+    * per-doc conditional reassembly ([[reassembleParagraphs]]).
     *
     * Returns one row per input doc: (idCol, clean_text, n_paras, n_kept)
     * — docs whose every paragraph lost keep-first come back with empty
-    * text and n_kept = 0 (left join against the input spine), so the
-    * caller can thread quality filters on the survival ratio. With
-    * `withSpine = false` the spine scan + join are skipped and only
-    * SURVIVING docs return, as (idCol, clean_text, n_kept) with
-    * n_kept ≥ 1 — the right form when the caller's next stage filters
-    * emptied docs anyway (q95), since the spine costs a second pass
-    * over the input synthesis.
+    * text and n_kept = 0, so the caller can thread quality filters on
+    * the survival ratio. With `withSpine = false` only SURVIVING docs
+    * return, as (idCol, clean_text, n_kept) with n_kept ≥ 1 — the form
+    * for callers whose next stage filters emptied docs anyway (q95).
     *
     * Canonicalization is trim-only (md5 of the trimmed paragraph);
     * callers wanting case-/punctuation-insensitive grain pass a
@@ -360,37 +382,47 @@ object Dedup {
     * engine-portably (file-wide contract).
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-                      sep: String, withSpine: Boolean = true): DataFrame = {
-    val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__para")))
-      .filter(trim(col("__para")) =!= "")
-      .withColumn("__h", md5(trim(col("__para"))))
-    val kept = paras
-      .groupBy(col("__h"))
-      .agg(min(struct(col(idCol), col("__pos"), col("__para"))).as("__w"))
-      .select(col("__w").getField(idCol).as(idCol),
-        col("__w").getField("__pos").as("__pos"),
-        col("__w").getField("__para").as("__para"))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
-        array_join(
-          transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
-            p => p.getField("__para")), sep).as("__clean"))
-    if (!withSpine)
-      rebuilt.select(col(idCol), col("__clean").as("clean_text"),
-        col("__n_kept").as("n_kept"))
-    else {
-      val spine = docs.select(col(idCol),
-        size(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
-          p => trim(p) =!= "")).cast("long").as("n_paras"))
-      spine.join(rebuilt, Seq(idCol), "left")
+                      sep: String, withSpine: Boolean = true): DataFrame =
+    if (withSpine) {
+      // Totality form: keep-first as ONE row_number window over the
+      // paragraph hash (the q112 single-pass lesson) — the winner flag
+      // stays on the row stream, so losers still carry their doc to
+      // reassembly, and the old n_paras spine scan (a second pass over
+      // the input synthesis, VERDICT r11 #6) disappears. A
+      // mega-duplicated paragraph concentrates only its own occurrences
+      // in the (spillable) window sorter — the q112 stance on hash skew.
+      val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
+      val flagged = paragraphRows(docs, idCol, textCol, sep)
+        .withColumn("__keep", col("__live") && row_number().over(w) === 1)
+      reassembleParagraphs(flagged, idCol, sep)
+    } else {
+      // Survivors-only form (q95's flagship stage): `min(struct(id, pos,
+      // para))` per hash — the winner row is self-contained, so there is
+      // no join back AND no spine: still ONE reference of the input, and
+      // partial aggregation collapses each hash's occurrences map-side
+      // before the shuffle (the W2 keep-first skew argument), which the
+      // window form above cannot do (it must stream every occurrence to
+      // flag losers). Only docs with a surviving paragraph return —
+      // exactly this form's contract.
+      val paras = docs
         .select(col(idCol),
-          coalesce(col("__clean"), lit("")).as("clean_text"),
-          col("n_paras"),
-          coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+          posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .as(Seq("__pos", "__para")))
+        .filter(trim(col("__para")) =!= "")
+        .withColumn("__h", md5(trim(col("__para"))))
+      paras
+        .groupBy(col("__h"))
+        .agg(min(struct(col(idCol), col("__pos"), col("__para"))).as("__w"))
+        .select(col("__w").getField(idCol).as(idCol),
+          col("__w").getField("__pos").as("__pos"),
+          col("__w").getField("__para").as("__para"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
+              p => p.getField("__para")), sep).as("clean_text"))
+        .select(col(idCol), col("clean_text"), col("n_kept"))
     }
-  }
 
   /** Document-frequency boilerplate removal (the CCNet/C4 rule, the
     * policy complement of [[dedupParagraphs]]): a paragraph appearing in
@@ -401,44 +433,29 @@ object Dedup {
     * the df rule answers "is this content at all?" — a real curation
     * DAG wants the df rule for chrome and keep-first for content dups.
     *
-    * Shape: paragraph explode + md5 (row-local) → ONE groupBy(hash)
-    * counting distinct docs (two-level agg — partial distinct on
-    * (hash, id) first, so the hot boilerplate hash partial-aggregates
-    * map-side) → the over-threshold hash set LEFT ANTI joins the
-    * paragraph stream (AQE broadcasts it while it fits — boilerplate
-    * sets are small by nature) → positional reassembly + input-spine
-    * left join (totality: fully-chrome docs come back empty).
+    * Shape (r12 single-scan rewrite, VERDICT r11 #2/#6 — the old
+    * aggregate-then-anti-join form referenced the paragraph stream twice
+    * and scanned the input a third time for the n_paras spine, and
+    * exchange reuse cannot deduplicate those subtrees): paragraph
+    * explode + md5 (row-local, ONE scan) → df per hash as
+    * max(dense_rank(id)) over the hash window — two window functions,
+    * one hash shuffle, no join-back — → over-threshold rows flagged (not
+    * filtered, so fully-chrome docs stay present) → positional
+    * reassembly. A corpus-wide banner concentrates only its own
+    * occurrences in the (spillable) window sorter — the q112 hash-skew
+    * stance.
     *
     * Returns (idCol, clean_text, n_paras, n_kept). */
   def dropCommonParagraphs(docs: DataFrame, idCol: String, textCol: String,
                            sep: String, maxDf: Long): DataFrame = {
-    val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__para")))
-      .filter(trim(col("__para")) =!= "")
-      .withColumn("__h", md5(trim(col("__para"))))
-    val common = paras
-      .select(col("__h"), col(idCol)).distinct()
-      .groupBy(col("__h"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select(col("__h"))
-    val rebuilt = paras
-      .join(common, Seq("__h"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
-        array_join(
-          transform(sort_array(collect_list(struct(col("__pos"), col("__para")))),
-            p => p.getField("__para")), sep).as("__clean"))
-    docs
-      .select(col(idCol),
-        size(filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
-          p => trim(p) =!= "")).cast("long").as("n_paras"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__clean"), lit("")).as("clean_text"),
-        col("n_paras"),
-        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+    val byHash = Window.partitionBy(col("__h"))
+    val flagged = paragraphRows(docs, idCol, textCol, sep)
+      // distinct-doc count without count(distinct): ranks are dense over
+      // the id order, so the partition max IS the number of distinct ids
+      .withColumn("__dr", dense_rank().over(byHash.orderBy(col(idCol))))
+      .withColumn("__df", max(col("__dr")).over(byHash))
+      .withColumn("__keep", col("__live") && col("__df") <= maxDf)
+    reassembleParagraphs(flagged, idCol, sep)
   }
 
   /** Cross-document SUBSTRING-level exact dedup (the Lee et al. 2022
@@ -467,8 +484,10 @@ object Dedup {
     *     deduplicate the two subtrees);
     *  3. coverage: each loser explodes its w covered token positions,
     *     distinct'd to (id, tpos);
-    *  4. rebuild: posexplode tokens, LEFT ANTI join the covered set on
-    *     (id, tpos), reassemble survivors per doc by position sort.
+    *  4. rebuild: posexplode tokens, LEFT join the covered set on
+    *     (id, tpos) as a keep flag (not an anti-join — dropped rows
+    *     would lose fully-covered docs, which used to force a third
+    *     spine scan), reassemble survivors per doc by position sort.
     *
     * Scale shape: the window stream is ~n_tokens rows (w-gram hashing
     * is row-local) and is computed ONCE; both shuffles key on
@@ -481,8 +500,12 @@ object Dedup {
     * iteration state.
     *
     * Returns (idCol, clean_text, n_tok, n_kept) for every input doc —
-    * fully-covered docs come back empty with n_kept = 0 (input-spine
-    * left join). */
+    * fully-covered docs come back empty with n_kept = 0. Totality is
+    * flag-based (r12, VERDICT r11 #6): `n_tok` rides alongside the token
+    * posexplode_outer (which emits one null-token row for an empty/null
+    * token array, keeping the doc present), covered positions mark rows
+    * instead of anti-joining them away, and reassembly collects
+    * conditionally — no third spine scan of the input. */
   def dedupTokenWindows(docs: DataFrame, idCol: String, toks: Column,
                         w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens (got $w)")
@@ -503,21 +526,21 @@ object Dedup {
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1)))
         .as("__tpos"))
       .distinct()
-    val kept = base
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .withColumn("__cov", lit(true))
+    val flagged = base
+      .select(col(idCol), col("__n").cast("long").as("n_tok"),
+        posexplode_outer(col("__toks")).as(Seq("__p0", "__tok")))
       .withColumn("__tpos", col("__p0") + 1)
-      .join(covered, Seq(idCol, "__tpos"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
+      .join(covered, Seq(idCol, "__tpos"), "left")
+      .withColumn("__keep", col("__cov").isNull && col("__tok").isNotNull)
+    flagged.groupBy(col(idCol), col("n_tok"))
+      .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
         array_join(
-          transform(sort_array(collect_list(struct(col("__tpos"), col("__tok")))),
-            p => p.getField("__tok")), " ").as("__clean"))
-    base.select(col(idCol), col("__n").cast("long").as("n_tok"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__clean"), lit("")).as("clean_text"),
-        col("n_tok"),
-        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+          transform(
+            sort_array(collect_list(
+              when(col("__keep"), struct(col("__tpos"), col("__tok"))))),
+            p => p.getField("__tok")), " ").as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_tok"), col("n_kept"))
   }
 
   /** Hamming near-dup candidate pairs over a 64-bit perceptual hash

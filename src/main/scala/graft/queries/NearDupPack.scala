@@ -458,6 +458,12 @@ object NearDupPack extends QueryPack {
     // df rule over the q106 page synthesis: count(DISTINCT doc_id) per
     // md5 paragraph key, paragraphs over the threshold anti-joined away
     // from every doc, positional reassembly + spine totality.
+    // GRAIN NOTE (ADVICE r11): the operator hashes trim(para) and counts
+    // non-blank paragraphs; this oracle (like q106's) hashes the RAW
+    // paragraph and counts len(paras). Identical on this synthesis —
+    // chunked token joins can never be blank or whitespace-padded — but
+    // an oracle over padded input must mirror trim() and the non-blank
+    // count.
     "q114_boilerplate_df" ->
       """WITH d AS (SELECT doc_id,
                            list_filter(str_split(text, ' '), t -> t <> '') AS toks

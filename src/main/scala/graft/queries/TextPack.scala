@@ -240,7 +240,7 @@ object TextPack extends QueryPack {
       import graft.operators.Cleaning
       import org.apache.spark.sql.expressions.Window
       val k = col("doc_id") % 100
-      val messy = Q.t(s, dir, "documents").select(col("doc_id"),
+      val messy = Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"),
         concat(
           when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
           lit("://"),

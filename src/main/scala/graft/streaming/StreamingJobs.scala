@@ -162,7 +162,7 @@ object StreamingJobs {
               else None)
     writeEpochMetrics(spark, outDir, epochId,
       inputRows = batch.count(),
-      flaggedPairs = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
       stateDir = stateDir)
   }
 
@@ -254,9 +254,10 @@ object StreamingJobs {
               else None)
     writeEpochMetrics(spark, outDir, epochId,
       inputRows = batch.count(),
-      flaggedPairs = spark.read.parquet(s"$outDir/epoch=$epochId")
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId")
         .filter(col("n_kept") === 0).count(),
-      stateDir = stateDir)
+      stateDir = stateDir,
+      flaggedKind = "docs_fully_deduped")
   }
 
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of
@@ -328,7 +329,7 @@ object StreamingJobs {
               else None)
     writeEpochMetrics(spark, outDir, epochId,
       inputRows = batch.count(),
-      flaggedPairs = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
       stateDir = stateDir)
   }
 
@@ -350,22 +351,33 @@ object StreamingJobs {
     * (the same sliding-window trade the data path documents). */
   private def writeEpochMetrics(spark: org.apache.spark.sql.SparkSession,
                                 outDir: String, epochId: Long,
-                                inputRows: Long, flaggedPairs: Long,
-                                stateDir: String): Unit = {
+                                inputRows: Long, flagged: Long,
+                                stateDir: String,
+                                flaggedKind: String = "flagged_pairs"): Unit = {
     import spark.implicits._
     val stateRows = graft.sources.Writers.latestVersion(stateDir)
       .map(v => spark.read.parquet(s"$stateDir/v$v")
         .filter(col("__epoch") <= epochId).count()).getOrElse(0L)
-    Seq((inputRows, flaggedPairs, stateRows))
-      .toDF("input_rows", "flagged_pairs", "state_rows")
+    // `flagged_kind` names what `flagged` counts per sink — the paragraph
+    // sink counts fully-emptied DOCS, not candidate pairs, and labeling
+    // both "flagged pairs" misled anyone monitoring the sinks side by
+    // side (ADVICE r11)
+    Seq((inputRows, flagged, stateRows, flaggedKind))
+      .toDF("input_rows", "flagged", "state_rows", "flagged_kind")
+      .withColumn("flagged_pairs",
+        when(col("flagged_kind") === "flagged_pairs", col("flagged")))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_metrics/epoch=$epochId")
   }
 
   /** The metrics sidecar of an incremental sink's `outDir` as a
-    * DataFrame: (epoch, input_rows, flagged_pairs, state_rows), one row
-    * per processed epoch. `state_rows` deltas across consecutive epochs
-    * expose compaction (eviction) at work. */
+    * DataFrame: (epoch, input_rows, flagged, state_rows, flagged_kind,
+    * flagged_pairs), one row per processed epoch. `flagged_kind` says
+    * what `flagged` counts for that sink ("flagged_pairs" for the
+    * LSH/IVF sinks, "docs_fully_deduped" for the paragraph sink);
+    * `flagged_pairs` is the legacy pair-count column, NULL on epochs
+    * whose kind isn't a pair count. `state_rows` deltas across
+    * consecutive epochs expose compaction (eviction) at work. */
   def epochMetrics(spark: org.apache.spark.sql.SparkSession,
                    outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/_metrics")

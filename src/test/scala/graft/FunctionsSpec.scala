@@ -35,10 +35,20 @@ class FunctionsSpec extends AnyFunSuite {
   test("md5Window: NULL in, NULL out; SQL surface resolves") {
     GraftFunctions.register(spark)
     val r = Seq[Option[String]](Some("x"), None).toDF("s")
-      .selectExpr("graft_md5_bucket(s) AS b", "graft_md5_bucket(s, 1) AS b1")
+      .selectExpr("graft_md5_window(s) AS b", "graft_md5_window(s, 1) AS b1")
       .as[(Option[Long], Option[Long])].collect().toList
     assert(r.head._1.isDefined && r.head._2.isDefined)
     assert(r(1) == (None, None))
+  }
+
+  test("graft_md5_bucket(s, n) applies the modulus like md5Bucket") {
+    GraftFunctions.register(spark)
+    val mismatches = (1 to 50).map(i => s"k$i").toDF("s")
+      .select(
+        expr("graft_md5_bucket(s, 4096)").as("sql"),
+        HashFunctions.md5Bucket(col("s"), 4096).as("col"))
+      .filter(col("sql") =!= col("col")).count()
+    assert(mismatches == 0)
   }
 
   test("dotNative is bit-identical to the aggregate/zip_with dot") {

@@ -174,6 +174,31 @@ class PlanLintSpec extends AnyFunSuite {
         s"$name has $n keyed shuffle Exchanges (budget $maxExchanges):\n$plan")
     }
 
+  /** Scan-count lint (VERDICT r11 #6): the paragraph-grain dedup queries
+    * were re-planned single-scan in r12 — the groupBy-min + anti-join +
+    * n_paras-spine shape referenced the document synthesis up to three
+    * times, and exchange reuse cannot deduplicate those subtrees. Pin the
+    * final plan to its scan budget so a refactor can't quietly
+    * re-introduce a second corpus read that still passes correctness. */
+  private def assertScanBudget(name: String, maxScans: Int): Unit =
+    test(s"$name reads its parquet source at most $maxScans time(s)") {
+      System.setProperty(graft.queries.Q.NoOrderProp, "true")
+      val plan =
+        try SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        finally System.clearProperty(graft.queries.Q.NoOrderProp)
+      val n = "FileScan parquet".r.findAllMatchIn(plan).size
+      assert(n >= 1, s"$name plans no parquet scan — lint is miswired:\n$plan")
+      assert(n <= maxScans,
+        s"$name scans parquet $n times (budget $maxScans):\n$plan")
+    }
+
+  assertScanBudget("q106_paragraph_dedup", 1)
+  assertScanBudget("q114_boilerplate_df", 1)
+  // documented trade: windows stream + token re-explode (operator scaladoc;
+  // the 100 TB path materializes tokens once via the W4 handoff)
+  assertScanBudget("q112_substring_dedup", 2)
+
   assertShuffleBudget("q90_repetition_filter", 0)
   assertShuffleBudget("q91_pii_redaction", 0)
   assertShuffleBudget("q13_to_date", 0)

@@ -132,6 +132,15 @@ class StreamingSpec extends AnyFunSuite {
     val s2 = spark.read.parquet(s"$stateDir/v$v2")
       .select("__h").as[String].collect().toSet
     assert(s1 == s2)
+    // the paragraph sink labels its count as emptied DOCS, not pairs
+    // (ADVICE r11), and leaves the legacy pair column NULL
+    val m = StreamingJobs.epochMetrics(spark, outDir)
+      .filter(col("epoch") === 1)
+      .select(col("flagged_kind"), col("flagged"), col("flagged_pairs"))
+      .collect().head
+    assert(m.getString(0) == "docs_fully_deduped")
+    assert(m.getLong(1) == 1L) // doc 4 emptied
+    assert(m.isNullAt(2))
   }
 
   test("incrementalParagraphBatch eviction readmits paragraphs unseen for N epochs") {
@@ -620,6 +629,10 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("epoch").cast("long"), col("input_rows"),
         col("flagged_pairs"), col("state_rows"))
       .as[(Long, Long, Long, Long)].collect().toList.sorted
+    // the LSH sink's kind labels its count as a true pair count
+    assert(StreamingJobs.epochMetrics(spark, outDir)
+      .select(col("flagged_kind")).distinct()
+      .as[String].collect().toList == List("flagged_pairs"))
     val m1 = metrics
     // 4 bands per doc → state grows 8 → 12 → 16; only epoch 1 flags a pair
     assert(m1 == List((0L, 2L, 0L, 8L), (1L, 1L, 1L, 12L), (2L, 1L, 0L, 16L)))

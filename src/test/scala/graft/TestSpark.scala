@@ -11,6 +11,9 @@ object TestSpark {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.session.timeZone", "UTC")
+    // nanos-typed events corpora need this at session build (Tables.events
+    // no longer sets it as a read side-effect — VERDICT r11 #4)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
