@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // isAdjustedToUTC=false µs columns (one events-corpus generation)
+      // read directly as session-zoned TimestampType instead of NTZ: the
+      // session is pinned UTC so the instants are identical to the
+      // NTZ→LTZ cast Tables.events would otherwise apply — and with the
+      // cast collapsing to identity, ts predicates push down to the scan
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")

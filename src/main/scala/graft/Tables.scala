@@ -34,7 +34,12 @@ object Tables {
     * The nanos branch needs `spark.sql.legacy.parquet.nanosAsLong=true`
     * AT SESSION BUILD — [[GraftSession]] (and TestSpark) pin it. It used
     * to be (re)set here as a read side-effect, which raced concurrent
-    * readers on the shared session conf (VERDICT r11 #4). */
+    * readers on the shared session conf (VERDICT r11 #4). GraftSession
+    * also disables parquet NTZ inference, so on the µs corpus the reader
+    * yields session-zoned timestamps directly and the cast below is
+    * optimized away — keeping ts predicate pushdown at the scan (a
+    * session without that conf still gets correct instants through the
+    * live NTZ→LTZ cast; UTC pinning makes them identical). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val df = read(spark, dir, "events")

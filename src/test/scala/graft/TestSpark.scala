@@ -14,6 +14,7 @@ object TestSpark {
     // nanos-typed events corpora need this at session build (Tables.events
     // no longer sets it as a read side-effect — VERDICT r11 #4)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
