@@ -186,14 +186,16 @@ object StreamingJobs {
     * forgotten and readmitted — the sliding-window contract; 0 =
     * exact-forever).
     *
-    * Paragraph grain is deliberately the FINEST incremental grain:
-    * a q112-style substring sink would persist one state row per
-    * 8-token window — ~n_tokens rows, a state table the size of the
-    * tokenized corpus itself. Substring dedup stays batch
-    * ([[graft.operators.Dedup.dedupTokenWindows]], re-run over the
-    * materialized corpus); the ingest path catches exact/paragraph/
-    * near-dup grains incrementally and leaves window grain to the
-    * periodic batch pass. */
+    * Paragraph grain is the FINEST grain whose state is naturally
+    * sub-corpus-sized: a q112-style substring sink persists one state
+    * row per w-token window — ~n_tokens rows, a state table the size of
+    * the tokenized corpus under exact-forever retention. That grain
+    * EXISTS as [[incrementalWindowSink]], but its 100 TB stance is
+    * inverted: `maxEpochAge` bounding is the REQUIRED configuration
+    * (state plateaus at the N-epoch working set), exact-forever is the
+    * bounded-corpus special case, and the periodic batch
+    * [[graft.operators.Dedup.dedupTokenWindows]] pass over the
+    * materialized corpus remains the exact-grain source of truth. */
   def incrementalParagraphSink(docs: DataFrame, idCol: String,
                                textCol: String, sep: String,
                                stateDir: String, outDir: String,
@@ -258,6 +260,115 @@ object StreamingJobs {
         .filter(col("n_kept") === 0).count(),
       stateDir = stateDir,
       flaggedKind = "docs_fully_deduped")
+  }
+
+  /** [[incrementalParagraphSink]]'s SUBSTRING-grain sibling — the
+    * bounded-state streaming form of
+    * [[graft.operators.Dedup.dedupTokenWindows]] (the trade VERDICT r11
+    * #8 asked to close): each micro-batch's overlapping w-token windows
+    * are deduped within the batch (row_number keep-first over the window
+    * hash) AND against every window hash persisted from prior epochs — a
+    * window seen before strips ALL its occurrences in the new batch;
+    * tokens covered by any stripped window are removed and the survivors
+    * reassembled to `outDir/epoch=N`. Probe cost ∝ |batch| windows; with
+    * EMPTY state an epoch's output equals the batch operator's output on
+    * the same docs (pinned by StreamingSpec).
+    *
+    * State is ONE narrow row per distinct w-token window hash ever
+    * kept — ~n_tokens of the ingested corpus under `maxEpochAge = 0`,
+    * which is exactly why this grain stayed batch-only until now. The
+    * 100 TB stance therefore INVERTS the other sinks' default:
+    * `maxEpochAge = N > 0` is the production configuration (state
+    * plateaus at the N-epoch window working set; a run first seen more
+    * than N epochs ago is forgotten and readmitted — the sliding-window
+    * contract), 0 = exact-forever is for bounded corpora, and the
+    * periodic batch dedupTokenWindows pass over the materialized corpus
+    * stays the exact source of truth.
+    *
+    * Replay contract, same as the siblings: state reads filter
+    * `__epoch < epochId`, output overwrites by epoch, and only NOVEL
+    * first-occurrence hashes merge (a state-known hash keeps its
+    * original epoch — refreshing it on sight would make a replayed
+    * probe's `< epochId` filter miss it and change the replay's
+    * output). */
+  def incrementalWindowSink(docs: DataFrame, idCol: String,
+                            toks: Column, w: Int,
+                            stateDir: String, outDir: String,
+                            maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        incrementalWindowBatch(batch, epochId, idCol, toks, w,
+          stateDir, outDir, maxEpochAge)
+      }
+
+  /** One epoch of [[incrementalWindowSink]], exposed for replay
+    * testing. */
+  def incrementalWindowBatch(batch: DataFrame, epochId: Long,
+                             idCol: String, toks: Column, w: Int,
+                             stateDir: String, outDir: String,
+                             maxEpochAge: Int = 0): Unit = {
+    require(w >= 2, s"window must be >= 2 tokens (got $w)")
+    val spark = batch.sparkSession
+    val base = batch.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val windows = base
+      .filter(col("__n") >= w)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        md5(array_join(slice(col("__toks"), col("__pos"), lit(w)), " ")).as("__h"))
+    val byOccurrence = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+      .orderBy(col(idCol).asc_nulls_first, col("__pos").asc_nulls_first)
+    val state = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => spark.emptyDataFrame
+        .select(lit("").as("__h"), lit(0L).as("__epoch")).limit(0)
+    }
+    val probed = windows
+      .withColumn("__rn", row_number().over(byOccurrence))
+      .join(state.select(col("__h")).withColumn("__known", lit(true)),
+        Seq("__h"), "left")
+    // covered: within-batch non-first occurrences OR any occurrence of a
+    // state-known window (prior epochs own the canonical copy)
+    val covered = probed
+      .filter(col("__rn") > 1 || col("__known").isNotNull)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__tpos"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    // flag-based rebuild — the dedupTokenWindows r12 shape: totality
+    // without a spine, empty/short docs present via posexplode_outer
+    base
+      .select(col(idCol), col("__n").cast("long").as("n_tok"),
+        posexplode_outer(col("__toks")).as(Seq("__p0", "__tok")))
+      .withColumn("__tpos", col("__p0") + 1)
+      .join(covered, Seq(idCol, "__tpos"), "left")
+      .withColumn("__keep", col("__cov").isNull && col("__tok").isNotNull)
+      .groupBy(col(idCol), col("n_tok"))
+      .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("__keep"), struct(col("__tpos"), col("__tok"))))),
+            p => p.getField("__tok")), " ").as("clean_text"))
+      .select(col(idCol), col("clean_text"), col("n_tok"), col("n_kept"))
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir,
+      probed.filter(col("__rn") === 1 && col("__known").isNull)
+        .select(col("__h")).distinct().withColumn("__epoch", lit(epochId)),
+      Seq("__h"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId")
+        .filter(col("n_kept") < col("n_tok")).count(),
+      stateDir = stateDir,
+      flaggedKind = "docs_shortened")
   }
 
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of

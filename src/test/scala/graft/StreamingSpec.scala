@@ -160,6 +160,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((4L, "sticky", 1L)))
   }
 
+  test("incrementalWindowBatch: within-batch + cross-epoch substring dedup, replay-stable") {
+    val stateDir = java.nio.file.Files.createTempDirectory("winstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("winout").toString
+    def run(epoch: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalWindowBatch(
+        docs.toDF("doc_id", "text"), epoch, "doc_id",
+        split(col("text"), " "), 3, stateDir, outDir)
+    def outAt(e: Long) = spark.read.parquet(s"$outDir/epoch=$e")
+      .select("doc_id", "clean_text", "n_tok", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // epoch 0: doc 2 repeats doc 1's "a b c" run mid-doc
+    val e0 = Seq((1L, "a b c d"), (2L, "x a b c"))
+    run(0, e0)
+    assert(outAt(0) == Set((1L, "a b c d", 4L, 4L), (2L, "x", 4L, 1L)))
+    // with EMPTY state, the epoch must equal the batch operator's output
+    val batchTwin = graft.operators.Dedup.dedupTokenWindows(
+      e0.toDF("doc_id", "text"), "doc_id", split(col("text"), " "), 3)
+      .select("doc_id", "clean_text", "n_tok", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(outAt(0) == batchTwin)
+    // epoch 1: "a b c" is state-known → stripped from doc 3; doc 4 is
+    // ENTIRELY a known window → emptied, not absent; doc 5 too short for
+    // any window → untouched, still present
+    run(1, Seq((3L, "a b c z"), (4L, "a b c"), (5L, "q r")))
+    assert(outAt(1) == Set(
+      (3L, "z", 4L, 1L), (4L, "", 3L, 0L), (5L, "q r", 2L, 2L)))
+    // crash-after-commit replay: identical output, state content stable
+    val v1 = graft.sources.Writers.latestVersion(stateDir).get
+    run(1, Seq((3L, "a b c z"), (4L, "a b c"), (5L, "q r")))
+    assert(outAt(1) == Set(
+      (3L, "z", 4L, 1L), (4L, "", 3L, 0L), (5L, "q r", 2L, 2L)))
+    val v2 = graft.sources.Writers.latestVersion(stateDir).get
+    def stateAt(v: Long) = spark.read.parquet(s"$stateDir/v$v")
+      .select("__h", "__epoch").as[(String, Long)].collect().toSet
+    assert(stateAt(v1) == stateAt(v2))
+    // metrics: window sink reports shortened docs, not pairs
+    val m = StreamingJobs.epochMetrics(spark, outDir)
+      .filter(col("epoch") === 1)
+      .select(col("flagged_kind"), col("flagged"), col("flagged_pairs"))
+      .collect().head
+    assert(m.getString(0) == "docs_shortened")
+    assert(m.getLong(1) == 2L) // docs 3 and 4 lost tokens
+    assert(m.isNullAt(2))
+  }
+
+  test("incrementalWindowBatch eviction readmits windows first seen > N epochs ago") {
+    val stateDir = java.nio.file.Files.createTempDirectory("winstate2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("winout2").toString
+    def run(epoch: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.incrementalWindowBatch(
+        docs.toDF("doc_id", "text"), epoch, "doc_id",
+        split(col("text"), " "), 2, stateDir, outDir, maxEpochAge = 2)
+    run(0, Seq((1L, "s t")))
+    run(1, Seq((2L, "u v")))
+    run(2, Seq((3L, "w x")))       // "s t" at age 2 → evicted
+    run(3, Seq((4L, "s t")))       // readmitted: state forgot it
+    val got = spark.read.parquet(s"$outDir/epoch=3")
+      .select("doc_id", "clean_text", "n_kept")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((4L, "s t", 2L)))
+  }
+
   test("incrementalEmbeddingBatch replay: same epoch re-run is a no-op") {
     val stateDir = java.nio.file.Files.createTempDirectory("embstate").toString
     val outDir = java.nio.file.Files.createTempDirectory("embout").toString
