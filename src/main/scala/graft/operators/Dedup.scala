@@ -507,22 +507,67 @@ object Dedup {
     * instead of anti-joining them away, and reassembly collects
     * conditionally — no third spine scan of the input. */
   def dedupTokenWindows(docs: DataFrame, idCol: String, toks: Column,
-                        w: Int): DataFrame = {
-    require(w >= 2, s"window must be >= 2 tokens (got $w)")
-    val base = docs.select(col(idCol), toks.as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    val windows = base
+                        w: Int): DataFrame =
+    windowDedupCore(docs, idCol, toks, w, known = None)._1
+
+  /** The DISTINCT w-token window hashes of a corpus — the "everything
+    * already ingested" side of [[dedupTokenWindowsIncremental]] when the
+    * caller derives state from a prior corpus rather than a persisted
+    * sink state. One column `__h`. */
+  def tokenWindowHashes(docs: DataFrame, idCol: String, toks: Column,
+                        w: Int): DataFrame =
+    windowStream(docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks"))), idCol, w)
+      .select(col("__h")).distinct()
+
+  /** Incremental form of [[dedupTokenWindows]] — the q93 fresh-vs-state
+    * shape at substring grain (and the core the streaming
+    * [[graft.streaming.StreamingJobs.incrementalWindowSink]] runs per
+    * epoch): dedup `docs` against `known` window hashes IN ADDITION to
+    * within-corpus keep-first. A known window strips ALL its occurrences
+    * in `docs` (the prior corpus owns the canonical copy); an unknown
+    * window keeps its first (id, pos) occurrence exactly as the batch
+    * operator does. Cost ∝ |docs| windows + one hash equi-join against
+    * `known` — never state × state.
+    *
+    * Returns (cleaned, novel): `cleaned` is the (idCol, clean_text,
+    * n_tok, n_kept) totality output; `novel` is the one-column `__h`
+    * table of first-occurrence hashes NOT in `known` — exactly what an
+    * incremental caller merges into its state for the next epoch. Both
+    * are lazy; a caller wanting only one pays only that plan. */
+  def dedupTokenWindowsIncremental(docs: DataFrame, idCol: String,
+                                   toks: Column, w: Int,
+                                   known: DataFrame): (DataFrame, DataFrame) =
+    windowDedupCore(docs, idCol, toks, w,
+      Some(known.select(col(known.columns.head).as("__h"))))
+
+  /** (id, pos, hash) stream of overlapping w-token windows. */
+  private def windowStream(base: DataFrame, idCol: String, w: Int): DataFrame =
+    base
       .filter(col("__n") >= w)
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"))
       .select(col(idCol), col("__pos"),
         md5(array_join(slice(col("__toks"), col("__pos"), lit(w)), " ")).as("__h"))
+
+  private def windowDedupCore(docs: DataFrame, idCol: String, toks: Column,
+                              w: Int, known: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    require(w >= 2, s"window must be >= 2 tokens (got $w)")
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val windows = windowStream(base, idCol, w)
     val byOccurrence = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h"))
       .orderBy(col(idCol).asc_nulls_first, col("__pos").asc_nulls_first)
-    val covered = windows
-      .withColumn("__rn", row_number().over(byOccurrence))
-      .filter(col("__rn") > 1)
+    val ranked = windows.withColumn("__rn", row_number().over(byOccurrence))
+    val probed = known match {
+      case Some(k) => ranked.join(
+        k.select(col("__h")).withColumn("__known", lit(true)), Seq("__h"), "left")
+      case None => ranked.withColumn("__known", lit(null).cast("boolean"))
+    }
+    val covered = probed
+      .filter(col("__rn") > 1 || col("__known").isNotNull)
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1)))
         .as("__tpos"))
       .distinct()
@@ -533,7 +578,7 @@ object Dedup {
       .withColumn("__tpos", col("__p0") + 1)
       .join(covered, Seq(idCol, "__tpos"), "left")
       .withColumn("__keep", col("__cov").isNull && col("__tok").isNotNull)
-    flagged.groupBy(col(idCol), col("n_tok"))
+    val cleaned = flagged.groupBy(col(idCol), col("n_tok"))
       .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
         array_join(
           transform(
@@ -541,6 +586,10 @@ object Dedup {
               when(col("__keep"), struct(col("__tpos"), col("__tok"))))),
             p => p.getField("__tok")), " ").as("clean_text"))
       .select(col(idCol), col("clean_text"), col("n_tok"), col("n_kept"))
+    val novel = probed
+      .filter(col("__rn") === 1 && col("__known").isNull)
+      .select(col("__h")).distinct()
+    (cleaned, novel)
   }
 
   /** Hamming near-dup candidate pairs over a 64-bit perceptual hash

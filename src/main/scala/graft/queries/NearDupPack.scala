@@ -363,6 +363,26 @@ object NearDupPack extends QueryPack {
         "doc_id", filter(split(col("text"), " "), t => t =!= ""), 8)
     }),
 
+    // L1 substring grain, INCREMENTAL: the q93 fresh-vs-state shape at
+    // window grain (and the oracle-checked batch twin of the streaming
+    // incrementalWindowSink's epoch core). Docs with doc_id % 10 == 0
+    // are the fresh crawl; everything else is the already-ingested
+    // corpus, represented by its distinct 8-token window hashes. A
+    // state-known window strips ALL its fresh occurrences (the prior
+    // corpus owns the canonical copy); an unknown window keeps its
+    // first fresh (doc_id, pos) occurrence. Probe cost ∝ fresh windows
+    // + one hash equi-join — never state × state; full-copy fresh docs
+    // come back EMPTIED, not absent.
+    "q120_incremental_substring" -> ((s, dir) => Q.ordered {
+      val docs = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      val state = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.dedupTokenWindowsIncremental(fresh, "doc_id", toks, 8,
+        Dedup.tokenWindowHashes(state, "doc_id", toks, 8))._1
+    }),
+
     // L3 content grain: perceptual image near-dup — the q100 pattern
     // taken all the way to PIXELS. Each doc synthesizes a real
     // uncompressed 24-bpp 18×16 BMP (column math only: header constant,
@@ -524,6 +544,43 @@ object NearDupPack extends QueryPack {
          SELECT n.doc_id, coalesce(rb.clean_text, '') AS clean_text,
                 CAST(n.n AS BIGINT) AS n_tok, coalesce(rb.n_kept, 0) AS n_kept
          FROM n LEFT JOIN rb USING (doc_id)
+         ORDER BY ALL NULLS FIRST""",
+
+    // q112's CTE chain restricted to the fresh slice, plus the state
+    // side as a distinct-hash set: a fresh window is covered when it is
+    // a within-fresh non-first occurrence OR its hash exists among the
+    // state docs' windows. Reassembly/totality identical to q112.
+    "q120_incremental_substring" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         f AS (SELECT * FROM n WHERE doc_id % 10 = 0),
+         st AS (SELECT * FROM n WHERE doc_id % 10 <> 0),
+         known AS (SELECT DISTINCT
+                          md5(array_to_string(list_slice(toks, pos, pos + 7), ' ')) AS h
+                   FROM st, unnest(range(1, n - 8 + 2)) AS t(pos)),
+         wnd AS (SELECT doc_id, pos,
+                        md5(array_to_string(list_slice(toks, pos, pos + 7), ' ')) AS h
+                 FROM f, unnest(range(1, n - 8 + 2)) AS t(pos)),
+         win AS (SELECT h, min({'i': doc_id, 'p': pos}) AS w, count(*) AS c
+                 FROM wnd GROUP BY 1),
+         dup AS (SELECT wnd.doc_id, wnd.pos FROM wnd JOIN win USING (h)
+                 WHERE (win.c > 1
+                        AND NOT (wnd.doc_id = win.w.i AND wnd.pos = win.w.p))
+                    OR h IN (SELECT h FROM known)),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos
+                 FROM dup),
+         tok AS (SELECT doc_id, tpos, toks[tpos] AS tok
+                 FROM f, unnest(range(1, n + 1)) AS t(tpos)),
+         kept AS (SELECT tok.doc_id, tok.tpos, tok.tok
+                  FROM tok ANTI JOIN cov USING (doc_id, tpos)),
+         rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+                FROM kept GROUP BY 1)
+         SELECT f.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+                CAST(f.n AS BIGINT) AS n_tok, coalesce(rb.n_kept, 0) AS n_kept
+         FROM f LEFT JOIN rb USING (doc_id)
          ORDER BY ALL NULLS FIRST""",
 
     // Replays SemDeDup end-to-end: the q23 quantized-argmin assignment

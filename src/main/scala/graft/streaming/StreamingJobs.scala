@@ -308,58 +308,23 @@ object StreamingJobs {
                              idCol: String, toks: Column, w: Int,
                              stateDir: String, outDir: String,
                              maxEpochAge: Int = 0): Unit = {
-    require(w >= 2, s"window must be >= 2 tokens (got $w)")
     val spark = batch.sparkSession
-    val base = batch.select(col(idCol), toks.as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    val windows = base
-      .filter(col("__n") >= w)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(1), col("__n") - (w - 1))).as("__pos"))
-      .select(col(idCol), col("__pos"),
-        md5(array_join(slice(col("__toks"), col("__pos"), lit(w)), " ")).as("__h"))
-    val byOccurrence = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__h"))
-      .orderBy(col(idCol).asc_nulls_first, col("__pos").asc_nulls_first)
     val state = graft.sources.Writers.latestVersion(stateDir) match {
       case Some(v) => spark.read.parquet(s"$stateDir/v$v")
         .filter(col("__epoch") < epochId)
       case None => spark.emptyDataFrame
         .select(lit("").as("__h"), lit(0L).as("__epoch")).limit(0)
     }
-    val probed = windows
-      .withColumn("__rn", row_number().over(byOccurrence))
-      .join(state.select(col("__h")).withColumn("__known", lit(true)),
-        Seq("__h"), "left")
-    // covered: within-batch non-first occurrences OR any occurrence of a
-    // state-known window (prior epochs own the canonical copy)
-    val covered = probed
-      .filter(col("__rn") > 1 || col("__known").isNotNull)
-      .select(col(idCol),
-        explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__tpos"))
-      .distinct()
-      .withColumn("__cov", lit(true))
-    // flag-based rebuild — the dedupTokenWindows r12 shape: totality
-    // without a spine, empty/short docs present via posexplode_outer
-    base
-      .select(col(idCol), col("__n").cast("long").as("n_tok"),
-        posexplode_outer(col("__toks")).as(Seq("__p0", "__tok")))
-      .withColumn("__tpos", col("__p0") + 1)
-      .join(covered, Seq(idCol, "__tpos"), "left")
-      .withColumn("__keep", col("__cov").isNull && col("__tok").isNotNull)
-      .groupBy(col(idCol), col("n_tok"))
-      .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
-        array_join(
-          transform(
-            sort_array(collect_list(
-              when(col("__keep"), struct(col("__tpos"), col("__tok"))))),
-            p => p.getField("__tok")), " ").as("clean_text"))
-      .select(col(idCol), col("clean_text"), col("n_tok"), col("n_kept"))
-      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    // the batch operator IS the epoch core: covered = within-batch
+    // non-first occurrences OR any occurrence of a state-known window
+    // (prior epochs own the canonical copy); `novel` is exactly the
+    // first-occurrence-and-unknown hash set the next epoch must know
+    val (cleaned, novel) = graft.operators.Dedup.dedupTokenWindowsIncremental(
+      batch, idCol, toks, w, state.select(col("__h")))
+    cleaned.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
     graft.sources.Writers.mergeState(
       spark, stateDir,
-      probed.filter(col("__rn") === 1 && col("__known").isNull)
-        .select(col("__h")).distinct().withColumn("__epoch", lit(epochId)),
+      novel.withColumn("__epoch", lit(epochId)),
       Seq("__h"), col("__epoch"),
       evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
               else None)

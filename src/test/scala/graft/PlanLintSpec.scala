@@ -101,7 +101,10 @@ class PlanLintSpec extends AnyFunSuite {
         "fan-in)"),
     "q114_boilerplate_df" ->
       ("group = one document's own surviving paragraphs (the q106 " +
-        "re-assembly bound, Dedup.dropCommonParagraphs)"))
+        "re-assembly bound, Dedup.dropCommonParagraphs)"),
+    "q120_incremental_substring" ->
+      ("group = one fresh document's own surviving tokens (the q112 " +
+        "re-assembly bound, Dedup.dedupTokenWindowsIncremental)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {
@@ -198,6 +201,9 @@ class PlanLintSpec extends AnyFunSuite {
   // documented trade: windows stream + token re-explode (operator scaladoc;
   // the 100 TB path materializes tokens once via the W4 handoff)
   assertScanBudget("q112_substring_dedup", 2)
+  // fresh windows + fresh token rebuild (the q112 pair) + ONE state
+  // slice feeding tokenWindowHashes
+  assertScanBudget("q120_incremental_substring", 3)
 
   assertShuffleBudget("q90_repetition_filter", 0)
   assertShuffleBudget("q91_pii_redaction", 0)
