@@ -26,6 +26,10 @@ object GraftSession {
       // NTZ→LTZ cast Tables.events would otherwise apply — and with the
       // cast collapsing to identity, ts predicates push down to the scan
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // catalog-table writes (bucketed layouts — sources.Bucketing) land
+      // in tmp scratch, never the library user's cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")

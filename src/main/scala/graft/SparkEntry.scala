@@ -20,6 +20,7 @@ object SparkEntry {
     TextPack,
     NearDupPack,
     SamplePack,
+    ScalePack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

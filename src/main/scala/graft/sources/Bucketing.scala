@@ -31,6 +31,22 @@ object Bucketing {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  private val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Bucketed view of corpus table `name`, written AT MOST ONCE per
+    * (JVM, corpus dir): the write is the one-time table-layout cost that
+    * every subsequent co-located join amortizes — exactly how bucketing
+    * is used in production (lay the table out once, join nightly for
+    * free). The catalog table name carries a corpus-dir hash so two
+    * corpora in one session can't alias. Returns the bucketed frame. */
+  def ensureBucketed(spark: SparkSession, dir: String, name: String,
+                     keys: Seq[String], numBuckets: Int): DataFrame = {
+    val table = s"graft_b_${name}_${Integer.toHexString(dir.hashCode)}_$numBuckets"
+    if (prepared.add(table))
+      writeBucketed(graft.Tables.load(spark, dir, name), table, keys, numBuckets)
+    readBucketed(spark, table)
+  }
+
   /** True when the physical plan of `joined` contains no shuffle exchange
     * — the co-location check (bucketed joins must pass this). */
   def isShuffleFree(joined: DataFrame): Boolean =

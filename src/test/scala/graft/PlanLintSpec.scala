@@ -205,6 +205,21 @@ class PlanLintSpec extends AnyFunSuite {
   // slice feeding tokenWindowHashes
   assertScanBudget("q120_incremental_substring", 3)
 
+  // sketch queries re-read their source for the probe side (CMS: build
+  // stream + candidate vocab; Bloom: state set + the ground-truth audit
+  // join + the customer probe) — the sketches themselves are bounded
+  // broadcast tables, so the scans ARE the cost model
+  assertScanBudget("q122_cms_heavy_hitters", 2)
+  assertScanBudget("q123_bloom_gate", 3)
+
+  // THE bucketed-join guarantee: co-located SortMergeJoin + follow-on
+  // per-key aggregation with ZERO keyed shuffle exchanges — the entire
+  // point of q121's one-time bucketed layout (sources.Bucketing). If a
+  // refactor breaks the bucket alignment, the join silently replans with
+  // two full-table exchanges and only this lint notices.
+  assertShuffleBudget("q121_bucketed_join", 0)
+  assertScanBudget("q121_bucketed_join", 2)
+
   assertShuffleBudget("q90_repetition_filter", 0)
   assertShuffleBudget("q91_pii_redaction", 0)
   assertShuffleBudget("q13_to_date", 0)
