@@ -17,15 +17,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed catalog table (sorted within buckets so
-    * merge joins skip the sort too). */
+    * merge joins skip the sort too).
+    *
+    * Stale-location guard: with the default in-memory catalog, a table's
+    * managed directory OUTLIVES the catalog entry across JVMs — the next
+    * session's `saveAsTable` then fails CREATE with
+    * LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite only
+    * applies to tables the catalog knows). When the catalog has no entry
+    * but the warehouse location exists, it is an orphan from a previous
+    * session of this same deterministic layout — remove it before the
+    * write. (A metastore-backed deployment never hits this branch: the
+    * catalog entry persists with the files.) */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (bucket metadata comes from the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =

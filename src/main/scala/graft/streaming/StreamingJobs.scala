@@ -336,6 +336,155 @@ object StreamingJobs {
       flaggedKind = "docs_shortened")
   }
 
+  /** Mergeable-sketch streaming state — the count-min frequency monitor
+    * ([[graft.operators.Sketches]]) as an incremental sink. Each
+    * micro-batch's items are sketched (`cmsBuild`, depth×width counts),
+    * the epoch's contribution is merged into versioned state, and the
+    * batch's distinct items are probed against the CUMULATIVE sketch —
+    * emitting the current heavy-hitter estimates (`est >= threshold`) to
+    * `outDir/epoch=N`. This is WHY sketches are the canonical streaming
+    * state: bounded (state ≤ depth·width rows PER EPOCH regardless of
+    * stream volume), exactly mergeable (bucket-wise sum — cumulative
+    * estimates equal a single build over the concatenated stream, pinned
+    * by StreamingSpec), and evictable by time (`maxEpochAge` N > 0 sums
+    * only the last N epochs' contributions — a sliding-window frequency
+    * monitor, the natural drift-alarm configuration; 0 = all-time
+    * counts).
+    *
+    * Replay contract, family-standard: state rows are keyed
+    * (r, bucket, __epoch) so a replayed epoch OVERWRITES its own
+    * contribution instead of double-counting (additive state is the one
+    * place blind re-merge would silently corrupt — keying by epoch is
+    * what makes `+` replay-safe); probes filter `__epoch < epochId`
+    * before adding the pinned fresh contribution; output overwrites by
+    * epoch. */
+  def cmsSink(items: DataFrame, itemCol: Column,
+              stateDir: String, outDir: String,
+              depth: Int = 4, width: Int = 2048, threshold: Long = 100,
+              maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        cmsBatch(batch, epochId, itemCol, stateDir, outDir,
+          depth, width, threshold, maxEpochAge)
+      }
+
+  /** One epoch of [[cmsSink]], exposed for replay/merge testing. */
+  def cmsBatch(batch: DataFrame, epochId: Long, itemCol: Column,
+               stateDir: String, outDir: String,
+               depth: Int = 4, width: Int = 2048, threshold: Long = 100,
+               maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val fresh = graft.operators.Sketches.cmsBuild(batch, itemCol, depth, width)
+      .withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    // cumulative sketch at THIS epoch's horizon: bucket-wise sum of the
+    // retained prior contributions + the pinned fresh one (≤ depth·width
+    // rows — the whole reduction is sketch-sized, never data-sized)
+    val cumulative = prior.select(col("r"), col("bucket"), col("cnt"))
+      .unionByName(fresh.select(col("r"), col("bucket"), col("cnt")))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val hitters = graft.operators.Sketches.cmsEstimate(
+        batch.select(itemCol.as("item")).distinct(), col("item"),
+        cumulative, depth, width)
+      .filter(col("est") >= threshold)
+    hitters.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, fresh, Seq("r", "bucket", "__epoch"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = stateDir,
+      flaggedKind = "heavy_hitters")
+  }
+
+  /** [[cmsSink]]'s membership sibling — the Bloom ingest gate
+    * ([[graft.operators.Sketches.bloomBuild]]/`bloomProbe`) as an
+    * incremental sink: each micro-batch's keys probe the persisted bit
+    * state, rows whose key is DEFINITELY NEW (any unset bit) pass to
+    * `outDir/epoch=N`, and the batch's bit positions merge into state.
+    * The crawl-frontier shape: "have I seen this URL/fingerprint before"
+    * against a state that is ≤ k·m rows TOTAL — not per epoch, not per
+    * key — no matter how many keys ever flowed through.
+    *
+    * Semantics trade, stated plainly: no false negatives (a seen key
+    * NEVER passes twice while its bits are retained), but a false
+    * positive silently DROPS a genuinely-new key (deterministic given
+    * (state, k, m) — q123's oracle pins the same arithmetic). Size m at
+    * ~10 bits per expected distinct key for ~1% FP at k=4; when the
+    * stream outgrows m, the right move is a bigger rebuilt filter, not
+    * living with saturation. The exact-grain alternative with linear
+    * state is [[mergeStateSink]]/[[incrementalParagraphSink]].
+    *
+    * Replay contract, family-standard: bit rows are keyed by bit id and
+    * merge NOVEL-ONLY (a state-known bit keeps its first epoch — the
+    * paragraph-sink lesson: refreshing it would change a replayed
+    * probe's `__epoch < epochId` view); output overwrites by epoch.
+    * `maxEpochAge` N > 0 evicts bits last-first-seen more than N epochs
+    * ago — a key whose every bit aged out is readmitted (sliding-window
+    * membership). Bits age on their FIRST-SEEN epoch — the novel-only
+    * merge never refreshes them — so a late key that merely shares bits
+    * with old keys can be readmitted once those age out: the same
+    * first-seen contract as the paragraph/window sinks, and the
+    * direction a dedup gate can tolerate (an occasional duplicate
+    * passes; nothing new is ever silently retained as "seen"). */
+  def bloomGateSink(rows: DataFrame, keyCol: Column,
+                    stateDir: String, outDir: String,
+                    k: Int = 4, m: Int = 1 << 20,
+                    maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        bloomGateBatch(batch, epochId, keyCol, stateDir, outDir,
+          k, m, maxEpochAge)
+      }
+
+  /** One epoch of [[bloomGateSink]], exposed for replay testing. */
+  def bloomGateBatch(batch: DataFrame, epochId: Long, keyCol: Column,
+                     stateDir: String, outDir: String,
+                     k: Int = 4, m: Int = 1 << 20,
+                     maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val state = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => spark.emptyDataFrame
+        .select(lit(0L).as("bit"), lit(0L).as("__epoch")).limit(0)
+    }
+    // definitely-new rows: at least one of the key's k bits unset in the
+    // prior state (no within-batch dedup here — two copies of a new key
+    // in ONE batch both pass; the gate is cross-epoch, and the exact
+    // within-batch grain belongs to keepFirst on the passed output).
+    // bloomProbe's re-group folds FULLY-identical duplicate rows into
+    // one (its documented keyed-table contract) — batches should be
+    // row-distinct, which any id-carrying ingest batch is.
+    val passed = graft.operators.Sketches.bloomProbe(
+        batch, keyCol, state.select(col("bit")), k, m)
+      .filter(col("maybe_member") === 0)
+      .drop("maybe_member")
+    passed.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    // merge the WHOLE batch's bits (passed or not — a dropped FP key's
+    // bits are already set by definition), novel bits only
+    val freshBits = graft.operators.Sketches.bloomBuild(batch, keyCol, k, m)
+      .withColumn("__epoch", lit(epochId))
+    val novel = freshBits.join(state.select(col("bit")), Seq("bit"), "left_anti")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, novel, Seq("bit"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = stateDir,
+      flaggedKind = "rows_passed")
+  }
+
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of
     * embeddings probes the persisted IVF bucket state for cosine
     * near-dups, then merges its own buckets into the state — the

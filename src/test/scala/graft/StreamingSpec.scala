@@ -222,6 +222,126 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((4L, "s t", 2L)))
   }
 
+  test("cmsBatch: cumulative estimates merge exactly, replay never double-counts") {
+    val stateDir = java.nio.file.Files.createTempDirectory("cmsstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cmsout").toString
+    val e0 = Seq.fill(6)("alpha") ++ Seq.fill(2)("beta")
+    val e1 = Seq.fill(5)("alpha") ++ Seq.fill(4)("gamma")
+    def run(epoch: Long, items: Seq[String]): Unit =
+      StreamingJobs.cmsBatch(items.toDF("w"), epoch, col("w"),
+        stateDir, outDir, depth = 4, width = 1 << 12, threshold = 4L)
+    def outAt(e: Long) = spark.read.parquet(s"$outDir/epoch=$e")
+      .as[(String, Long)].collect().toMap
+
+    // epoch 0 with empty state ≡ the batch operator at the same threshold
+    run(0, e0)
+    assert(outAt(0) == Map("alpha" -> 6L))
+    // epoch 1 probes the CUMULATIVE sketch: alpha 6+5, gamma 4 this epoch
+    run(1, e1)
+    assert(outAt(1) == Map("alpha" -> 11L, "gamma" -> 4L))
+    // exact mergeability: cumulative state ≡ one build over e0 ++ e1
+    // (4096 buckets for 3 items — collision-free, so estimates are exact)
+    val vMerged = graft.sources.Writers.latestVersion(stateDir).get
+    val cum = spark.read.parquet(s"$stateDir/v$vMerged")
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val oneShot = graft.operators.Sketches.cmsBuild(
+      (e0 ++ e1).toDF("w"), col("w"), 4, 1 << 12)
+    assert(cum.as[(Int, Long, Long)].collect().toSet ==
+      oneShot.as[(Int, Long, Long)].collect().toSet)
+    // crash-after-commit replay of epoch 1: the (r,bucket,__epoch) key
+    // makes the additive merge overwrite, not double-count
+    run(1, e1)
+    assert(outAt(1) == Map("alpha" -> 11L, "gamma" -> 4L))
+    val vReplayed = graft.sources.Writers.latestVersion(stateDir).get
+    val cumReplayed = spark.read.parquet(s"$stateDir/v$vReplayed")
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    assert(cumReplayed.as[(Int, Long, Long)].collect().toSet ==
+      oneShot.as[(Int, Long, Long)].collect().toSet)
+    // metrics: this sink counts heavy hitters, not pairs
+    val m = StreamingJobs.epochMetrics(spark, outDir)
+      .filter(col("epoch") === 1)
+      .select(col("flagged_kind"), col("flagged"), col("flagged_pairs"))
+      .collect().head
+    assert(m.getString(0) == "heavy_hitters")
+    assert(m.getLong(1) == 2L)
+    assert(m.isNullAt(2))
+  }
+
+  test("cmsBatch eviction turns all-time counts into a sliding window") {
+    val stateDir = java.nio.file.Files.createTempDirectory("cmsstate2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cmsout2").toString
+    def run(epoch: Long, items: Seq[String]): Unit =
+      StreamingJobs.cmsBatch(items.toDF("w"), epoch, col("w"),
+        stateDir, outDir, depth = 4, width = 1 << 12, threshold = 6L,
+        maxEpochAge = 2)
+    run(0, Seq.fill(4)("hot"))
+    run(1, Seq.fill(3)("hot"))      // cumulative 7 ≥ 6 → hitter
+    assert(spark.read.parquet(s"$outDir/epoch=1")
+      .as[(String, Long)].collect().toMap == Map("hot" -> 7L))
+    // epoch 2's probe still sees epoch 0 (eviction happens at ITS merge,
+    // horizon __epoch <= 2-2): 4+3+1 = 8
+    run(2, Seq.fill(1)("hot"))
+    assert(spark.read.parquet(s"$outDir/epoch=2")
+      .as[(String, Long)].collect().toMap == Map("hot" -> 8L))
+    // epoch 3 probes the slid window {1,2} + itself: 3+1+1 = 5 < 6 —
+    // an all-time sketch would report 9 and still flag it
+    run(3, Seq.fill(1)("hot"))
+    assert(spark.read.parquet(s"$outDir/epoch=3").isEmpty)
+    // state holds only the last maxEpochAge epochs' contributions
+    val v = graft.sources.Writers.latestVersion(stateDir).get
+    assert(spark.read.parquet(s"$stateDir/v$v")
+      .select("__epoch").distinct().as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("bloomGateBatch passes only definitely-new keys, replay-stable") {
+    val stateDir = java.nio.file.Files.createTempDirectory("bloomstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bloomout").toString
+    def run(epoch: Long, rows: Seq[(String, Int)]): Unit =
+      StreamingJobs.bloomGateBatch(rows.toDF("url", "payload"), epoch,
+        col("url"), stateDir, outDir, k = 4, m = 1 << 16)
+    def outAt(e: Long) = spark.read.parquet(s"$outDir/epoch=$e")
+      .as[(String, Int)].collect().toSeq.sorted
+    // epoch 0: everything is new; a within-batch duplicate passes TWICE
+    // (the gate is cross-epoch — within-batch grain belongs to keepFirst)
+    run(0, Seq(("u1", 1), ("u2", 2), ("u1", 7)))
+    assert(outAt(0) == Seq(("u1", 1), ("u1", 7), ("u2", 2)))
+    // epoch 1: u1's bits are state-known → dropped even with a new payload
+    run(1, Seq(("u1", 9), ("u3", 3)))
+    assert(outAt(1) == Seq(("u3", 3)))
+    // crash-after-commit replay: identical output, bit state stable
+    val v1 = graft.sources.Writers.latestVersion(stateDir).get
+    run(1, Seq(("u1", 9), ("u3", 3)))
+    assert(outAt(1) == Seq(("u3", 3)))
+    val v2 = graft.sources.Writers.latestVersion(stateDir).get
+    def bitsAt(v: Long) = spark.read.parquet(s"$stateDir/v$v")
+      .as[(Long, Long)].collect().toSet
+    assert(bitsAt(v1) == bitsAt(v2))
+    // state is bit-sized: ≤ k bits per distinct key ever seen
+    assert(bitsAt(v2).size <= 4 * 3)
+    val m = StreamingJobs.epochMetrics(spark, outDir)
+      .filter(col("epoch") === 1)
+      .select(col("flagged_kind"), col("flagged"), col("flagged_pairs"))
+      .collect().head
+    assert(m.getString(0) == "rows_passed")
+    assert(m.getLong(1) == 1L)
+    assert(m.isNullAt(2))
+  }
+
+  test("bloomGateBatch eviction readmits a key once its bits age out") {
+    val stateDir = java.nio.file.Files.createTempDirectory("bloomstate2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bloomout2").toString
+    def run(epoch: Long, keys: Seq[String]): Unit =
+      StreamingJobs.bloomGateBatch(keys.map((_, 0)).toDF("url", "payload"),
+        epoch, col("url"), stateDir, outDir, k = 4, m = 1 << 16,
+        maxEpochAge = 2)
+    run(0, Seq("old"))
+    run(1, Seq("mid"))
+    run(2, Seq("new"))              // merge evicts epoch-0 bits ("old")
+    run(3, Seq("old", "new"))       // "old" readmitted; "new" still known
+    assert(spark.read.parquet(s"$outDir/epoch=3")
+      .as[(String, Int)].collect().toSeq == Seq(("old", 0)))
+  }
+
   test("incrementalEmbeddingBatch replay: same epoch re-run is a no-op") {
     val stateDir = java.nio.file.Files.createTempDirectory("embstate").toString
     val outDir = java.nio.file.Files.createTempDirectory("embout").toString

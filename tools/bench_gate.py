@@ -58,6 +58,17 @@ def main():
     base = json.load(open(base_path))["queries"]
     cur = bench["queries"]
 
+    # A failed query still reports an elapsed time (Bench lists it in
+    # "failed" so a fast failure can't read as a fast query) — and if the
+    # query is NEW (no baseline yet), per-query gating never sees it at
+    # all. Treat any failure as a gate failure in its own right.
+    failed = bench.get("failed") or []
+    if failed:
+        for q in failed:
+            print(f"FAILED   {q}: query errored during the bench run")
+        print(f"GATE FAIL: {len(failed)} failed querie(s) {failed}")
+        sys.exit(1)
+
     shared = [(q, base[q], cur[q]) for q in sorted(cur) if q in base]
     new = [q for q in sorted(cur) if q not in base]
     ratios = [c / b for _, b, c in shared if b > 0]
