@@ -36,4 +36,36 @@ object Packing {
       .withColumn("seq_id", floor(col("tok_before") / budget))
       .withColumn("tok_offset", col("tok_before") % budget)
   }
+
+  /** [[chunkedPack]]'s retrieval-side sibling — overlapping token chunks
+    * (RAG / embedding-ingestion windowing): one output row per (doc,
+    * chunk), chunk `i` covering tokens `[i·stride, i·stride + size)`.
+    * Trailing partial chunks are kept (standard retrieval practice — the
+    * tail of a document must be searchable); a 0-token doc yields 0
+    * chunks. `stride < size` gives the overlap that keeps a fact
+    * straddling a boundary intact in at least one chunk.
+    *
+    * Scale shape: map-only — the chunk starts are a per-row `sequence`
+    * explode, no shuffle anywhere; fan-out is n_tok/stride rows per doc
+    * (bounded by the documents' own length, the same fan-out any
+    * embedding pass pays). Output: (doc_id, chunk_id, chunk,
+    * n_chunk_toks). */
+  def slidingChunks(docs: DataFrame, id: Column, toks: Column,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize (got size=$chunkSize stride=$stride)")
+    docs
+      .select(id.as("doc_id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        posexplode(
+          when(col("__n") === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(0), col("__n") - 1, lit(stride))))
+          .as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk"),
+        least(lit(chunkSize), col("__n") - col("__start")).cast("int")
+          .as("n_chunk_toks"))
+  }
 }

@@ -211,6 +211,19 @@ object LlmPack extends QueryPack {
         .select(col("doc_id"), to_json(documentos).as("documentos_json"))
     }),
 
+    // L4: RAG/embedding-ingestion chunking — overlapping token windows
+    // (size 32, stride 16 → 50% overlap so a boundary-straddling fact
+    // stays intact in one chunk), trailing partials kept, map-only
+    // (per-row sequence explode, zero shuffles — PlanLint budget 0).
+    // The chunk rows are what q51/q86's embedding path indexes.
+    "q124_rag_chunks" -> ((s, dir) => Q.ordered {
+      graft.operators.Packing.slidingChunks(
+        Q.wide(Q.t(s, dir, "documents")),
+        col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= ""),
+        chunkSize = 32, stride = 16)
+    }),
+
     // L4: per-language token statistics — top-5 terms by frequency.
     "q53_token_stats" -> ((s, dir) => Q.ordered(
       Q.t(s, dir, "documents")
@@ -223,6 +236,21 @@ object LlmPack extends QueryPack {
   )
 
   override val oracleSql: Map[String, String] = Map(
+    "q124_rag_chunks" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, len(toks) - 1, 16)) AS start
+               FROM d)
+         SELECT doc_id,
+                CAST(start // 16 AS INT) AS chunk_id,
+                array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+                  AS chunk,
+                CAST(least(32, len(toks) - start) AS INT) AS n_chunk_toks
+         FROM s
+         ORDER BY ALL NULLS FIRST""",
+
     "q50_jaccard_pairs" ->
       """WITH cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
          tok AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM cand),

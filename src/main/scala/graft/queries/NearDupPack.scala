@@ -250,6 +250,23 @@ object NearDupPack extends QueryPack {
     // across engines, where means hit .5 halfway rounding divergence
     // on every 2-vector bucket). posexplode → (bucket, pos) agg →
     // ordered re-assembly.
+    // L2 memory tier: product-quantization ANN (Jégou et al. 2011) —
+    // the corpus side of the search is (id, m, code) SMALL INTS (~16×
+    // smaller than the 64-float embeddings), the query side is an ADC
+    // distance table over the bounded codebook (broadcast). Completes
+    // the vector tier: brute (q51/q65) → IVF (q86/q99) → incremental
+    // (q117) → PQ-coded (this). Approximation quality is NOT the oracle
+    // claim (codes are coarse at m=4×16d); the claim is that both
+    // engines compute the identical deterministic codes, codebook, and
+    // ADC ranking.
+    "q125_pq_ann" -> ((s, dir) => Q.ordered {
+      Similarity.pqSearch(
+        Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", k = 20)
+    }),
+
     "q99_ivf_centroids" -> ((s, dir) => Q.ordered {
       Q.jsonArrays(Similarity.centroids(
         Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -923,6 +940,52 @@ object NearDupPack extends QueryPack {
                          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          WHERE cos >= 0.3
+         ORDER BY ALL NULLS FIRST""",
+
+    "q125_pq_ann" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+                    FROM embeddings WHERE vec_id = 1),
+         mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         sub AS (SELECT vec_id, m,
+                        list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                       x -> CAST(x AS DOUBLE)) AS sub
+                 FROM embeddings, mm),
+         st AS (SELECT vec_id, m, sub,
+                       list_reverse_sort(list_transform(range(1, 5), i ->
+                         [abs(sub[i]),
+                          CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+                FROM sub),
+         codes AS (SELECT vec_id, m, sub,
+                          CASE WHEN len(sub) >= 4 THEN
+                            (CAST(srt[1][2] AS INT) + 4) * 9
+                              + (CAST(srt[2][2] AS INT) + 4) END AS code
+                   FROM st),
+         p AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                      unnest(sub) AS v
+               FROM codes WHERE code IS NOT NULL),
+         a AS (SELECT m, code, pos, count(*) AS n,
+                      CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+               FROM p GROUP BY 1, 2, 3),
+         cb AS (SELECT m, code,
+                       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                            ORDER BY pos) AS cmean
+                FROM a GROUP BY 1, 2),
+         qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+                FROM q, mm),
+         dt AS (SELECT cb.m, cb.code,
+                       round(list_dot_product(qs.qsub, qs.qsub)
+                             - CAST(2.0 AS DOUBLE)
+                               * list_dot_product(qs.qsub, cb.cmean)
+                             + list_dot_product(cb.cmean, cb.cmean), 8)
+                         + CAST(0.0 AS DOUBLE) AS d2
+                FROM cb JOIN qs ON qs.m = cb.m),
+         tot AS (SELECT vec_id,
+                        CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                             AS DECIMAL(28,8)) AS DOUBLE) AS adist
+                 FROM codes JOIN dt USING (m, code) GROUP BY 1)
+         SELECT * FROM (
+           SELECT vec_id, adist FROM tot
+           ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
          ORDER BY ALL NULLS FIRST""",
 
     "q99_ivf_centroids" ->

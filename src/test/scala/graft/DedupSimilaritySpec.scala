@@ -494,4 +494,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       minFrac = 0.1, maxDfFrac = 0.5)
     assert(flagged.isEmpty)
   }
+
+  test("pqSearch: m codes per vector; query's cluster outranks the far cluster") {
+    val near = (1L to 3L).map(i => (i, Seq.fill(8)(1.0f + i * 0.01f)))
+    val far = (10L to 12L).map(i => (i, Seq.fill(8)(-1.0f - i * 0.01f)))
+    val vecs = (near ++ far).toDF("vec_id", "embedding")
+    val query = Seq(Tuple1(Seq.fill(8)(1.0f))).toDF("qvec")
+    val codes = Similarity.pqCodes(vecs, "vec_id", "embedding",
+      m = 2, subDim = 4, probeDims = 4)
+    assert(codes.count() == 12) // 6 vectors × 2 subspaces, none dropped
+    val got = Similarity.pqSearch(vecs, "vec_id", "embedding", query, "qvec",
+      k = 6, m = 2, subDim = 4, probeDims = 4)
+      .as[(Long, Double)].collect()
+    assert(got.length == 6)
+    // ADC distance to the all-positive centroid beats the all-negative one
+    assert(got.take(3).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(got.drop(3).map(_._1).toSet == Set(10L, 11L, 12L))
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted))
+    // within a cluster all vectors share the code → identical ADC
+    // distance → the engine-portable vec_id tie-break orders them
+    assert(got.take(3).map(_._1).sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("pqCodes drops subspaces the vector can't fill (ragged input)") {
+    val vecs = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(3)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(vecs, "vec_id", "embedding",
+      m = 2, subDim = 4, probeDims = 4)
+      .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
+    assert(codes == Map(1L -> 2L)) // the 3-dim vector codes NO subspace
+  }
 }

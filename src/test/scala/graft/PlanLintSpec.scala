@@ -104,7 +104,10 @@ class PlanLintSpec extends AnyFunSuite {
         "re-assembly bound, Dedup.dropCommonParagraphs)"),
     "q120_incremental_substring" ->
       ("group = one fresh document's own surviving tokens (the q112 " +
-        "re-assembly bound, Dedup.dedupTokenWindowsIncremental)"))
+        "re-assembly bound, Dedup.dedupTokenWindowsIncremental)"),
+    "q125_pq_ann" ->
+      ("group = one PQ centroid's own components, bounded by subDim=16 " +
+        "(the q99 Similarity.centroids re-assembly inside pqCodebook)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {
@@ -219,6 +222,15 @@ class PlanLintSpec extends AnyFunSuite {
   // two full-table exchanges and only this lint notices.
   assertShuffleBudget("q121_bucketed_join", 0)
   assertScanBudget("q121_bucketed_join", 2)
+
+  // RAG chunking is a per-row sequence explode — any exchange appearing
+  // here means someone keyed the fan-out, which nothing requires
+  assertShuffleBudget("q124_rag_chunks", 0)
+
+  // PQ search: codebook branch + code-join branch each reference the
+  // embeddings scan (at scale the codes are MATERIALIZED state — the
+  // whole point of PQ; operator scaladoc) + the 1-row query scan
+  assertScanBudget("q125_pq_ann", 3)
 
   assertShuffleBudget("q90_repetition_filter", 0)
   assertShuffleBudget("q91_pii_redaction", 0)

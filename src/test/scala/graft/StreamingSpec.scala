@@ -444,6 +444,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged(oOn, 0L) == Set((2L, 1L)))
   }
 
+  test("bloomGateSink e2e on a FILE source: checkpoint restart + constant bit state") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("bgsrc").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("bgfsstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bgfsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bgfsckpt").toString
+    def start() = StreamingJobs.bloomGateSink(
+        spark.readStream.schema("url STRING, payload INT").parquet(srcDir),
+        col("url"), stateDir, outDir, k = 4, m = 1 << 16)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    def passed = spark.read.parquet(outDir)
+      .select("url", "payload").as[(String, Int)].collect().toSet
+    // run 1: both keys new → both pass
+    Seq(("a.com/x", 1), ("b.com/y", 2)).toDF("url", "payload")
+      .write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.awaitTermination()
+    assert(passed == Set(("a.com/x", 1), ("b.com/y", 2)))
+    // run 2 (fresh query, same checkpoint): only the new file processes;
+    // the re-crawled url is gated out by run 1's bits, the new one passes
+    Seq(("a.com/x", 9), ("c.com/z", 3)).toDF("url", "payload")
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.awaitTermination()
+    assert(passed == Set(("a.com/x", 1), ("b.com/y", 2), ("c.com/z", 3)))
+    // bit state: ≤ k rows per distinct key ever seen, versioned per epoch
+    val v = graft.sources.Writers.latestVersion(stateDir).get
+    assert(v >= 1)
+    assert(spark.read.parquet(s"$stateDir/v$v").count() <= 4 * 3)
+  }
+
   test("incrementalDedupSink e2e on a FILE source: trigger, checkpoint restart, versioned state") {
     // the production shape: docs land as parquet files in a directory,
     // the sink runs on a trigger with a checkpoint, and a restarted query

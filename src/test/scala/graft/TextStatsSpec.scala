@@ -93,6 +93,26 @@ class TextStatsSpec extends AnyFunSuite {
       ("a", 3L, 600L, 1L, 88L), ("b", 1L, 0L, 0L, 0L)))
   }
 
+  test("slidingChunks: overlap, trailing partials, exact boundary, empty doc") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Packing.slidingChunks(df, col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= ""),
+        chunkSize = 4, stride = 2)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(got == Set(
+      // 5 tokens: starts 0/2/4 — full, trailing-3, trailing-1
+      (1L, 0, "a b c d", 4), (1L, 1, "c d e", 3), (1L, 2, "e", 1),
+      // exact multiple of stride: last chunk is the stride remainder
+      (2L, 0, "a b c d", 4), (2L, 1, "c d", 2)))
+    // empty doc yields ZERO chunks (doc 3 absent), not an empty chunk
+    assert(!got.exists(_._1 == 3L))
+    intercept[IllegalArgumentException] {
+      Packing.slidingChunks(df, col("doc_id"),
+        split(col("text"), " "), chunkSize = 4, stride = 5)
+    }
+  }
+
   test("unigramLogprob scores docs by the corpus's own unigram model") {
     // corpus tokens: a a b | b → N=4, p(a)=p(b)=0.5, ln(0.5)≈-0.69314718
     val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
