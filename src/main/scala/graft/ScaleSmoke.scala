@@ -489,6 +489,22 @@ object ScaleSmoke {
         k = 10).count()
     }
 
+    time("pq-search") {
+      // q125's PQ-ANN shape at N×: the corpus side of the search is the
+      // (id, m, code) SMALL-INT table (~16× smaller than the float
+      // embeddings), the query side a broadcast ADC distance table over
+      // the bounded codebook — expect scan-bound ~linear growth with NO
+      // data-sized state anywhere (codebook ≤ m·(2p+1)² rows at every
+      // mult). In production the codes are materialized once; this
+      // stage pays the coding + two codebook scans live, so it is an
+      // UPPER bound on the per-search cost.
+      val query = vecBase.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qvec"))
+      operators.Similarity.pqSearch(bigVecs, "vec_id", "embedding",
+        query, "qvec", k = 10, m = 4, subDim = vecDim / 4,
+        probeDims = math.min(4, vecDim / 4)).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

@@ -104,6 +104,34 @@ object AggPack extends QueryPack {
         priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
     }),
 
+    // G3's reshape complement: UNPIVOT/melt — wide metric columns to the
+    // long (key, metric, value) form every generic aggregator/plotter
+    // consumes. Row-local (Generate in-plan, no shuffle, no join); the
+    // 4× row fan-out is the operator's contract, not a plan accident.
+    "q126_unpivot" -> ((s, dir) => Q.ordered {
+      Q.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+    }),
+
+    // G6/G2: regular-grid densification + forward fill — resample events
+    // to per-user hourly sums, explode each user's own [min,max] span to
+    // a dense hour grid, left-join, forward-fill with last(ignoreNulls).
+    // was_gap marks synthesized periods (3.2k of 3.5k grid rows at
+    // sf0.01 — events are sparse per user).
+    "q127_gap_fill" -> ((s, dir) => Q.ordered {
+      graft.operators.TimeSeries.gapFill(
+        Q.t(s, dir, "events").filter(col("user_id") < 5),
+        col("user_id"), col("ts"), col("value"), "hour")
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("period", "h")
+    }),
+
     // SQL entry point: the same engine through spark.sql over temp views —
     // a user can drive every operator from SQL text as well as the
     // DataFrame API.
@@ -126,6 +154,25 @@ object AggPack extends QueryPack {
         rank().over(Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc_nulls_last,
                    col("o_orderkey").asc_nulls_first)).as("rnk")))),
+
+    // G6 completeness: the remaining ranking/navigation window family in
+    // one pass — ntile quartiles, percent_rank, cume_dist, lag/lead —
+    // all over ONE (custkey) window spec, so the plan shuffles once.
+    // percent_rank/cume_dist are exact rational divisions ((r-1)/(n-1),
+    // k/n) — bit-identical IEEE doubles on both engines, no rounding
+    // needed (unlike sums, there is no association order to pin).
+    "q128_window_suite" -> ((s, dir) => Q.ordered {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc_nulls_last,
+          col("o_orderkey").asc_nulls_first)
+      Q.t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+    }),
 
     // G6: running sum with an explicit frame (decimal-exact accumulation).
     "q38_window_running" -> ((s, dir) => Q.ordered(
@@ -233,6 +280,34 @@ object AggPack extends QueryPack {
     Fingerprint.sqlExpr(Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
 
   override val oracleSql: Map[String, String] = Map(
+    "q126_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax FROM lineitem) t
+         UNPIVOT (value FOR metric IN
+           (l_quantity, l_extendedprice, l_discount, l_tax))
+         ORDER BY ALL NULLS FIRST""",
+
+    "q127_gap_fill" ->
+      s"""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                     FROM events WHERE user_id < 5),
+          agg AS (SELECT user_id, h, ${Q.sumExactSql("value")} AS v
+                  FROM e GROUP BY 1, 2),
+          span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                   FROM e GROUP BY 1),
+          grid AS (SELECT user_id,
+                          unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                   FROM span),
+          j AS (SELECT g.user_id, g.h, a.v, CAST(a.v IS NULL AS INT) AS was_gap
+                FROM grid g LEFT JOIN agg a USING (user_id, h))
+          SELECT user_id, h,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS value_ff,
+                 was_gap
+          FROM j
+          ORDER BY ALL NULLS FIRST""",
+
     // sequential-dependency oracle in its natural SQL form: three
     // chained conditional-min CTEs (the join formulation the Spark side
     // deliberately avoids), then the same stage histogram
@@ -342,6 +417,19 @@ object AggPack extends QueryPack {
                              ORDER BY o_totalprice DESC NULLS LAST,
                                       o_orderkey ASC NULLS FIRST) AS rnk
          FROM orders ORDER BY ALL NULLS FIRST""",
+
+    "q128_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC NULLS LAST,
+                               o_orderkey ASC NULLS FIRST)
+         ORDER BY ALL NULLS FIRST""",
 
     "q38_window_running" ->
       """SELECT user_id, event_id, value,

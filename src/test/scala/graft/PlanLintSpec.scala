@@ -227,6 +227,14 @@ class PlanLintSpec extends AnyFunSuite {
   // here means someone keyed the fan-out, which nothing requires
   assertShuffleBudget("q124_rag_chunks", 0)
 
+  // unpivot is a row-local Expand — zero shuffles by construction
+  assertShuffleBudget("q126_unpivot", 0)
+  // gap-fill: (key,period) agg + per-key span agg; the grid join and
+  // the forward-fill window reuse the key partitioning (broadcast join
+  // at this sf; hash(key) satisfies both downstream distributions)
+  assertShuffleBudget("q127_gap_fill", 2)
+  assertScanBudget("q127_gap_fill", 2)
+
   // PQ search: codebook branch + code-join branch each reference the
   // embeddings scan (at scale the codes are MATERIALIZED state — the
   // whole point of PQ; operator scaladoc) + the 1-row query scan
