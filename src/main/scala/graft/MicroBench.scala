@@ -152,6 +152,49 @@ object MicroBench {
       media.select(count(ImageFunctions.anyAudioMeta(col("wav"))
         .getField("sample_rate"))).collect()
     }
+    // PQ search vs brute cosine at 500k × 64: the production PQ form —
+    // codes MATERIALIZED (narrow small ints), codebook bounded, per
+    // query one broadcast ADC table + one pass over the code table —
+    // against the brute embedding-sized scan. Brute reads 500k × 64
+    // floats and folds a 64-wide dot per row; PQ reads 500k × 4 ints
+    // and sums 4 broadcast-looked-up doubles. Code/codebook build cost
+    // is one-time layout work, cached out of the timing like the media
+    // payloads above.
+    val pqN = 500000L
+    // +1 keeps every component in [1, 97] — ids with id+3 ≡ 0 (mod 97)
+    // would otherwise synthesize an all-zero vector and the brute
+    // cosine's norm division would ANSI-fail
+    val pvec = transform(sequence(lit(1), lit(dim)),
+      i => (((i * (col("id") + 3)) % 97) + 1).cast("float"))
+    val pvecs = spark.range(pqN)
+      .select(col("id"), pvec.as("v")).cache()
+    pvecs.count()
+    val pcodes = Similarity.pqCodes(pvecs, "id", "v", m = 4, subDim = 16,
+        probeDims = 4)
+      .select(col("id"), col("m"), col("code")).cache()
+    pcodes.count()
+    val pbook = Similarity.centroidMeans(Similarity.pqCodebook(
+      Similarity.pqCodes(pvecs, "id", "v", 4, 16, 4))).cache()
+    pbook.count()
+    val pquery = pvecs.filter(col("id") === 1).select(col("v").as("qvec"))
+    time("pq-adc-500k") {
+      Similarity.pqAdcRank(pcodes,
+        Similarity.pqAdcTable(pbook, pquery, "qvec", 4, 16), "id", 10)
+        .collect()
+    }
+    time("brute-cos-500k") {
+      Similarity.cosineTopK(pvecs, "id", "v", pquery, "qvec", 10).collect()
+    }
+    // the map-only twin's SEARCH stage: same cached-layout discipline as
+    // pq-adc (wide codes materialized, ADC table collected to m dense
+    // arrays) — zero shuffles vs the long form's per-id aggregation
+    val pwide = Similarity.pqCodesWide(pvecs, "id", "v", 4, 16, 4).cache()
+    pwide.count()
+    val pdense = Similarity.pqAdcDense(
+      Similarity.pqAdcTable(pbook, pquery, "qvec", 4, 16), 4, 4)
+    time("pq-wide-500k") {
+      Similarity.pqAdcRankWide(pwide, pdense, "id", 10).collect()
+    }
     spark.stop()
   }
 }

@@ -504,22 +504,112 @@ object Similarity {
                m: Int = 4, subDim: Int = 16, probeDims: Int = 4): DataFrame = {
     val codes = pqCodes(vectors, idCol, vecCol, m, subDim, probeDims)
     val book = centroidMeans(pqCodebook(codes))
+    pqAdcRank(codes, pqAdcTable(book, query, queryVecCol, m, subDim),
+      idCol, k)
+  }
+
+  /** The per-query ADC distance table: (m, code, d²) over the bounded
+    * codebook — computed once per query, broadcast into the rank join.
+    * `book` is [[centroidMeans]] of [[pqCodebook]]. */
+  def pqAdcTable(book: DataFrame, query: DataFrame, queryVecCol: String,
+                 m: Int, subDim: Int): DataFrame = {
     val qsubs = query.select(
-        posexplode(array((0 until m).map(i =>
-          slice(col(queryVecCol), i * subDim + 1, subDim)): _*))
-          .as(Seq("m", "qsub")))
-    val dtable = book
+      posexplode(array((0 until m).map(i =>
+        slice(col(queryVecCol), i * subDim + 1, subDim)): _*))
+        .as(Seq("m", "qsub")))
+    book
       .join(broadcast(qsubs), Seq("m"))
       .select(col("m"), col("code"),
         (round(
           dot(col("qsub"), col("qsub"))
             - lit(2.0) * dot(col("qsub"), col("centroid"))
             + dot(col("centroid"), col("centroid")), 8) + lit(0.0)).as("d2"))
+  }
+
+  /** The scan side of a PQ search: codes ⋈ broadcast ADC table →
+    * DECIMAL-summed per-id distance → ascending top-k. `codes` only
+    * needs (idCol, m, code) — in production THIS is the materialized
+    * table (small ints, ~16× under the float embeddings), and every
+    * query pays one pass over it plus a bounded broadcast. Fully lazy
+    * (no driver action); the long codes layout costs a per-id
+    * aggregation shuffle — [[pqSearchWide]] is the map-only variant
+    * when a driver action per query is acceptable. */
+  def pqAdcRank(codes: DataFrame, dtable: DataFrame,
+                idCol: String, k: Int): DataFrame =
     codes
       .join(broadcast(dtable), Seq("m", "code"))
       .groupBy(col(idCol))
       .agg(sum(col("d2").cast("decimal(28,8)")).cast("decimal(28,8)")
         .cast("double").as("adist"))
+      .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)
+      .limit(k)
+
+  /** [[pqSearch]]'s map-only twin: one row per vector carrying its m
+    * codes, the per-query ADC table collected to the driver as m dense
+    * double arrays (bounded by m·(2p+1)² — the kmeans-centroids
+    * bounded-driver-state pattern) and inlined as literals, so the
+    * whole search is scan → row-local literal lookups → DECIMAL adds in
+    * fixed subspace order → TakeOrderedAndProject. ZERO shuffles, which
+    * is what makes PQ's byte reduction actually pay: the long-form
+    * [[pqAdcRank]] re-shuffles per id and gives back the saved scan
+    * time (MicroBench `pq-wide-/pq-adc-/brute-cos-500k` rows).
+    * Identical arithmetic to [[pqSearch]] — same rounded d² values,
+    * exact decimal addition in any order (DedupSimilaritySpec pins
+    * result parity); vectors missing EVERY subspace are dropped, and a
+    * (m, code) absent from the codebook (impossible when the codebook
+    * was built from this corpus) hits a NaN array slot and fails the
+    * ANSI decimal cast loudly, never a silent 0. */
+  def pqSearchWide(vectors: DataFrame, idCol: String, vecCol: String,
+                   query: DataFrame, queryVecCol: String, k: Int,
+                   m: Int = 4, subDim: Int = 16, probeDims: Int = 4): DataFrame = {
+    val codesLong = pqCodes(vectors, idCol, vecCol, m, subDim, probeDims)
+    val book = centroidMeans(pqCodebook(codesLong))
+    val dense = pqAdcDense(
+      pqAdcTable(book, query, queryVecCol, m, subDim), m, probeDims)
+    pqAdcRankWide(
+      pqCodesWide(vectors, idCol, vecCol, m, subDim, probeDims),
+      dense, idCol, k)
+  }
+
+  /** One row per vector with its m-code ARRAY — the map-only codes
+    * layout [[pqAdcRankWide]] scans (vs [[pqCodes]]' long layout that
+    * [[pqCodebook]] aggregates). A subspace the vector can't fill
+    * codes NULL in place. */
+  def pqCodesWide(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subDim: Int, probeDims: Int): DataFrame =
+    df.select(col(idCol),
+      array((0 until m).map(i =>
+        ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
+        .as("codes"))
+
+  /** Collect the per-query ADC table into m dense double arrays
+    * (bounded by m·(2p+1)² — the kmeans-centroids bounded-driver-state
+    * pattern). Slots no (m, code) pair maps to hold NaN so an
+    * impossible lookup fails the ANSI decimal cast loudly. */
+  def pqAdcDense(dtable: DataFrame, m: Int, probeDims: Int): Array[Array[Double]] = {
+    val radix = 2 * probeDims + 1
+    val dense = Array.fill(m, radix * radix)(Double.NaN)
+    dtable.collect().foreach(r => dense(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    dense
+  }
+
+  /** The map-only rank stage: row-local literal lookups + fixed-order
+    * DECIMAL adds + TakeOrderedAndProject. Vectors missing EVERY
+    * subspace are dropped; a missing subspace contributes 0, matching
+    * [[pqAdcRank]]'s partial-sum semantics on ragged rows. */
+  def pqAdcRankWide(wideCodes: DataFrame, dense: Array[Array[Double]],
+                    idCol: String, k: Int): DataFrame = {
+    val m = dense.length
+    val perSub = (0 until m).map { i =>
+      val c = element_at(col("codes"), i + 1)
+      when(c.isNull, lit(BigDecimal(0)).cast("decimal(28,8)"))
+        .otherwise(element_at(lit(dense(i)), c + 1).cast("decimal(28,8)"))
+    }
+    wideCodes
+      .filter((0 until m).map(i =>
+        element_at(col("codes"), i + 1).isNotNull).reduce(_ || _))
+      .select(col(idCol),
+        perSub.reduce(_ + _).cast("decimal(28,8)").cast("double").as("adist"))
       .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)
       .limit(k)
   }

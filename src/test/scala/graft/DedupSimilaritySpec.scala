@@ -516,6 +516,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.take(3).map(_._1).sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("pqSearchWide matches pqSearch exactly (map-only twin parity)") {
+    val vecs = (1L to 40L)
+      .map(i => (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val query = vecs.filter(col("vec_id") === 5)
+      .select(col("embedding").as("qvec"))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String,
+                org.apache.spark.sql.DataFrame, String, Int, Int, Int, Int)
+                => org.apache.spark.sql.DataFrame) =
+      f(vecs, "vec_id", "embedding", query, "qvec", 15, 2, 4, 4)
+        .as[(Long, Double)].collect().toSeq
+    val long = run(Similarity.pqSearch(_, _, _, _, _, _, _, _, _))
+    val wide = run(Similarity.pqSearchWide(_, _, _, _, _, _, _, _, _))
+    assert(long == wide)
+    assert(long.nonEmpty)
+  }
+
   test("pqCodes drops subspaces the vector can't fill (ragged input)") {
     val vecs = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(3)(0.5f)))
       .toDF("vec_id", "embedding")
