@@ -181,6 +181,8 @@ object GraftFunctions {
     ColumnBridge.registerExpression(spark, "graft_bpe", bpeBuilder)
     ColumnBridge.registerExpression(spark, "graft_md5_window", md5WindowBuilder)
     ColumnBridge.registerExpression(spark, "graft_md5_bucket", md5BucketBuilder)
+    ColumnBridge.registerExpression(spark, "graft_deflate_ratio",
+      unary("graft_deflate_ratio", DeflateRatio))
     mediaBuilders.foreach { case (name, _, builder) =>
       ColumnBridge.registerExpression(spark, name, builder)
     }

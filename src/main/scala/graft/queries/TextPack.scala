@@ -28,6 +28,8 @@ object TextPack extends QueryPack {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_compression_filter" -> compressionFilter,
+
     // L4: language ID — argmax of marker-profile scores, first-tie-break.
     "q54_langid" -> ((s, dir) => Q.ordered {
       val toks = split(col("text"), " ")
@@ -470,6 +472,26 @@ object TextPack extends QueryPack {
     }
     s"str_split(trim($merged, '|'), '||')"
   }
+
+  /** Rows-only (RegistrySpec-documented): the DEFLATE bitstream is a zlib
+    * artifact with no SQL equivalent — the gate's monotonicity and
+    * fixtures are spec-pinned instead (TextStatsSpec). */
+  // def, not val: `queries` above captures it during object init, and a
+  // later-declared val would still be null at that point
+  private def compressionFilter: (SparkSession, String) => DataFrame =
+    (s, dir) => Q.ordered {
+      // L4: compression-ratio quality gate (the information-density
+      // complement of q90's repetition metrics): drop the too-compressible
+      // tail (boilerplate/template spam) and the incompressible tail
+      // (binary-ish garbage) in one row-local native-codegen pass.
+      Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          round(graft.functions.QualitySignals.deflateRatio(col("text")), 6)
+            .as("deflate_ratio"))
+        .withColumn("keep",
+          (col("deflate_ratio") >= 0.25 && col("deflate_ratio") <= 1.1)
+            .cast("int"))
+    }
 
   override val oracleSql: Map[String, String] = Map(
     // Recomputes the expected main-content extraction of the q105

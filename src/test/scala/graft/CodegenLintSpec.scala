@@ -47,6 +47,7 @@ class CodegenLintSpec extends AnyFunSuite {
     "graft_main_content" -> "graft_main_content(xml)",
     "graft_bpe" -> "graft_bpe(s, 'e n')",
     "graft_md5_window" -> "graft_md5_window(s, 1)",
+    "graft_deflate_ratio" -> "graft_deflate_ratio(s)",
     "graft_md5_bucket" -> "graft_md5_bucket(s, 4096)",
     "graft_image_dims" -> "graft_image_dims(bin)",
     "graft_wav_info" -> "graft_wav_info(bin)",

@@ -16,7 +16,11 @@ class RegistrySpec extends AnyFunSuite {
     "q62_multimodal_decode" ->
       "binary payload + foreign decode stub has no SQL equivalent",
     "q63_approx_distinct" ->
-      "HLL sketch internals are engine-specific; only the estimate exists")
+      "HLL sketch internals are engine-specific; only the estimate exists",
+    "q129_compression_filter" ->
+      ("the DEFLATE bitstream is a zlib artifact with no SQL equivalent " +
+        "(DuckDB ships no deflate scalar); gate monotonicity and fixtures " +
+        "are spec-pinned in TextStatsSpec instead"))
 
   test("query ids are globally unique across packs (toMap hides collisions)") {
     val packsField = SparkEntry.getClass.getDeclaredFields

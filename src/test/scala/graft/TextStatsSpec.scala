@@ -113,6 +113,32 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("deflateRatio: repetitive < prose < high-entropy; empty is neutral 1.0") {
+    val repetitive = Seq.fill(200)("spam").mkString(" ")
+    val prose = "the analytics engine reads parquet columns prunes " +
+      "predicates pushes filters broadcasts small dimensions and shuffles " +
+      "only when a key actually changes across stages; window grain dedup " +
+      "keeps the first occurrence while coverage merged spans vanish"
+    // deterministic high-entropy: base64 of md5 digest chains (~6 bits
+    // per char — hex would be only 4 and compresses BELOW prose; no RNG,
+    // the repo rule)
+    val entropy = (0 until 40).map(i =>
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"seed$i".getBytes))).mkString
+    val rows = Seq((1L, repetitive), (2L, prose), (3L, entropy), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.QualitySignals.deflateRatio(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) < rows(2L), s"repetitive ${rows(1L)} !< prose ${rows(2L)}")
+    assert(rows(2L) < rows(3L), s"prose ${rows(2L)} !< entropy ${rows(3L)}")
+    assert(rows(4L) == 1.0)
+    assert(rows.values.forall(r => r > 0.0 && r < 1.5))
+    // the gate's intent on these fixtures: template spam drops, prose keeps
+    assert(rows(1L) < 0.25 && rows(2L) >= 0.25)
+  }
+
   test("unigramLogprob scores docs by the corpus's own unigram model") {
     // corpus tokens: a a b | b → N=4, p(a)=p(b)=0.5, ln(0.5)≈-0.69314718
     val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
