@@ -30,6 +30,12 @@ object GraftSession {
       // in tmp scratch, never the library user's cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // allow co-partitioned joins on a PREFIX of the join keys: tables
+      // bucketed by l_orderkey then joined on (l_orderkey, l_linenumber)
+      // are correctly co-located (equal keys ⇒ equal bucket) — the
+      // default-true strictness would re-shuffle both sides and defeat
+      // the bucketed layout for every composite-key delta join (q130)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")

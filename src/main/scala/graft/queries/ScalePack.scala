@@ -43,6 +43,36 @@ object ScalePack extends QueryPack {
           Q.sumExact(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // THE recurring pipeline join on the bucketed layout: q22's delta
+    // split (the reference's soul — changed-or-new vs stored state,
+    // dags/scraping_etl.py:51-74) with BOTH sides read from the
+    // lineitem table bucketed by l_orderkey (shared with q121's layout,
+    // written once per corpus). The state dedup groupBy, the delta left
+    // join, everything — ZERO keyed shuffle exchanges, because
+    // HashPartitioning(l_orderkey) satisfies every downstream
+    // (l_orderkey, l_linenumber) distribution (subset rule). Same
+    // semantics and SAME oracle as q22: bucketing is layout, not
+    // meaning — the q22/q130 bench delta prices the nightly shuffles
+    // the layout deletes.
+    "q130_bucketed_delta" -> ((s, dir) => Q.ordered {
+      val li = Bucketing.ensureBucketed(s, dir, "lineitem",
+        Seq("l_orderkey"), 16)
+      def hash(flag: org.apache.spark.sql.Column) =
+        graft.operators.Fingerprint.rowHash(Seq(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          flag, col("l_linestatus")))
+      val fresh = li.select(col("l_orderkey"), col("l_linenumber"),
+        hash(col("l_returnflag")).as("row_hash"))
+      val state = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          hash(when(col("l_suppkey") % 7 === 0, lit("CHANGED"))
+            .otherwise(col("l_returnflag"))).as("row_hash"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(min("row_hash").as("row_hash"))
+      graft.operators.Delta.split(
+        fresh.hint("merge"), state, Seq("l_orderkey", "l_linenumber"))._1
+    }),
+
     // Count-min heavy hitters over corpus bigrams: the sketch is
     // depth×width = 8192 rows NO MATTER the corpus size (vs the exact
     // (bigram, count) table, which is data-sized) — build is one
@@ -91,6 +121,30 @@ object ScalePack extends QueryPack {
   )
 
   override val oracleSql: Map[String, String] = Map(
+
+    // identical to q22's oracle — the bucketed layout must not change a
+    // single row, only the exchanges in the physical plan
+    "q130_bucketed_delta" ->
+      s"""WITH fresh AS (
+            SELECT l_orderkey, l_linenumber,
+                   ${graft.operators.Fingerprint.sqlExpr(Seq("l_orderkey",
+                     "l_linenumber", "l_partkey", "l_returnflag",
+                     "l_linestatus"))} AS row_hash
+            FROM lineitem),
+          state AS (
+            SELECT l_orderkey, l_linenumber,
+                   min(md5(concat_ws('|', coalesce(CAST(l_orderkey AS VARCHAR), ''),
+                                       coalesce(CAST(l_linenumber AS VARCHAR), ''),
+                                       coalesce(CAST(l_partkey AS VARCHAR), ''),
+                                       coalesce(CASE WHEN l_suppkey % 7 = 0 THEN 'CHANGED' ELSE l_returnflag END, ''),
+                                       coalesce(l_linestatus, '')))) AS row_hash
+            FROM lineitem WHERE l_orderkey % 2 = 0
+            GROUP BY l_orderkey, l_linenumber)
+          SELECT f.l_orderkey, f.l_linenumber, f.row_hash
+          FROM fresh f LEFT JOIN state s
+            ON f.l_orderkey = s.l_orderkey AND f.l_linenumber = s.l_linenumber
+          WHERE s.row_hash IS NULL OR s.row_hash <> f.row_hash
+          ORDER BY ALL NULLS FIRST""",
 
     "q121_bucketed_join" ->
       s"""SELECT o_orderkey, o_orderpriority,

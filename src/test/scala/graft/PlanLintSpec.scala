@@ -222,6 +222,10 @@ class PlanLintSpec extends AnyFunSuite {
   // two full-table exchanges and only this lint notices.
   assertShuffleBudget("q121_bucketed_join", 0)
   assertScanBudget("q121_bucketed_join", 2)
+  // the nightly delta split on the same bucketed layout: state dedup
+  // agg + delta left join all ride HashPartitioning(l_orderkey)
+  assertShuffleBudget("q130_bucketed_delta", 0)
+  assertScanBudget("q130_bucketed_delta", 2)
 
   // RAG chunking is a per-row sequence explode — any exchange appearing
   // here means someone keyed the fan-out, which nothing requires
