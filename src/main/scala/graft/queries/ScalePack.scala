@@ -73,6 +73,24 @@ object ScalePack extends QueryPack {
         fresh.hint("merge"), state, Seq("l_orderkey", "l_linenumber"))._1
     }),
 
+    // Directory-partition pruning, the third leg of the layout family
+    // (q121/q130 bucket for joins, this partitions for filters): events
+    // written once partitioned by event_type, and the filtered read
+    // touches ONE of the five partition directories — `PartitionFilters`
+    // in the scan, pinned by PlanLintSpec. At 100 TB the partition key
+    // (date/source/type) deletes the IO of every non-matching partition
+    // before a single row is read; same oracle rows as scanning the flat
+    // table (layout, not semantics — the q130 framing).
+    "q131_partition_pruning" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensurePartitioned(
+        s, dir, "events", Seq("event_type"))
+      s.read.parquet(path)
+        .filter(col("event_type") === "view" && col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          Q.sumExact(col("value")).as("sum_value"))
+    }),
+
     // Count-min heavy hitters over corpus bigrams: the sketch is
     // depth×width = 8192 rows NO MATTER the corpus size (vs the exact
     // (bigram, count) table, which is data-sized) — build is one
@@ -121,6 +139,14 @@ object ScalePack extends QueryPack {
   )
 
   override val oracleSql: Map[String, String] = Map(
+
+    "q131_partition_pruning" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+                 ${Q.sumExactSql("value")} AS sum_value
+          FROM events
+          WHERE event_type = 'view' AND user_id < 50
+          GROUP BY 1
+          ORDER BY ALL NULLS FIRST""",
 
     // identical to q22's oracle — the bucketed layout must not change a
     // single row, only the exchanges in the physical plan

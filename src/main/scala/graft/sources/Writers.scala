@@ -27,6 +27,23 @@ object Writers {
                   partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
+  private val preparedPartitions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Partitioned layout of corpus table `name`, written AT MOST ONCE per
+    * (JVM, corpus dir) into tmp scratch — the one-time directory layout
+    * whose pruning every subsequent filtered scan banks (the
+    * [[graft.sources.Bucketing.ensureBucketed]] pattern for partition
+    * keys instead of bucket keys). Returns the path. */
+  def ensurePartitioned(spark: SparkSession, dir: String, name: String,
+                        partitionCols: Seq[String]): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/" +
+      s"${name}_${Integer.toHexString(dir.hashCode)}_${partitionCols.mkString("_")}"
+    if (preparedPartitions.add(path))
+      partitioned(graft.Tables.load(spark, dir, name), path, partitionCols)
+    path
+  }
+
   private def versionOf(p: java.nio.file.Path): Option[Long] = {
     val n = p.getFileName.toString
     if (n.startsWith("v")) n.drop(1).toLongOption else None

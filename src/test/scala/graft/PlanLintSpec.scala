@@ -227,6 +227,22 @@ class PlanLintSpec extends AnyFunSuite {
   assertShuffleBudget("q130_bucketed_delta", 0)
   assertScanBudget("q130_bucketed_delta", 2)
 
+  assertShuffleBudget("q131_partition_pruning", 1)
+  assertScanBudget("q131_partition_pruning", 1)
+  test("q131_partition_pruning actually prunes at the directory level") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q131_partition_pruning")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    // the event_type predicate must become a PARTITION filter (directory
+    // skip before any row is read), not a pushed row-group filter
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("event_type") &&
+      plan.split("PartitionFilters: ")(1).takeWhile(_ != ']').contains("view"),
+      s"event_type = 'view' did not prune at the partition level:\n$plan")
+  }
+
   // RAG chunking is a per-row sequence explode — any exchange appearing
   // here means someone keyed the fan-out, which nothing requires
   assertShuffleBudget("q124_rag_chunks", 0)
