@@ -26,10 +26,25 @@ object GraftSession {
       // NTZ→LTZ cast Tables.events would otherwise apply — and with the
       // cast collapsing to identity, ts predicates push down to the scan
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // outputTimestampType stays at the INT96 default HERE: the
+      // driver's pandas comparator reads INT96 as tz-naive and
+      // TIMESTAMP_MICROS(UTC-adjusted) as tz-aware, so flipping it
+      // session-wide broke hash parity on every timestamp-emitting
+      // oracle query (q44/q64/q127, measured r13). Layout writes that
+      // NEED real min/max stats (zone maps — Writers.ensureSorted) pin
+      // TIMESTAMP_MICROS in their own cloned session instead.
       // catalog-table writes (bucketed layouts — sources.Bucketing) land
-      // in tmp scratch, never the library user's cwd
+      // in tmp scratch, never the library user's cwd. PID-scoped: the
+      // in-memory catalog is per-JVM, so a SHARED warehouse path makes
+      // every concurrent graft process see the others' live tables as
+      // catalog-less orphans (and Bucketing's stale-location recovery
+      // would delete them mid-query — ADVICE r12). Two live processes
+      // can never share a PID, so per-PID scoping makes any orphan in
+      // this warehouse provably ours (PID reuse only inherits a DEAD
+      // process's leftovers, which the recovery path exists to clear).
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-" +
+          ProcessHandle.current().pid())
       // allow co-partitioned joins on a PREFIX of the join keys: tables
       // bucketed by l_orderkey then joined on (l_orderkey, l_linenumber)
       // are correctly co-located (equal keys ⇒ equal bucket) — the

@@ -17,13 +17,23 @@ object QueryBench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     args.foreach { name =>
+      // paired A/B toggles, applied to the queries that FOLLOW:
+      // --nowide strips Q.wide fan-outs; --wide restores the default
+      if (name == "--nowide") {
+        System.setProperty(graft.queries.Q.NoWideProp, "true"); ()
+      } else if (name == "--wide") {
+        System.clearProperty(graft.queries.Q.NoWideProp); ()
+      } else {
       val fn = SparkEntry.queries(name)
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[qbench] $name%-28s best ${times.min}%.3f s  all ${times.map(t => f"$t%.3f").mkString(" ")}")
+      val mode = if (sys.props.get(graft.queries.Q.NoWideProp)
+        .contains("true")) " (nowide)" else ""
+      println(f"[qbench] $name$mode%-28s best ${times.min}%.3f s  all ${times.map(t => f"$t%.3f").mkString(" ")}")
+      }
     }
     spark.stop()
   }

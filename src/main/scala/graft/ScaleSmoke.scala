@@ -118,7 +118,12 @@ object ScaleSmoke {
     time("cms-build+probe") {
       val items = big.select(col("l_partkey").cast("string").as("w"))
       val sk = operators.Sketches.cmsBuild(items, col("w"), 4, 2048)
-      operators.Sketches.cmsEstimate(items.distinct(), col("w"), sk, 4, 2048)
+      // failOnSaturation=false: w=2048 against 20k distinct partkeys is
+      // the DELIBERATELY-saturated legacy row (SCALE.md r12) that the
+      // r13 guard would now reject — kept so the time series stays
+      // comparable; cms-quality below is the sized-vs-saturated pair
+      operators.Sketches.cmsEstimate(items.distinct(), col("w"), sk, 4, 2048,
+          failOnSaturation = false)
         .filter(col("est") >= 1000).count()
     }
     time("cms-state-rows") {
@@ -126,6 +131,40 @@ object ScaleSmoke {
         big.select(col("l_partkey").cast("string").as("w")), col("w"), 4, 2048)
         .count()
     }
+    // Estimate QUALITY, saturated vs properly-sized (VERDICT r12 #3),
+    // over a ZIPF stream (~100k distinct keys, P(k) ∝ 1/k — real heavy
+    // hitters, unlike the uniform partkey stream): w=2048 (capacity
+    // ~11.8k ≪ 100k distinct — saturated; guard off to even run it) vs
+    // w=32768 (capacity ~189k — sized by the width ≥ distinct·ln2/depth
+    // rule the guard's error message states). Metric = heavy-hitter
+    // PRECISION at est ≥ T: of the keys the sketch flags, how many are
+    // truly ≥ T (exact from one groupBy). Recall is 1 by construction
+    // (CMS never undercounts), so precision IS the quality number
+    // SCALE.md records recovering.
+    for ((w, fail) <- Seq(2048 -> false, 32768 -> true))
+      if (stageActive("cms-quality")) {
+        val u = conv(substring(md5((col("l_orderkey") * 31 +
+          col("l_linenumber")).cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4.294967296e9
+        val items = big.select(
+          (floor(exp(u * math.log(100000.0))) + 1)
+            .cast("long").cast("string").as("w"))
+        val thresh = 1000L
+        val sk = operators.Sketches.cmsBuild(items, col("w"), 4, w)
+        val est = operators.Sketches.cmsEstimate(
+          items.distinct(), col("w"), sk, 4, w, failOnSaturation = fail)
+        val exact = items.groupBy(col("w").as("item"))
+          .agg(count(lit(1)).as("true_cnt"))
+        val joined = est.filter(col("est") >= thresh)
+          .join(exact, Seq("item"))
+          .agg(count(lit(1)).as("flagged"),
+            sum(when(col("true_cnt") >= thresh, 1L).otherwise(0L)).as("hits"))
+          .head()
+        val (flagged, hits) = (joined.getLong(0), joined.getLong(1))
+        println(f"[scale] cms-quality w=$w%-5d flagged=$flagged%8d " +
+          f"true-heavy=$hits%8d precision=${
+            if (flagged == 0) 1.0 else hits.toDouble / flagged}%.3f")
+      }
     time("bloom-build+probe") {
       val keyed = big.select(col("l_partkey").cast("string").as("k"))
       val bits = operators.Sketches.bloomBuild(
@@ -215,6 +254,44 @@ object ScaleSmoke {
       println(f"[scale] $shape%-22s zipf/unif ratio = $r%.2f (target < 2)")
     }
 
+    // ---- AQE skew-join split vs manual salting (VERDICT r12 #6) ----
+    // Same zipf fact (hot key ≈ 1/ln(K) of ALL rows), same
+    // broadcast-ineligible dim (the 100 TB regime Skew.saltedJoin was
+    // written for), three remedies: AQE's runtime skew split, nothing,
+    // and the manual 16-bucket salt (AQE split off so the remedies don't
+    // stack). SCALE.md records which one wins — if AQE alone matches the
+    // salt, the operator's scaladoc claim gets demoted to "AQE-disabled
+    // environments only".
+    for ((dist, keyExpr) <- Seq(
+        // zipf: hot key ≈ 1/ln(K) ≈ 9% of rows — heavy tail, mild pivot
+        "zipf" -> (floor(exp(col("__u") * math.log(keySpace))) + 1),
+        // mega: HALF the corpus on one key — the pathological-tenant
+        // shape manual salting exists for
+        "mega" -> when(col("__u") < 0.5, lit(1L))
+          .otherwise(floor(col("__u") * keySpace) + 1))) {
+      val keyed = keyedCopy(keyExpr)
+      val dimTable = keyed.select(col("k")).distinct()
+        .withColumn("dim_payload", col("k") * 17 % 97)
+      for ((label, aqeSkew, manual) <- Seq(
+          (s"skewjoin-$dist-aqe", "true", false),
+          (s"skewjoin-$dist-none", "false", false),
+          (s"skewjoin-$dist-salted", "false", true)))
+        timeBest(label) {
+          withConf(
+            "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.adaptive.skewJoin.enabled" -> aqeSkew) {
+            val fact = keyed.select(col("k"), col("l_quantity"))
+            val joined =
+              if (manual) operators.Skew.saltedJoin(fact, dimTable, Seq("k"), 16)
+              else fact.join(dimTable, Seq("k"))
+            // filter on the dim column so the join must actually produce
+            // rows (a bare count lets Catalyst prune the probe)
+            joined.filter(col("dim_payload") >= 0).count()
+          }
+        }
+    }
+
     // LLM-op scale paths: LSH candidates (never all-pairs) over a 10×
     // documents corpus, and IVF-bucketed cosine pairs over 10× embeddings
     // (brute force would be |V|²; bucket pruning keeps it linear-ish).
@@ -294,6 +371,38 @@ object ScaleSmoke {
         Seq("join", "filter", "scan"))
         .filter(col("bm25").isNotNull).count()
     }
+    // q113's exact shape (url synthesis from doc_id → canonicalUrl →
+    // keep-first window) with and without the fan-out wrap — the paired
+    // evidence VERDICT r12 #4 asked for at N×. The map work here is
+    // doc_id-derived string ops, the cheapest thing Q.wide guards.
+    for ((label, wrap) <- Seq(
+        "url-canon-wide" -> true, "url-canon-nowide" -> false))
+      timeBest(label) {
+        import org.apache.spark.sql.expressions.Window
+        val src = if (wrap)
+          operators.Parallelize.fanOutIfNarrow(bigDocsOrdered)
+        else bigDocsOrdered
+        val k = col("doc_id") % 100
+        src.select(col("doc_id"), concat(
+            when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+            lit("://"),
+            when(col("doc_id") % 3 === 0,
+                concat(lit("WWW.Site"), k, lit(".Example.COM")))
+              .otherwise(concat(lit("www.site"), k, lit(".example.com"))),
+            when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+            lit("/a/b"), k,
+            when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+              .otherwise(lit("?b=2&a=1")),
+            when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit(""))
+          ).as("url"))
+          .withColumn("canonical_url",
+            operators.Cleaning.canonicalUrl(col("url")))
+          .withColumn("kept",
+            row_number().over(Window.partitionBy(col("canonical_url"))
+              .orderBy(col("doc_id").asc_nulls_first)) === 1)
+          .filter(col("kept")).count()
+      }
     time("decontaminate") {
       // replication multiplies train-df 10x but leaves the DISTINCT test
       // gram set unchanged — join output = Σ_{g∈test∩kept} df_train(g),

@@ -17,7 +17,14 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.duration._
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // dev-iteration filter (comma-separated name substrings); the driver
+    // never sets it, so the default dump is every registered query
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    val futures = SparkEntry.queries.toSeq.filter(q => selected(q._1))
+      .map { case (name, fn) =>
       name -> scala.concurrent.Future {
         // own job group per query → a hung/timed-out query is cancellable
         // without losing the rest of the round (round-1 lesson: one bad
@@ -53,7 +60,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -23,10 +23,11 @@ import graft.functions.HashFunctions
   *    output is bounded by the sketch dimensions, not the data.
   *  - PROBE broadcasts the bounded sketch and costs one pass over the
   *    probe side — never a corpus × corpus join, never a driver collect.
-  *  - The reference's per-row python dict counters
-  *    (/root/reference/src/processors/data_processor.py:61-104 keeps
-  *    whole-frame state in memory) cannot exceed one machine; these are
-  *    the distributed replacements.
+  *  - The reference keeps its whole key→hash state as one in-memory
+  *    python dict on the driver (/root/reference/src/storage.py:66-74
+  *    `fetch_existing_raw` returns dict(cur.fetchall()) over the entire
+  *    raw table) — a shape that cannot exceed one machine; these
+  *    bounded sketches are the distributed replacements.
   */
 object Sketches {
 
@@ -50,6 +51,24 @@ object Sketches {
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Distinct-key capacity heuristic for a `depth × width` count-min
+    * sketch: past ~`depth·width/ln2` distinct build keys the rows are
+    * essentially fully occupied and every estimate carries collision
+    * mass — SCALE.md r12 measured exactly this (w=2048 vs 20k keys →
+    * the heavy-hitter set converged on "every key"). Size
+    * `width ≥ distinct·ln2/depth` with margin. */
+  def cmsCapacity(depth: Int, width: Int): Long =
+    (depth.toLong * width / math.log(2)).toLong
+
+  /** Per-row occupancy at the capacity point: with `d` distinct keys
+    * hashed into `width` buckets the expected occupied fraction is
+    * `1 − e^(−d/width)`; at d = [[cmsCapacity]] that is
+    * `1 − e^(−depth/ln2)` — the executable saturation signal, read off
+    * the sketch's own row sizes (bounded — no extra pass over any
+    * corpus). */
+  private def saturationOccupancy(depth: Int, width: Int): Long =
+    math.ceil(width * (1.0 - math.exp(-depth / math.log(2)))).toLong
+
   /** Count-min ESTIMATE for each candidate: min over the `depth` rows of
     * the candidate's bucket counts — an OVERESTIMATE of the true count,
     * never an under (collisions only add). `candidates` must expose the
@@ -58,17 +77,44 @@ object Sketches {
     * The sketch is broadcast (≤ depth·width rows); the probe is one pass
     * over `candidates` + a bounded-side join. A candidate absent from
     * the build stream estimates ≥ 0 via the left join (its buckets may
-    * simply not exist in the counts table). */
+    * simply not exist in the counts table).
+    *
+    * Saturation guard (VERDICT r12 #3): a sketch whose build stream held
+    * ≫ [[cmsCapacity]] distinct keys still satisfies the overcount-only
+    * contract but estimates nothing — every bucket carries collision
+    * mass. That condition is visible in the sketch itself: per-row
+    * occupancy (a `count over (partition by r)` window on the ≤
+    * depth·width-row sketch — bounded work, no corpus reference) crosses
+    * [[saturationOccupancy]] exactly when distinct ≈ capacity. With
+    * `failOnSaturation` (the default) any probe of a saturated sketch
+    * raises at runtime with the resize rule instead of silently
+    * returning noise; pass false only for a deliberately-narrow sketch
+    * (tests, adversarial-blowup guards). */
   def cmsEstimate(candidates: DataFrame, item: Column,
-                  sketch: DataFrame, depth: Int, width: Int): DataFrame = {
+                  sketch: DataFrame, depth: Int, width: Int,
+                  failOnSaturation: Boolean = true): DataFrame = {
     val probed = candidates
       .select(item.as("item"))
       .select(col("item"),
         posexplode(hashRows(col("item"), depth, width)).as(Seq("r", "bucket")))
+    val guarded =
+      if (!failOnSaturation) sketch.withColumn("__occ", lit(0L))
+      else sketch.withColumn("__occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("r")))
+    val occThresh = saturationOccupancy(depth, width)
     probed
-      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .join(broadcast(guarded), Seq("r", "bucket"), "left")
       .groupBy("item")
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"),
+        max(coalesce(col("__occ"), lit(0L))).as("__occ"))
+      .select(col("item"),
+        when(col("__occ") >= occThresh, raise_error(concat(
+          lit(s"graft count-min sketch saturated: row occupancy "),
+          col("__occ"),
+          lit(s"/$width at depth=$depth — distinct build keys exceed " +
+            s"capacity ~${cmsCapacity(depth, width)} " +
+            s"(depth*width/ln2); resize width >= distinct*ln2/depth"))))
+          .otherwise(col("est")).as("est"))
   }
 
   /** Deterministic Bloom filter BUILD: the set-bit table for `state`'s

@@ -3,15 +3,30 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation for hot join keys — the manual fallback when AQE's
-  * skew-join splitting isn't applicable (e.g. a broadcast-ineligible dim
-  * joined on a power-law key at the 100 TB design point).
+/** Skew mitigation for hot join keys — the manual fallback for
+  * environments where AQE's runtime skew split is unavailable or
+  * disabled (a static-planning deployment, a conf-locked cluster).
+  *
+  * MEASURED STATUS (SCALE.md r13, VERDICT r12 #6): on AQE-era Spark this
+  * operator did NOT win any tested shape. At ×100 (60M rows, local[32],
+  * broadcast disabled) a zipf fact (hot key ≈ 9% of rows) joined a
+  * 100k-row dim in 16.0 s un-remedied, 17.8 s with AQE skew split, and
+  * 25.8 s salted; the pathological 50%-on-one-key twin measured
+  * 26.1 / 28.1 / 44.8 s — the salt's extra fact shuffle plus buckets×
+  * dim replication costs ~1.7× while the plain shuffled join's straggler
+  * stays cheap (the hot reducer streams its rows against ONE matching
+  * dim row; per-row probe work is too small for the imbalance to bind).
+  * Prefer: AQE skew split (on by
+  * default in GraftSession) and broadcast where the dim fits. Reach for
+  * saltedJoin only when AQE is off AND the hot reducer demonstrably
+  * spills or dominates the stage — and re-measure, because the remedy
+  * is not free.
   *
   * The big side is salted into `buckets` sub-keys (deterministically, from
   * a hash of the full row, so replays are stable); the dimension side is
   * replicated once per bucket. The shuffle then spreads each hot key over
   * `buckets` reducers at the cost of a `buckets`× dim replication — cheap
-  * when dim ≪ fact, which is the only regime where this is needed.
+  * when dim ≪ fact, which is the only regime where this applies.
   */
 object Skew {
 

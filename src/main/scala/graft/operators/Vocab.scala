@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,6 +35,103 @@ object Vocab {
     counted.withColumn("token_id",
       row_number().over(Window.orderBy(col("n_tok").desc, col("token").asc))
         .cast("long"))
+  }
+
+  /** Distributed BPE merge-table TRAINING (Sennrich et al. 2016 —
+    * learn_bpe's loop; the counterpart of [[graft.functions.BpeTokens]],
+    * which only ENCODES with a given table, VERDICT r12 #1). Input is
+    * the word-TYPE table `(word, weight)` — the caller aggregates the
+    * corpus down to distinct words with counts first, which is the ONE
+    * corpus-sized step of BPE training (at 100 TB: one hash aggregation;
+    * everything after runs on the bounded type table, exactly how
+    * subword-nmt/fastBPE train on `get_vocabulary()` output).
+    *
+    * Loop, per merge rank k:
+    *  1. pair counts: one aggregation over the type table's adjacent
+    *     symbol pairs, weighted by word frequency (every adjacent
+    *     position counts, the get_stats contract);
+    *  2. argmax with the DETERMINISTIC tie-break (count DESC, then pair
+    *     lexicographic ASC) as a TakeOrdered limit(1) — one row to the
+    *     driver per rank (the merge decision is inherently sequential;
+    *     the collected artifact is the ≤ nMerges-row model, the kmeans-
+    *     centroid bounded-collect pattern);
+    *  3. re-pair: merge all leftmost-non-overlapping occurrences of the
+    *     winning pair in every type's symbol array — a row-local
+    *     higher-order `aggregate` fold, no shuffle.
+    * State is `(syms, weight)` with `localCheckpoint` lineage truncation
+    * every `checkpointEvery` ranks (the q103/q92 iterative-loop shape:
+    * without it the fold stack grows one plan level per rank).
+    *
+    * The learned table is VALID by construction — rank k's components
+    * exist before rank k — which is precisely the property
+    * [[graft.functions.Bpe]]'s ascending-pass oracle equivalence rests
+    * on, so the learned merges feed `bpeTokens` directly (VocabSpec
+    * round-trips the corpus through the learned table). Initial symbols
+    * are Unicode code points via `bpeTokens(word, Nil)` — the SAME
+    * symbolization the encoder starts from. Returns the merge list in
+    * rank order; stops early when no adjacent pair remains. */
+  def learnBpe(types: DataFrame, word: Column, weight: Column, nMerges: Int,
+               checkpointEvery: Int = 8): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0 (got $nMerges)")
+    var state = types
+      .select(graft.functions.BpeFunctions.bpeTokens(word, Nil).as("syms"),
+        weight.cast("long").as("w"))
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[(String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = state
+        .select(col("w"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((x, y))
+        state = state.withColumn("syms", mergePair(col("syms"), x, y))
+        rank += 1
+        if (rank % checkpointEvery == 0) state = state.localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Adjacent symbol pairs of one array as `struct(x, y)` — every
+    * position, including overlapping repeats (aaa → (a,a) twice: the
+    * get_stats counting contract). */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("x"), b.as("y")))
+
+  /** Merge all leftmost-non-overlapping `(x, y)` adjacencies into `xy` —
+    * one row-local fold: carry (emitted prefix, pending symbol); a
+    * pending `x` followed by `y` emits the merged symbol and clears,
+    * anything else flushes the pending symbol. Matches
+    * [[graft.functions.Bpe.encode]]'s merge step exactly (VocabSpec
+    * cross-checks the fold against the JVM loop). */
+  private def mergePair(syms: Column, x: String, y: String): Column = {
+    val empty = typedLit(Seq.empty[String]).as("acc")
+    val noPend = lit(null).cast("string").as("pend")
+    aggregate(
+      syms,
+      struct(empty, noPend),
+      (st, s) => {
+        val acc = st.getField("acc")
+        val pend = st.getField("pend")
+        when(pend.isNull, struct(acc.as("acc"), s.as("pend")))
+          .when(pend === lit(x) && s === lit(y),
+            struct(concat(acc, array(lit(x + y))).as("acc"), noPend))
+          .otherwise(struct(concat(acc, array(pend)).as("acc"), s.as("pend")))
+      },
+      st => when(st.getField("pend").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
   }
 
   /** Encode each document's token sequence as vocab ids, order-preserving;

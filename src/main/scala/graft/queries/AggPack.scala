@@ -108,6 +108,11 @@ object AggPack extends QueryPack {
     // long (key, metric, value) form every generic aggregator/plotter
     // consumes. Row-local (Generate in-plan, no shuffle, no join); the
     // 4× row fan-out is the operator's contract, not a plan accident.
+    // NULL pin (ADVICE r12): Spark's unpivot RETAINS rows whose value is
+    // NULL, DuckDB's UNPIVOT EXCLUDES them by default — the explicit
+    // IS-NOT-NULL filter makes the Spark side match the oracle's
+    // semantics instead of relying on these four lineitem metrics
+    // happening to be non-null.
     "q126_unpivot" -> ((s, dir) => Q.ordered {
       Q.t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -117,6 +122,7 @@ object AggPack extends QueryPack {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           "metric", "value")
+        .filter(col("value").isNotNull)
     }),
 
     // G6/G2: regular-grid densification + forward fill — resample events

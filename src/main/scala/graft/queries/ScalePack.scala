@@ -16,7 +16,13 @@ import graft.sources.Bucketing
 object ScalePack extends QueryPack {
 
   private val CmsDepth = 4
-  private val CmsWidth = 2048
+  // sized by the saturation rule width ≥ distinct·ln2/depth with margin
+  // (Sketches.cmsCapacity): capacity ≈ 47k distinct keys covers the
+  // bigram vocabulary at every SF this harness runs (sf0.01 ≈ 0.9k,
+  // sf0.1 ≈ 20k); the r12 width of 2048 saturated at sf0.1 and the
+  // estimate guard added for VERDICT r12 #3 would now (correctly)
+  // refuse to probe it
+  private val CmsWidth = 8192
   private val CmsThreshold = 40L
 
   private val BloomK = 4
@@ -91,16 +97,41 @@ object ScalePack extends QueryPack {
           Q.sumExact(col("value")).as("sum_value"))
     }),
 
+    // Zone skipping, the FOURTH layout leg (buckets → joins q121/q130,
+    // directories → categorical filters q131, SORT ORDER → range
+    // predicates): lineitem laid out once range-sorted by l_shipdate
+    // (Writers.ensureSorted), then a two-month date band reads only the
+    // row groups whose min/max overlap the band — the reader's
+    // stats-based skip, pinned by PlanLintSpec against actual scan
+    // metrics (rows out of the scan ≪ table rows; the flat table scans
+    // everything because every row group spans the full date range).
+    // Same oracle rows as the flat scan — layout, not semantics (the
+    // q130/q131 framing). At 100 TB this is the "last 2 days of a
+    // 6-year table" query costing 2 days of IO.
+    "q133_zone_skipping" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureSorted(
+        s, dir, "lineitem", "l_shipdate")
+      s.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("1996-02-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          Q.sumExact(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // Count-min heavy hitters over corpus bigrams: the sketch is
-    // depth×width = 8192 rows NO MATTER the corpus size (vs the exact
+    // depth×width = 32768 rows NO MATTER the corpus size (vs the exact
     // (bigram, count) table, which is data-sized) — build is one
     // map-side-combinable aggregation, probe broadcasts the sketch.
     // Estimates OVERCOUNT on collision (never under), so `est >= T`
     // returns every true heavy hitter plus deterministic false
-    // positives — at sf0.01: 9 of 916 bigrams overestimated, worst
-    // error +29. Candidates here are the corpus's bounded bigram
-    // vocabulary; at 100 TB the candidate list is an external
-    // dictionary or a sampled shortlist, probed the same way.
+    // positives. The estimate carries the r13 saturation guard
+    // (Sketches.cmsEstimate default): a corpus whose bigram vocabulary
+    // outgrows cmsCapacity(depth, width) fails loudly with the resize
+    // rule instead of silently flagging every key. Candidates here are
+    // the corpus's bounded bigram vocabulary; at 100 TB the candidate
+    // list is an external dictionary or a sampled shortlist, probed the
+    // same way.
     "q122_cms_heavy_hitters" -> ((s, dir) => Q.ordered {
       val toks = Q.wide(Q.t(s, dir, "documents"))
         .select(explode(TextStats.bigrams(split(col("text"), " "))).as("bg"))
@@ -170,6 +201,17 @@ object ScalePack extends QueryPack {
           FROM fresh f LEFT JOIN state s
             ON f.l_orderkey = s.l_orderkey AND f.l_linenumber = s.l_linenumber
           WHERE s.row_hash IS NULL OR s.row_hash <> f.row_hash
+          ORDER BY ALL NULLS FIRST""",
+
+    // identical rows to a flat-table scan — the sorted layout must only
+    // change which row groups the reader touches
+    "q133_zone_skipping" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                 ${Q.sumExactSql("l_extendedprice")} AS sum_price
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-02-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1
           ORDER BY ALL NULLS FIRST""",
 
     "q121_bucketed_join" ->

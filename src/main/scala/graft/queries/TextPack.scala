@@ -27,6 +27,12 @@ object TextPack extends QueryPack {
     s"len(list_filter(str_split(text, ' '), t -> list_contains(${inListSql(markers)}, t)))"
   }
 
+  /** q132: merge ranks learned per oracle level — small and FIXED because
+    * the DuckDB oracle unrolls one pair-count + argmax + re-merge CTE
+    * block per rank (the q103 unrolled-iteration pattern); the full-depth
+    * run is golden-pinned in VocabSpec instead. */
+  private val BpeTrainLevels = 8
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_compression_filter" -> compressionFilter,
 
@@ -238,11 +244,20 @@ object TextPack extends QueryPack {
     // keep-first marks the gate decision a frontier makes per URL. The
     // window keys on the canonical string (hash-partitioned, no skew
     // pivot); kept = first (doc_id) occurrence.
+    // Deliberately NOT Q.wide-wrapped (reversing ADVICE r11's
+    // consistency wrap on measurement — VERDICT r12 #4): the map work is
+    // doc_id-derived string synthesis, the cheapest thing the fan-out
+    // guards, and the paired A/B lost BOTH at sf0.1 (0.27 s → 0.38 s)
+    // and at ScaleSmoke ×10 (0.41 s → 0.64 s, url-canon twins). The rule
+    // recorded in SCALE.md r13: wrap stages whose per-row CPU dominates
+    // an exchange of their input (hashing, tokenization, markup parse) —
+    // never key-synthesis projections feeding a window that already
+    // redistributes.
     "q113_url_canonical" -> ((s, dir) => Q.ordered {
       import graft.operators.Cleaning
       import org.apache.spark.sql.expressions.Window
       val k = col("doc_id") % 100
-      val messy = Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"),
+      val messy = Q.t(s, dir, "documents").select(col("doc_id"),
         concat(
           when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
           lit("://"),
@@ -444,6 +459,30 @@ object TextPack extends QueryPack {
           array_join(col("toks"), " ").as("bpe_text"))
     }),
 
+    // L4: BPE tokenizer TRAINING — the learning half of q107's encoder
+    // (VERDICT r12 #1): Vocab.learnBpe runs Sennrich's merge loop
+    // distributed — ONE corpus-sized aggregation (word-type counts),
+    // then per rank one pair-count aggregation over the bounded type
+    // table + a 1-row argmax collect (deterministic tie-break: count
+    // DESC, pair ASC) + a row-local merge fold, localCheckpoint-
+    // truncated (the q103/q92 loop shape). Output is the model artifact
+    // itself: the rank-ordered merge table. The oracle re-learns the
+    // same table in DuckDB from unrolled per-rank CTEs over the
+    // |sym|-wrapped form (q107's replay representation) — a counting,
+    // tie-break, or merge bug on either side breaks the hash.
+    "q132_bpe_train" -> ((s, dir) => Q.ordered {
+      val types = Q.t(s, dir, "documents")
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("w"))
+      val merges = graft.operators.Vocab.learnBpe(
+        types, col("word"), col("w"), BpeTrainLevels)
+      s.createDataFrame(
+        merges.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) })
+        .toDF("merge_rank", "x", "y")
+    }),
+
     // L4/K-family middle tier: model-based quality scoring — a
     // fastText-shaped linear classifier over md5-hashed unigram+bigram
     // features with integer micro-unit weights. The Spark side exercises
@@ -471,6 +510,55 @@ object TextPack extends QueryPack {
       case (acc, (x, y)) => s"replace($acc, '|$x||$y|', '|$x$y|')"
     }
     s"str_split(trim($merged, '|'), '||')"
+  }
+
+  /** q132's oracle: BPE training re-learned in SQL. Word types are held
+    * in q107's `|sym|`-wrapped form; each rank k unrolls to three CTEs —
+    * `p_k` adjacent-pair counts (split the wrapped string, pair adjacent
+    * symbols, weight by word frequency), `m_k` the argmax under the
+    * SAME deterministic tie-break as Vocab.learnBpe (count DESC, x ASC,
+    * y ASC), and `w_{k+1}` the re-merge as one `replace('|x||y|' →
+    * '|xy|')` (leftmost-non-overlapping in both engines, the q107
+    * equivalence). The result is the union of the m_k rows — the learned
+    * merge table itself. */
+  private val bpeTrainSql: String = {
+    // AS MATERIALIZED throughout: DuckDB inlines a CTE once PER
+    // REFERENCE by default, and each w_k is referenced twice (pair
+    // counts + next level) — inlining doubles the tree per rank, 2^8
+    // scans of documents by rank 8 (measured: "too many open files")
+    def level(k: Int): String = {
+      val pair =
+        s"""p$k AS MATERIALIZED (
+             SELECT p[1] AS x, p[2] AS y, sum(w) AS cnt
+             FROM (SELECT unnest(list_transform(range(1, len(t)),
+                            i -> [t[i], t[i + 1]])) AS p, w
+                   FROM (SELECT str_split(trim(s, '|'), '||') AS t, w
+                         FROM w$k))
+             GROUP BY 1, 2),
+           m$k AS MATERIALIZED (SELECT x, y FROM p$k
+                   ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"""
+      val next =
+        s"""w${k + 1} AS MATERIALIZED (
+             SELECT replace(s,
+                      '|' || (SELECT x FROM m$k) || '||' ||
+                             (SELECT y FROM m$k) || '|',
+                      '|' || (SELECT x FROM m$k) ||
+                             (SELECT y FROM m$k) || '|') AS s, w
+             FROM w$k)"""
+      if (k < BpeTrainLevels - 1) pair + ",\n" + next else pair
+    }
+    val union = (0 until BpeTrainLevels)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, x, y FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+          SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                FROM documents)
+          GROUP BY 1),
+        ${(0 until BpeTrainLevels).map(level).mkString(",\n")}
+        SELECT merge_rank, x, y FROM ($union)
+        ORDER BY ALL NULLS FIRST"""
   }
 
   /** Rows-only (RegistrySpec-documented): the DEFLATE bitstream is a zlib
@@ -941,6 +1029,8 @@ object TextPack extends QueryPack {
                 md5(array_to_string(str_split(text, ' ')[1:16], ' ')) AS prefix_fp,
                 CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1024 AS bucket
          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    "q132_bpe_train" -> bpeTrainSql,
 
     "q107_bpe_encode" ->
       s"""WITH w AS (SELECT doc_id,

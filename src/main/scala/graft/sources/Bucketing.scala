@@ -24,10 +24,14 @@ object Bucketing {
     * session's `saveAsTable` then fails CREATE with
     * LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite only
     * applies to tables the catalog knows). When the catalog has no entry
-    * but the warehouse location exists, it is an orphan from a previous
-    * session of this same deterministic layout — remove it before the
-    * write. (A metastore-backed deployment never hits this branch: the
-    * catalog entry persists with the files.) */
+    * but the warehouse location exists, it is an orphan from a DEAD
+    * process of this same deterministic layout — remove it before the
+    * write. Safe to delete only because GraftSession scopes the
+    * warehouse dir per-PID (ADVICE r12): a concurrent live graft
+    * process writes under its own warehouse, so nothing here can see —
+    * let alone delete — another live session's tables. (A
+    * metastore-backed deployment never hits this branch: the catalog
+    * entry persists with the files.) */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     numBuckets: Int): Unit = {
     val spark = df.sparkSession
@@ -59,7 +63,10 @@ object Bucketing {
     * corpora in one session can't alias. Returns the bucketed frame. */
   def ensureBucketed(spark: SparkSession, dir: String, name: String,
                      keys: Seq[String], numBuckets: Int): DataFrame = {
-    val table = s"graft_b_${name}_${Integer.toHexString(dir.hashCode)}_$numBuckets"
+    // md5-derived corpus-dir token (the engine's portable hash contract),
+    // not String.hashCode: a 32-bit hashCode collision between two corpus
+    // dirs in one JVM would silently alias their layouts (ADVICE r12)
+    val table = s"graft_b_${name}_${SourceKeys.dirToken(dir)}_$numBuckets"
     if (prepared.add(table))
       writeBucketed(graft.Tables.load(spark, dir, name), table, keys, numBuckets)
     readBucketed(spark, table)

@@ -485,6 +485,105 @@ object StreamingJobs {
       flaggedKind = "rows_passed")
   }
 
+  /** [[graft.operators.TimeSeries.gapFill]]'s incremental form (VERDICT
+    * r12 #8): per-key state holds the fill seed — (last emitted period,
+    * last forward-filled value) — so each micro-batch extends every
+    * touched key's dense grid from exactly where the previous epoch
+    * stopped, including `was_gap` rows for whole periods that fell
+    * BETWEEN epochs. Emits (key, period, value_ff, was_gap) to
+    * `outDir/epoch=N`; concatenated epoch outputs equal one batch
+    * `gapFill` over the concatenated stream whenever each key's events
+    * arrive period-monotonically across epochs (StreamingSpec pins the
+    * equivalence).
+    *
+    * Late data: a key's state `last_period` IS its per-key watermark —
+    * (key, period) aggregates at or before it were already emitted
+    * (possibly as filled gaps) and are DROPPED, counted in the metrics
+    * sidecar as `late_period_rows_dropped`. Keys absent from a batch
+    * emit nothing and keep their seed (the next batch fills the
+    * intervening gap); a key evicted by `maxEpochAge` re-seeds at its
+    * next event — the family's standard readmission trade.
+    *
+    * Replay contract, family-standard: state rows are keyed
+    * (key, __epoch) — per-epoch APPENDS, never in-place seed updates —
+    * so the probe's `__epoch < epochId` filter reconstructs exactly the
+    * pre-epoch view (the cmsSink lesson: state a replay must re-derive
+    * cannot be overwritten in place), with the latest retained row per
+    * key as the live seed; output overwrites by epoch. State grows by
+    * |touched keys| per epoch; `maxEpochAge` bounds it to the sliding
+    * working set. */
+  def gapFillSink(events: DataFrame, key: Column, ts: Column, value: Column,
+                  stateDir: String, outDir: String, grain: String = "hour",
+                  maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        gapFillBatch(batch, epochId, key, ts, value, stateDir, outDir,
+          grain, maxEpochAge)
+      }
+
+  /** One epoch of [[gapFillSink]], exposed for equivalence/replay tests. */
+  def gapFillBatch(batch: DataFrame, epochId: Long, key: Column, ts: Column,
+                   value: Column, stateDir: String, outDir: String,
+                   grain: String = "hour", maxEpochAge: Int = 0): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val step = expr(s"interval 1 $grain")
+    val fresh = batch.select(key.as("key"), date_trunc(grain, ts).as("period"),
+      value.as("__v"))
+    val stateAll = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.select(col("key"), col("period").as("last_period"),
+        lit(0.0).as("last_value"), lit(-1L).as("__epoch")).limit(0)
+    }
+    // live seed = latest retained state row per key
+    val seed = graft.operators.Upsert.keepFirst(
+      stateAll, Seq("key"), Seq(col("__epoch").desc))
+      .select(col("key"), col("last_period"), col("last_value"))
+    val agg = fresh.groupBy(col("key"), col("period"))
+      .agg(graft.queries.Q.sumExact(col("__v")).as("v"))
+      .join(seed, Seq("key"), "left")
+    val late = agg.filter(col("last_period").isNotNull &&
+      col("period") <= col("last_period"))
+    val kept = agg.filter(col("last_period").isNull ||
+      col("period") > col("last_period"))
+    // per-key grid: resume one grain after the seed (covering inter-epoch
+    // gaps), or at the key's own first period when unseeded
+    val grid = kept.groupBy(col("key"))
+      .agg(min(col("period")).as("pmin"), max(col("period")).as("pmax"),
+        max(col("last_period")).as("last_period"),
+        max(col("last_value")).as("last_value"))
+      .select(col("key"), col("last_value"),
+        explode(sequence(
+          coalesce(col("last_period") + step, col("pmin")),
+          col("pmax"), step)).as("period"))
+    val w = Window.partitionBy(col("key")).orderBy(col("period"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid
+      .join(kept.select(col("key"), col("period"), col("v")),
+        Seq("key", "period"), "left")
+      .select(col("key"), col("period"),
+        coalesce(last(col("v"), ignoreNulls = true).over(w),
+          col("last_value")).as("value_ff"),
+        col("v").isNull.cast("int").as("was_gap"))
+    filled.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    val emitted = spark.read.parquet(s"$outDir/epoch=$epochId")
+    val newSeed = graft.operators.Upsert.keepFirst(
+      emitted, Seq("key"), Seq(col("period").desc))
+      .select(col("key"), col("period").as("last_period"),
+        col("value_ff").as("last_value"), lit(epochId).as("__epoch"))
+    graft.sources.Writers.mergeState(
+      spark, stateDir, newSeed, Seq("key", "__epoch"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = late.count(),
+      stateDir = stateDir,
+      flaggedKind = "late_period_rows_dropped")
+  }
+
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of
     * embeddings probes the persisted IVF bucket state for cosine
     * near-dups, then merges its own buckets into the state — the

@@ -243,6 +243,39 @@ class PlanLintSpec extends AnyFunSuite {
       s"event_type = 'view' did not prune at the partition level:\n$plan")
   }
 
+  // zone skipping: one scan of the sorted layout + the one agg exchange
+  assertShuffleBudget("q133_zone_skipping", 1)
+  assertScanBudget("q133_zone_skipping", 1)
+  test("q133_zone_skipping actually skips row groups (scan metrics, not just PushedFilters)") {
+    import org.apache.spark.sql.functions.col
+    // the same sorted layout + band q133 reads, WITHOUT the aggregation:
+    // scan+filter plans no exchange, so no AQE wrapper hides the leaf and
+    // FileSourceScanExec.metrics is readable directly after the action
+    val path = graft.sources.Writers.ensureSorted(
+      spark, sfDir, "lineitem", "l_shipdate")
+    val band = spark.read.parquet(path)
+      .filter(col("l_shipdate") >= org.apache.spark.sql.functions.lit("1996-02-01").cast("timestamp") &&
+        col("l_shipdate") < org.apache.spark.sql.functions.lit("1996-04-01").cast("timestamp"))
+    val matched = band.collect().length.toLong
+    val planText = band.queryExecution.executedPlan.toString
+    assert(planText.contains("PushedFilters") && planText.contains("l_shipdate"),
+      s"the band predicate did not push to the parquet scan:\n$planText")
+    val scanned = band.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.getOrElse(fail("no FileSourceScanExec leaf in the band plan"))
+    val total = spark.read.parquet(path).count()
+    // the reader must emit only the row groups overlapping the band —
+    // ~1/8 of the table at numRanges=8; ≤ half is the loud-failure bound
+    // (an unsorted layout emits EVERY row: each row group spans the full
+    // 1995–2001 date range, nothing is skippable)
+    assert(matched > 0, "band matched nothing — the assertion tests nothing")
+    assert(scanned >= matched && scanned <= total / 2,
+      s"sorted layout did not skip row groups: scan emitted $scanned of " +
+        s"$total rows for a band of $matched")
+  }
+
   // RAG chunking is a per-row sequence explode — any exchange appearing
   // here means someone keyed the fan-out, which nothing requires
   assertShuffleBudget("q124_rag_chunks", 0)

@@ -76,4 +76,28 @@ class RegistrySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"declared query emits nested columns the driver cannot compare: $offenders")
   }
+
+  test("every reference citation in main sources points at a file that exists") {
+    // The repo's discipline is line-level citation of the reference; a
+    // fabricated path (VERDICT r12 found one) is corrosive precisely
+    // because nothing checked it. Extract every cited reference file —
+    // absolute (/root/reference/...) or repo-relative (src/...py,
+    // dags/...py) — from every main .scala file and stat it.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val cite = """(?:/root/reference/)?((?:src|dags|tests|configs)/[A-Za-z0-9_/]+\.py)""".r
+    val mainDir = Paths.get("src/main/scala")
+    val missing = Files.walk(mainDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        cite.findAllMatchIn(text).map(m => p.toString -> m.group(1))
+      }
+      .filterNot { case (_, rel) =>
+        Files.exists(Paths.get("/root/reference").resolve(rel))
+      }
+      .toSeq.distinct
+    assert(missing.isEmpty,
+      s"citation of a nonexistent reference file: $missing")
+  }
 }

@@ -20,10 +20,14 @@ class SketchesSpec extends AnyFunSuite {
 
   test("cms estimate is an overestimate for every seen item, exact when wide") {
     val items = stream.toDF("w")
-    for (width <- Seq(8, 1 << 16)) {
+    // width 8 is deliberately saturated (20 distinct keys ≫ capacity
+    // ~46/ln2 per-row occupancy) — guard off to exercise the
+    // overcount-only contract below the guard
+    for ((width, guard) <- Seq(8 -> false, (1 << 16) -> true)) {
       val sk = Sketches.cmsBuild(items, col("w"), 4, width)
       val est = Sketches
-        .cmsEstimate(items.distinct(), col("w"), sk, 4, width)
+        .cmsEstimate(items.distinct(), col("w"), sk, 4, width,
+          failOnSaturation = guard)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(est.keySet == exact.keySet)
       exact.foreach { case (w, c) =>
@@ -36,10 +40,30 @@ class SketchesSpec extends AnyFunSuite {
     // overestimate half of the property tested nothing)
     val skNarrow = Sketches.cmsBuild(items, col("w"), 4, 8)
     val estNarrow = Sketches
-      .cmsEstimate(items.distinct(), col("w"), skNarrow, 4, 8)
+      .cmsEstimate(items.distinct(), col("w"), skNarrow, 4, 8,
+        failOnSaturation = false)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.exists { case (w, c) => estNarrow(w) > c },
       "8 buckets for 20 items produced zero collisions — dead property")
+  }
+
+  test("cms saturation guard refuses to probe a data-swamped sketch (VERDICT r12 #3)") {
+    // 20 distinct keys into width=8 fully occupies every hash row —
+    // exactly the SCALE.md-r12 failure mode (w=2048 vs 20k keys) in
+    // miniature. The DEFAULT estimate path must raise with the resize
+    // rule, not return collision noise.
+    val items = stream.toDF("w")
+    val sk = Sketches.cmsBuild(items, col("w"), 4, 8)
+    val ex = intercept[Exception] {
+      Sketches.cmsEstimate(items.distinct(), col("w"), sk, 4, 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("saturated")),
+      s"expected the saturation raise_error, got: $ex")
+    // capacity arithmetic is what the message tells users to size by
+    assert(Sketches.cmsCapacity(4, 2048) > 11000L &&
+      Sketches.cmsCapacity(4, 2048) < 12500L)
   }
 
   test("cms estimate for an unseen item is >= 0 and bounded by bucket mass") {

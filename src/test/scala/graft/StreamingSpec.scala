@@ -293,6 +293,80 @@ class StreamingSpec extends AnyFunSuite {
       .select("__epoch").distinct().as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("gapFillBatch: epoch-concat equals batch gapFill, fills inter-epoch gaps, replay-stable") {
+    val stateDir = java.nio.file.Files.createTempDirectory("gfstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gfout").toString
+    def ev(rows: (Long, String, Double)*) = rows.toSeq.toDF("k", "tss", "v")
+      .select(col("k"), col("tss").cast("timestamp").as("ts"), col("v"))
+    // epoch 0: key 1 hours 00–01, key 2 hour 00
+    val e0 = ev((1L, "2024-01-01 00:10:00", 2.0),
+      (1L, "2024-01-01 01:20:00", 3.0), (2L, "2024-01-01 00:00:00", 5.0))
+    // epoch 1: key 1 hour 04 — hours 02–03 fell BETWEEN epochs; key 2 idle
+    val e1 = ev((1L, "2024-01-01 04:05:00", 7.0))
+    // epoch 2: key 2 resumes at hour 03 (hours 01–02 fell between its
+    // last seen hour 00 and now), key 3 brand new
+    val e2 = ev((2L, "2024-01-01 03:00:00", 1.0),
+      (3L, "2024-01-01 02:00:00", 9.0))
+    def run(e: Long, df: org.apache.spark.sql.DataFrame): Unit =
+      StreamingJobs.gapFillBatch(df, e, col("k"), col("ts"), col("v"),
+        stateDir, outDir)
+    run(0, e0); run(1, e1); run(2, e2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key").cast("long"), col("period").cast("string"),
+        col("value_ff"), col("was_gap"))
+      .as[(Long, String, Double, Int)].collect().toSet
+    def streamed = (0 to 2)
+      .map(e => spark.read.parquet(s"$outDir/epoch=$e"))
+      .reduce(_ unionByName _)
+    val batch = graft.operators.TimeSeries.gapFill(
+      e0.unionByName(e1).unionByName(e2), col("k"), col("ts"), col("v"),
+      "hour")
+    // the sink's concatenated epochs ARE the batch operator's output —
+    // including the was_gap hours no single epoch contained
+    assert(rows(streamed) == rows(batch))
+    // the inter-epoch fill carried key 1's hour-01 value across the
+    // epoch-1 gap hours
+    assert(rows(spark.read.parquet(s"$outDir/epoch=1")) == Set(
+      (1L, "2024-01-01 02:00:00", 3.0, 1),
+      (1L, "2024-01-01 03:00:00", 3.0, 1),
+      (1L, "2024-01-01 04:00:00", 7.0, 0)))
+    // crash-after-commit replay of the last epoch: output and live seed
+    // are reconstructed identically ((key, __epoch)-keyed state rows)
+    val seedBefore = graft.sources.Writers.latestVersion(stateDir).get
+    val liveBefore = spark.read.parquet(s"$stateDir/v$seedBefore")
+      .collect().map(_.toString).toSet
+    run(2, e2)
+    assert(rows(streamed) == rows(batch))
+    val seedAfter = graft.sources.Writers.latestVersion(stateDir).get
+    assert(spark.read.parquet(s"$stateDir/v$seedAfter")
+      .collect().map(_.toString).toSet == liveBefore)
+  }
+
+  test("gapFillBatch drops per-key late periods and counts them in metrics") {
+    val stateDir = java.nio.file.Files.createTempDirectory("gfstate2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gfout2").toString
+    def ev(rows: (Long, String, Double)*) = rows.toSeq.toDF("k", "tss", "v")
+      .select(col("k"), col("tss").cast("timestamp").as("ts"), col("v"))
+    StreamingJobs.gapFillBatch(
+      ev((1L, "2024-01-01 00:00:00", 2.0), (1L, "2024-01-01 02:00:00", 4.0)),
+      0L, col("k"), col("ts"), col("v"), stateDir, outDir)
+    // hour 01 arrives AFTER hour 02 was emitted (as a filled gap): the
+    // key's state last_period is its watermark — the late period drops,
+    // the fresh hour 03 still extends the grid
+    StreamingJobs.gapFillBatch(
+      ev((1L, "2024-01-01 01:00:00", 99.0), (1L, "2024-01-01 03:00:00", 6.0)),
+      1L, col("k"), col("ts"), col("v"), stateDir, outDir)
+    val out1 = spark.read.parquet(s"$outDir/epoch=1")
+      .select(col("period").cast("string"), col("value_ff"), col("was_gap"))
+      .as[(String, Double, Int)].collect().toSet
+    assert(out1 == Set(("2024-01-01 03:00:00", 6.0, 0)))
+    val m = StreamingJobs.epochMetrics(spark, outDir)
+      .filter(col("epoch") === 1)
+      .select(col("flagged_kind"), col("flagged")).collect().head
+    assert(m.getString(0) == "late_period_rows_dropped")
+    assert(m.getLong(1) == 1L)
+  }
+
   test("bloomGateBatch passes only definitely-new keys, replay-stable") {
     val stateDir = java.nio.file.Files.createTempDirectory("bloomstate").toString
     val outDir = java.nio.file.Files.createTempDirectory("bloomout").toString

@@ -50,6 +50,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -58,15 +60,24 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        results[name] = rec
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            rec["err"] = "no spark output"
             n_fail += 1
             continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files])
             duck_df = con.sql(oracle[name]).arrow().to_pandas()
             a, b = norm(spark_df), norm(duck_df)
+            rec["spark_rows"] = len(a)
+            rec["oracle_rows"] = len(b)
+            rec["rows_match"] = len(a) == len(b)
+            rec["schema_match"] = list(a.columns) == list(b.columns)
             if list(a.columns) != list(b.columns):
                 print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
                 n_fail += 1
@@ -82,12 +93,18 @@ def main():
                 print("  duck :", b.loc[i].to_dict())
                 n_fail += 1
             else:
+                rec["hash_match"] = True
                 print(f"PASS {name} ({len(a)} rows)")
                 n_pass += 1
         except Exception as e:
+            rec["err"] = f"{type(e).__name__}: {e}"
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
