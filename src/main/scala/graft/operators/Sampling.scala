@@ -137,9 +137,18 @@ object Sampling {
     * buckets ([[QualityModel.featureBuckets]]); per-bucket log ratios
     * are `round(ln(p),8)` differences accumulated in DECIMAL(28,8) (the
     * q97 parity technique — association order can't matter), and the
-    * only unrounded float op is the final mean + round(6). `selected`
-    * is a rank cut over (logratio desc, id asc) — exact given equal
-    * rounded scores.
+    * only float op is the final mean — ONE IEEE division of the exact
+    * decimal sum (scale-8 scaled integer < 2^53, so the decimal→double
+    * cast is exact in both engines), bit-identical cross-engine. The
+    * mean is deliberately NOT rounded: sf0.1 produced a doc whose exact
+    * mean was precisely −0.0053455 — a perfect round-6 half case —
+    * and Spark's round (shortest-repr decimal, HALF_UP → −0.005346)
+    * disagreed with DuckDB's (binary double just below half →
+    * −0.005345). A raw correctly-rounded quotient has no such boundary;
+    * rounding an IEEE value that sits ON a decimal half is the one op
+    * engines resolve differently (CORRECTNESS_sf01, r13). `selected`
+    * is a rank cut over (logratio desc, id asc) — exact given
+    * bit-identical scores.
     *
     * Scale shape: two corpus passes, both shuffle-lean. Pass 1
     * estimates the distributions — explode features, ONE partial+final
@@ -186,7 +195,7 @@ object Sampling {
       .agg(count(lit(1)).as("n_feats"),
         sum(col("__lr")).cast("decimal(28,8)").as("__lrs"))
       .withColumn("logratio",
-        round(col("__lrs").cast("double") / col("n_feats"), 6) + lit(0.0))
+        col("__lrs").cast("double") / col("n_feats") + lit(0.0))
       .localCheckpoint()
     require(k >= 1, s"k must be >= 1 (got $k)")
     val kth = scored

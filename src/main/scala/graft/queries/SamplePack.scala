@@ -138,7 +138,7 @@ object SamplePack extends QueryPack {
                       CAST(sum(lr) AS DECIMAL(28,8)) AS lrs
                FROM b JOIN r USING (bucket) GROUP BY 1),
          t2 AS (SELECT doc_id, n_feats,
-                       round(CAST(lrs AS DOUBLE) / n_feats, 6)
+                       CAST(lrs AS DOUBLE) / n_feats
                          + CAST(0.0 AS DOUBLE) AS logratio
                 FROM s)
          SELECT doc_id, n_feats, logratio,
