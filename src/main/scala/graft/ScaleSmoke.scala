@@ -484,6 +484,26 @@ object ScaleSmoke {
         split(col("text"), " "), 8)
         .filter(col("n_kept") < col("n_tok")).count()
     }
+    // BPE training at N× (q132's core, r13): the scale claim is that the
+    // ITERATIONS run on the bounded word-TYPE table — only the one-time
+    // type aggregation sees corpus bytes. Two axes: bpe-train-ordered
+    // grows the corpus with a FIXED vocabulary (replicated text — the
+    // realistic axis: natural vocabularies grow sublinearly, so the
+    // 24-rank loop's cost should stay ~flat while the type agg tracks
+    // the scan); bpe-train-rtoks grows the vocabulary ~N× with the
+    // corpus (replica-prefixed tokens — the adversarial axis: the type
+    // table itself scales, bounding the loop's growth by |types|).
+    for ((label, words) <- Seq(
+        "bpe-train-ordered" -> bigDocsOrdered.select(explode(
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word")),
+        "bpe-train-rtoks" -> bigDocsRtoks
+          .select(explode(col("toks")).as("word"))))
+      time(label) {
+        val types = words.groupBy("word").agg(count(lit(1)).as("w"))
+        operators.Vocab.learnBpe(types, col("word"), col("w"), 24).length
+          .toLong
+      }
     time("substring-dedup-hotwin") {
       // skew twin: every doc (every replica — the banner is NOT
       // replica-prefixed) carries the same 8-token banner, so ONE

@@ -483,6 +483,34 @@ object TextPack extends QueryPack {
         .toDF("merge_rank", "x", "y")
     }),
 
+    // L4 end-to-end: the tokenizer PIPELINE — train the merge table from
+    // the corpus (q132's loop), then encode the SAME corpus with the
+    // learned table (q107's map-only greedy expression) and report the
+    // per-doc token budget (n_words → n_bpe). This is the user story the
+    // two halves exist for: no hand-written merge list anywhere. The
+    // oracle re-learns the table AND re-encodes: per-type tokenization
+    // is the training chain's own final wrapped form (the ascending
+    // pass), joined back to each document's words — equivalent to the
+    // Spark side's greedy re-encode for a valid (learned) table, the
+    // Bpe-scaladoc equivalence BpeSpec brute-forces. Scale: training as
+    // q132 (corpus-sized type agg + bounded loop), encode map-only with
+    // the ≤nMerges table riding the expression.
+    "q134_bpe_pipeline" -> ((s, dir) => Q.ordered {
+      val words = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+      val types = Q.t(s, dir, "documents")
+        .select(explode(words).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("w"))
+      val merges = graft.operators.Vocab.learnBpe(
+        types, col("word"), col("w"), BpeTrainLevels)
+      Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"), words.as("words"))
+        .select(col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          size(flatten(transform(col("words"),
+            w => graft.functions.BpeFunctions.bpeTokens(w, merges))))
+            .cast("long").as("n_bpe"))
+    }),
+
     // L4/K-family middle tier: model-based quality scoring — a
     // fastText-shaped linear classifier over md5-hashed unigram+bigram
     // features with integer micro-unit weights. The Spark side exercises
@@ -522,13 +550,28 @@ object TextPack extends QueryPack {
     * equivalence). The result is the union of the m_k rows — the learned
     * merge table itself. */
   private val bpeTrainSql: String = {
-    // AS MATERIALIZED throughout: DuckDB inlines a CTE once PER
-    // REFERENCE by default, and each w_k is referenced twice (pair
-    // counts + next level) — inlining doubles the tree per rank, 2^8
-    // scans of documents by rank 8 (measured: "too many open files")
-    def level(k: Int): String = {
-      val pair =
-        s"""p$k AS MATERIALIZED (
+    val union = (0 until BpeTrainLevels)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, x, y FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainChainSql
+        SELECT merge_rank, x, y FROM ($union)
+        ORDER BY ALL NULLS FIRST"""
+  }
+
+  /** The shared training CTE chain (q132 reads the m_k merge rows, q134
+    * additionally reads the FINAL tokenization w_LEVELS — each word type
+    * carried alongside its evolving `|sym|`-wrapped form).
+    *
+    * AS MATERIALIZED throughout: DuckDB inlines a CTE once PER
+    * REFERENCE by default, and each w_k is referenced twice (pair
+    * counts + next level) — inlining doubles the tree per rank, 2^8
+    * scans of documents by rank 8 (measured: "too many open files"). */
+  // lazy: referenced by bpeTrainSql above during object init (a plain
+  // later-declared val would still be null there — the compressionFilter
+  // trap)
+  private lazy val bpeTrainChainSql: String = {
+    def level(k: Int): String =
+      s"""p$k AS MATERIALIZED (
              SELECT p[1] AS x, p[2] AS y, sum(w) AS cnt
              FROM (SELECT unnest(list_transform(range(1, len(t)),
                             i -> [t[i], t[i + 1]])) AS p, w
@@ -536,29 +579,21 @@ object TextPack extends QueryPack {
                          FROM w$k))
              GROUP BY 1, 2),
            m$k AS MATERIALIZED (SELECT x, y FROM p$k
-                   ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"""
-      val next =
-        s"""w${k + 1} AS MATERIALIZED (
-             SELECT replace(s,
+                   ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+           w${k + 1} AS MATERIALIZED (
+             SELECT word, replace(s,
                       '|' || (SELECT x FROM m$k) || '||' ||
                              (SELECT y FROM m$k) || '|',
                       '|' || (SELECT x FROM m$k) ||
                              (SELECT y FROM m$k) || '|') AS s, w
              FROM w$k)"""
-      if (k < BpeTrainLevels - 1) pair + ",\n" + next else pair
-    }
-    val union = (0 until BpeTrainLevels)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, x, y FROM m$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-          SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
+    s"""w0 AS MATERIALIZED (
+          SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
                  CAST(count(*) AS BIGINT) AS w
           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
                 FROM documents)
-          GROUP BY 1),
-        ${(0 until BpeTrainLevels).map(level).mkString(",\n")}
-        SELECT merge_rank, x, y FROM ($union)
-        ORDER BY ALL NULLS FIRST"""
+          GROUP BY 1, 2),
+        ${(0 until BpeTrainLevels).map(level).mkString(",\n")}"""
   }
 
   /** Rows-only (RegistrySpec-documented): the DEFLATE bitstream is a zlib
@@ -1031,6 +1066,28 @@ object TextPack extends QueryPack {
          FROM documents ORDER BY ALL NULLS FIRST""",
 
     "q132_bpe_train" -> bpeTrainSql,
+
+    // re-learn the table, then read each word type's FINAL tokenization
+    // off the chain's last wrapped form and join it back to the docs;
+    // empty-word docs survive via the left join
+    "q134_bpe_pipeline" ->
+      s"""WITH $bpeTrainChainSql,
+          enc AS (SELECT word,
+                         CAST(len(str_split(trim(s, '|'), '||')) AS BIGINT)
+                           AS n_tok
+                  FROM w$BpeTrainLevels),
+          docw AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                            AS word
+                   FROM documents),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                         CAST(sum(e.n_tok) AS BIGINT) AS n_bpe
+                  FROM docw JOIN enc e USING (word) GROUP BY 1)
+          SELECT d.doc_id,
+                 CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+                 CAST(coalesce(per.n_bpe, 0) AS BIGINT) AS n_bpe
+          FROM documents d LEFT JOIN per USING (doc_id)
+          ORDER BY ALL NULLS FIRST""",
 
     "q107_bpe_encode" ->
       s"""WITH w AS (SELECT doc_id,

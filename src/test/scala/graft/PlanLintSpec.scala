@@ -276,6 +276,13 @@ class PlanLintSpec extends AnyFunSuite {
         s"$total rows for a band of $matched")
   }
 
+  // the tokenizer pipeline's DECLARED plan is the encode half only (the
+  // training loop runs at construction and ends in a driver-side merge
+  // table riding the expression — the q92 checkpointed-construction
+  // shape): one corpus scan, zero keyed exchanges
+  assertShuffleBudget("q134_bpe_pipeline", 0)
+  assertScanBudget("q134_bpe_pipeline", 1)
+
   // RAG chunking is a per-row sequence explode — any exchange appearing
   // here means someone keyed the fan-out, which nothing requires
   assertShuffleBudget("q124_rag_chunks", 0)

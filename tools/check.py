@@ -4,8 +4,10 @@ shipped library is pure Scala/Spark). Runs each SparkEntry.oracleSql in
 DuckDB over the sf-dir parquet tables and compares against the Verify
 parquet dumps: columns sorted by name, rows sorted, values compared.
 
-Usage: python3 tools/check.py [sfDir] [verifyOutDir]
-(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+Usage: python3 tools/check.py [sfDir] [verifyOutDir] [jsonArtifactOut]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first; the optional
+third arg writes the per-query result map in the driver's
+CORRECTNESS_r*.json format, e.g. for the sf0.1 artifact)
 """
 import duckdb, glob, json, os, sys
 import pandas as pd
