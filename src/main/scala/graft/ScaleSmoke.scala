@@ -165,6 +165,18 @@ object ScaleSmoke {
           f"true-heavy=$hits%8d precision=${
             if (flagged == 0) 1.0 else hits.toDouble / flagged}%.3f")
       }
+    // KMV distinct sketch (q135): state is ≤ k values per task at EVERY
+    // mult; distinct l_orderkey grows ~N× with the perturbed corpus, so
+    // the printed estimate/exact pair shows the ~1/√k error holding
+    // while the input cardinality scales 100×.
+    time("kmv-distinct") {
+      val r = operators.Sketches.kmvDistinct(
+        big, col("l_orderkey").cast("string"), 256).head()
+      val exact = big.select(col("l_orderkey")).distinct().count()
+      println(f"[scale] kmv-distinct est=${r.getDouble(3)}%.0f exact=$exact " +
+        f"err=${math.abs(r.getDouble(3) - exact) / exact}%.3f")
+      exact
+    }
     time("bloom-build+probe") {
       val keyed = big.select(col("l_partkey").cast("string").as("k"))
       val bits = operators.Sketches.bloomBuild(

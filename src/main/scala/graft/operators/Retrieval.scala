@@ -134,4 +134,24 @@ object Retrieval {
         round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)
           .as("bm25"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked candidate lists — the standard hybrid-retrieval combiner
+    * (lexical BM25 list ⊕ vector ANN list) that needs no score
+    * calibration because it consumes RANKS: fused = Σ 1/(c + rank),
+    * absent-from-a-list contributing 0.
+    *
+    * Scale shape: inputs are each system's TOP-N list (the practical
+    * contract — rank the bounded heads, not the corpora), so the full
+    * outer join and everything after run on ≤ 2N rows. Parity: ranks
+    * are exact integers and the fused score is a two-term sum of
+    * correctly-rounded IEEE divisions in fixed written order —
+    * bit-identical cross-engine with no rounding step to disagree on
+    * (the q111 lesson). Output: (id, rankA, rankB, rrf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankA: String, rankB: String, c: Double = 60.0): DataFrame =
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col(rankA), col(rankB),
+        (coalesce(lit(1.0) / (lit(c) + col(rankA)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col(rankB)), lit(0.0))).as("rrf"))
 }

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -116,6 +118,90 @@ object Sketches {
             s"(depth*width/ln2); resize width >= distinct*ln2/depth"))))
           .otherwise(col("est")).as("est"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002; Beyer et al. 2007) — the ORACLE-CHECKABLE sibling of q63's
+    * HLL: where HLL's register layout is engine-specific (rows-only by
+    * documented design), KMV's entire state is "the k smallest distinct
+    * md5 hash values", and its estimate `(k−1)·2^32 / h_k` is one IEEE
+    * division of exact integers — bit-replayable by any SQL engine.
+    * Relative error ~ 1/√k.
+    *
+    * Scale shape: a typed [[Aggregator]] whose buffer is a ≤ k-element
+    * sorted array — CONSTANT state per task regardless of data (each
+    * partition partially aggregates to ≤ k values before the 1-group
+    * final merge; nothing data-sized moves). When fewer than k distinct
+    * hashes exist the sketch IS the distinct set and the estimate is
+    * exact — the standard small-cardinality rule. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"kmv k must be >= 2 (got $k)")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(buf, h)
+      if (i >= 0) buf // already held
+      else {
+        val ins = -i - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) {
+          // displaces the current k-th minimum
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(reduce)
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The ≤ k smallest distinct md5 hashes of `item` as rows `(h)` — the
+    * KMV sketch state itself (exactly mergeable: the k-minima of a union
+    * equal the k-minima of the union of per-part k-minima, which is what
+    * makes the streaming form's per-epoch contributions re-reducible). */
+  def kmvMinima(items: DataFrame, item: Column, k: Int): DataFrame =
+    items
+      .select(HashFunctions.md5Window(item, 0).as("h"))
+      .agg(udaf(new KmvAgg(k), Encoders.scalaLong).apply(col("h")).as("mins"))
+      .select(explode(col("mins")).as("h"))
+
+  /** One-row `(k, n_mins, h_k, est)` from any bounded superset of the
+    * true minima rows `(h)` (re-reduces to the k smallest distinct
+    * first): `est = (k−1)·2^32/h_k`, or the exact count while fewer than
+    * k hashes exist. */
+  def kmvEstimate(minima: DataFrame, k: Int): DataFrame =
+    minima.select(col("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("h_k"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_mins"),
+        col("h_k"),
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            col("h_k").cast("double")).as("est"))
+
+  /** One-row distinct-count estimate for `item` over `items`:
+    * [[kmvMinima]] (one partial-aggregable pass, per-task state the
+    * ≤ k-value buffer) reduced through [[kmvEstimate]]. */
+  def kmvDistinct(items: DataFrame, item: Column, k: Int): DataFrame =
+    kmvEstimate(kmvMinima(items, item, k), k)
 
   /** Deterministic Bloom filter BUILD: the set-bit table for `state`'s
     * keys — bit ids are `r·m + h_r(key) % m` for r in [0, k), so the k

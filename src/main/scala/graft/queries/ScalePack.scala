@@ -28,6 +28,8 @@ object ScalePack extends QueryPack {
   private val BloomK = 4
   private val BloomM = 8192
 
+  private val KmvK = 256
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G4 scale path: co-located SortMergeJoin over tables bucketed by the
@@ -141,6 +143,21 @@ object ScalePack extends QueryPack {
         .select(col("item").as("bigram"), col("est"))
     }),
 
+    // KMV distinct-count sketch — the ORACLE-CHECKED sibling of q63's
+    // engine-specific HLL (G2's approximate tier, finally hash-pinned):
+    // state is "the k smallest distinct md5 hashes" (a ≤ k-value typed
+    // Aggregator buffer, CONSTANT per task), estimate (k−1)·2^32/h_k is
+    // one IEEE division of exact integers — both engines replay it
+    // bit-for-bit. Relative error ~ 1/√k (k=256 → ~6%); the exact
+    // distinct count rides along as the audit column (the q123
+    // ground-truth pattern — production runs the sketch alone).
+    "q135_kmv_distinct" -> ((s, dir) => Q.ordered {
+      val li = Q.t(s, dir, "lineitem")
+      val sk = Sketches.kmvDistinct(li, col("l_partkey").cast("string"), KmvK)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+      sk.crossJoin(broadcast(exact))
+    }),
+
     // Bloom membership gate: "which probe keys are definitely NOT in the
     // state set" from a k·m-bit filter instead of an anti-join against
     // data-sized state. State = custkeys holding an 'F' order; probe =
@@ -236,6 +253,26 @@ object ScalePack extends QueryPack {
           est AS (SELECT c.bg AS bigram, CAST(min(sk.cnt) AS BIGINT) AS est
                   FROM cand c JOIN sk USING (r, bucket) GROUP BY 1)
           SELECT bigram, est FROM est WHERE est >= $CmsThreshold
+          ORDER BY ALL NULLS FIRST""",
+
+    "q135_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT
+                CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+              FROM lineitem),
+          mins AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_mins,
+                         max(h) AS h_k
+                  FROM mins),
+          ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+                 FROM lineitem)
+          SELECT CAST($KmvK AS BIGINT) AS k, n_mins, h_k,
+                 CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+                      ELSE CAST(${KmvK - 1} AS DOUBLE)
+                           * CAST(4294967296 AS DOUBLE)
+                           / CAST(h_k AS DOUBLE) END AS est,
+                 n_exact
+          FROM agg, ex
           ORDER BY ALL NULLS FIRST""",
 
     "q123_bloom_gate" ->

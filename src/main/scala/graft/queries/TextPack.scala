@@ -511,6 +511,40 @@ object TextPack extends QueryPack {
             .cast("long").as("n_bpe"))
     }),
 
+    // L4/L2 hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-N (q28's scorer) with the vector cosine top-N (q51's scorer) —
+    // the standard no-calibration combiner (Cormack et al. 2009) every
+    // RAG/retrieval stack runs where lexical and embedding signals must
+    // merge. Both arms are cut to their bounded heads BEFORE ranking
+    // (TakeOrdered top-N — never a global corpus sort), so the fusion
+    // join runs on ≤ 2N rows; the fused score is a two-term sum of
+    // IEEE divisions of exact integer ranks — bit-identical
+    // cross-engine, no rounding step (the q111 lesson).
+    "q136_rrf_fusion" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Retrieval, Similarity}
+      val N = 100
+      val lex = Retrieval.bm25(
+          Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
+          "doc_id", split(col("text"), " "), Seq("join", "filter", "scan"))
+        .orderBy(col("bm25").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(N)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc_nulls_last,
+            col("doc_id").asc_nulls_first)).cast("long"))
+        .select(col("doc_id").as("id"), col("r_lex"))
+      val vec = Similarity.cosineTopK(
+          Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+          Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+            .select(col("embedding").as("qvec")),
+          "qvec", k = N)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("score").desc_nulls_last,
+            col("vec_id").asc_nulls_first)).cast("long"))
+        .select(col("vec_id").as("id"), col("r_vec"))
+      Retrieval.rrfFuse(lex, vec, "id", "r_lex", "r_vec")
+    }),
+
     // L4/K-family middle tier: model-based quality scoring — a
     // fastText-shaped linear classifier over md5-hashed unigram+bigram
     // features with integer micro-unit weights. The Spark side exercises
@@ -566,6 +600,30 @@ object TextPack extends QueryPack {
     * REFERENCE by default, and each w_k is referenced twice (pair
     * counts + next level) — inlining doubles the tree per rank, 2^8
     * scans of documents by rank 8 (measured: "too many open files"). */
+  /** q28's BM25 as a reusable CTE chain ending in
+    * `bm(doc_id, n_terms, bm25)` — shared with q136's lexical arm.
+    * Engine-parity notes live on the q28 entry: idf's ln rounded to 8
+    * before use, per-term scores rounded to 6 and DECIMAL-summed,
+    * 2.2 = k1+1 pre-computed. */
+  private lazy val bm25ChainSql: String =
+    """tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+       dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       st  AS (SELECT count(*) AS n_docs,
+                      round(CAST(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avgdl
+               FROM dl),
+       tf  AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+       dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+               WHERE token IN ('join', 'filter', 'scan') GROUP BY 1),
+       sc  AS (SELECT t.doc_id,
+                      round(round(ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 8)
+                        * (t.tf * CAST(2.2 AS DOUBLE))
+                        / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * d.dl) / s.avgdl)), 6) AS term_score
+               FROM tf t JOIN dfc USING (token) JOIN dl d USING (doc_id) CROSS JOIN st s),
+       bm  AS (SELECT doc_id, count(*) AS n_terms,
+                      round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
+               FROM sc GROUP BY 1)"""
+
   // lazy: referenced by bpeTrainSql above during object init (a plain
   // later-declared val would still be null there — the compressionFilter
   // trap)
@@ -662,23 +720,39 @@ object TextPack extends QueryPack {
     // (libm-vs-JVM last-ulp), per-term scores rounded to 6 and summed in
     // DECIMAL. 2.2 = k1+1 (exact in binary: 1.2d + 1.0d == 2.2d).
     "q28_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
-         dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         st  AS (SELECT count(*) AS n_docs,
-                        round(CAST(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avgdl
-                 FROM dl),
-         tf  AS (SELECT doc_id, token, count(*) AS tf FROM tok
-                 WHERE token IN ('join', 'filter', 'scan') GROUP BY 1, 2),
-         dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
-                 WHERE token IN ('join', 'filter', 'scan') GROUP BY 1),
-         sc  AS (SELECT t.doc_id,
-                        round(round(ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 8)
-                          * (t.tf * CAST(2.2 AS DOUBLE))
-                          / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * d.dl) / s.avgdl)), 6) AS term_score
-                 FROM tf t JOIN dfc USING (token) JOIN dl d USING (doc_id) CROSS JOIN st s)
-         SELECT doc_id, count(*) AS n_terms,
-                round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
-         FROM sc GROUP BY 1 ORDER BY ALL NULLS FIRST""",
+      s"""WITH $bm25ChainSql
+         SELECT doc_id, n_terms, bm25
+         FROM bm ORDER BY ALL NULLS FIRST""",
+
+    // both arms cut to their top-100 heads, ranked, full-outer fused:
+    // rrf = 1/(60+r_lex) + 1/(60+r_vec), absent arm contributing 0
+    "q136_rrf_fusion" ->
+      s"""WITH $bm25ChainSql,
+          lex AS (SELECT doc_id, bm25 FROM bm
+                  ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+          lexr AS (SELECT doc_id AS id,
+                          CAST(row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+                                                  doc_id ASC) AS BIGINT) AS r_lex
+                   FROM lex),
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+          cos AS (SELECT * FROM (
+                    SELECT vec_id,
+                           round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+                                 (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                                  sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 6) AS score
+                    FROM embeddings, q
+                    ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT 100)),
+          vecr AS (SELECT vec_id AS id,
+                          CAST(row_number() OVER (ORDER BY score DESC NULLS LAST,
+                                                  vec_id ASC) AS BIGINT) AS r_vec
+                   FROM cos)
+          SELECT coalesce(l.id, v.id) AS id, r_lex, r_vec,
+                 coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                          CAST(0.0 AS DOUBLE)) +
+                 coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+          FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id
+          ORDER BY ALL NULLS FIRST""",
 
     "q47_length_band" ->
       """SELECT doc_id, lang, n_chars, round(pr, 6) AS pr FROM (

@@ -404,6 +404,59 @@ object StreamingJobs {
       flaggedKind = "heavy_hitters")
   }
 
+  /** [[cmsSink]]'s distinct-count sibling — the KMV sketch
+    * ([[graft.operators.Sketches.kmvMinima]]/`kmvEstimate`, q135's
+    * operator) as an incremental sink: each micro-batch contributes its
+    * own ≤ k minima, the cumulative (or `maxEpochAge`-sliding) distinct
+    * estimate is emitted to `outDir/epoch=N` as one `(k, n_mins, h_k,
+    * est)` row. State is ≤ k rows PER RETAINED EPOCH — corpus-
+    * independent — and exactly mergeable: the k-minima of a union equal
+    * the k-minima of the union of per-part k-minima, so the cumulative
+    * estimate equals a one-shot build over the concatenated stream
+    * (StreamingSpec pins the equality). The production question this
+    * answers: "how many distinct URLs/keys have we ingested (all-time,
+    * or over the last N epochs)" without data-sized distinct state.
+    *
+    * Replay contract, family-standard (the cmsSink shape): per-epoch
+    * contributions keyed (h, __epoch) — a replayed epoch overwrites its
+    * own rows, probes filter `__epoch < epochId`, output overwrites by
+    * epoch. `maxEpochAge` N > 0 retains only the last N epochs'
+    * minima → a sliding-window distinct monitor. */
+  def kmvSink(items: DataFrame, itemCol: Column,
+              stateDir: String, outDir: String,
+              k: Int = 256, maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        kmvBatch(batch, epochId, itemCol, stateDir, outDir, k, maxEpochAge)
+      }
+
+  /** One epoch of [[kmvSink]], exposed for replay/merge testing. */
+  def kmvBatch(batch: DataFrame, epochId: Long, itemCol: Column,
+               stateDir: String, outDir: String,
+               k: Int = 256, maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val fresh = graft.operators.Sketches.kmvMinima(batch, itemCol, k)
+      .withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    val estimate = graft.operators.Sketches.kmvEstimate(
+      prior.select(col("h")).unionByName(fresh.select(col("h"))), k)
+    estimate.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, fresh, Seq("h", "__epoch"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = 1L,
+      stateDir = stateDir,
+      flaggedKind = "distinct_estimates_emitted")
+  }
+
   /** [[cmsSink]]'s membership sibling — the Bloom ingest gate
     * ([[graft.operators.Sketches.bloomBuild]]/`bloomProbe`) as an
     * incremental sink: each micro-batch's keys probe the persisted bit

@@ -50,7 +50,14 @@ class PlanLintSpec extends AnyFunSuite {
     "q118_source_drift",
     // q119 containment shares jaccardPairs' 1-row df-cap count broadcast
     // (the q50/q60 guard shape)
-    "q119_containment_pairs")
+    "q119_containment_pairs",
+    // q135 crosses its 1-row sketch against the 1-row exact-distinct
+    // audit (the q123 ground-truth pattern; production runs the sketch
+    // alone)
+    "q135_kmv_distinct",
+    // q136's arms inherit q51's 1-row query-vector broadcast and q28's
+    // 1-row corpus-stats broadcast
+    "q136_rrf_fusion")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the

@@ -74,6 +74,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(est.length == 1 && est(0).getLong(1) >= 0L)
   }
 
+  test("kmv is exact below k, ~1/sqrt(k)-accurate above, partition-order-independent") {
+    import org.apache.spark.sql.functions.col
+    // below k: the sketch IS the distinct set
+    val small = (0 until 50).map(i => s"v$i") ++ (0 until 50).map(i => s"v$i")
+    val exactRow = Sketches.kmvDistinct(small.toDF("x"), col("x"), 256).head()
+    assert(exactRow.getLong(1) == 50L && exactRow.getDouble(3) == 50.0)
+    // above k: 2000 distinct, k=256 → expect within 3/sqrt(k) ≈ 19%
+    val big = (0 until 2000).map(i => s"key$i")
+    val est = Sketches.kmvDistinct(big.toDF("x"), col("x"), 256)
+      .head().getDouble(3)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.19,
+      s"kmv estimate $est too far from 2000")
+    // determinism: the k-minima set is a pure function of the value set —
+    // partitioning and duplication must not move the estimate
+    val shuffled = Sketches.kmvDistinct(
+      (big ++ big).reverse.toDF("x").repartition(7), col("x"), 256)
+      .head().getDouble(3)
+    assert(shuffled == est)
+  }
+
   test("bloom has no false negatives; generous m yields true negatives") {
     val state = (0 until 200).map(i => s"k$i").toDF("k")
     val probeKeys = (0 until 300).map(i => s"k$i")
