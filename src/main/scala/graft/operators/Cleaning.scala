@@ -162,4 +162,45 @@ object Cleaning {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       LongIdRe, "<ID>")
+
+  /** Fuzzy canonical-key recovery — entity resolution of scraped/typo'd
+    * keys against a bounded canonical dictionary (the C1/C7 family's
+    * edit-distance tier: exact normalization handles case/whitespace/
+    * URL mess; this handles CHARACTER damage — dropped, doubled,
+    * substituted letters — the reference's lookup keys arrive with,
+    * src/storage.py:103's lookup_key normalization being exact-only).
+    *
+    * Blocking + verify, the classic ER shape: candidates must share the
+    * first character and sit within `maxDist` of the dirty key's length
+    * (cheap algebraic necessary conditions for levenshtein ≤ maxDist),
+    * then the exact `levenshtein` verifies. Best match per dirty row by
+    * (distance ASC, candidate ASC) — a deterministic min-struct, no
+    * window. Unmatched rows keep a NULL match (route to review, don't
+    * guess).
+    *
+    * Scale shape: the dictionary is DISTINCT-deduped and BROADCAST —
+    * this operator is for the dictionary-bounded regime (canonical
+    * product/entity lists), where the corpus streams map-side past it
+    * and the only shuffle is the per-row min-struct re-group (partial-
+    * aggregable). Dictionary-vs-dictionary fuzzy dedup at corpus scale
+    * is the LSH/banding tier's job (Dedup.*), not a broadcast join's.
+    * Output: (idCol, dirty, matched, dist) — dist NULL when unmatched. */
+  def fuzzyMatch(dirty: DataFrame, idCol: String, dirtyCol: Column,
+                 dict: DataFrame, dictCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    val cand = dict.select(col(dictCol).as("__cand")).distinct()
+    dirty.select(col(idCol), dirtyCol.as("dirty"))
+      .join(broadcast(cand),
+        substring(col("dirty"), 1, 1) === substring(col("__cand"), 1, 1) &&
+          abs(length(col("dirty")) - length(col("__cand"))) <= maxDist &&
+          levenshtein(col("dirty"), col("__cand")) <= maxDist,
+        "left")
+      .select(col(idCol), col("dirty"), col("__cand"),
+        levenshtein(col("dirty"), col("__cand")).cast("long").as("__dist"))
+      .groupBy(col(idCol), col("dirty"))
+      .agg(min(when(col("__cand").isNotNull,
+        struct(col("__dist"), col("__cand")))).as("__m"))
+      .select(col(idCol), col("dirty"),
+        col("__m.__cand").as("matched"), col("__m.__dist").as("dist"))
+  }
 }

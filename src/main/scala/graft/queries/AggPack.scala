@@ -50,6 +50,29 @@ object AggPack extends QueryPack {
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order")))),
 
+    // G1/G6: per-group EXACT quantiles (the distribution summary every
+    // monitoring rollup wants next to its means) at binary-exact
+    // p-values — 0.25/0.5/0.75 are exact binary fractions and
+    // l_quantity's domain is small integers, so the linear interpolation
+    // is exact IEEE arithmetic in BOTH engines regardless of lerp
+    // formula (a p like 0.95 would not be: p·(n−1) inexact → the
+    // engines' different lerp orderings diverge by ulps). Scale note:
+    // Spark's exact percentile buffers a per-group value→count map —
+    // bounded by the VALUE DOMAIN (50 graded quantities here), not the
+    // group size; for unbounded continuous domains reach for
+    // approx_percentile instead (engine-specific sketch, the q63
+    // rows-only stance).
+    "q137_group_quantiles" -> ((s, dir) => Q.ordered {
+      Q.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("__q"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          element_at(col("__q"), 1).as("p25"),
+          element_at(col("__q"), 2).as("p50"),
+          element_at(col("__q"), 3).as("p75"))
+    }),
+
     // G2: exact distinct-count per group (approx_count_distinct is the
     // non-oracle scale variant — HLL sketch, no exact shuffle of values).
     "q31_count_distinct" -> ((s, dir) => Q.ordered(
@@ -382,6 +405,15 @@ object AggPack extends QueryPack {
     "q31_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
          FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""",
+
+    // binary-exact p-values over a small-integer domain: the linear
+    // interpolation is exact in both engines (see the Spark-side note)
+    "q137_group_quantiles" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""",
 
     "q32_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

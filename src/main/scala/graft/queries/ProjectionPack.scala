@@ -107,6 +107,27 @@ object ProjectionPack extends QueryPack {
             .otherwise(concat(lit("http://other.example.com/"),
               col("doc_id").cast("string")))).as("abs_url"))
         .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1)))),
+
+    // C1/C7 edit-distance tier: fuzzy canonical-key recovery — scraped
+    // part names arrive with deterministic character damage (dropped /
+    // doubled / substituted letter by partkey residue, the q113
+    // synthesized-mess pattern) and are resolved against the bounded
+    // canonical name dictionary by blocked levenshtein (first-char +
+    // length-band blocking, exact verify, deterministic (dist, name)
+    // min). Both engines share the same unit-cost levenshtein, so the
+    // recovered keys and distances hash-match exactly.
+    "q138_fuzzy_match" -> ((s, dir) => Q.ordered {
+      val parts = Q.t(s, dir, "part")
+      val n = col("p_name")
+      val scraped = when(col("p_partkey") % 3 === 0,
+          concat(substring(n, 1, 2), substring(n, 4, 1000)))
+        .when(col("p_partkey") % 3 === 1,
+          concat(substring(n, 1, 4), substring(n, 4, 1000)))
+        .otherwise(concat(substring(n, 1, 1), lit("x"), substring(n, 3, 1000)))
+      Cleaning.fuzzyMatch(
+        parts.select(col("p_partkey"), scraped.as("s")),
+        "p_partkey", col("s"), parts, "p_name", maxDist = 2)
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -180,5 +201,30 @@ object ProjectionPack extends QueryPack {
                 regexp_extract(regexp_replace('http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR),
                                '^http:', 'https:'), 'https://([^/]+)/', 1) AS host
          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    // same corruption residues, same blocking, same (dist, name) best-
+    // match rule; unmatched scraped keys keep NULL (route to review)
+    "q138_fuzzy_match" ->
+      """WITH dict AS (SELECT DISTINCT p_name FROM part),
+         dirty AS (SELECT p_partkey,
+                          CASE CAST(p_partkey % 3 AS INT)
+                            WHEN 0 THEN substr(p_name, 1, 2) || substr(p_name, 4, 1000)
+                            WHEN 1 THEN substr(p_name, 1, 4) || substr(p_name, 4, 1000)
+                            ELSE substr(p_name, 1, 1) || 'x' || substr(p_name, 3, 1000)
+                          END AS dirty
+                   FROM part),
+         cand AS (SELECT d.p_partkey, d.dirty, c.p_name AS cand,
+                         CAST(levenshtein(d.dirty, c.p_name) AS BIGINT) AS dist
+                  FROM dirty d JOIN dict c
+                    ON substr(d.dirty, 1, 1) = substr(c.p_name, 1, 1)
+                   AND abs(length(d.dirty) - length(c.p_name)) <= 2
+                   AND levenshtein(d.dirty, c.p_name) <= 2),
+         best AS (SELECT p_partkey, cand AS matched, dist FROM (
+                    SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY dist ASC, cand ASC) AS rn
+                    FROM cand) WHERE rn = 1)
+         SELECT d.p_partkey, d.dirty, b.matched, b.dist
+         FROM dirty d LEFT JOIN best b USING (p_partkey)
+         ORDER BY ALL NULLS FIRST""",
   )
 }

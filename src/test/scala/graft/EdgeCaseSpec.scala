@@ -216,4 +216,25 @@ class EdgeCaseSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("fuzzyMatch: deterministic (dist, candidate) best match, NULL when unmatched") {
+    import spark.implicits._
+    import graft.operators.Cleaning
+    val dict = Seq("alpha", "alpho", "beta").toDF("name")
+    val dirty = Seq((1L, "alphq"), (2L, "zzzzz"), (3L, "beta"))
+      .toDF("id", "s")
+    val got = Cleaning.fuzzyMatch(dirty, "id", col("s"), dict, "name", 2)
+      .orderBy("id").collect()
+    // dist 1 to BOTH alpha and alpho → the lexicographic tie-break must
+    // pick alpha on every engine
+    assert(got(0).getString(2) == "alpha" && got(0).getLong(3) == 1L)
+    // nothing within the block/distance → NULL match, NULL dist
+    assert(got(1).isNullAt(2) && got(1).isNullAt(3))
+    // exact hit wins at distance 0
+    assert(got(2).getString(2) == "beta" && got(2).getLong(3) == 0L)
+    // the dictionary side must be a broadcast join (bounded-dict regime)
+    val plan = Cleaning.fuzzyMatch(dirty, "id", col("s"), dict, "name", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
