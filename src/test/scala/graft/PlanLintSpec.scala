@@ -290,6 +290,16 @@ class PlanLintSpec extends AnyFunSuite {
   assertShuffleBudget("q134_bpe_pipeline", 0)
   assertScanBudget("q134_bpe_pipeline", 1)
 
+  // exact quantiles: one scan, one grouped-agg exchange
+  assertShuffleBudget("q137_group_quantiles", 1)
+  assertScanBudget("q137_group_quantiles", 1)
+  // fuzzy match: the best-match min-struct regroup is the one
+  // CORPUS-sized keyed exchange; the second is the dictionary's
+  // distinct() — over the bounded dict side, pre-broadcast, corpus-
+  // independent by the operator's contract
+  assertShuffleBudget("q138_fuzzy_match", 2)
+  assertScanBudget("q138_fuzzy_match", 2)
+
   // RAG chunking is a per-row sequence explode — any exchange appearing
   // here means someone keyed the fan-out, which nothing requires
   assertShuffleBudget("q124_rag_chunks", 0)
