@@ -592,6 +592,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$stateDir/v$v").count() <= 4 * 3)
   }
 
+  test("kmvSink e2e on a FILE source: checkpoint restart + cumulative estimate") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Sketches
+    val srcDir = java.nio.file.Files.createTempDirectory("kmvsrc").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("kmvfsstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("kmvfsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kmvfsckpt").toString
+    def start() = StreamingJobs.kmvSink(
+        spark.readStream.schema("x STRING").parquet(srcDir),
+        col("x"), stateDir, outDir, k = 64)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val b0 = (0 until 100).map(i => s"u$i")
+    b0.toDF("x").write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.awaitTermination()
+    def estAt(e: Long) = spark.read.parquet(s"$outDir/epoch=$e")
+      .head().getDouble(3)
+    def oneShot(items: Seq[String]) =
+      Sketches.kmvDistinct(items.toDF("x"), col("x"), 64).head().getDouble(3)
+    assert(estAt(0) == oneShot(b0))
+    // restart (same checkpoint): only the new file processes; the
+    // cumulative estimate at epoch 1 equals the one-shot over EVERYTHING
+    // ever ingested, with 50 of the new keys being repeats
+    val b1 = (50 until 200).map(i => s"u$i")
+    b1.toDF("x").write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.awaitTermination()
+    assert(estAt(1) == oneShot(b0 ++ b1))
+    // state: ≤ k minima per retained epoch, corpus-independent
+    val v = graft.sources.Writers.latestVersion(stateDir).get
+    assert(spark.read.parquet(s"$stateDir/v$v").count() <= 64 * 2)
+  }
+
   test("incrementalDedupSink e2e on a FILE source: trigger, checkpoint restart, versioned state") {
     // the production shape: docs land as parquet files in a directory,
     // the sink runs on a trigger with a checkpoint, and a restarted query
