@@ -108,6 +108,42 @@ object ProjectionPack extends QueryPack {
               col("doc_id").cast("string")))).as("abs_url"))
         .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1)))),
 
+    // P-family JSON tier: typed parsing of a JSON API payload —
+    // `from_json` with an explicit schema extracts nested scalars and
+    // array elements, and MALFORMED payloads degrade to NULL fields
+    // (valid=0) instead of failing the task: the tolerance contract the
+    // reference's JSON consumers live by (src/classifier.py:97-105
+    // try/except json.loads → {}; src/scrapers/scraper.py:52-56 builds
+    // its checksums from JSON dumps of item dicts). Payloads are
+    // synthesized with identical string concatenation on both sides
+    // (the q83 pattern) with a deterministic truncated-corruption slice;
+    // the oracle parses with DuckDB's json_extract family behind a
+    // json_valid guard. Row-local, map-only — shuffle budget 0.
+    "q139_json_payload" -> ((s, dir) => Q.ordered {
+      val payload = concat(
+        lit("{\"id\": "), col("doc_id"),
+        lit(", \"meta\": {\"lang\": \""), col("lang"),
+        lit("\", \"n\": "), col("n_chars"),
+        lit("}, \"tags\": [\"t"), col("doc_id") % 3,
+        lit("\", \"t"), col("doc_id") % 5, lit("\"]}"))
+      val j = from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, meta STRUCT<lang: STRING, n: BIGINT>, " +
+            "tags ARRAY<STRING>"))
+      Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, substring(payload, 1, 20))
+            .otherwise(payload).as("payload"))
+        .select(col("doc_id"), j.as("j"))
+        .select(col("doc_id"),
+          col("j.id").as("json_id"),
+          col("j.meta.lang").as("json_lang"),
+          col("j.meta.n").as("json_n"),
+          element_at(col("j.tags"), 1).as("tag0"),
+          element_at(col("j.tags"), 2).as("tag1"),
+          col("j.id").isNotNull.cast("int").as("valid"))
+    }),
+
     // C1/C7 edit-distance tier: fuzzy canonical-key recovery — scraped
     // part names arrive with deterministic character damage (dropped /
     // doubled / substituted letter by partkey residue, the q113
@@ -201,6 +237,34 @@ object ProjectionPack extends QueryPack {
                 regexp_extract(regexp_replace('http://' || source || '.example.com/' || CAST(doc_id AS VARCHAR),
                                '^http:', 'https:'), 'https://([^/]+)/', 1) AS host
          FROM documents ORDER BY ALL NULLS FIRST""",
+
+    // identical payload synthesis; DuckDB's json_extract family behind a
+    // json_valid guard mirrors from_json's malformed→NULL tolerance
+    "q139_json_payload" ->
+      """WITH p AS (SELECT doc_id,
+                '{"id": ' || CAST(doc_id AS VARCHAR) ||
+                ', "meta": {"lang": "' || lang ||
+                '", "n": ' || CAST(n_chars AS VARCHAR) ||
+                '}, "tags": ["t' || CAST(doc_id % 3 AS VARCHAR) ||
+                '", "t' || CAST(doc_id % 5 AS VARCHAR) || '"]}' AS payload
+              FROM documents),
+         b AS (SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN substr(payload, 1, 20)
+                      ELSE payload END AS payload
+               FROM p)
+         SELECT doc_id,
+                CASE WHEN json_valid(payload)
+                     THEN CAST(json_extract(payload, '$.id') AS BIGINT) END AS json_id,
+                CASE WHEN json_valid(payload)
+                     THEN json_extract_string(payload, '$.meta.lang') END AS json_lang,
+                CASE WHEN json_valid(payload)
+                     THEN CAST(json_extract(payload, '$.meta.n') AS BIGINT) END AS json_n,
+                CASE WHEN json_valid(payload)
+                     THEN json_extract_string(payload, '$.tags[0]') END AS tag0,
+                CASE WHEN json_valid(payload)
+                     THEN json_extract_string(payload, '$.tags[1]') END AS tag1,
+                CAST(json_valid(payload) AS INT) AS valid
+         FROM b ORDER BY ALL NULLS FIRST""",
 
     // same corruption residues, same blocking, same (dist, name) best-
     // match rule; unmatched scraped keys keep NULL (route to review)

@@ -290,6 +290,10 @@ class PlanLintSpec extends AnyFunSuite {
   assertShuffleBudget("q134_bpe_pipeline", 0)
   assertScanBudget("q134_bpe_pipeline", 1)
 
+  // typed JSON parse is row-local — map-only by construction
+  assertShuffleBudget("q139_json_payload", 0)
+  assertScanBudget("q139_json_payload", 1)
+
   // exact quantiles: one scan, one grouped-agg exchange
   assertShuffleBudget("q137_group_quantiles", 1)
   assertScanBudget("q137_group_quantiles", 1)
