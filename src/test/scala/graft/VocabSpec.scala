@@ -122,10 +122,9 @@ class VocabSpec extends AnyFunSuite {
 
   test("learnBpe golden-matches an independent in-memory trainer, full depth") {
     val types = corpus.toDF("word", "w")
-    // 40 ranks is past this corpus's interesting structure; checkpoint
-    // every 4 so the lineage-truncation path is exercised mid-run
-    val got = Vocab.learnBpe(types, col("word"), col("w"), 40,
-      checkpointEvery = 4)
+    // 40 ranks is past this corpus's interesting structure, so the
+    // early-exhaustion path is exercised at full depth too
+    val got = Vocab.learnBpe(types, col("word"), col("w"), 40)
     val want = refLearnBpe(corpus, 40)
     assert(got == want,
       s"learned merges diverge from the reference trainer:\n got=$got\nwant=$want")
@@ -134,6 +133,40 @@ class VocabSpec extends AnyFunSuite {
     // with these weights (a,a) or a stem pair wins early, so the table
     // is non-trivial
     assert(got.length == math.min(40, want.length) && got.nonEmpty)
+  }
+
+  test("learnBpe golden-matches under forced snapshot churn " +
+    "(VERDICT r13 #1 — the incremental-view + batched-merge rewrite)") {
+    val types = corpus.toDF("word", "w")
+    val want = refLearnBpe(corpus, 40)
+    // snapshotSize=3 keeps the view NON-complete: every batch runs the
+    // floor-breach/resnapshot machinery the big default never hits on a
+    // small corpus; maxBatch=1 degenerates to strict per-rank; the
+    // (5,4) combo exercises mid-batch truncation when created pairs
+    // outrank the speculative prefix
+    for ((snap, batch) <- Seq((3, 1), (3, 4), (5, 4), (4096, 12))) {
+      val got = Vocab.learnBpe(types, col("word"), col("w"), 40,
+        snapshotSize = snap, maxBatch = batch)
+      assert(got == want,
+        s"snapshotSize=$snap maxBatch=$batch diverged:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("learnBpe handles merged-string collisions exactly " +
+    "(a later merge re-creating an earlier merge's output symbol)") {
+    // 'abc' forms twice: ("ab","c") from the abc-block, then ("a","bc")
+    // can never win — but ("b","c") then ("a","bc") vs ("ab","c") paths
+    // collide on the output string 'abc'; weights force both orders to
+    // appear across snapshot sizes, so the collision/forced-resnapshot
+    // leg of the non-complete path must keep counts exact
+    val tricky = Seq("ab" -> 30L, "abc" -> 20L, "bc" -> 25L,
+      "aabbcc" -> 7L, "abcabc" -> 5L, "cab" -> 9L, "bca" -> 8L)
+    val want = refLearnBpe(tricky, 12)
+    for (snap <- Seq(2, 3, 6, 4096)) {
+      val got = Vocab.learnBpe(tricky.toDF("word", "w"), col("word"),
+        col("w"), 12, snapshotSize = snap, maxBatch = 4)
+      assert(got == want, s"snapshotSize=$snap:\n got=$got\nwant=$want")
+    }
   }
 
   test("learnBpe stops early when no adjacent pair remains") {
