@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the float-vector dot product — the
   * codegen-hot path SURVEY §4 reserves for exactly this case (option (b)):
@@ -73,6 +73,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native weight-table lookup-sum: Σ weights[idx] over an array<long>
+  * of indices against an array<long> weight table (the broadcast-model
+  * margin of graft.operators.QualityModel — fit/gateInline/
+  * meanAbsError). The higher-order `aggregate(f, 0L, (acc, b) => acc +
+  * element_at(wlit, b+1))` form pays interpreted lambda dispatch per
+  * FEATURE (~3 s per iteration at 5 k docs — measured r14); this
+  * compiles to a primitive loop in whole-stage codegen. Indices are
+  * 0-based; an out-of-range index yields NULL (loud, never a silent 0 —
+  * the pqAdcRankWide NaN stance), as does a NULL index element. Exact
+  * BIGINT arithmetic — same value as the fold, one oracle serves both. */
+case class LookupSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lookup_sum expects two array<bigint> inputs (indices, " +
+          s"weight table), got ${l.sql} / ${r.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_lookup_sum"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    val n = idx.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (idx.isNullAt(i)) return null
+      val j = idx.getLong(i)
+      if (j < 0 || j >= w.numElements()) return null
+      s += w.getLong(j.toInt)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $j = $a.getLong($i);
+         |  if ($j < 0 || $j >= $b.numElements()) { ${ev.isNull} = true; break; }
+         |  ${ev.value} += $b.getLong((int) $j);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -86,4 +150,11 @@ object VectorFunctions {
 
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (normNative(a) * normNative(b))
+
+  /** Native lookup-sum — 0-based indices against an array<long> weight
+    * table (usually a `typedLit` of the bounded model artifact). */
+  def lookupSumNative(indices: Column, weights: Column): Column =
+    ColumnBridge.column(
+      LookupSum(ColumnBridge.expression(indices),
+        ColumnBridge.expression(weights)))
 }

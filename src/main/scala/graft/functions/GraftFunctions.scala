@@ -17,6 +17,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
+    ext.injectFunction(GraftFunctions.lookupSumFunction)
     ext.injectFunction(GraftFunctions.xmlFieldsFunction)
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
     ext.injectFunction(GraftFunctions.mainContentFunction)
@@ -88,6 +89,17 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       dotBuilder)
+
+  private[functions] val lookupSumBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => LookupSum(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_lookup_sum expects (indices, weights), got ${other.size} arguments")
+  }
+
+  val lookupSumFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lookup_sum"),
+      new ExpressionInfo(classOf[LookupSum].getName, "graft_lookup_sum"),
+      lookupSumBuilder)
 
   /** Raw digest window: the second argument is a digest-window INDEX 0–3
     * (an int literal — expression configuration, the xpath-path
@@ -173,6 +185,7 @@ object GraftFunctions {
   /** Register all graft native functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerExpression(spark, "graft_dot", dotBuilder)
+    ColumnBridge.registerExpression(spark, "graft_lookup_sum", lookupSumBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_fields", xmlFieldsBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_labeled_links",
       xmlLabeledLinksBuilder)

@@ -561,7 +561,34 @@ object TextPack extends QueryPack {
       QualityModel.score(docs, "doc_id", col("toks"),
         QualityModel.fixtureWeights(s, 4096), 4096)
     }),
+
+    // K-family learned tier: quality-model TRAINING (VERDICT r13 #3 —
+    // q109 scored with a fixture table; this FITS the integer
+    // micro-weight table from labeled data). Labels are the
+    // deterministic length rule (≥ 55 tokens ≈ the corpus median →
+    // balanced classes); 3 full-batch hard-sigmoid delta-rule steps
+    // over md5-hashed unigram+bigram features, all-integer state. The
+    // oracle RE-TRAINS the model: each step unrolls to margin / error /
+    // gradient / weight-update CTEs (the q132 re-learn pattern), so a
+    // featurization, clamp, floor-division, or aggregation divergence
+    // on either side breaks the exact weight match at its first step.
+    "q140_quality_train" -> ((s, dir) => Q.ordered {
+      import graft.operators.QualityModel
+      val docs = Q.t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      QualityModel.fit(docs, col("toks"),
+        (size(col("toks")) >= QualityTrainLabelMin).cast("long"),
+        QualityTrainBuckets, QualityTrainIters)
+    }),
   )
+
+  /** q140 fixture constants — shared by the Spark builder and the SQL
+    * oracle generator so the two sides can't drift. */
+  private val QualityTrainBuckets = 128
+  private val QualityTrainIters = 3
+  private val QualityTrainLabelMin = 55
+  private val QualityTrainLrDen = 1024L
 
   /** q107's oracle: one word's BPE as the ascending nested-replace pass —
     * each char wrapped `|c|`, then rank-ordered `replace('|x||y|','|xy|')`
@@ -1207,5 +1234,62 @@ object TextPack extends QueryPack {
                 CASE WHEN logit > 0 THEN 'keep' ELSE 'drop' END AS label
          FROM t
          ORDER BY ALL NULLS FIRST""",
+
+    "q140_quality_train" -> qualityTrainSql,
   )
+
+  /** q140's oracle: the quality model RE-TRAINED in SQL. One shared
+    * feature CTE (doc, label, bucket — q109's md5 featurization), then
+    * each gradient step k unrolls to four CTEs: `m_k` exact BIGINT
+    * margins (features ⋈ w_{k-1}), `e_k` hard-sigmoid errors
+    * (clamp(floor(margin/4.0)+5e5, 0, 1e6) − y·1e6 — /4.0 and the
+    * floor-div below are exact power-of-two double ops on both
+    * engines), `g_k` per-bucket BIGINT gradient sums, `w_k` the
+    * floor-division update. AS MATERIALIZED throughout — each CTE is
+    * referenced twice downstream and DuckDB inlines per reference
+    * (the q132 2^N-scan lesson). */
+  private lazy val qualityTrainSql: String = {
+    val steps = (1 to QualityTrainIters).map { k =>
+      s"""m$k AS MATERIALIZED (
+            SELECT doc_id, y, CAST(sum(w.w_micro) AS BIGINT) AS margin
+            FROM b JOIN w${k - 1} w USING (bucket) GROUP BY doc_id, y),
+          e$k AS MATERIALIZED (
+            SELECT doc_id,
+                   least(greatest(CAST(floor(CAST(margin AS DOUBLE) / 4.0)
+                       AS BIGINT) + 500000, 0), 1000000)
+                     - y * 1000000 AS e
+            FROM m$k),
+          g$k AS MATERIALIZED (
+            SELECT bucket, CAST(sum(e.e) AS BIGINT) AS g
+            FROM b JOIN e$k e USING (doc_id) GROUP BY bucket),
+          w$k AS MATERIALIZED (
+            SELECT w.bucket,
+                   w.w_micro - CAST(floor(CAST(coalesce(g.g, 0) AS DOUBLE)
+                     / $QualityTrainLrDen.0) AS BIGINT) AS w_micro
+            FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))"""
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id,
+                          list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                   FROM documents),
+        lab AS (SELECT doc_id,
+                       CASE WHEN len(toks) >= $QualityTrainLabelMin
+                            THEN 1 ELSE 0 END AS y,
+                       toks
+                FROM d),
+        f AS (SELECT doc_id, y,
+                     unnest(toks || list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS feat
+              FROM lab),
+        b AS MATERIALIZED (
+          SELECT doc_id, y,
+                 CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                   % $QualityTrainBuckets AS bucket
+          FROM f),
+        w0 AS MATERIALIZED (
+          SELECT CAST(unnest(range($QualityTrainBuckets)) AS BIGINT) AS bucket,
+                 CAST(0 AS BIGINT) AS w_micro),
+        $steps
+        SELECT bucket, w_micro FROM w$QualityTrainIters
+        ORDER BY ALL NULLS FIRST"""
+  }
 }

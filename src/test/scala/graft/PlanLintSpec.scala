@@ -294,6 +294,22 @@ class PlanLintSpec extends AnyFunSuite {
   assertShuffleBudget("q139_json_payload", 0)
   assertScanBudget("q139_json_payload", 1)
 
+  // quality-model training runs at construction (the q134 pattern);
+  // the DECLARED plan is the learned weight table itself — a bounded
+  // driver-side LocalRelation, zero scans, zero exchanges (the scan
+  // budget helper can't express "zero" — it treats a scanless plan as
+  // a miswired lint — so the no-FileScan claim is asserted directly)
+  assertShuffleBudget("q140_quality_train", 0)
+  test("q140_quality_train's declared plan is the bounded weight table " +
+    "(LocalRelation — no corpus scan survives into the served plan)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q140_quality_train")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    assert(!plan.contains("FileScan"), plan)
+  }
+
   // exact quantiles: one scan, one grouped-agg exchange
   assertShuffleBudget("q137_group_quantiles", 1)
   assertScanBudget("q137_group_quantiles", 1)

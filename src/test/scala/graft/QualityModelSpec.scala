@@ -65,6 +65,55 @@ class QualityModelSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  // ---- fit (VERDICT r13 #3): deterministic hard-sigmoid delta-rule
+  // training producing the integer table score/gate/gateInline consume
+
+  /** Separable fixture: "good" docs share a positive token vocabulary,
+    * "bad" docs a disjoint negative one — a linear model over hashed
+    * unigrams can drive training error toward 0 on it. */
+  private def labeledFixture = {
+    val goods = Seq("clean", "prose", "article", "essay", "report")
+    val bads = Seq("spam", "click", "win", "free", "pills")
+    val rows = (0 until 40).map { i =>
+      val voc = if (i % 2 == 0) goods else bads
+      val toks = (0 until 6).map(j => voc((i + j * j) % voc.length))
+      (i.toLong, toks, (i % 2 == 0).compare(false).toLong)
+    }
+    rows.toDF("doc_id", "toks", "y")
+  }
+
+  test("fit: training reduces mean absolute error on a separable set") {
+    val df = labeledFixture
+    val w0 = QualityModel.fit(df, col("toks"), col("y"), 256, iters = 0)
+    val w6 = QualityModel.fit(df, col("toks"), col("y"), 256, iters = 6,
+      lrDen = 16L)
+    val e0 = QualityModel.meanAbsError(df, col("toks"), col("y"), w0, 256)
+    val e6 = QualityModel.meanAbsError(df, col("toks"), col("y"), w6, 256)
+    assert(e0 == 500000.0, s"zero weights must sit at the σ̂(0) midpoint, got $e0")
+    assert(e6 < 10000.0, s"training did not converge: e0=$e0 e6=$e6")
+  }
+
+  test("fit is deterministic and its table drives score (the q109 scorer) " +
+    "to label a held-out doc by its vocabulary") {
+    val df = labeledFixture
+    val w1 = QualityModel.fit(df, col("toks"), col("y"), 256, iters = 6,
+      lrDen = 16L)
+    val w2 = QualityModel.fit(df.repartition(7), col("toks"), col("y"),
+      256, iters = 6, lrDen = 16L)
+    assert(w1.orderBy("bucket").collect().toSeq ==
+      w2.orderBy("bucket").collect().toSeq,
+      "fit must be partitioning-invariant (exact integer state)")
+    // held-out docs made of the training vocabularies, scored by the
+    // LEARNED weights through the unchanged q109 scorer surface
+    val held = Seq(
+      (100L, Seq("prose", "essay", "clean", "report")),
+      (101L, Seq("free", "pills", "spam", "win"))
+    ).toDF("doc_id", "toks")
+    val scored = QualityModel.score(held, "doc_id", col("toks"), w1, 256)
+      .select("doc_id", "label").as[(Long, String)].collect().toMap
+    assert(scored(100L) == "keep" && scored(101L) == "drop", scored.toString)
+  }
+
   test("gate keeps exactly the docs whose logit clears the threshold") {
     val w = QualityModel.fixtureWeights(spark, 64)
     val scored = QualityModel.score(docs, "doc_id", col("toks"), w, 64)
