@@ -593,6 +593,60 @@ object Similarity {
     dense
   }
 
+  /** IVF × PQ — the composed serving shape (Jégou et al. 2011 §IV;
+    * FAISS `IVFPQ` with by_residual=false): coarse routing picks
+    * `nprobe` inverted lists, ADC ranks ONLY their PQ codes. q86/q117
+    * route but scan full embeddings; q125 ADC-ranks but scans ALL
+    * codes — this touches `nprobe` buckets of ~16×-compressed codes,
+    * which is the actual 100 TB search: the materialized corpus table
+    * is (id, coarse bucket, m small-int codes), the query-time state is
+    * three bounded broadcast artifacts (coarse centroid table, PQ
+    * codebook, per-query ADC table), and the scan side is a map-only
+    * filter + literal-lookup rank (zero joins, zero shuffles — probed
+    * bucket ids are collected at construction, ≤ `nprobe` ints, the
+    * kmeans bounded-driver-state pattern; with the bucket as a layout
+    * partition column the filter prunes directories before reading).
+    *
+    * Codebook is trained corpus-wide on raw subvectors (no residual
+    * encoding — the deterministic [[ivfAssign]] sub-codes can't code
+    * residuals; FAISS ships the same variant). Coarse ranking uses the
+    * q125 dot-identity arithmetic (exact-millionth centroid means, qq −
+    * 2qc + cc rounded to 8, bucket-asc tie-break) so an oracle replays
+    * the probed set bit-for-bit; ADC ranking is [[pqAdcRankWide]]'s
+    * exact-DECIMAL form. Returns ascending (idCol, adist) top-k over
+    * the probed population. */
+  def ivfPqSearch(vectors: DataFrame, idCol: String, vecCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  coarseDims: Int, nprobe: Int, k: Int,
+                  m: Int = 4, subDim: Int = 16, probeDims: Int = 4): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val bucketed = vectors
+      .withColumn("__bucket", ivfAssign(col(vecCol), coarseDims))
+      .filter(col("__bucket").isNotNull)
+    val cents = centroidMeans(centroids(bucketed, col("__bucket"), col(vecCol)))
+      .withColumnRenamed("bucket", "__bucket")
+    val probedIds: Seq[Int] = cents.crossJoin(broadcast(query))
+      .select(col("__bucket"),
+        (round(
+          dot(col(queryVecCol), col(queryVecCol))
+            - lit(2.0) * dot(col(queryVecCol), col("centroid"))
+            + dot(col("centroid"), col("centroid")), 8) + lit(0.0)).as("__d2"))
+      .orderBy(col("__d2").asc_nulls_last, col("__bucket").asc)
+      .limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    val book = centroidMeans(pqCodebook(
+      pqCodes(vectors, idCol, vecCol, m, subDim, probeDims)))
+    val dense = pqAdcDense(
+      pqAdcTable(book, query, queryVecCol, m, subDim), m, probeDims)
+    val wide = bucketed.select(col(idCol), col("__bucket"),
+      array((0 until m).map(i =>
+        ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
+        .as("codes"))
+    pqAdcRankWide(
+      wide.filter(col("__bucket").isin(probedIds: _*)).drop("__bucket"),
+      dense, idCol, k)
+  }
+
   /** The map-only rank stage: row-local literal lookups + fixed-order
     * DECIMAL adds + TakeOrderedAndProject. Vectors missing EVERY
     * subspace are dropped; a missing subspace contributes 0, matching

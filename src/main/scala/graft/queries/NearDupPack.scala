@@ -267,6 +267,23 @@ object NearDupPack extends QueryPack {
         "qvec", k = 20)
     }),
 
+    // L2 serving tier: IVF × PQ (VERDICT r13 #4 — q86/q117 route
+    // probes over full embeddings, q125 ADC-ranks ALL codes; this is
+    // the FAISS-shaped composition that does both: coarse routing to
+    // nprobe inverted lists, ADC over only their ~16×-compressed
+    // codes). The oracle replays ALL THREE deterministic artifacts
+    // bit-for-bit — coarse buckets + exact-millionth centroid means +
+    // the rounded dot-identity probe ranking (which buckets get
+    // scanned), then q125's codes/codebook/ADC chain restricted to the
+    // probed population.
+    "q141_ivfpq" -> ((s, dir) => Q.ordered {
+      Similarity.ivfPqSearch(
+        Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", coarseDims = 8, nprobe = 4, k = 20)
+    }),
+
     "q99_ivf_centroids" -> ((s, dir) => Q.ordered {
       Q.jsonArrays(Similarity.centroids(
         Q.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -983,6 +1000,88 @@ object NearDupPack extends QueryPack {
                         CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
                              AS DECIMAL(28,8)) AS DOUBLE) AS adist
                  FROM codes JOIN dt USING (m, code) GROUP BY 1)
+         SELECT * FROM (
+           SELECT vec_id, adist FROM tot
+           ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
+         ORDER BY ALL NULLS FIRST""",
+
+    // q125's codes/codebook/ADC chain + q99's coarse-bucket chain +
+    // the probe ranking (exact-millionth centroid means, qq − 2qc + cc
+    // rounded to 8, bucket-asc tie-break) — the scanned population is
+    // itself oracle-checked: a divergence in ANY of the three bounded
+    // artifacts moves the probed set and breaks the hash.
+    "q141_ivfpq" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+                    FROM embeddings WHERE vec_id = 1),
+         s AS (SELECT vec_id, embedding,
+                list_reverse_sort(list_transform(range(1, 9), i ->
+                  [abs(CAST(embedding[i] AS DOUBLE)),
+                   CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)])) AS st
+                FROM embeddings),
+         e AS (SELECT vec_id, embedding,
+                CASE WHEN len(embedding) >= 8 THEN
+                  (CAST(st[1][2] AS INT) + 8) * 17 + (CAST(st[2][2] AS INT) + 8) END AS bucket
+               FROM s),
+         p AS (SELECT bucket, unnest(range(1, len(embedding) + 1)) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM e WHERE bucket IS NOT NULL),
+         a AS (SELECT bucket, pos, count(*) AS n,
+                      CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+               FROM p GROUP BY 1, 2),
+         cmean AS (SELECT bucket,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cm
+                   FROM a GROUP BY 1),
+         probed AS (SELECT bucket FROM (
+             SELECT c.bucket,
+                    round(list_dot_product(q.qvec, q.qvec)
+                          - CAST(2.0 AS DOUBLE) * list_dot_product(q.qvec, c.cm)
+                          + list_dot_product(c.cm, c.cm), 8)
+                      + CAST(0.0 AS DOUBLE) AS d2
+             FROM cmean c, q)
+           ORDER BY d2 ASC NULLS LAST, bucket ASC LIMIT 4),
+         mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         sub AS (SELECT vec_id, m,
+                        list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                       x -> CAST(x AS DOUBLE)) AS sub
+                 FROM embeddings, mm),
+         stc AS (SELECT vec_id, m, sub,
+                       list_reverse_sort(list_transform(range(1, 5), i ->
+                         [abs(sub[i]),
+                          CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+                FROM sub),
+         codes AS (SELECT vec_id, m, sub,
+                          CASE WHEN len(sub) >= 4 THEN
+                            (CAST(srt[1][2] AS INT) + 4) * 9
+                              + (CAST(srt[2][2] AS INT) + 4) END AS code
+                   FROM stc),
+         pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                       unnest(sub) AS v
+                FROM codes WHERE code IS NOT NULL),
+         ac AS (SELECT m, code, pos, count(*) AS n,
+                       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+                FROM pc GROUP BY 1, 2, 3),
+         cb AS (SELECT m, code,
+                       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                            ORDER BY pos) AS cmean
+                FROM ac GROUP BY 1, 2),
+         qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+                FROM q, mm),
+         dt AS (SELECT cb.m, cb.code,
+                       round(list_dot_product(qs.qsub, qs.qsub)
+                             - CAST(2.0 AS DOUBLE)
+                               * list_dot_product(qs.qsub, cb.cmean)
+                             + list_dot_product(cb.cmean, cb.cmean), 8)
+                         + CAST(0.0 AS DOUBLE) AS d2
+                FROM cb JOIN qs ON qs.m = cb.m),
+         pop AS (SELECT c.vec_id, c.m, c.code
+                 FROM codes c JOIN e USING (vec_id)
+                 WHERE e.bucket IN (SELECT bucket FROM probed)
+                   AND c.code IS NOT NULL),
+         tot AS (SELECT vec_id,
+                        CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                             AS DECIMAL(28,8)) AS DOUBLE) AS adist
+                 FROM pop JOIN dt USING (m, code) GROUP BY 1)
          SELECT * FROM (
            SELECT vec_id, adist FROM tot
            ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
