@@ -171,12 +171,24 @@ object Cleaning {
     * src/storage.py:103's lookup_key normalization being exact-only).
     *
     * Blocking + verify, the classic ER shape: candidates must share the
-    * first character and sit within `maxDist` of the dirty key's length
-    * (cheap algebraic necessary conditions for levenshtein ≤ maxDist),
-    * then the exact `levenshtein` verifies. Best match per dirty row by
-    * (distance ASC, candidate ASC) — a deterministic min-struct, no
-    * window. Unmatched rows keep a NULL match (route to review, don't
-    * guess).
+    * FIRST character OR the LAST character (two blocking passes unioned
+    * — r13's first-char-only block silently missed any key whose damage
+    * hit character 1, ADVICE r13) and sit within `maxDist` of the dirty
+    * key's length (cheap algebraic necessary conditions), then the
+    * exact `levenshtein` verifies. RECALL CONTRACT: any damage of ≤
+    * maxDist single-character edits that leaves the first OR the last
+    * character intact is recoverable — in particular EVERY single-edit
+    * damage (one edit cannot touch both ends of a ≥2-char key), which
+    * CleaningSpec measures at 100% under a full-position damage model;
+    * only multi-edit damage hitting BOTH ends can slip the blocks (and
+    * such keys route to review as unmatched, never to a wrong guess).
+    * Both blocks ride ONE scan per side: each side explodes to its two
+    * ('F'+first, 'L'+last) block keys and the join stays a broadcast
+    * HASH join on the key — an OR join condition would plan as a
+    * nested-loop. Best match per dirty row by (distance ASC, candidate
+    * ASC) — a deterministic min-struct, no window (duplicate candidates
+    * arriving via both blocks collapse in the same min). Unmatched rows
+    * keep a NULL match (route to review, don't guess).
     *
     * Scale shape: the dictionary is DISTINCT-deduped and BROADCAST —
     * this operator is for the dictionary-bounded regime (canonical
@@ -188,10 +200,16 @@ object Cleaning {
   def fuzzyMatch(dirty: DataFrame, idCol: String, dirtyCol: Column,
                  dict: DataFrame, dictCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    def blocks(c: Column): Column = array(
+      concat(lit("F"), substring(c, 1, 1)),
+      concat(lit("L"), substring(c, -1, 1)))
     val cand = dict.select(col(dictCol).as("__cand")).distinct()
+      .select(col("__cand"), explode(blocks(col("__cand"))).as("__cblk"))
     dirty.select(col(idCol), dirtyCol.as("dirty"))
+      .select(col(idCol), col("dirty"),
+        explode(blocks(col("dirty"))).as("__blk"))
       .join(broadcast(cand),
-        substring(col("dirty"), 1, 1) === substring(col("__cand"), 1, 1) &&
+        col("__blk") === col("__cblk") &&
           abs(length(col("dirty")) - length(col("__cand"))) <= maxDist &&
           levenshtein(col("dirty"), col("__cand")) <= maxDist,
         "left")

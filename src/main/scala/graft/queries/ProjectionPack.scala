@@ -147,19 +147,25 @@ object ProjectionPack extends QueryPack {
     // C1/C7 edit-distance tier: fuzzy canonical-key recovery — scraped
     // part names arrive with deterministic character damage (dropped /
     // doubled / substituted letter by partkey residue, the q113
-    // synthesized-mess pattern) and are resolved against the bounded
-    // canonical name dictionary by blocked levenshtein (first-char +
-    // length-band blocking, exact verify, deterministic (dist, name)
-    // min). Both engines share the same unit-cost levenshtein, so the
-    // recovered keys and distances hash-match exactly.
+    // synthesized-mess pattern — INCLUDING position-1 damage: residues
+    // 3/4 drop or substitute the FIRST character, which r13's
+    // first-char-only blocking could never recover; VERDICT r13 #5) and
+    // are resolved against the bounded canonical name dictionary by
+    // blocked levenshtein (first-char ∪ last-char + length-band
+    // blocking, exact verify, deterministic (dist, name) min). Both
+    // engines share the same unit-cost levenshtein, so the recovered
+    // keys and distances hash-match exactly.
     "q138_fuzzy_match" -> ((s, dir) => Q.ordered {
       val parts = Q.t(s, dir, "part")
       val n = col("p_name")
-      val scraped = when(col("p_partkey") % 3 === 0,
+      val scraped = when(col("p_partkey") % 5 === 0,
           concat(substring(n, 1, 2), substring(n, 4, 1000)))
-        .when(col("p_partkey") % 3 === 1,
+        .when(col("p_partkey") % 5 === 1,
           concat(substring(n, 1, 4), substring(n, 4, 1000)))
-        .otherwise(concat(substring(n, 1, 1), lit("x"), substring(n, 3, 1000)))
+        .when(col("p_partkey") % 5 === 2,
+          concat(substring(n, 1, 1), lit("x"), substring(n, 3, 1000)))
+        .when(col("p_partkey") % 5 === 3, substring(n, 2, 1000))
+        .otherwise(concat(lit("x"), substring(n, 2, 1000)))
       Cleaning.fuzzyMatch(
         parts.select(col("p_partkey"), scraped.as("s")),
         "p_partkey", col("s"), parts, "p_name", maxDist = 2)
@@ -271,16 +277,20 @@ object ProjectionPack extends QueryPack {
     "q138_fuzzy_match" ->
       """WITH dict AS (SELECT DISTINCT p_name FROM part),
          dirty AS (SELECT p_partkey,
-                          CASE CAST(p_partkey % 3 AS INT)
+                          CASE CAST(p_partkey % 5 AS INT)
                             WHEN 0 THEN substr(p_name, 1, 2) || substr(p_name, 4, 1000)
                             WHEN 1 THEN substr(p_name, 1, 4) || substr(p_name, 4, 1000)
-                            ELSE substr(p_name, 1, 1) || 'x' || substr(p_name, 3, 1000)
+                            WHEN 2 THEN substr(p_name, 1, 1) || 'x' || substr(p_name, 3, 1000)
+                            WHEN 3 THEN substr(p_name, 2, 1000)
+                            ELSE 'x' || substr(p_name, 2, 1000)
                           END AS dirty
                    FROM part),
          cand AS (SELECT d.p_partkey, d.dirty, c.p_name AS cand,
                          CAST(levenshtein(d.dirty, c.p_name) AS BIGINT) AS dist
                   FROM dirty d JOIN dict c
-                    ON substr(d.dirty, 1, 1) = substr(c.p_name, 1, 1)
+                    ON (substr(d.dirty, 1, 1) = substr(c.p_name, 1, 1)
+                        OR substr(d.dirty, length(d.dirty), 1)
+                           = substr(c.p_name, length(c.p_name), 1))
                    AND abs(length(d.dirty) - length(c.p_name)) <= 2
                    AND levenshtein(d.dirty, c.p_name) <= 2),
          best AS (SELECT p_partkey, cand AS matched, dist FROM (

@@ -237,4 +237,34 @@ class EdgeCaseSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("fuzzyMatch: 100% recall under FULL-position single-edit damage " +
+    "(VERDICT r13 #5 — r13's first-char-only block missed position 1)") {
+    import spark.implicits._
+    import graft.operators.Cleaning
+    // pairwise levenshtein >= 3 (three discriminating positions), so a
+    // single edit can't make one word a better match for another entry
+    val words = (0 until 10).map { i =>
+      val c = ('a' + i).toChar; s"${c}qx${c}mz${c}t"
+    }
+    val dict = words.toDF("name")
+    // every position of every word, substituted AND deleted — including
+    // position 1, the case the old blocking structurally missed
+    val damaged = for {
+      w <- words; p <- w.indices
+      d <- Seq(w.updated(p, '#'), w.take(p) + w.drop(p + 1))
+    } yield (w, d)
+    val dirty = damaged.zipWithIndex
+      .map { case ((w, d), i) => (i.toLong, w, d) }.toDF("id", "orig", "s")
+    val got = Cleaning.fuzzyMatch(dirty, "id", col("s"), dict, "name", 2)
+      .join(dirty.select(col("id"), col("orig")), Seq("id"))
+      .collect()
+    assert(got.length == damaged.length)
+    // recall 1.0: every single-edit key recovers, and recovers its OWN
+    // canonical form at distance 1 (separation makes rivals >= 2 away)
+    val misses = got.filter(r => r.isNullAt(2) ||
+      r.getString(2) != r.getString(4) || r.getLong(3) != 1L)
+    assert(misses.isEmpty,
+      s"unrecovered/misrecovered keys: ${misses.take(5).mkString(", ")}")
+  }
 }
