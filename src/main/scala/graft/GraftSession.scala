@@ -51,6 +51,13 @@ object GraftSession {
       // default-true strictness would re-shuffle both sides and defeat
       // the bucketed layout for every composite-key delta join (q130)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // whole-payload JSON validity: with partial results enabled,
+      // from_json can populate leading struct fields of a record that
+      // fails mid-parse (version/config dependent), so "first field
+      // non-null" would no longer mean "payload parsed" — q139's valid
+      // flag and any truncated-ingest gate built the same way must see
+      // the all-null struct DuckDB's json_valid guard models (ADVICE r13)
+      .config("spark.sql.json.enablePartialResults", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -53,7 +53,11 @@ object Bucketing {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  private val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // computeIfAbsent map (not a keySet add): concurrent first callers of
+  // one layout raced with add-then-write — the loser read a missing or
+  // partial table while the winner was still writing (ADVICE r13).
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Bucketed view of corpus table `name`, written AT MOST ONCE per
     * (JVM, corpus dir): the write is the one-time table-layout cost that
@@ -67,8 +71,10 @@ object Bucketing {
     // not String.hashCode: a 32-bit hashCode collision between two corpus
     // dirs in one JVM would silently alias their layouts (ADVICE r12)
     val table = s"graft_b_${name}_${SourceKeys.dirToken(dir)}_$numBuckets"
-    if (prepared.add(table))
-      writeBucketed(graft.Tables.load(spark, dir, name), table, keys, numBuckets)
+    prepared.computeIfAbsent(table, { t =>
+      writeBucketed(graft.Tables.load(spark, dir, name), t, keys, numBuckets)
+      t
+    })
     readBucketed(spark, table)
   }
 

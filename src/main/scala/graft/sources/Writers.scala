@@ -27,8 +27,14 @@ object Writers {
                   partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
+  // Path -> completion marker. computeIfAbsent (not a keySet add):
+  // Verify runs queries in a parallel pool, so two first callers of one
+  // layout can race — with add-then-write the loser gets the path back
+  // while the winner is still writing and reads a missing/partial layout
+  // (ADVICE r13). computeIfAbsent blocks every concurrent caller of the
+  // same key until the mapping function (the write) completes.
   private val preparedPartitions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Partitioned layout of corpus table `name`, written AT MOST ONCE per
     * (JVM, corpus dir) into tmp scratch — the one-time directory layout
@@ -43,13 +49,15 @@ object Writers {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-partitioned-" +
       s"${ProcessHandle.current().pid()}/" +
       s"${name}_${SourceKeys.dirToken(dir)}_${partitionCols.mkString("_")}"
-    if (preparedPartitions.add(path))
-      partitioned(graft.Tables.load(spark, dir, name), path, partitionCols)
-    path
+    preparedPartitions.computeIfAbsent(path, { p =>
+      partitioned(graft.Tables.load(spark, dir, name), p, partitionCols)
+      p
+    })
   }
 
+  // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedSorted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Range-SORTED layout of corpus table `name` — the fourth layout leg
     * (buckets serve joins: Bucketing; directories serve categorical
@@ -75,7 +83,7 @@ object Writers {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft-sorted-" +
       s"${ProcessHandle.current().pid()}/" +
       s"${name}_${SourceKeys.dirToken(dir)}_${sortCol}_$numRanges"
-    if (preparedSorted.add(path)) {
+    preparedSorted.computeIfAbsent(path, { p =>
       import org.apache.spark.sql.functions.col
       // cloned session (own SQLConf, shared context): the sorted layout
       // MUST write INT64-micros timestamps — the INT96 session default
@@ -92,9 +100,9 @@ object Writers {
       graft.Tables.load(writer, dir, name)
         .repartitionByRange(numRanges, col(sortCol))
         .sortWithinPartitions(sortCol)
-        .write.mode("overwrite").parquet(path)
-    }
-    path
+        .write.mode("overwrite").parquet(p)
+      p
+    })
   }
 
   private def versionOf(p: java.nio.file.Path): Option[Long] = {
