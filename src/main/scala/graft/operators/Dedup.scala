@@ -391,6 +391,10 @@ object Dedup {
       // the input synthesis, VERDICT r11 #6) disappears. A
       // mega-duplicated paragraph concentrates only its own occurrences
       // in the (spillable) window sorter — the q112 stance on hash skew.
+      // A/B note (r14): the orderBy-free `min(struct)` full-partition
+      // window was measured SLOWER here (1.32 s vs 1.04 s best-of-4 at
+      // sf0.1) — the unordered window buffers every partition for its
+      // two-pass aggregate while row_number streams through the sorter.
       val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
       val flagged = paragraphRows(docs, idCol, textCol, sep)
         .withColumn("__keep", col("__live") && row_number().over(w) === 1)

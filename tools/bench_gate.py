@@ -16,10 +16,20 @@ Rules:
     r2->r3 signature: 33 untouched queries drifting 1.2-1.7x together),
     which moves the median; a genuine single-query regression sticks out
     ABOVE the median. The raw and adjusted ratios are both printed.
-  - breach  = adjusted ratio > RATIO_MAX and absolute slowdown beyond the
-    median-scaled expectation > ABS_FLOOR seconds (tiny queries are all
-    JIT/page-cache noise; a 0.1s->0.2s "2x" is not a regression signal
-    worth failing a build over)
+  - breach  = adjusted ratio >= RATIO_MAX (inclusive — r13's q106 sat at
+    exactly 1.5006x and slipped through a strict >) and absolute slowdown
+    beyond the median-scaled expectation > ABS_FLOOR seconds (tiny queries
+    are all JIT/page-cache noise; a 0.1s->0.2s "2x" is not a regression
+    signal worth failing a build over)
+  - gate-edge = RAW ratio >= RATIO_MAX with the same absolute floor, on a
+    run whose median says the machine is at baseline speed (med <=
+    EDGE_MED_TRUST). Median normalization can forgive a genuine
+    single-query breach when the whole run drifted a few percent (the
+    r13 q106 escape: raw 1.50x, median 1.02 -> adjusted 1.47x, rc 0);
+    when the median itself is near 1.0 the raw ratio is trustworthy and
+    a >= RATIO_MAX query FAILS the gate by name. On a slow machine
+    (med > EDGE_MED_TRUST) raw ratios are noise and only the
+    median-adjusted rule gates.
   - queries missing a baseline entry are reported as NEW (info only) —
     add them to the baseline when they land
   - queries in the baseline but absent from the run are reported MISSING
@@ -31,6 +41,10 @@ import sys
 
 RATIO_MAX = 1.5
 ABS_FLOOR = 0.2  # seconds
+# Raw-ratio gating is only trustworthy when the run's median says the
+# machine is at (or very near) baseline speed; above this the machine is
+# slow and only median-adjusted ratios gate.
+EDGE_MED_TRUST = 1.15
 # Backstop for the case median normalization is blind to (a commit slowing
 # MOST queries): the un-normalized suite total. Its threshold sits ABOVE
 # the documented machine-noise band (uniform 1.2-1.7x, the r2->r3
@@ -80,10 +94,18 @@ def main():
     for q, b, c in shared:
         ratio = c / b if b > 0 else float("inf")
         adj = ratio / med
-        breach = adj > RATIO_MAX and (c - b * med) > ABS_FLOOR
-        rows.append((adj, ratio, q, b, c, breach))
+        breach = adj >= RATIO_MAX and (c - b * med) > ABS_FLOOR
+        # gate-edge: on an at-baseline-speed run the RAW ratio gates too,
+        # so a query sitting exactly on the threshold can't hide behind a
+        # few percent of benign median drift (the r13 q106 escape)
+        edge = (not breach and med <= EDGE_MED_TRUST
+                and ratio >= RATIO_MAX and (c - b) > ABS_FLOOR)
+        rows.append((adj, ratio, q, b, c, breach or edge))
         if breach:
             breaches.append(q)
+        elif edge:
+            breaches.append(f"{q} (gate-edge: raw {ratio:.2f}x >= "
+                            f"{RATIO_MAX}x at med {med:.2f})")
     missing = sorted(set(base) - set(cur))
 
     rows.sort(reverse=True)
