@@ -457,6 +457,93 @@ object StreamingJobs {
       flaggedKind = "distinct_estimates_emitted")
   }
 
+  /** The retrieval tier's streaming story (VERDICT r13 #8 — q136's
+    * fusion had no incremental form): maintain the HYBRID top-`n` of a
+    * scored document stream. Input rows carry the two arm scores
+    * (lexical, vector) as nullable doubles — score computation is
+    * upstream and must be ROW-LOCAL for the maintained head to be exact
+    * (cosine against a fixed probe is; BM25 is once its corpus stats
+    * are frozen to a reference snapshot, the standard production
+    * contract for a serving-time scorer — drifting stats would change
+    * ALREADY-SEEN docs' scores, which no bounded-state sink can
+    * retrofit). Each epoch emits the fused head to `outDir/epoch=N`:
+    * per-arm cumulative top-`n` (score DESC, id ASC — the deterministic
+    * tie-break), ranks 1..n, fused by [[graft.operators.Retrieval
+    * .rrfFuse]] — the EXACT rrf of the one-shot per-arm heads over
+    * everything ingested, because top-n is mergeable: top-n(s1 ∪ s2) =
+    * top-n(top-n(s1) ∪ top-n(s2)) for row-local scores (StreamingSpec
+    * pins the equality against the batch composition).
+    *
+    * Scale/state shape, family-standard ([[kmvSink]]): state is each
+    * epoch's per-arm BATCH-LOCAL head — ≤ 2n rows per retained epoch,
+    * corpus-independent — and the merge re-ranks ≤ retained·2n rows
+    * (driver-bounded windows over arm partitions, never a corpus
+    * sort; the batch-local heads themselves are TakeOrdered cuts).
+    * Replay contract: contributions keyed (arm, id, __epoch) — a
+    * replayed epoch overwrites its own rows; merges read `__epoch <
+    * epochId` plus the fresh contribution; output overwrites by epoch.
+    * `maxEpochAge` N > 0 retains only the last N epochs' heads → a
+    * sliding-freshness retrieval head (late docs age out with their
+    * epoch). Duplicate ids across epochs (re-scored docs) collapse to
+    * their best score per arm before ranking. */
+  def rrfTopKSink(docs: DataFrame, idCol: String, scoreA: Column,
+                  scoreB: Column, stateDir: String, outDir: String,
+                  n: Int = 100, c: Double = 60.0,
+                  maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        rrfTopKBatch(batch, epochId, idCol, scoreA, scoreB,
+          stateDir, outDir, n, c, maxEpochAge)
+      }
+
+  /** One epoch of [[rrfTopKSink]], exposed for equivalence/replay
+    * tests. */
+  def rrfTopKBatch(batch: DataFrame, epochId: Long, idCol: String,
+                   scoreA: Column, scoreB: Column,
+                   stateDir: String, outDir: String,
+                   n: Int = 100, c: Double = 60.0,
+                   maxEpochAge: Int = 0): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    def armHead(arm: String, s: Column): DataFrame = batch
+      .filter(s.isNotNull)
+      .select(lit(arm).as("arm"), col(idCol).cast("string").as("id"),
+        s.cast("double").as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(n)
+    val fresh = armHead("a", scoreA).unionByName(armHead("b", scoreB))
+      .withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    // cumulative per-arm heads over ≤ retained·2n contribution rows:
+    // best score per (arm, id), then rank 1..n per arm
+    val rankW = Window.partitionBy(col("arm"))
+      .orderBy(col("score").desc, col("id").asc)
+    val heads = prior.unionByName(fresh)
+      .groupBy(col("arm"), col("id"))
+      .agg(max(col("score")).as("score"))
+      .withColumn("r", row_number().over(rankW).cast("long"))
+      .filter(col("r") <= n)
+    val fused = graft.operators.Retrieval.rrfFuse(
+      heads.filter(col("arm") === "a").select(col("id"), col("r").as("r_lex")),
+      heads.filter(col("arm") === "b").select(col("id"), col("r").as("r_vec")),
+      "id", "r_lex", "r_vec", c)
+    fused.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, fresh, Seq("arm", "id", "__epoch"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = 1L,
+      stateDir = stateDir,
+      flaggedKind = "fused_heads_emitted")
+  }
+
   /** [[cmsSink]]'s membership sibling — the Bloom ingest gate
     * ([[graft.operators.Sketches.bloomBuild]]/`bloomProbe`) as an
     * incremental sink: each micro-batch's keys probe the persisted bit

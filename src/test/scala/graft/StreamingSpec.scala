@@ -337,6 +337,85 @@ class StreamingSpec extends AnyFunSuite {
       s"sliding estimate $slid != windowed one-shot ${oneShot(e1 ++ e2)}")
   }
 
+  test("rrfTopKBatch: cumulative fused head equals batch composition, replay-stable, age-evicted") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.expressions.Window
+    val stateDir = java.nio.file.Files.createTempDirectory("rrfstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("rrfout").toString
+    // deterministic arm scores: doc i scores (i*7%101, i*13%103); some
+    // docs miss an arm entirely (null) — and epoch 1 RE-SCORES doc 3
+    // lower on arm a (the duplicate-id collapse must keep the best)
+    def docs(ids: Seq[Long], reScore: Boolean = false) = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 4, lit(null).cast("double"))
+          .when(lit(reScore) && col("doc_id") === 3, lit(0.5))
+          .otherwise((col("doc_id") * 7 % 101).cast("double")).as("sa"),
+        when(col("doc_id") % 7 === 6, lit(null).cast("double"))
+          .otherwise((col("doc_id") * 13 % 103).cast("double")).as("sb"))
+    val e0 = (0L until 30L).toSeq
+    val e1 = (30L until 60L).toSeq :+ 3L // 3 re-delivered with a lower arm-a score
+    val e2 = (60L until 90L).toSeq
+    def run(e: Long, ids: Seq[Long], re: Boolean = false): Unit =
+      StreamingJobs.rrfTopKBatch(docs(ids, re), e, "doc_id",
+        col("sa"), col("sb"), stateDir, outDir, n = 10)
+    run(0, e0); run(1, e1, re = true); run(2, e2)
+    // batch composition the sink must match exactly: per-arm global
+    // top-10 over the concatenated stream (best score per id), ranked,
+    // fused — q136's shape
+    def oneShot(ids: Seq[Long]): Array[org.apache.spark.sql.Row] = {
+      val d = docs(ids).groupBy(col("doc_id").cast("string").as("id"))
+        .agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+      def head(s: String, rn: String) = d.filter(col(s).isNotNull)
+        .orderBy(col(s).desc, col("id").asc).limit(10)
+        .withColumn(rn, row_number().over(
+          Window.orderBy(col(s).desc, col("id").asc)).cast("long"))
+        .select(col("id"), col(rn))
+      Retrieval.rrfFuse(head("sa", "r_lex"), head("sb", "r_vec"),
+          "id", "r_lex", "r_vec")
+        .orderBy(col("id").asc).collect()
+    }
+    def fusedAt(e: Long): Array[org.apache.spark.sql.Row] =
+      spark.read.parquet(s"$outDir/epoch=$e")
+        .select("id", "r_lex", "r_vec", "rrf").orderBy(col("id").asc).collect()
+    assert(fusedAt(0).sameElements(oneShot(e0)))
+    assert(fusedAt(1).sameElements(oneShot(e0 ++ e1)))
+    assert(fusedAt(2).sameElements(oneShot(e0 ++ e1 ++ e2)))
+    // state is per-epoch batch-local heads: <= 2n rows per retained epoch
+    val v = graft.sources.Writers.latestVersion(stateDir).get
+    val state = spark.read.parquet(s"$stateDir/v$v")
+    assert(state.groupBy("__epoch").count().as[(Long, Long)].collect()
+      .forall(_._2 <= 20))
+    // crash-after-commit replay of the last epoch: (arm, id, __epoch)-
+    // keyed contributions overwrite, the fused head reconstructs identically
+    val before = fusedAt(2)
+    run(2, e2)
+    assert(fusedAt(2).sameElements(before))
+    // sliding freshness: maxEpochAge=1 ages epoch 0's heads out of the
+    // epoch-2 merge — the fused head is the one-shot over e1 ++ e2 only
+    val stateDir2 = java.nio.file.Files.createTempDirectory("rrfstate2").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("rrfout2").toString
+    def run2(e: Long, ids: Seq[Long], re: Boolean = false): Unit =
+      StreamingJobs.rrfTopKBatch(docs(ids, re), e, "doc_id",
+        col("sa"), col("sb"), stateDir2, outDir2, n = 10, maxEpochAge = 1)
+    run2(0, e0); run2(1, e1, re = true); run2(2, e2)
+    val slid = spark.read.parquet(s"$outDir2/epoch=2")
+      .select("id", "r_lex", "r_vec", "rrf").orderBy(col("id").asc).collect()
+    // e1's re-delivered doc 3 contributes its LOWER re-score on arm a
+    // (the original epoch-0 head aged out), so build the expected
+    // composition from the re-scored frame
+    val d12 = docs(e1, reScore = true).unionByName(docs(e2))
+      .groupBy(col("doc_id").cast("string").as("id"))
+      .agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"))
+    def head12(s: String, rn: String) = d12.filter(col(s).isNotNull)
+      .orderBy(col(s).desc, col("id").asc).limit(10)
+      .withColumn(rn, row_number().over(
+        Window.orderBy(col(s).desc, col("id").asc)).cast("long"))
+      .select(col("id"), col(rn))
+    val exp12 = Retrieval.rrfFuse(head12("sa", "r_lex"), head12("sb", "r_vec"),
+      "id", "r_lex", "r_vec").orderBy(col("id").asc).collect()
+    assert(slid.sameElements(exp12))
+  }
+
   test("gapFillBatch: epoch-concat equals batch gapFill, fills inter-epoch gaps, replay-stable") {
     val stateDir = java.nio.file.Files.createTempDirectory("gfstate").toString
     val outDir = java.nio.file.Files.createTempDirectory("gfout").toString
