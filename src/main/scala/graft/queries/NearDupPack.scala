@@ -173,15 +173,29 @@ object NearDupPack extends QueryPack {
     // (0.15000000000000002); the oracle must CAST both operands to
     // DOUBLE before subtracting, because DuckDB's bare 1.0 - 0.85 is
     // exact DECIMAL arithmetic (= the different double 0.15).
+    // The edge formula runs over a RANK INDEX of the ids, not the raw
+    // ids: `(doc_id*31+k) % n` only lands on real documents when ids
+    // are contiguous from 0 — on the ×10 replica mirror (offset id
+    // blocks) it fabricated ~1300 phantom nodes that exist in no
+    // documents row (caught by the r14 ×10-corpus sweep). Identical
+    // output on contiguous corpora (idx == doc_id there); the
+    // row_number window is FIXTURE construction — a real link graph
+    // arrives as an edge table and pays no such sort.
     "q103_pagerank" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
       val docs = Q.t(s, dir, "documents").select(col("doc_id"))
       val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-      val edges = docs.crossJoin(n)
-        .select(col("doc_id").as("src"), col("n_docs"),
+      val ix = docs.withColumn("idx",
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1)
+      val edges = ix.crossJoin(n)
+        .select(col("doc_id").as("src"), col("idx"), col("n_docs"),
           explode(array(lit(1), lit(2), lit(3))).as("k"))
         .select(col("src"),
-          ((col("src") * 31 + col("k")) % col("n_docs")).as("dst"))
+          ((col("idx") * 31 + col("k")) % col("n_docs")).as("dst_idx"))
+        .join(ix.select(col("idx").as("dst_idx"), col("doc_id").as("dst")),
+          Seq("dst_idx"))
         .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
       Graph.pageRank(edges, "src", "dst", iterations = 3)
         .select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
     }),
@@ -842,10 +856,13 @@ object NearDupPack extends QueryPack {
     "q103_pagerank" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                            CAST(count(*) AS DOUBLE) AS nd FROM documents),
-         e AS (SELECT doc_id AS src,
-                      (doc_id * 31 + k) % (SELECT n_docs FROM n) AS dst
-               FROM documents, (VALUES (1), (2), (3)) AS ks(k)
-               WHERE doc_id <> (doc_id * 31 + k) % (SELECT n_docs FROM n)),
+         ix AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+                FROM documents),
+         e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+               FROM ix a, (VALUES (1), (2), (3)) AS ks(k)
+                    JOIN ix b ON b.idx = (a.idx * 31 + k) % (SELECT n_docs FROM n)
+               WHERE a.doc_id <> b.doc_id),
          outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
                     FROM e GROUP BY 1),
          pr0 AS (SELECT doc_id AS node, 1.0 / (SELECT nd FROM n) AS pr

@@ -168,17 +168,24 @@ object ScalarPack extends QueryPack {
          FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
          ORDER BY ALL NULLS FIRST""",
 
+    // event_id rides both windows as a TIEBREAKER: with duplicate
+    // (user_id, ts) rows — the ×10 mirror replicates events verbatim —
+    // an ORDER BY ts alone lets the lag pass and the running-sum pass
+    // order the tie group DIFFERENTLY (parallel-sort instability), so
+    // the brk=1 row can land mid-group in the second pass and split a
+    // session that Spark's tie-insensitive session_window correctly
+    // merges (caught by the r14 ×10-corpus sweep; the engine was right)
     "q64_session_batch" ->
       """WITH m AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
                   CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
                        THEN 1 ELSE 0 END AS brk
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (
            SELECT user_id, ts,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
            FROM m)
          SELECT min(ts) AS session_start, user_id, count(*) AS n

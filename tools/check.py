@@ -58,7 +58,10 @@ def main():
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # testdata ships single-file parquet; Spark-written mirrors
+            # (graft.ScaleCorpus) are part-file DIRECTORIES — glob those
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
