@@ -31,6 +31,25 @@ object MicroBench {
     time("hof") { df.select(sum(Similarity.dot(col("a"), col("b")))).collect() }
     time("native") { df.select(sum(VectorFunctions.dotNative(col("a"), col("b")))).collect() }
 
+    // lookup-sum: the quality-model margin (indices against a broadcast
+    // weight-table literal, QualityModel.fit/gateInline) as the HOF
+    // aggregate fold vs the native codegen LookupSum — the fold pays
+    // interpreted lambda dispatch per FEATURE, the r14 6x finding.
+    val wlit = typedLit((0 until 128).map(i => ((i * 41 + 7) % 2001 - 1000).toLong))
+    val fdf = spark.range(rows).select(
+      transform(sequence(lit(1), lit(dim)),
+        i => ((i * (col("id") + 3)) % 128).cast("long")).as("f")).cache()
+    fdf.count()
+    def hofLookup(f: org.apache.spark.sql.Column) =
+      aggregate(f, lit(0L), (acc, b) => acc + element_at(wlit, b.cast("int") + 1))
+    fdf.limit(1000).select(sum(hofLookup(col("f")))).collect()
+    fdf.limit(1000).select(sum(
+      VectorFunctions.lookupSumNative(col("f"), wlit))).collect()
+    time("lookup-hof") { fdf.select(sum(hofLookup(col("f")))).collect() }
+    time("lookup-native") { fdf.select(sum(
+      VectorFunctions.lookupSumNative(col("f"), wlit))).collect() }
+    fdf.unpersist()
+
     // topTokenFrac: the shipped sorted-longest-run form vs the naive
     // distinct×scan form on pathologically long documents — the case the
     // O(d·n) shape stalls on (one 100k-token doc ≈ 2e9 comparisons).

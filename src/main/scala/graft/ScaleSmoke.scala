@@ -686,6 +686,34 @@ object ScaleSmoke {
         probeDims = math.min(4, vecDim / 4)).count()
     }
 
+    time("bm25-batch-queries") {
+      // q142's scale axis is the QUERY COUNT, not the corpus (a
+      // training batch retrieves for many probes at once): corpus
+      // FIXED (the natural sf documents), 8·mult queries of 3 terms
+      // drawn deterministically from the corpus vocabulary. The one-
+      // pass design means wall grows sub-linearly in queries — the
+      // corpus explode + semi-prune + tf/df aggregation are paid ONCE
+      // for the union term set (which grows slower than the query
+      // count: terms repeat across queries, as they do in real
+      // training batches), and only the final bounded (qid, token)
+      // fan-out join scales with mult. A per-query bm25 loop is the
+      // linear strawman this stage exists to dominate.
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(200)
+        .select(col("token")).collect().map(_.getString(0))
+      val queries = spark.range(8L * mult).select(col("id").as("qid"),
+        array((0 until 3).map(j =>
+          element_at(typedLit(vocab.toSeq),
+            ((col("id") * 7 + j * 13) % vocab.length).cast("int") + 1)): _*)
+          .as("terms"))
+        .select(col("qid"), array_distinct(col("terms")).as("terms"))
+      operators.Retrieval.bm25Batch(docs, "doc_id", split(col("text"), " "),
+        queries, "qid", col("terms")).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

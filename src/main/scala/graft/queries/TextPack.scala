@@ -581,7 +581,34 @@ object TextPack extends QueryPack {
         (size(col("toks")) >= QualityTrainLabelMin).cast("long"),
         QualityTrainBuckets, QualityTrainIters)
     }),
+
+    // L4 retrieval, batch form: BM25 for a whole TABLE of probe queries
+    // in ONE corpus pass (training-batch retrieval — per-query jobs
+    // would be a driver-side loop). The union term set broadcast-
+    // semi-prunes the exploded token stream, per-(doc, term) scores are
+    // computed once (tf/df/dl/avgdl are query-independent) and fan out
+    // to queries via the broadcast (qid, token) table. Scores are
+    // EXACTLY per-query bm25 (RetrievalSpec pins the equality); the
+    // oracle replays the q28 rounding chain per (qid, doc).
+    "q142_bm25_batch" -> ((s, dir) => Q.ordered {
+      import s.implicits._
+      import graft.operators.Retrieval
+      val queries = BatchQueryTerms.toDF("qid", "terms")
+      Retrieval.bm25Batch(
+        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", split(col("text"), " "),
+        queries, "qid", col("terms"))
+    }),
   )
+
+  /** q142 fixture: the probe-query table, shared by the Spark builder
+    * and the SQL oracle generator so the two sides can't drift. Terms
+    * overlap across queries deliberately — the per-(doc, term) score
+    * reuse is the point of the batch form. */
+  private val BatchQueryTerms: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("join", "filter", "scan")),
+    (2L, Seq("data", "schema", "filter")),
+    (3L, Seq("merge", "window")))
 
   /** q140 fixture constants — shared by the Spark builder and the SQL
     * oracle generator so the two sides can't drift. */
@@ -650,6 +677,37 @@ object TextPack extends QueryPack {
        bm  AS (SELECT doc_id, count(*) AS n_terms,
                       round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
                FROM sc GROUP BY 1)"""
+
+  /** q142's oracle: the q28 rounding chain over the UNION term set,
+    * per-(doc, term) scores fanned out to queries through the generated
+    * (qid, token) VALUES table — generated from [[BatchQueryTerms]] so
+    * the fixture can't drift from the Spark builder. */
+  private lazy val bm25BatchSql: String = {
+    val qtRows = BatchQueryTerms.flatMap { case (qid, terms) =>
+      terms.map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(", ")
+    val termSet = BatchQueryTerms.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH qt(qid, token) AS (VALUES $qtRows),
+       tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+       dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       st  AS (SELECT count(*) AS n_docs,
+                      round(CAST(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avgdl
+               FROM dl),
+       tf  AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ($termSet) GROUP BY 1, 2),
+       dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+               WHERE token IN ($termSet) GROUP BY 1),
+       sc  AS (SELECT t.doc_id, t.token,
+                      round(round(ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 8)
+                        * (t.tf * CAST(2.2 AS DOUBLE))
+                        / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * d.dl) / s.avgdl)), 6) AS term_score
+               FROM tf t JOIN dfc USING (token) JOIN dl d USING (doc_id) CROSS JOIN st s)
+       SELECT qt.qid, sc.doc_id, count(*) AS n_terms,
+              round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
+       FROM sc JOIN qt USING (token)
+       GROUP BY 1, 2 ORDER BY ALL NULLS FIRST"""
+  }
 
   // lazy: referenced by bpeTrainSql above during object init (a plain
   // later-declared val would still be null there — the compressionFilter
@@ -1236,6 +1294,7 @@ object TextPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q140_quality_train" -> qualityTrainSql,
+    "q142_bm25_batch" -> bm25BatchSql,
   )
 
   /** q140's oracle: the quality model RE-TRAINED in SQL. One shared

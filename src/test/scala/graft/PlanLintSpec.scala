@@ -57,7 +57,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q135_kmv_distinct",
     // q136's arms inherit q51's 1-row query-vector broadcast and q28's
     // 1-row corpus-stats broadcast
-    "q136_rrf_fusion")
+    "q136_rrf_fusion",
+    // q142 bm25Batch crosses q28's 1-row (n_docs, avgdl) corpus stats
+    // into the scored hit stream (the same bounded 1-row shape)
+    "q142_bm25_batch")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -309,6 +312,14 @@ class PlanLintSpec extends AnyFunSuite {
       finally System.clearProperty(graft.queries.Q.NoOrderProp)
     assert(!plan.contains("FileScan"), plan)
   }
+
+  // batch retrieval: two corpus scans (hit stream + dl/avgdl stats —
+  // the q28 family shape) and keyed exchanges only over the pruned,
+  // ≤|terms|-rows-per-doc hit stream (tf agg, df window, final
+  // (qid, doc) agg) + the two bounded query-table distincts + the
+  // 1-row stats agg
+  assertShuffleBudget("q142_bm25_batch", 6)
+  assertScanBudget("q142_bm25_batch", 2)
 
   // exact quantiles: one scan, one grouped-agg exchange
   assertShuffleBudget("q137_group_quantiles", 1)
