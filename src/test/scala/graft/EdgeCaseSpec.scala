@@ -267,4 +267,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(misses.isEmpty,
       s"unrecovered/misrecovered keys: ${misses.take(5).mkString(", ")}")
   }
+
+  test("rrfTopKBatch: empty first epoch and single-arm batches merge, not crash") {
+    import graft.streaming.StreamingJobs
+    val stateDir = java.nio.file.Files.createTempDirectory("rrfedge").toString
+    val outDir = java.nio.file.Files.createTempDirectory("rrfedgeout").toString
+    def run(e: Long, rows: Seq[(Long, Option[Double], Option[Double])]): Unit =
+      StreamingJobs.rrfTopKBatch(
+        rows.toDF("doc_id", "sa", "sb"), e, "doc_id",
+        col("sa"), col("sb"), stateDir, outDir, n = 5)
+    // epoch 0: no rows at all — emits an empty fused head, seeds state
+    run(0, Seq.empty)
+    assert(spark.read.parquet(s"$outDir/epoch=0").isEmpty)
+    // epoch 1: arm a only — fused head ranks a alone, r_vec all null
+    run(1, Seq((1L, Some(9.0), None), (2L, Some(7.0), None)))
+    val f1 = spark.read.parquet(s"$outDir/epoch=1")
+      .orderBy(col("id")).collect()
+    assert(f1.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(f1.forall(_.isNullAt(2))) // r_vec
+    // epoch 2: arm b only — both arms present in the cumulative fusion
+    run(2, Seq((3L, None, Some(4.0))))
+    val f2 = spark.read.parquet(s"$outDir/epoch=2")
+      .select(col("id"), col("r_lex"), col("r_vec")).orderBy(col("id")).collect()
+    assert(f2.length == 3)
+    assert(f2.find(_.getString(0) == "3").exists(r => r.isNullAt(1) && r.getLong(2) == 1L))
+  }
 }
