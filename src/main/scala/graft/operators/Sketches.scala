@@ -203,6 +203,87 @@ object Sketches {
   def kmvDistinct(items: DataFrame, item: Column, k: Int): DataFrame =
     kmvEstimate(kmvMinima(items, item, k), k)
 
+  /** Log-linear histogram bin id for a positive integer value — the
+    * HdrHistogram / DDSketch bucket family (Masson et al., VLDB 2019),
+    * built to be ORACLE-REPLAYABLE: the octave `e = floor(log2 v)` comes
+    * from the binary-string length (`length(bin(v)) − 1` — pure integer
+    * arithmetic, no transcendental whose last ulp could differ across
+    * engines), and the sub-bin is the value's next `kb` bits
+    * (`(v << kb >> e) − 2^kb`). Bin id = `e·2^kb + sub`.
+    *
+    * Properties:
+    *  - state is ≤ 64·2^kb bins REGARDLESS of the value domain — the
+    *    bounded-state answer to exact `percentile`'s value-domain buffer
+    *    (q137's documented caveat for unbounded continuous domains);
+    *  - relative bin width ≤ 2^−kb once `e ≥ kb`; below that every
+    *    integer owns its bin (exact) — the standard HDR small-value rule;
+    *  - counts are ADDITIVE, so sketches merge by unioned `sum(cnt)`
+    *    (the same re-reducibility that makes the CMS/KMV streaming forms
+    *    work).
+    *
+    * Values < 1 land in the reserved underflow bin −1 (lower edge 0);
+    * callers hold `v < 2^(57−kb)` so the shift cannot overflow (scale
+    * real-valued data to integer micro-units first — exactly the md5 /
+    * DECIMAL portability discipline, SURVEY §7.4.8). */
+  def histBin(v: Column, kb: Int): Column = {
+    require(kb >= 1 && kb <= 8,
+      s"hist kb must be in [1, 8] — 2^kb sub-bins per octave (got $kb)")
+    val k = 1L << kb
+    val e = (length(bin(v)) - 1).cast("int")
+    val sub = call_function("shiftright", shiftleft(v, kb), e) - k
+    when(v < 1, lit(-1L)).otherwise(e.cast("long") * k + sub)
+  }
+
+  /** Inclusive lower edge of a [[histBin]] bin, in the value's own integer
+    * units: `((2^kb + sub) << e) >> kb` — again pure shifts, so both
+    * engines agree bit-for-bit. The quantile ESTIMATE is this edge (an
+    * underestimate by at most one bin width, i.e. relative error ≤ 2^−kb
+    * for `e ≥ kb`). Underflow bin → 0. */
+  def histLowerEdge(binId: Column, kb: Int): Column = {
+    val k = 1L << kb
+    val e = shiftright(binId, kb).cast("int")
+    val sub = binId.bitwiseAND(lit(k - 1))
+    when(binId < 0, lit(0L))
+      .otherwise(shiftright(call_function("shiftleft", lit(k) + sub, e), kb))
+  }
+
+  /** Histogram BUILD: one map-side-combinable aggregation over `items` to
+    * `(groupCols…, bin, cnt)` — ≤ 64·2^kb rows per group no matter how
+    * many rows fed it (the whole point: a 100 TB column's distribution
+    * summary moves ~2k rows per group through the shuffle). */
+  def histBuild(items: DataFrame, value: Column, kb: Int,
+                groupCols: Seq[String] = Nil): DataFrame =
+    items
+      .groupBy((groupCols.map(col) :+ histBin(value, kb).as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile ESTIMATES from a built (or merged) sketch: for each pct in
+    * `pcts` (integer percents — the rank target `ceil(n·pct/100)` stays
+    * in exact integer arithmetic on both engines), the lower edge of the
+    * first bin whose cumulative count reaches the target. All work here
+    * is windows/aggs over the BOUNDED sketch table — nothing data-sized.
+    * Output: `(groupCols…, n, p<pct>…)` with estimates in the value's
+    * integer units. */
+  def histQuantiles(sketch: DataFrame, kb: Int, pcts: Seq[Int],
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in [1, 100] (got $pcts)")
+    import org.apache.spark.sql.expressions.Window
+    val part =
+      if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(groupCols.map(col): _*)
+    val c = sketch
+      .withColumn("__cum", sum(col("cnt")).over(part.orderBy(col("bin").asc)))
+      .withColumn("__n", sum(col("cnt")).over(part))
+      .withColumn("__low", histLowerEdge(col("bin"), kb))
+    val aggs = max(col("__n")).as("n") +: pcts.map { p =>
+      min(when(col("__cum") >= expr(s"(__n * $p + 99) div 100"), col("__low")))
+        .as(s"p$p")
+    }
+    val g = if (groupCols.isEmpty) c.groupBy() else c.groupBy(groupCols.map(col): _*)
+    g.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic Bloom filter BUILD: the set-bit table for `state`'s
     * keys — bit ids are `r·m + h_r(key) % m` for r in [0, k), so the k
     * hash families occupy disjoint id ranges and a single `distinct`

@@ -170,6 +170,27 @@ object CorePack extends QueryPack {
     "q22_delta_antijoin" -> ((s, dir) => Q.ordered(
       Delta.split(freshLineitem(s, dir), stateLineitem(s, dir),
         Seq("l_orderkey", "l_linenumber"))._1)),
+
+    // SCD2 version history — the delta family's HISTORY form: where q22
+    // routes changed rows forward and q18/q67's upserts overwrite, this
+    // keeps every observed version with its validity interval (the
+    // time-travel dimension the reference's ON CONFLICT UPDATE sink
+    // cannot answer). Per user: consecutive equal event_types collapse
+    // into one version, versions carry [valid_from, valid_to) with the
+    // 2200-01-01 open sentinel (non-null and inside the ns-epoch range
+    // every Arrow/pandas consumer can hold — see Delta.OpenVersion), ties broken by event_id (the q64/x10 lesson). ONE keyed
+    // exchange for both windows — change-detect lag and interval lead
+    // share the (user_id; ts, event_id) spec and the version-start
+    // filter preserves partitioning and order.
+    "q144_scd2_history" -> ((s, dir) => Q.ordered(
+      Delta.scd2(
+        Q.t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        tieCols = Seq("event_id"), trackCols = Seq("event_type"))
+        .select(col("user_id"), col("version_nr"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current")))),
   )
 
   private val e2eTextSql = "lower(concat_ws(' ', titulo, detalle))"
@@ -323,6 +344,36 @@ object CorePack extends QueryPack {
           FROM fresh f LEFT JOIN state s
             ON f.l_orderkey = s.l_orderkey AND f.l_linenumber = s.l_linenumber
           WHERE s.row_hash IS NULL OR s.row_hash <> f.row_hash
+          ORDER BY ALL NULLS FIRST""",
+
+    // the textbook lag/lead sessionless form: version starts where the
+    // tracked value IS DISTINCT FROM its predecessor, intervals from the
+    // next start's timestamp, open versions at the ns-epoch-safe 2200-01-01 sentinel
+    "q144_scd2_history" ->
+      """WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events),
+          starts AS (
+            SELECT user_id, ts, event_id, event_type FROM o
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+          SELECT user_id,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS BIGINT)
+                   AS version_nr,
+                 event_type,
+                 ts AS valid_from,
+                 coalesce(lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                          TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+                 CAST(coalesce(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id),
+                               TIMESTAMP '2200-01-01 00:00:00')
+                      = TIMESTAMP '2200-01-01 00:00:00' AS INT) AS is_current
+          FROM starts
           ORDER BY ALL NULLS FIRST""",
   )
 }

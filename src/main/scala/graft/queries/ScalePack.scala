@@ -30,6 +30,9 @@ object ScalePack extends QueryPack {
 
   private val KmvK = 256
 
+  // 2^5 = 32 sub-bins per octave → relative error ≤ 1/32 ≈ 3.1%
+  private val HistKb = 5
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G4 scale path: co-located SortMergeJoin over tables bucketed by the
@@ -158,6 +161,37 @@ object ScalePack extends QueryPack {
       sk.crossJoin(broadcast(exact))
     }),
 
+    // Log-linear histogram quantiles — the ORACLE-CHECKED approximate-
+    // quantile tier (HdrHistogram/DDSketch bucket family), closing
+    // q137's documented caveat: exact `percentile` buffers the VALUE
+    // DOMAIN (fine for graded small-integer columns, unbounded for
+    // continuous ones) and approx_percentile is an engine-specific
+    // sketch (the q63 rows-only stance) — this sketch is ≤ 64·2^kb
+    // additive count rows per group REGARDLESS of domain, and every
+    // step (octave via binary-string length, sub-bin via shifts,
+    // integer rank targets, bin-edge estimates) is exact integer
+    // arithmetic both engines replay bit-for-bit. Relative error
+    // ≤ 2^−kb; the exact q72-style percentiles ride along as the audit
+    // columns (the q135 n_exact pattern — production runs the sketch
+    // alone, in ONE pass, mergeable across partitions/epochs).
+    "q143_hist_quantiles" -> ((s, dir) => Q.ordered {
+      val ev = Q.t(s, dir, "events")
+      val scaled = ev.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      val sk = Sketches.histBuild(scaled, col("v"), HistKb, Seq("event_type"))
+      val est = Sketches
+        .histQuantiles(sk, HistKb, Seq(50, 90, 99), Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_rows"),
+          (col("p50") / 100.0).as("p50"),
+          (col("p90") / 100.0).as("p90"),
+          (col("p99") / 100.0).as("p99"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("exact_p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("exact_p90"),
+          round(percentile(col("value"), lit(0.99)), 6).as("exact_p99"))
+      est.join(broadcast(exact), Seq("event_type"))
+    }),
+
     // Bloom membership gate: "which probe keys are definitely NOT in the
     // state set" from a k·m-bit filter instead of an anti-join against
     // data-sized state. State = custkeys holding an 'F' order; probe =
@@ -274,6 +308,45 @@ object ScalePack extends QueryPack {
                  n_exact
           FROM agg, ex
           ORDER BY ALL NULLS FIRST""",
+
+    // replays the full bucket arithmetic: octave from the binary-string
+    // length, sub-bin and lower edges via shifts, ceil-rank targets via
+    // integer division — nothing transcendental anywhere
+    "q143_hist_quantiles" -> {
+      val k = 1 << 5; val kb = 5
+      s"""WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+                      FROM events),
+          b AS (SELECT event_type,
+                       (length(bin(v)) - 1) * $k
+                         + ((v << $kb) >> (length(bin(v)) - 1)) - $k AS bin
+                FROM ev),
+          sk AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+                 FROM b GROUP BY 1, 2),
+          c AS (SELECT event_type, bin, cnt,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type
+                                           ORDER BY bin) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n,
+                       (($k + (bin & ${k - 1})) << (bin >> $kb)) >> $kb AS low
+                FROM sk),
+          q AS (SELECT event_type, max(n) AS n_rows,
+                       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN low END)
+                         / 100.0 AS p50,
+                       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN low END)
+                         / 100.0 AS p90,
+                       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN low END)
+                         / 100.0 AS p99
+                FROM c GROUP BY 1),
+          ex AS (SELECT event_type,
+                        round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                        round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                        round(quantile_cont(value, 0.99), 6) AS exact_p99
+                 FROM events GROUP BY 1)
+          SELECT q.event_type, n_rows, p50, p90, p99,
+                 exact_p50, exact_p90, exact_p99
+          FROM q JOIN ex USING (event_type)
+          ORDER BY ALL NULLS FIRST"""
+    },
 
     "q123_bloom_gate" ->
       s"""WITH state AS (SELECT DISTINCT o_custkey FROM orders

@@ -324,6 +324,20 @@ class PlanLintSpec extends AnyFunSuite {
   // exact quantiles: one scan, one grouped-agg exchange
   assertShuffleBudget("q137_group_quantiles", 1)
   assertScanBudget("q137_group_quantiles", 1)
+
+  // SCD2 history: both windows (change-detect lag, interval lead) and
+  // the version-start filter between them share one (user_id; ts, id)
+  // partitioning+order — one keyed exchange, one scan
+  assertShuffleBudget("q144_scd2_history", 1)
+  assertScanBudget("q144_scd2_history", 1)
+
+  // histogram quantile sketch: the (group, bin) build agg, the per-group
+  // window over the BOUNDED sketch table, and the exact-audit agg (the
+  // q135 audit pattern — production runs the sketch alone at 2 exchanges,
+  // of which only the build agg ever moves corpus-sized data); audit
+  // joined by broadcast, two scans (sketch pass + exact pass)
+  assertShuffleBudget("q143_hist_quantiles", 3)
+  assertScanBudget("q143_hist_quantiles", 2)
   // fuzzy match: the best-match min-struct regroup is the one
   // CORPUS-sized keyed exchange; the second is the dictionary's
   // distinct() — over the bounded dict side, pre-broadcast, corpus-

@@ -118,6 +118,84 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getInt(1) == 1)
   }
 
+  test("hist bins bracket every value with bounded relative width") {
+    // mixed magnitudes: exact small-value regime (e < kb) through five
+    // octaves of the log-linear regime
+    val kb = 5
+    val vals = (1L to 40L) ++ Seq(100L, 1000L, 12345L, 49002L, 1L << 40)
+    val df = vals.toDF("v")
+      .withColumn("bin", Sketches.histBin(col("v"), kb))
+      .withColumn("low", Sketches.histLowerEdge(col("bin"), kb))
+    df.collect().foreach { r =>
+      val (v, low) = (r.getLong(0), r.getLong(2))
+      assert(low <= v, s"lower edge $low above its value $v")
+      assert(v - low < math.max(1L, low >> kb),
+        s"value $v more than one relative bin width above its edge $low")
+      if (v < (1L << kb)) assert(low == v, s"small-value bin not exact at $v")
+    }
+    // lower edges are monotone in bin id (quantile extraction orders by
+    // bin and reads edges — sparse unused ids in the small-value regime
+    // must not reorder them)
+    val edges = (0L until 52L * 32).toDF("bin")
+      .select(Sketches.histLowerEdge(col("bin"), kb).as("low"))
+      .collect().map(_.getLong(0))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a <= b },
+      "histLowerEdge not monotone in bin id")
+    // underflow: values < 1 land in the reserved bin with lower edge 0
+    val uf = Seq(0L).toDF("v")
+      .select(Sketches.histBin(col("v"), kb).as("bin"))
+      .select(col("bin"), Sketches.histLowerEdge(col("bin"), kb).as("low"))
+      .head()
+    assert(uf.getLong(0) == -1L && uf.getLong(1) == 0L)
+  }
+
+  test("hist state is bounded and sketches merge additively") {
+    val kb = 5
+    // 60k values spanning [1, 6e8]: bins must stay ≤ 64·2^kb regardless
+    val vals = (1 to 60000).map(i => i.toLong * 10000L)
+    val sk = Sketches.histBuild(vals.toDF("v"), col("v"), kb)
+    assert(sk.count() <= 64L * 32, "bin count exceeded the 64·2^kb bound")
+    // merge = unioned sum(cnt): equals the sketch of the concatenation
+    val (a, b) = vals.splitAt(20000)
+    val merged = Sketches.histBuild(a.toDF("v"), col("v"), kb)
+      .union(Sketches.histBuild(b.toDF("v"), col("v"), kb))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.histBuild(vals.toDF("v"), col("v"), kb)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged per-part sketches differ from the whole-stream sketch")
+  }
+
+  test("hist quantile estimates are within one bin of the exact quantile") {
+    val kb = 5
+    // deterministic skewed sample over 4 decades (md5-free: fixed LCG)
+    var seed = 12345L
+    val vals = (1 to 5000).map { _ =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL
+      1L + seed % 100000L
+    }
+    val sk = Sketches.histBuild(vals.toDF("v"), col("v"), kb)
+    val row = Sketches.histQuantiles(sk, kb, Seq(50, 90, 99)).head()
+    assert(row.getLong(0) == 5000L)
+    val sorted = vals.sorted
+    Seq(50, 90, 99).zipWithIndex.foreach { case (p, i) =>
+      val est = row.getLong(i + 1)
+      val exact = sorted((5000 * p + 99) / 100 - 1)
+      assert(est <= exact, s"p$p estimate $est above the exact rank value $exact")
+      assert(exact - est <= (est >> kb) + 1,
+        s"p$p estimate $est more than one bin below exact $exact")
+    }
+    // grouped form: per-group targets computed from per-group n
+    val grouped = (1 to 1000).map(i => ("a", i.toLong)) ++
+      (1 to 100).map(i => ("b", i.toLong * 1000L))
+    val gsk = Sketches.histBuild(
+      grouped.toDF("g", "v"), col("v"), kb, Seq("g"))
+    val out = Sketches.histQuantiles(gsk, kb, Seq(50), Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a")._1 == 1000L && out("b")._1 == 100L)
+    assert(math.abs(out("a")._2 - 500L) <= (500L >> kb) + 1)
+    assert(math.abs(out("b")._2 - 50000L) <= (50000L >> kb) + 1)
+  }
+
   test("bloomProbe preserves the probe's columns") {
     val state = Seq("a", "b").toDF("k")
     val bits = Sketches.bloomBuild(state, col("k"), 4, 64)
