@@ -714,6 +714,51 @@ object ScaleSmoke {
         queries, "qid", col("terms")).count()
     }
 
+    time("hist-quantiles") {
+      // q143's sketch at N×: ONE map-combinable pass over the N×
+      // value stream into the bounded (bin, cnt) table, quantiles read
+      // off the bounded table — expect ~linear wall in corpus while the
+      // reported row count (the SKETCH size) stays CONSTANT across
+      // mults: that constancy is the stage's claim, printed as rows=
+      val sk = operators.Sketches.histBuild(
+        big.select((col("l_extendedprice") * 100).cast("long").as("v")),
+        col("v"), 5).persist()
+      operators.Sketches.histQuantiles(sk, 5, Seq(50, 90, 99)).collect()
+      val rows = sk.count()
+      sk.unpersist()
+      rows
+    }
+
+    // q144's incremental claim, measured as twins (the AQE-vs-salt A/B
+    // discipline): a FIXED fresh batch folded into an N×-key history.
+    // The rebuild re-windows every observation ever seen (~linear in
+    // N); the merge's only history-sized work is the broadcast
+    // anti/semi scan split (fresh keys are small → broadcast, no
+    // history shuffle) — its windows run over touched keys only, so
+    // the merge/rebuild ratio should WIDEN with N.
+    val scd2Obs = materialize("scd2obs", (0 until mult).map { i =>
+      Tables.load(spark, sfDir, "events")
+        .select((col("user_id") + lit(i.toLong * 1000000L)).as("key"),
+          col("ts"), (col("event_id") + lit(i.toLong * 100000000L)).as("id"),
+          col("event_type").as("v"))
+    }.reduce(_ unionByName _))
+    val scd2Hist = materialize("scd2hist",
+      Delta.scd2(scd2Obs, Seq("key"), "ts", Seq("id"), Seq("v")))
+    val scd2Fresh = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id").as("key"),
+        expr("timestampadd(DAY, 400, ts)").as("ts"),
+        (col("event_id") + lit(10000000000L)).as("id"),
+        col("event_type").as("v"))
+    timeBest("scd2-merge-incr") {
+      Delta.scd2Merge(scd2Hist, scd2Fresh,
+        Seq("key"), "ts", Seq("id"), Seq("v")).count()
+    }
+    timeBest("scd2-rebuild") {
+      Delta.scd2(scd2Obs.unionByName(scd2Fresh),
+        Seq("key"), "ts", Seq("id"), Seq("v")).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

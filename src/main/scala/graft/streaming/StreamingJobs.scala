@@ -457,6 +457,64 @@ object StreamingJobs {
       flaggedKind = "distinct_estimates_emitted")
   }
 
+  /** [[cmsSink]]/[[kmvSink]]'s QUANTILE sibling — the log-linear
+    * histogram sketch ([[graft.operators.Sketches.histBuild]], q143's
+    * operator) as an incremental sink: each micro-batch contributes its
+    * own `(bin, cnt)` rows, and the cumulative (or `maxEpochAge`-sliding)
+    * quantile estimates are emitted to `outDir/epoch=N` as one
+    * `(n, p50, …)` row — the streaming latency/size-distribution monitor
+    * next to kmvSink's distinct counter and cmsSink's frequency alarm.
+    * State is ≤ 64·2^kb rows PER RETAINED EPOCH regardless of stream
+    * volume, and counts are ADDITIVE, so the cumulative estimate equals
+    * a one-shot build over the concatenated stream (StreamingSpec pins
+    * the equality; the per-part merge law itself is SketchesSpec's).
+    * `value` must already be a positive integer (micro-units — the
+    * operator's contract).
+    *
+    * Replay contract, family-standard: contributions keyed
+    * (bin, __epoch) — a replayed epoch overwrites its own rows; probes
+    * filter `__epoch < epochId` before adding the pinned fresh
+    * contribution; output overwrites by epoch. */
+  def histSink(items: DataFrame, value: Column,
+               stateDir: String, outDir: String,
+               kb: Int = 5, pcts: Seq[Int] = Seq(50, 90, 99),
+               maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        histBatch(batch, epochId, value, stateDir, outDir, kb, pcts,
+          maxEpochAge)
+      }
+
+  /** One epoch of [[histSink]], exposed for replay/merge testing. */
+  def histBatch(batch: DataFrame, epochId: Long, value: Column,
+                stateDir: String, outDir: String,
+                kb: Int = 5, pcts: Seq[Int] = Seq(50, 90, 99),
+                maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val fresh = graft.operators.Sketches.histBuild(batch, value, kb)
+      .withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    val cumulative = prior.select(col("bin"), col("cnt"))
+      .unionByName(fresh.select(col("bin"), col("cnt")))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    val estimates = graft.operators.Sketches.histQuantiles(cumulative, kb, pcts)
+    estimates.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, fresh, Seq("bin", "__epoch"), col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = 1L,
+      stateDir = stateDir,
+      flaggedKind = "quantile_rows_emitted")
+  }
+
   /** The retrieval tier's streaming story (VERDICT r13 #8 — q136's
     * fusion had no incremental form): maintain the HYBRID top-`n` of a
     * scored document stream. Input rows carry the two arm scores
@@ -722,6 +780,97 @@ object StreamingJobs {
       flagged = late.count(),
       stateDir = stateDir,
       flaggedKind = "late_period_rows_dropped")
+  }
+
+  /** [[graft.operators.Delta.scd2]]'s incremental sink — SCD2 history
+    * maintenance at ingest (q144's operator; the epoch core is
+    * [[graft.operators.Delta.scd2Merge]], whose equality to the full
+    * rebuild is spec-pinned batch-side — the q120/incrementalWindowSink
+    * pattern of oracle-checked epoch cores). Per-key state holds only
+    * the OPEN version's observation row + its version number; each
+    * micro-batch folds its observations in and emits the REBUILT version
+    * rows of touched keys to `outDir/epoch=N`. Reconstruction = keep the
+    * LATEST emitted row per (key, version_nr) across epochs — that
+    * equals `Delta.scd2` over the concatenated observation stream
+    * (StreamingSpec pins the equivalence): a version's row only ever
+    * changes by closing its interval, and each change re-emits it.
+    *
+    * Late contract (the gapFillSink shape): an observation at or before
+    * its key's open-version `(tsCol, tieCols…)` is DROPPED and counted
+    * in the metrics sidecar (`late_observations_dropped`) — history
+    * rewrites belong to a batch backfill, not a bounded-state sink.
+    * State is ONE row per touched key per epoch (corpus-bounded by live
+    * keys, never by history depth); `maxEpochAge` evicts keys idle for
+    * N epochs (a re-appearing key re-seeds at version 1 — the family's
+    * standard readmission trade, acceptable where idle entities are
+    * retired entities).
+    *
+    * Replay contract, family-standard: state keyed (keyCols…, __epoch) —
+    * per-epoch APPENDS, never in-place seed updates — so the probe's
+    * `__epoch < epochId` filter reconstructs exactly the pre-epoch view;
+    * output overwrites by epoch. */
+  def scd2Sink(obs: DataFrame, keyCols: Seq[String], tsCol: String,
+               tieCols: Seq[String], trackCols: Seq[String],
+               stateDir: String, outDir: String,
+               maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    obs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        scd2Batch(batch, epochId, keyCols, tsCol, tieCols, trackCols,
+          stateDir, outDir, maxEpochAge)
+      }
+
+  /** One epoch of [[scd2Sink]], exposed for equivalence/replay tests. */
+  def scd2Batch(batch: DataFrame, epochId: Long, keyCols: Seq[String],
+                tsCol: String, tieCols: Seq[String], trackCols: Seq[String],
+                stateDir: String, outDir: String,
+                maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val ordCols = tsCol +: tieCols
+    val stateAll = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => batch.withColumn("version_nr", lit(1L))
+        .withColumn("__epoch", lit(-1L)).limit(0)
+    }
+    // live seed = the latest retained open-version row per key
+    val seed = graft.operators.Upsert.keepFirst(
+      stateAll, keyCols, Seq(col("__epoch").desc)).drop("__epoch")
+    // late gate: observations must sort strictly after the open
+    // version's (ts, tie…) — compared as one struct so timestamp ties
+    // fall through to the tie columns
+    val seedKeyed = seed.select(
+      (keyCols.map(col) :+
+        struct(ordCols.map(col): _*).as("__seed_ord")): _*)
+    val gated = batch.join(seedKeyed, keyCols, "left")
+    val obsOrd = struct(ordCols.map(col): _*)
+    val late = gated.filter(col("__seed_ord").isNotNull &&
+      obsOrd <= col("__seed_ord"))
+    val kept = gated.filter(col("__seed_ord").isNull ||
+      obsOrd > col("__seed_ord")).drop("__seed_ord")
+    // the seed rows ARE an scd2 history of only-open versions
+    val history = seed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lit(graft.operators.Delta.OpenVersion))
+      .withColumn("is_current", lit(1))
+    val merged = graft.operators.Delta.scd2Merge(
+      history, kept, keyCols, tsCol, tieCols, trackCols)
+    val touched = merged.join(
+      kept.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    touched.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    val emitted = spark.read.parquet(s"$outDir/epoch=$epochId")
+    val newSeed = emitted.filter(col("is_current") === 1)
+      .drop("valid_from", "valid_to", "is_current")
+      .withColumn("__epoch", lit(epochId))
+    graft.sources.Writers.mergeState(
+      spark, stateDir, newSeed, keyCols :+ "__epoch", col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = late.count(),
+      stateDir = stateDir,
+      flaggedKind = "late_observations_dropped")
   }
 
   /** [[incrementalDedupSink]]'s vector twin: each micro-batch of

@@ -337,6 +337,102 @@ class StreamingSpec extends AnyFunSuite {
       s"sliding estimate $slid != windowed one-shot ${oneShot(e1 ++ e2)}")
   }
 
+  test("histBatch: cumulative quantiles equal one-shot build, replay-stable, sliding window") {
+    import graft.operators.Sketches
+    val stateDir = java.nio.file.Files.createTempDirectory("histstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("histout").toString
+    val e0 = (1L to 1000L)
+    val e1 = (500L to 5000L by 3)
+    val e2 = (10L to 100L)
+    def run(e: Long, vals: Seq[Long]): Unit =
+      StreamingJobs.histBatch(vals.toDF("v"), e, col("v"),
+        stateDir, outDir, kb = 5, pcts = Seq(50, 90))
+    def estAt(e: Long): Seq[Long] = spark.read.parquet(s"$outDir/epoch=$e")
+      .select("n", "p50", "p90").head() match {
+        case r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    def oneShot(vals: Seq[Long]): Seq[Long] =
+      Sketches.histQuantiles(
+        Sketches.histBuild(vals.toDF("v"), col("v"), 5), 5, Seq(50, 90))
+        .select("n", "p50", "p90").head() match {
+          case r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+    run(0, e0); run(1, e1); run(2, e2)
+    // additive counts: the cumulative sketch at each horizon IS the
+    // one-shot sketch over the concatenated stream — estimates equal
+    // EXACTLY, not approximately
+    assert(estAt(0) == oneShot(e0))
+    assert(estAt(1) == oneShot(e0 ++ e1))
+    assert(estAt(2) == oneShot(e0 ++ e1 ++ e2))
+    // crash-after-commit replay: (bin, __epoch)-keyed contributions
+    // overwrite, the estimate reconstructs identically
+    val before = estAt(2)
+    run(2, e2)
+    assert(estAt(2) == before)
+    // sliding window: maxEpochAge=1 → epoch 2's estimate covers e1 ∪ e2
+    val stateDir2 = java.nio.file.Files.createTempDirectory("histstate2").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("histout2").toString
+    def run2(e: Long, vals: Seq[Long]): Unit =
+      StreamingJobs.histBatch(vals.toDF("v"), e, col("v"),
+        stateDir2, outDir2, kb = 5, pcts = Seq(50, 90), maxEpochAge = 1)
+    run2(0, e0); run2(1, e1); run2(2, e2)
+    val slid = spark.read.parquet(s"$outDir2/epoch=2")
+      .select("n", "p50", "p90").head()
+    assert(Seq(slid.getLong(0), slid.getLong(1), slid.getLong(2)) ==
+      oneShot(e1 ++ e2))
+  }
+
+  test("scd2Batch: reconstruction equals batch scd2, late drops counted, replay-stable") {
+    import graft.operators.Delta
+    val stateDir = java.nio.file.Files.createTempDirectory("scdstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scdout").toString
+    def obs(rows: (String, Int, Long, String)*) =
+      rows.toSeq.toDF("key", "d", "id", "v")
+        .select(col("key"),
+          expr("timestampadd(DAY, d, TIMESTAMP '2024-01-01 00:00:00')")
+            .as("ts"),
+          col("id"), col("v"))
+    // e0: two keys open; e1: a changes, b collapses (unchanged run), c new;
+    // e2: a reverses back to A, plus a LATE b observation (day 0 < open
+    // version's day 4 valid_from... day 1) that must drop
+    val e0 = obs(("a", 1, 1L, "A"), ("a", 2, 2L, "A"), ("b", 1, 5L, "X"))
+    val e1 = obs(("a", 3, 3L, "B"), ("b", 4, 6L, "X"), ("c", 1, 7L, "Y"))
+    val e2 = obs(("a", 5, 4L, "A"), ("b", 0, 8L, "X"))
+    def run(e: Long, df: org.apache.spark.sql.DataFrame): Unit =
+      StreamingJobs.scd2Batch(df, e, Seq("key"), "ts", Seq("id"), Seq("v"),
+        stateDir, outDir)
+    run(0, e0); run(1, e1); run(2, e2)
+    // reconstruction: the LATEST emitted row per (key, version_nr) —
+    // equals the batch operator over every non-late observation
+    def reconstructed = graft.operators.Upsert.keepFirst(
+      (0 to 2).map(e => spark.read.parquet(s"$outDir/epoch=$e")
+        .withColumn("__e", lit(e.toLong))).reduce(_ unionByName _),
+      Seq("key", "version_nr"), Seq(col("__e").desc)).drop("__e")
+    val kept = e0.unionByName(e1).unionByName(e2.filter(col("id") =!= 8L))
+    val batch = Delta.scd2(kept, Seq("key"), "ts", Seq("id"), Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("version_nr"), col("v"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"),
+        col("is_current"))
+      .as[(String, Long, String, String, String, Int)].collect().toSet
+    assert(canon(reconstructed) == canon(batch),
+      s"streamed history diverged:\n${canon(reconstructed)}\nvs\n${canon(batch)}")
+    // the late observation was counted, not silently eaten
+    val m = StreamingJobs.epochMetrics(spark, outDir)
+      .filter(col("epoch") === 2)
+      .select(col("flagged_kind"), col("flagged")).collect().head
+    assert(m.getString(0) == "late_observations_dropped" && m.getLong(1) == 1L)
+    // untouched keys are NOT re-emitted: epoch 2's only surviving
+    // observation is a's (b's was late-dropped), so only a's rows rebuild
+    val ep2Keys = spark.read.parquet(s"$outDir/epoch=2")
+      .select("key").distinct().as[String].collect().toSet
+    assert(ep2Keys == Set("a"))
+    // crash-after-commit replay of the last epoch reconstructs identically
+    val liveBefore = canon(reconstructed)
+    run(2, e2)
+    assert(canon(reconstructed) == liveBefore)
+  }
+
   test("rrfTopKBatch: cumulative fused head equals batch composition, replay-stable, age-evicted") {
     import graft.operators.Retrieval
     import org.apache.spark.sql.expressions.Window
