@@ -686,6 +686,20 @@ object ScaleSmoke {
         probeDims = math.min(4, vecDim / 4)).count()
     }
 
+    time("sq8-search") {
+      // q146's symmetric-int8 serving shape at N×: scale training is a
+      // 1-row agg, coding is row-local, the search is a map-only scan
+      // of 4×-compressed codes + TakeOrdered — expect scan-bound
+      // ~linear wall with ZERO data-sized state anywhere (the scale
+      // and the query codes are both single rows). Pays the coding
+      // live (production materializes the code table once) — an upper
+      // bound on per-search cost, the pq-search framing.
+      val query = vecBase.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qvec"))
+      operators.Similarity.sq8Search(bigVecs, "vec_id", "embedding",
+        query, "qvec", k = 10).count()
+    }
+
     time("bm25-batch-queries") {
       // q142's scale axis is the QUERY COUNT, not the corpus (a
       // training batch retrieves for many probes at once): corpus
@@ -727,6 +741,30 @@ object ScaleSmoke {
       val rows = sk.count()
       sk.unpersist()
       rows
+    }
+
+    time("heavy-hitters") {
+      // q145's SON two-phase at N×, on the distribution it exists for:
+      // a Zipf(~2) item stream (inverse-md5 synthesis — P(rank r) ∝
+      // 1/r²) whose VOCABULARY grows with the corpus. With the global
+      // threshold a FIXED FRACTION of the stream (T = n/1000), the
+      // phase-1 candidate bound n·P/T = 1000·P is CONSTANT across
+      // mults — candidate state never scales with data, which is the
+      // whole claim. rows= prints the measured phase-1 candidate count
+      // (the audit column): expect ~flat while the stream grows N×
+      // (the leading count() is threshold derivation — setup inside
+      // the stage, ~one scan of N× rows like both phases).
+      val stream = big.select(
+        concat(lit("t"), floor(lit(1.0) /
+          ((functions.HashFunctions.md5Window(
+              concat_ws("_", col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey")), 0).cast("double") + lit(0.5))
+            / lit(4294967296.0))).cast("long")).as("item"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("rk"))
+      val n = stream.count()
+      operators.Sketches.frequentItems(stream, col("item"), col("rk"),
+        shards = 8, minCount = math.max(1L, n / 1000))
+        .agg(max(col("n_candidates"))).head().getLong(0)
     }
 
     // q144's incremental claim, measured as twins (the AQE-vs-salt A/B

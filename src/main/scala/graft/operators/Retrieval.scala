@@ -154,4 +154,93 @@ object Retrieval {
       .select(col(idCol), col(rankA), col(rankB),
         (coalesce(lit(1.0) / (lit(c) + col(rankA)), lit(0.0)) +
           coalesce(lit(1.0) / (lit(c) + col(rankB)), lit(0.0))).as("rrf"))
+
+  /** Spark-round-compatible round-to-6 for the driver-side greedy:
+    * `BigDecimal(x).setScale(6, HALF_UP)` is exactly what Catalyst's
+    * `round(_, 6)` computes on doubles, `+ 0.0` kills the −0.0 the
+    * oracle comparator hash-distinguishes (q109 lesson). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** Left-to-right float→double dot — the same accumulation order as
+    * [[graft.functions.DotProduct]] and DuckDB's `list_dot_product`, so
+    * driver-computed cosines land on the engine-proven parity path. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * 1998) — the retrieval head's DEDUP-AWARE form: greedily pick the
+    * next document maximizing `λ·rel − (1−λ)·max_{s∈S} sim(d, s)`, so a
+    * training-data selection (or RAG context) of k documents doesn't
+    * spend its budget on k near-copies of the best hit. The missing
+    * piece between the similarity tier (q51/q146 rank PURE relevance)
+    * and the dedup tier (q110 prunes near-dups with no query): MMR
+    * trades the two off per query.
+    *
+    * Scale shape (the kmeans/pqAdcDense bounded-driver-state pattern):
+    * relevance ranking is a corpus scan + TakeOrdered to the
+    * `nCandidates`-row head; the greedy — inherently sequential, k·C
+    * cosines over C collected rows — runs on the driver over that
+    * bounded head ONLY (C=40 here; production C ≤ a few hundred), never
+    * on the corpus. The declared output is the selected table itself
+    * (the q140 LocalRelation stance).
+    *
+    * Parity mechanics: rel and pairwise sims are round-to-6 cosines
+    * (the q61-proven chain, replicated here with the identical
+    * accumulation order); the marginal score is the fixed IEEE chain
+    * `λ·rel − μ·maxSim` with BOTH constants passed pre-computed (never
+    * `1 − λ` at runtime — `lit(1.0 - 0.7)` is 0.30000000000000004, the
+    * q103 lesson); first pick uses maxSim = 0. Ties break max-score
+    * then id-ascending. An n-step DuckDB oracle replays the whole
+    * greedy via materialized per-step CTEs (the q132 pattern).
+    * Output: `(sel_rank, idCol, rel, mmr)` in selection order. */
+  def mmrDiverseTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, queryVecCol: String,
+                     nCandidates: Int, k: Int,
+                     lambda: Double = 0.7,
+                     oneMinusLambda: Double = 0.3): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"need nCandidates >= k >= 1 (got C=$nCandidates k=$k)")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dotNative, normNative}
+    val qv = query.select(col(queryVecCol).as("__qvec"))
+    val head = vectors
+      .select(col(idCol), col(vecCol).as("__vec"))
+      .filter(col("__vec").isNotNull)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), col("__vec"),
+        (round(dotNative(col("__vec"), col("__qvec")) /
+          (normNative(col("__vec")) * normNative(col("__qvec"))), 6)
+          + lit(0.0)).as("__rel"))
+      .filter(col("__rel").isNotNull)
+      .orderBy(col("__rel").desc, col(idCol).asc)
+      .limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2),
+        r.getSeq[Float](1).toArray))
+    val norms = head.map { case (_, _, v) => math.sqrt(dotD(v, v)) }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      head.zipWithIndex.map { case ((id, rel, _), i) => id -> ((rel, i)) }: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    (1 to math.min(k, head.length)).foreach { rank =>
+      val (bestId, bestScore) = remaining.iterator.map { case (id, (rel, i)) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map { j =>
+            round6(dotD(head(i)._3, head(j)._3) / (norms(i) * norms(j)))
+          }.max
+        (id, lambda * rel - oneMinusLambda * maxSim)
+      }.minBy { case (id, s) => (-s, id) }
+      val (rel, idx) = remaining.remove(bestId).get
+      selected += idx
+      out += ((rank, bestId, rel, bestScore))
+    }
+    out.toSeq.toDF("sel_rank", idCol, "rel", "mmr")
+  }
 }

@@ -647,6 +647,80 @@ object Similarity {
       dense, idCol, k)
   }
 
+  /** The per-tensor quantization scale of [[sq8Search]]: the single
+    * global `max(|component|)` over the corpus — one aggregation to ONE
+    * row (pure selection, no arithmetic, so the collected double is
+    * bit-identical to what any SQL engine computes). Per-TENSOR (one
+    * scale), not per-dim min/max: an affine per-dim code shifts every
+    * vector by `−mn_d` and the symmetric code-dot would rank the
+    * SHIFTED space, not the true dot (measured: recall@10 of 2/10 on
+    * the spec fixture) — one global symmetric scale keeps
+    * `Σ c_x·c_q ≈ (127/amax)²·Σ x·q`, a monotone approximation of the
+    * real inner product. */
+  def sq8Amax(vectors: DataFrame, vecCol: String): DataFrame =
+    vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .agg(max(abs(col("v").cast("double"))).as("amax"))
+
+  /** Signed 8-bit code array of one vector against the inlined global
+    * scale: `c_d = floor(v_d·127/amax + 0.5)` clamped to [−127, 127] —
+    * a portable IEEE double chain in fixed written order, so a SQL
+    * oracle replays codes bit-for-bit. Output `array<float>` (small
+    * integers, float-exact) to feed the codegen-native dot. An all-zero
+    * corpus (amax = 0) codes all-zero rather than dividing by zero. */
+  def sq8CodeArray(vec: Column, amax: Double): Column = {
+    val body: Column => Column =
+      if (amax == 0.0) _ => lit(0.0)
+      else x =>
+        least(lit(127.0), greatest(lit(-127.0),
+          floor(x.cast("double") * lit(127.0) / lit(amax) + lit(0.5))))
+    transform(vec, body).cast("array<float>")
+  }
+
+  /** SQ8 symmetric-int8 ANN search — the memory tier BETWEEN brute
+    * floats (q51/q65: full precision, full bytes) and PQ codes
+    * (q125/q141: ~16× compression, coarse): per-tensor signed 8-bit
+    * quantization (4× under float32) with SYMMETRIC integer scoring —
+    * both query and corpus quantized, similarity = the integer dot of
+    * code arrays (every product ≤ 127² and every 64-dim sum < 2^21,
+    * exactly representable in double, so the codegen-native dot is
+    * EXACT integer arithmetic and any SQL engine replays it bit-for-bit
+    * — no rounding step anywhere in the rank key, unlike the cosine
+    * tiers' round-to-6). The int8-dot serving shape of production
+    * vector stores; component error ≤ amax/254, unbiased.
+    *
+    * Plan shape: the 1-row scale aggregation collected once; coding is
+    * a row-local literal transform — in production the code table is
+    * MATERIALIZED once (the pqCodesWide framing) and each query pays
+    * one map-only scan of 64-byte rows + TakeOrdered, zero joins, zero
+    * shuffles. The exact-cosine audit rides along on the k returned
+    * rows only (bounded re-join — the q135 n_exact pattern). Returns
+    * `(idCol, isim, cos_exact)`, descending integer-similarity top-k,
+    * ids ascending on ties. */
+  def sq8Search(vectors: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val amaxRow = sq8Amax(vectors, vecCol).head()
+    val amax = if (amaxRow.isNullAt(0)) 0.0 else amaxRow.getDouble(0)
+    val codes = vectors.select(col(idCol),
+      sq8CodeArray(col(vecCol), amax).as("codes"))
+    val qc = query.select(sq8CodeArray(col(queryVecCol), amax).as("qcodes"))
+    val topk = codes.crossJoin(broadcast(qc))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.dotNative(col("codes"), col("qcodes"))
+          .cast("long").as("isim"))
+      .orderBy(col("isim").desc_nulls_last, col(idCol).asc_nulls_first)
+      .limit(k)
+    topk
+      .join(vectors.select(col(idCol), col(vecCol).as("__vec")), Seq(idCol))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qvec"))))
+      .select(col(idCol), col("isim"),
+        (round(
+          graft.functions.VectorFunctions.dotNative(col("__vec"), col("__qvec")) /
+            (graft.functions.VectorFunctions.normNative(col("__vec")) *
+              graft.functions.VectorFunctions.normNative(col("__qvec"))), 6)
+          + lit(0.0)).as("cos_exact"))
+  }
+
   /** The map-only rank stage: row-local literal lookups + fixed-order
     * DECIMAL adds + TakeOrderedAndProject. Vectors missing EVERY
     * subspace are dropped; a missing subspace contributes 0, matching

@@ -284,6 +284,70 @@ object Sketches {
     g.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Two-phase EXACT heavy hitters — the SON candidate-generation /
+    * verification pattern (Savasere-Omiecinski-Navathe 1995, the
+    * frequent-itemset 2-pass specialized to single items): where q122's
+    * count-min returns OVERestimates plus deterministic false positives,
+    * this returns the exact global count of every item with
+    * `cnt >= minCount` — and nothing else — in two bounded passes.
+    *
+    * Phase 1 groups by `(shard, item)` where `shard` is a DETERMINISTIC
+    * row-identity hash (md5 of a row key, never Spark's partition id —
+    * the result must be a pure function of the data so the oracle can
+    * replay it), and keeps items locally frequent in SOME shard
+    * (`cnt >= ceil(minCount / shards)`). Pigeonhole guarantees recall:
+    * an item with global count >= minCount must reach the local
+    * threshold in at least one of the `shards` cells — so phase 2's
+    * exact recount restricted to the candidate set (broadcast semi-join)
+    * loses nothing. The law `frequentItems == groupBy.count.filter` is
+    * spec-pinned (SketchesSpec).
+    *
+    * Scale shape: the full `(item, count)` table is NEVER materialized
+    * globally. Phase 1 is map-side combinable and its OUTPUT is bounded
+    * by construction — each shard can hold at most
+    * `|occurrences| · shards / minCount` locally-frequent items, so the
+    * candidate list is `n·P/T`-bounded and broadcastable whenever
+    * `minCount` is a meaningful fraction of the stream (the heavy-hitter
+    * regime). Phase 2 moves only candidate-matching occurrences through
+    * its aggregation. Two scans of `items` by design (candidate+verify
+    * is a 2-pass family) — cache or re-read, both bounded; PlanLint pins
+    * the budget on q145.
+    *
+    * The `n_candidates` audit column carries the phase-1 cut so the
+    * bound is VISIBLE in the output (flat distributions — the SON worst
+    * case — show a small cut; Zipfian corpora, where heavy hitters
+    * matter, show orders of magnitude: ScaleSmoke's `heavy-hitters`
+    * stage measures it). Reference seed: the scraper's category
+    * frequency rollups (/root/reference/src/classifier.py:123-156 label
+    * distribution) — at 100 TB "which labels are frequent" cannot hash
+    * the whole vocabulary. */
+  def frequentItems(items: DataFrame, item: Column, shardKey: Column,
+                    shards: Int, minCount: Long): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val localMin = (minCount + shards - 1) / shards
+    val assigned = items.select(
+      item.as("item"),
+      (HashFunctions.md5Window(shardKey, 0) % shards).as("__shard"))
+    // the audit count rides ON the candidate rows (a window over the
+    // bounded candidate table) so the inner broadcast join both gates
+    // phase 2 AND delivers the cut — one phase-1 evaluation, not one per
+    // consumer (scan budget 2, PlanLint-pinned on q145)
+    val candidates = assigned
+      .groupBy("__shard", "item")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= localMin)
+      .select("item").distinct()
+      .withColumn("n_candidates", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    assigned
+      .join(broadcast(candidates), Seq("item"))
+      .groupBy("item", "n_candidates")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("item"), col("cnt"), col("n_candidates"))
+  }
+
   /** Deterministic Bloom filter BUILD: the set-bit table for `state`'s
     * keys — bit ids are `r·m + h_r(key) % m` for r in [0, k), so the k
     * hash families occupy disjoint id ranges and a single `distinct`

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Graph, Similarity, TextStats}
+import graft.operators.{Dedup, Graph, Retrieval, Similarity, TextStats}
 
 /** Near-duplicate detection at scale — SURVEY §2.9 L1/L2 extended.
   * Four mechanisms, each the oracle-checked form of a 100 TB design:
@@ -296,6 +296,48 @@ object NearDupPack extends QueryPack {
         Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
           .select(col("embedding").as("qvec")),
         "qvec", coarseDims = 8, nprobe = 4, k = 20)
+    }),
+
+    // L2 memory tier between brute floats and PQ codes: per-tensor
+    // symmetric int8 quantization (the production int8-dot serving
+    // shape) with SYMMETRIC integer scoring — ONE global amax scale
+    // trained on the corpus (1-row agg, collected, inlined), signed
+    // codes row-local, the rank key an EXACT integer dot of code
+    // arrays (products ≤ 127², 64-dim sums < 2^21 — float/double-
+    // exact, no rounding anywhere in the key, so both engines replay
+    // the ranking bit-for-bit; one global scale keeps the code dot a
+    // MONOTONE approximation of the true dot — per-dim min/max codes
+    // would rank a shifted space, Similarity.sq8Amax scaladoc). 4× the
+    // bytes of PQ codes' compression, none of the codebook coarseness;
+    // production materializes the code table once and each query is a
+    // map-only scan + TakeOrdered. cos_exact rides on the 20 returned
+    // rows as the quality audit (the q135 n_exact pattern).
+    "q146_sq8_ann" -> ((s, dir) => Q.ordered {
+      Similarity.sq8Search(
+        Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", k = 20)
+    }),
+
+    // L2/L4 composition: MMR diverse top-k (Carbonell & Goldstein 1998)
+    // — the dedup-AWARE retrieval head between pure-relevance ranking
+    // (q51/q146) and query-blind near-dup pruning (q110): greedy
+    // λ·rel − (1−λ)·maxSim selection so k picks don't spend the budget
+    // on k near-copies of the best hit. Relevance ranking is corpus-side
+    // (scan + TakeOrdered); the inherently-sequential greedy runs on the
+    // DRIVER over the collected 40-row candidate head only (the
+    // kmeans/pqAdcDense bounded-state pattern); the declared plan is the
+    // 10-row selection itself (the q140 LocalRelation stance). The
+    // oracle replays the ENTIRE greedy — candidate cut, pairwise
+    // round-6 cosines, per-step argmax — via 10 materialized CTEs (the
+    // q132 unrolled-loop pattern).
+    "q147_mmr_select" -> ((s, dir) => Q.ordered {
+      Retrieval.mmrDiverseTopK(
+        Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nCandidates = 40, k = 10)
     }),
 
     "q99_ivf_centroids" -> ((s, dir) => Q.ordered {
@@ -1103,6 +1145,96 @@ object NearDupPack extends QueryPack {
            SELECT vec_id, adist FROM tot
            ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
          ORDER BY ALL NULLS FIRST""",
+
+    // replays scale training (the 1-row global max(abs)), the clamped
+    // floor(v*127/amax+0.5) signed codes, and the symmetric integer
+    // dot ranking — all exact arithmetic, no rounding in the rank key
+    "q146_sq8_ann" ->
+      """WITH p AS (SELECT vec_id,
+                           unnest(range(1, len(embedding) + 1)) AS pos,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM embeddings),
+         st AS (SELECT max(abs(v)) AS amax FROM p),
+         codes AS (SELECT vec_id,
+                          list(least(CAST(127.0 AS DOUBLE),
+                                 greatest(CAST(-127.0 AS DOUBLE),
+                                   floor(v * CAST(127.0 AS DOUBLE) / amax
+                                         + CAST(0.5 AS DOUBLE))))
+                               ORDER BY pos) AS codes
+                   FROM p, st GROUP BY 1),
+         qc AS (SELECT codes AS qcodes FROM codes WHERE vec_id = 1),
+         topk AS (SELECT vec_id,
+                         CAST(list_dot_product(codes, qcodes) AS BIGINT)
+                           AS isim
+                  FROM codes, qc
+                  ORDER BY isim DESC NULLS LAST, vec_id ASC LIMIT 20),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id = 1)
+         SELECT t.vec_id, t.isim,
+                round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+                      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+                  + CAST(0.0 AS DOUBLE) AS cos_exact
+         FROM topk t JOIN embeddings e USING (vec_id), q
+         ORDER BY ALL NULLS FIRST""",
+
+    // the full greedy replayed: candidate head (round-6 cosine rel,
+    // rel-desc/id-asc cut), the 40×40 round-6 sim table, then one
+    // MATERIALIZED CTE per selection step — argmax of
+    // 0.7·rel − 0.3·max(sim to selected), mmr-desc/id-asc tie-break,
+    // exactly the driver loop's comparison chain
+    "q147_mmr_select" -> {
+      val C = 40
+      val K = 10
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a, $b)
+             / (sqrt(list_dot_product($a, $a))
+                * sqrt(list_dot_product($b, $b))), 6)
+           + CAST(0.0 AS DOUBLE)"""
+      val steps = (1 to K).map { r =>
+        if (r == 1)
+          s"""s1 AS MATERIALIZED (
+             SELECT vec_id, rel,
+                    CAST(0.7 AS DOUBLE) * rel
+                      - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr,
+                    CAST(1 AS INT) AS sel_rank
+             FROM cand
+             ORDER BY mmr DESC, vec_id ASC LIMIT 1)"""
+        else {
+          val prev = (1 until r)
+            .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+          s"""s$r AS MATERIALIZED (
+             SELECT vec_id, rel, mmr, CAST($r AS INT) AS sel_rank FROM (
+               SELECT c.vec_id, c.rel,
+                      CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+                        (SELECT max(s.sim) FROM sim s
+                         WHERE s.ida = c.vec_id
+                           AND s.idb IN ($prev)) AS mmr
+               FROM cand c
+               WHERE c.vec_id NOT IN ($prev))
+             ORDER BY mmr DESC, vec_id ASC LIMIT 1)"""
+        }
+      }.mkString(",\n")
+      val all = (1 to K)
+        .map(i => s"SELECT sel_rank, vec_id, rel, mmr FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+                     FROM embeddings WHERE vec_id = 1),
+         cand AS MATERIALIZED (
+           SELECT vec_id, rel, v FROM (
+             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    ${cos("CAST(embedding AS DOUBLE[])", "q.qvec")} AS rel
+             FROM embeddings, q WHERE embedding IS NOT NULL)
+           ORDER BY rel DESC, vec_id ASC LIMIT $C),
+         sim AS MATERIALIZED (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+                  ${cos("a.v", "b.v")} AS sim
+           FROM cand a, cand b),
+         $steps
+         SELECT sel_rank, vec_id, rel, mmr FROM ($all)
+         ORDER BY ALL NULLS FIRST"""
+    },
 
     "q99_ivf_centroids" ->
       """WITH s AS (SELECT vec_id, embedding,

@@ -33,6 +33,10 @@ object ScalePack extends QueryPack {
   // 2^5 = 32 sub-bins per octave → relative error ≤ 1/32 ≈ 3.1%
   private val HistKb = 5
 
+  // SON two-phase: 4 shards, global threshold 40 → local gate ceil(40/4)
+  private val FreqShards = 4
+  private val FreqMinCount = 40L
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G4 scale path: co-located SortMergeJoin over tables bucketed by the
@@ -192,6 +196,27 @@ object ScalePack extends QueryPack {
       est.join(broadcast(exact), Seq("event_type"))
     }),
 
+    // Two-phase EXACT heavy hitters (SON candidate+verify) — the exact
+    // sibling of q122's count-min: same corpus, same bigram grain, but
+    // the answer is every bigram's TRUE global count >= T, no false
+    // positives, via deterministic md5 row-sharding (shards=4), a local
+    // ceil(T/P) candidate gate (pigeonhole: recall is GUARANTEED, spec-
+    // pinned equal to the direct groupBy), and an exact recount
+    // restricted to the broadcast candidate list. The full (bigram,
+    // count) table never materializes globally — phase 1's output is
+    // n·P/T-bounded by construction, which is what survives a vocabulary
+    // 1000× the cluster's shuffle capacity. n_candidates carries the
+    // phase-1 cut as the audit column (this deliberately FLAT corpus is
+    // SON's worst case — ScaleSmoke's Zipfian stage shows the real cut).
+    "q145_exact_heavy_hitters" -> ((s, dir) => Q.ordered {
+      val toks = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextStats.bigrams(split(col("text"), " "))).as("bg"))
+      Sketches.frequentItems(toks, col("bg"),
+        col("doc_id").cast("string"), FreqShards, FreqMinCount)
+        .select(col("item").as("bigram"), col("cnt"), col("n_candidates"))
+    }),
+
     // Bloom membership gate: "which probe keys are definitely NOT in the
     // state set" from a k·m-bit filter instead of an anti-join against
     // data-sized state. State = custkeys holding an 'F' order; probe =
@@ -347,6 +372,30 @@ object ScalePack extends QueryPack {
           FROM q JOIN ex USING (event_type)
           ORDER BY ALL NULLS FIRST"""
     },
+
+    // replays the full two-phase chain: md5 doc-shard, local ceil(T/P)
+    // gate, candidate join, exact recount — a divergence in the
+    // CANDIDATE set (not just the final counts) breaks n_candidates
+    "q145_exact_heavy_hitters" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks
+                     FROM documents),
+          bgr AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 8) AS BIGINT) % $FreqShards AS sh,
+                         unnest(list_transform(range(1, len(toks)),
+                           i -> toks[i] || '_' || toks[i + 1])) AS bg
+                  FROM d),
+          loc AS (SELECT sh, bg, count(*) AS n FROM bgr GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT bg FROM loc
+                   WHERE n >= ${(FreqMinCount + FreqShards - 1) / FreqShards}),
+          candn AS (SELECT bg,
+                           (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                             AS n_candidates
+                    FROM cand),
+          hh AS (SELECT b.bg AS bigram, CAST(count(*) AS BIGINT) AS cnt,
+                        CAST(max(n_candidates) AS BIGINT) AS n_candidates
+                 FROM bgr b JOIN candn c ON b.bg = c.bg GROUP BY 1)
+          SELECT bigram, cnt, n_candidates FROM hh WHERE cnt >= $FreqMinCount
+          ORDER BY ALL NULLS FIRST""",
 
     "q123_bloom_gate" ->
       s"""WITH state AS (SELECT DISTINCT o_custkey FROM orders

@@ -570,6 +570,80 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF×PQ recall@20 vs exact L2 fell to $recall")
   }
 
+  test("sq8: signed codes in [-127,127], dequantization error within half " +
+    "a step, zero corpus codes zero, ranking recalls the exact dot order") {
+    val vecs = (1L to 200L)
+      .map(i => (i, (0 until 8).map(j =>
+        (((i * 13 + j * 7) % 23).toInt - 11).toFloat / 4f)))
+      .toDF("vec_id", "embedding")
+    val amaxRow = Similarity.sq8Amax(vecs, "embedding").head()
+    val amax = amaxRow.getDouble(0)
+    assert(amax == 2.75) // max |(((i*13+j*7) % 23) - 11)| / 4
+    val coded = vecs.select(col("vec_id"), col("embedding"),
+      Similarity.sq8CodeArray(col("embedding"), amax).as("codes"))
+      .as[(Long, Seq[Float], Seq[Float])].collect()
+    val step = amax / 127.0
+    coded.foreach { case (_, v, c) =>
+      assert(c.length == 8)
+      c.foreach(x => assert(x >= -127f && x <= 127f && x == math.rint(x)))
+      // round-to-nearest: reconstruction within half a quantization step
+      (0 until 8).foreach { d =>
+        val deq = c(d) * step
+        assert(math.abs(v(d) - deq) <= step / 2 + 1e-9,
+          s"dim $d: ${v(d)} vs dequantized $deq (step $step)")
+      }
+    }
+    // the amax = 0 guard: an all-zero corpus codes zero, never divides
+    val zeros = Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    assert(zeros.select(Similarity.sq8CodeArray(col("embedding"), 0.0))
+      .as[Seq[Float]].head() == Seq(0f, 0f))
+    // ranking parity with the exact float dot (8-bit is fine-grained on
+    // this value range — the top-10 must survive quantization)
+    val query = vecs.filter(col("vec_id") === 9)
+      .select(col("embedding").as("qvec"))
+    val got = Similarity.sq8Search(vecs, "vec_id", "embedding",
+      query, "qvec", k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)
+    val q = coded.find(_._1 == 9L).get._2
+    val exactTop = coded.map { case (id, v, _) =>
+      id -> (0 until 8).map(d => v(d).toDouble * q(d)).sum }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    assert(got.map(_._1).toSet.intersect(exactTop).size >= 9,
+      s"sq8 top-10 ${got.map(_._1).toSet} lost the exact-dot head $exactTop")
+    // the audit column is the true cosine of each returned id
+    got.foreach { case (id, _, cos) => assert(cos >= -1.0 && cos <= 1.0) }
+  }
+
+  test("mmrDiverseTopK: first pick is the relevance argmax, the diversity " +
+    "penalty reorders a near-dup below a distinct direction") {
+    import graft.operators.Retrieval
+    // q along dim 0; c1/c2 a near-dup pair at rel≈0.8; d equally
+    // relevant but in a DIFFERENT direction (sim(c,d)≈0.64) — pure
+    // relevance ranks [c1, c2, d]; MMR must demote the near-dup
+    val vecs = Seq(
+      (1L, Seq(0.81f, 0.586f, 0f, 0f)),  // c1: rel ~0.810
+      (2L, Seq(0.80f, 0.600f, 0f, 0f)),  // c2: rel 0.8, sim to c1 ~1.0
+      (3L, Seq(0.79f, 0f, 0.613f, 0f)),  // d : rel ~0.79, sim to c1 ~0.64
+      (4L, Seq(-1f, 0f, 0f, 0f))         // anti-query tail
+    ).toDF("vec_id", "embedding")
+    val query = Seq(Tuple1(Seq(1f, 0f, 0f, 0f))).toDF("qvec")
+    val got = Retrieval.mmrDiverseTopK(vecs, "vec_id", "embedding",
+      query, "qvec", nCandidates = 4, k = 3)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))      // selection order
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),   // c1, d, THEN c2
+      s"diversity penalty did not demote the near-dup: ${got.toSeq}")
+    // first pick is pure relevance (maxSim = 0): mmr = 0.7 * rel
+    assert(math.abs(got(0)._4 - 0.7 * got(0)._3) < 1e-12)
+    // mmr scores are non-increasing marginals within this fixture
+    assert(got(0)._4 >= got(1)._4 && got(1)._4 >= got(2)._4)
+    // k capped by candidate count
+    val short = Retrieval.mmrDiverseTopK(vecs.filter(col("vec_id") <= 2),
+      "vec_id", "embedding", query, "qvec", nCandidates = 4, k = 3)
+    assert(short.count() == 2)
+  }
+
   test("pqCodes drops subspaces the vector can't fill (ragged input)") {
     val vecs = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(3)(0.5f)))
       .toDF("vec_id", "embedding")

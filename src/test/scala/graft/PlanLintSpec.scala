@@ -60,7 +60,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q136_rrf_fusion",
     // q142 bm25Batch crosses q28's 1-row (n_docs, avgdl) corpus stats
     // into the scored hit stream (the same bounded 1-row shape)
-    "q142_bm25_batch")
+    "q142_bm25_batch",
+    // q146 sq8Search crosses the 1-row quantized query-code row into
+    // the corpus code scan, then the 1-row raw query vector into the
+    // k-row audit join (q51's 1-row query-broadcast shape, twice)
+    "q146_sq8_ann")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -324,6 +328,18 @@ class PlanLintSpec extends AnyFunSuite {
   // exact quantiles: one scan, one grouped-agg exchange
   assertShuffleBudget("q137_group_quantiles", 1)
   assertScanBudget("q137_group_quantiles", 1)
+
+  // SON two-phase heavy hitters: candidate+verify is a 2-pass family by
+  // design (phase-1 local counts + phase-2 exact recount) — the
+  // candidate table itself is n·P/T-bounded and broadcast, so the scans
+  // ARE the cost model (the q122 sketch-budget framing)
+  assertScanBudget("q145_exact_heavy_hitters", 2)
+
+  // SQ8 ANN: the DECLARED plan is code scan + bounded audit re-join —
+  // stats training runs at construction (driver-bounded by dims, the
+  // kmeans pattern); two corpus scans (code side + audit vector side)
+  // plus the 1-row query side
+  assertScanBudget("q146_sq8_ann", 4)
 
   // SCD2 history: both windows (change-detect lag, interval lead) and
   // the version-start filter between them share one (user_id; ts, id)

@@ -196,6 +196,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(out("b")._2 - 50000L) <= (50000L >> kb) + 1)
   }
 
+  test("frequentItems equals the direct count-filter (SON recall law), " +
+    "bounded candidates, adversarial concentration") {
+    // Zipf-ish stream: item i appears ~600/i times, tagged with a row
+    // key so sharding is a pure function of the data
+    val rows = (1 to 40).flatMap(i =>
+      (1 to 600 / i).map(j => (s"row_${i}_$j", s"item_$i")))
+    val df = rows.toDF("rk", "item")
+    val minCount = 60L
+    val shards = 4
+    val got = Sketches.frequentItems(df, col("item"), col("rk"),
+      shards, minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the law: exact counts of exactly the >= minCount items
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == exact)
+    assert(exact.nonEmpty)
+    // every row carries the same phase-1 cut, bounded by n·P/T
+    val nCand = got.map(_._3).distinct
+    assert(nCand.length == 1)
+    assert(nCand.head <= rows.size.toLong * shards / minCount)
+    // adversarial concentration: every occurrence of the hitter lands in
+    // ONE shard (single row key) — pigeonhole still guarantees recall
+    val conc = (1 to 100).map(i => ("onekey", "hot")) ++
+      (1 to 500).map(i => (s"k$i", s"cold_$i"))
+    val gotC = Sketches.frequentItems(conc.toDF("rk", "item"),
+      col("item"), col("rk"), 8, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(gotC.toSeq == Seq(("hot", 100L)))
+  }
+
   test("bloomProbe preserves the probe's columns") {
     val state = Seq("a", "b").toDF("k")
     val bits = Sketches.bloomBuild(state, col("k"), 4, 64)
