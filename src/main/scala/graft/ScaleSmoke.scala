@@ -383,6 +383,23 @@ object ScaleSmoke {
         Seq("join", "filter", "scan"))
         .filter(col("bm25").isNotNull).count()
     }
+    time("phrase-merge") {
+      // q148+q149 at N×: collocation learning is two map+agg passes into
+      // VOCAB-bounded count tables (vocabulary fixed as the corpus
+      // replicates — the realistic axis, the bpe-train-ordered framing),
+      // the greedy merge one (doc_id; pos) keyed exchange over the token
+      // stream. Expect ~linear scan-bound wall; the learned table and
+      // the broadcast phrase side stay CONSTANT across mults.
+      val docs = bigDocsOrdered.select(col("doc_id"), col("text"))
+      val phrases = operators.TextStats.collocations(
+        docs, split(col("text"), " "), minCount = 10L * mult)
+        .filter(col("score") >= 1.2)
+      // the token filter forces the merge projection to evaluate — a
+      // bare count() would let Catalyst prune the concat this stage times
+      operators.TextStats.phraseMerge(
+        docs, "doc_id", split(col("text"), " "), phrases)
+        .filter(col("token").isNotNull).count()
+    }
     // q113's exact shape (url synthesis from doc_id → canonicalUrl →
     // keep-first window) with and without the fan-out wrap — the paired
     // evidence VERDICT r12 #4 asked for at N×. The map work here is

@@ -259,4 +259,106 @@ object TextStats {
     }
     when(size(tokens) >= n, joined).otherwise(array().cast("array<string>"))
   }
+
+  /** Collocation (phrase) mining — the word2vec phrases pass (Mikolov et
+    * al. 2013 §4): score each adjacent word pair by
+    * `(c(ab) − δ) / c(a) · N / c(b)` — a discounted pointwise-mutual-
+    * information RATIO (PMI without the log: same ranking, and the whole
+    * rank key stays a fixed 4-op IEEE chain over exact integer counts, so
+    * a SQL oracle replays it bit-for-bit; ln is only ~1-ulp portable,
+    * SKILL.md). δ discounts rare-pair flukes; pairs below `minCount`
+    * never surface. Score > 1 means the pair co-occurs more than
+    * independence predicts; the phrase table for [[phraseMerge]] is a
+    * threshold cut of this output.
+    *
+    * Plan shape: two map+agg corpus passes (unigram tf, bigram tf — no
+    * per-doc windows, no row-position shuffle) into vocabulary-bounded
+    * count tables; N rides the unigram table as a single-partition window
+    * (vocab-bounded by definition — the q145 n_candidates shape); the
+    * pair scoring joins broadcast the unigram side. A production run
+    * materializes the vocab table once instead of re-deriving it per join
+    * branch — the plan's extra unigram scans are the in-plan rendering of
+    * that bounded table, never a data-sized state.
+    *
+    * Tokens must not contain '_' (the [[bigrams]] marker — file-wide
+    * contract). Counts-as-double stays exact below 2^53 per FACTOR (not
+    * per product — the ratio form never multiplies two counts).
+    * Output: (wa, wb, c_a, c_b, c_ab, score), c_ab >= minCount. */
+  def collocations(df: DataFrame, tokensCol: Column, minCount: Long,
+                   delta: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    val uc = df.select(explode(tokensCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+    val bc = df.select(explode(bigrams(tokensCol)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(substring_index(col("bg"), "_", 1).as("wa"),
+        substring_index(col("bg"), "_", -1).as("wb"), col("c_ab"))
+    bc
+      .join(broadcast(uc.select(col("w").as("wa"), col("c").as("c_a"),
+        col("n"))), Seq("wa"))
+      .join(broadcast(uc.select(col("w").as("wb"), col("c").as("c_b"))),
+        Seq("wb"))
+      .select(col("wa"), col("wb"), col("c_a"), col("c_b"), col("c_ab"),
+        (((col("c_ab") - lit(delta)).cast("double") /
+          col("c_a").cast("double")) *
+          (col("n").cast("double") / col("c_b").cast("double")))
+          .as("score"))
+  }
+
+  /** Greedy phrase-merge retokenization — applies a learned phrase table
+    * (e.g. a [[collocations]] threshold cut) to a corpus the way
+    * word2phrase does: scan each document left to right, merge the first
+    * eligible adjacent pair, skip past it, continue — so merges never
+    * overlap and a run of consecutively-eligible positions merges at
+    * alternate offsets from its head. The vocabulary-building sibling of
+    * the BPE APPLY stage (q107 encodes against learned merges;
+    * this re-tokenizes against learned phrases).
+    *
+    * The inherently-sequential greedy is window-algebra, not a loop:
+    * within a maximal run of consecutive flagged positions the selected
+    * set is exactly {head, head+2, head+4, …}, and the run head of any
+    * flagged position p is the LAST flag-onset at or before p — one
+    * running `max(case when onset then pos end)` frame. Every window
+    * (lead, lag, onset, head, output renumber) shares the single
+    * (idCol; pos) partitioning+order, and the emit filter preserves it —
+    * ONE keyed exchange end to end (the q144 discipline). The phrase
+    * table broadcasts (bounded by the collocation minCount cut:
+    * ≤ N/minCount rows).
+    *
+    * Output: (idCol, pos_out, token) — the retokenized corpus, one row
+    * per surviving token, `pos_out` dense 1-based per doc. */
+  def phraseMerge(df: DataFrame, idCol: String, tokensCol: Column,
+                  phrases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runFrame = byDoc.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tok = df.select(col(idCol), posexplode(tokensCol).as(Seq("p", "w")))
+      .select(col(idCol), (col("p") + 1).as("pos"), col("w"))
+      .withColumn("nxt", lead(col("w"), 1).over(byDoc))
+    val ph = phrases.select(col("wa"), col("wb"), lit(true).as("__ph"))
+      .distinct()
+    val flagged = tok
+      .join(broadcast(ph),
+        tok("w") === ph("wa") && tok("nxt") === ph("wb"), "left_outer")
+      .select(col(idCol), col("pos"), col("w"), col("nxt"),
+        coalesce(col("__ph"), lit(false)).as("flag"))
+    val sel = flagged
+      .withColumn("onset",
+        col("flag") && !coalesce(lag(col("flag"), 1).over(byDoc), lit(false)))
+      .withColumn("head",
+        max(when(col("onset"), col("pos"))).over(runFrame))
+      .withColumn("sel",
+        col("flag") && (col("pos") - col("head")) % 2 === 0)
+      .withColumn("emit",
+        !coalesce(lag(col("sel"), 1).over(byDoc), lit(false)))
+    sel.filter(col("emit"))
+      .select(col(idCol),
+        row_number().over(byDoc).as("pos_out"),
+        when(col("sel"), concat(col("w"), lit("_"), col("nxt")))
+          .otherwise(col("w")).as("token"))
+  }
 }

@@ -599,7 +599,48 @@ object TextPack extends QueryPack {
         "doc_id", split(col("text"), " "),
         queries, "qid", col("terms"))
     }),
+
+    // L4 vocabulary building: collocation mining — the word2vec phrases
+    // pass. Every adjacent pair with c_ab >= 10 scored by the discounted
+    // PMI RATIO (δ=2) — (c_ab−δ)/c_a · N/c_b, a fixed 4-op IEEE chain
+    // over exact integer counts (no ln: ~1-ulp portable only; no
+    // count×count product: each FACTOR stays < 2^53 where the product
+    // form overflows at corpus scale). Two map+agg corpus passes into
+    // vocab-bounded count tables; N rides the unigram table as a
+    // single-partition window (vocab-bounded, the q145 shape); scoring
+    // joins broadcast the unigram side.
+    "q148_collocations" -> ((s, dir) => Q.ordered {
+      TextStats.collocations(
+        Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        split(col("text"), " "), CollocMinCount, CollocDelta)
+    }),
+
+    // L4 vocabulary APPLY: greedy phrase-merge retokenization
+    // (word2phrase) against the q148 table cut at score >= 1.2 — the
+    // learn→apply composition the BPE pair (q132 train → q107 encode)
+    // established, for phrases. The inherently-sequential left-to-right
+    // greedy is window algebra (run head = last flag onset at or before
+    // p, select even offsets from the head), every window sharing ONE
+    // (doc_id; pos) exchange (the q144 discipline); the phrase table
+    // broadcasts (bounded by the minCount cut). The oracle replays
+    // phrase learning AND the full greedy per position.
+    "q149_phrase_merge" -> ((s, dir) => Q.ordered {
+      val docs = Q.wide(Q.t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val phrases = TextStats.collocations(docs, split(col("text"), " "),
+        CollocMinCount, CollocDelta)
+        .filter(col("score") >= CollocScoreMin)
+      TextStats.phraseMerge(docs, "doc_id", split(col("text"), " "), phrases)
+    }),
   )
+
+  // q148/q149 collocation parameters: δ=2 discounts rare-pair flukes;
+  // minCount 10 is the surfacing floor; 1.2 cuts the ~8% upper tail of
+  // this corpus's score distribution (max 2.39 at sf0.01) into the
+  // q149 phrase table.
+  private val CollocMinCount = 10L
+  private val CollocDelta = 2L
+  private val CollocScoreMin = 1.2
 
   /** q142 fixture: the probe-query table, shared by the Spark builder
     * and the SQL oracle generator so the two sides can't drift. Terms
@@ -1295,6 +1336,78 @@ object TextPack extends QueryPack {
 
     "q140_quality_train" -> qualityTrainSql,
     "q142_bm25_batch" -> bm25BatchSql,
+
+    // replays both count tables and the 4-op IEEE ratio chain —
+    // (c_ab−δ)/c_a · N/c_b in that exact order, every operand an exact
+    // integer cast to double
+    "q148_collocations" ->
+      s"""WITH d AS MATERIALIZED (
+             SELECT str_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT unnest(toks) AS w FROM d),
+         uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         un AS MATERIALIZED (
+             SELECT w, c, sum(c) OVER () AS n FROM uc),
+         bgr AS (SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || '_' || toks[i + 1])) AS bg FROM d),
+         bc AS (SELECT bg, count(*) AS c_ab FROM bgr GROUP BY 1),
+         bs AS (SELECT str_split(bg, '_')[1] AS wa,
+                       str_split(bg, '_')[-1] AS wb, c_ab
+                FROM bc WHERE c_ab >= $CollocMinCount)
+         SELECT wa, wb, a.c AS c_a, b.c AS c_b, c_ab,
+                (CAST(c_ab - $CollocDelta AS DOUBLE) / CAST(a.c AS DOUBLE)) *
+                (CAST(a.n AS DOUBLE) / CAST(b.c AS DOUBLE)) AS score
+         FROM bs JOIN un a ON wa = a.w JOIN un b ON wb = b.w
+         ORDER BY ALL NULLS FIRST""",
+
+    // phrase learning (the q148 chain cut at the threshold) + the full
+    // greedy replayed per position: flag, onset, running-max run head,
+    // even-offset selection, emit gate, dense renumber
+    "q149_phrase_merge" ->
+      s"""WITH d AS MATERIALIZED (
+             SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT unnest(toks) AS w FROM d),
+         uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         un AS MATERIALIZED (
+             SELECT w, c, sum(c) OVER () AS n FROM uc),
+         bgr AS (SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || '_' || toks[i + 1])) AS bg FROM d),
+         bc AS (SELECT bg, count(*) AS c_ab FROM bgr GROUP BY 1),
+         bs AS (SELECT str_split(bg, '_')[1] AS wa,
+                       str_split(bg, '_')[-1] AS wb, c_ab
+                FROM bc WHERE c_ab >= $CollocMinCount),
+         ph AS MATERIALIZED (
+             SELECT wa, wb FROM (
+               SELECT wa, wb,
+                      (CAST(c_ab - $CollocDelta AS DOUBLE) /
+                       CAST(a.c AS DOUBLE)) *
+                      (CAST(a.n AS DOUBLE) / CAST(b.c AS DOUBLE)) AS score
+               FROM bs JOIN un a ON wa = a.w JOIN un b ON wb = b.w)
+             WHERE score >= $CollocScoreMin),
+         tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                        toks FROM d),
+         tw AS (SELECT doc_id, pos, toks[pos] AS w,
+                       lead(toks[pos]) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS nxt
+                FROM tok),
+         fl AS (SELECT t.doc_id, t.pos, t.w, t.nxt,
+                       (p.wa IS NOT NULL) AS flag
+                FROM tw t LEFT JOIN ph p ON t.w = p.wa AND t.nxt = p.wb),
+         on1 AS (SELECT *, flag AND NOT coalesce(
+                   lag(flag) OVER (PARTITION BY doc_id ORDER BY pos),
+                   false) AS onset FROM fl),
+         hd AS (SELECT *, max(CASE WHEN onset THEN pos END)
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS head FROM on1),
+         sl AS (SELECT *, flag AND (pos - head) % 2 = 0 AS sel FROM hd),
+         em AS (SELECT *, NOT coalesce(
+                   lag(sel) OVER (PARTITION BY doc_id ORDER BY pos),
+                   false) AS emit FROM sl)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS INT) AS pos_out,
+                CASE WHEN sel THEN w || '_' || nxt ELSE w END AS token
+         FROM em WHERE emit
+         ORDER BY ALL NULLS FIRST""",
   )
 
   /** q140's oracle: the quality model RE-TRAINED in SQL. One shared

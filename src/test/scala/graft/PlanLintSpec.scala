@@ -341,6 +341,21 @@ class PlanLintSpec extends AnyFunSuite {
   // plus the 1-row query side
   assertScanBudget("q146_sq8_ann", 4)
 
+  // Collocation mining: bigram tf scan + the vocab-bounded unigram table
+  // referenced twice (once per join role — production materializes the
+  // vocab table once; the in-plan copies are that bounded table, never
+  // data-sized state). Exchanges: 2 count aggs + the single-partition N
+  // window per unigram copy, broadcast joins add none.
+  assertScanBudget("q148_collocations", 3)
+  assertShuffleBudget("q148_collocations", 7)
+
+  // Phrase merge embeds the q148 learner as its broadcast phrase side
+  // (+3 scans) over one token-stream scan; the greedy itself adds ONE
+  // (doc_id; pos) keyed exchange — every window and the emit filter
+  // share it (the q144 discipline)
+  assertScanBudget("q149_phrase_merge", 4)
+  assertShuffleBudget("q149_phrase_merge", 10)
+
   // SCD2 history: both windows (change-detect lag, interval lead) and
   // the version-start filter between them share one (user_id; ts, id)
   // partitioning+order — one keyed exchange, one scan

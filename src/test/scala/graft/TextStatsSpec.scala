@@ -212,4 +212,69 @@ class TextStatsSpec extends AnyFunSuite {
       .select(TextStats.dedupLines(col("t"))).as[String].head()
     assert(win == "a\nb")
   }
+
+  test("collocations: exact counts, discounted-PMI-ratio score, minCount " +
+    "floor — matches the hand-computed law") {
+    // corpus: 'new york' 4×, 'new car' 1×, singles pad the denominator
+    val docs = Seq(
+      (1L, "new york is big new york"),
+      (2L, "new york and new york"),
+      (3L, "a new car a a a")).toDF("doc_id", "text")
+    val got = TextStats.collocations(docs, split(col("text"), " "),
+      minCount = 2L, delta = 1L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // hand counts: N=17 tokens; new=5, york=4, new_york c_ab=4
+    val ny = got(("new", "york"))
+    assert((ny._3, ny._4, ny._5) == (5L, 4L, 4L))
+    assert(ny._6 == (4L - 1L).toDouble / 5.0 * (17.0 / 4.0))
+    // c_ab=1 ('new_car') is below minCount=2 and absent
+    assert(!got.contains(("new", "car")))
+    // independence baseline: score ≈ 1 means no collocation signal;
+    // 'new york' (always adjacent) scores far above the 'a a' self-pair
+    val aa = got(("a", "a"))
+    assert(ny._6 > 2.0 && ny._6 > aa._6)
+  }
+
+  test("phraseMerge: greedy left-to-right non-overlap — alternate merges " +
+    "in flag runs, skip-past after a merge, dense renumber") {
+    val phrases = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "y"))
+      .toDF("wa", "wb")
+    val docs = Seq(
+      (1L, "a b a b a b"),   // all 5 positions flagged → merge at 1,3,5
+      (2L, "x y y z"),       // flags at 1,2 → greedy takes (x,y), skips y
+      (3L, "q a b q"),       // isolated flag mid-doc
+      (4L, "z")              // single token, nothing to merge
+    ).toDF("doc_id", "text")
+    val got = TextStats.phraseMerge(docs, "doc_id",
+      split(col("text"), " "), phrases)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("a_b", "a_b", "a_b"))
+    assert(got(2L) == Seq("x_y", "y", "z"))
+    assert(got(3L) == Seq("q", "a_b", "q"))
+    assert(got(4L) == Seq("z"))
+    // pos_out is dense 1..n per doc
+    val pos1 = TextStats.phraseMerge(docs, "doc_id",
+      split(col("text"), " "), phrases)
+      .filter(col("doc_id") === 1L).select("pos_out")
+      .as[Int].collect().sorted.toSeq
+    assert(pos1 == Seq(1, 2, 3))
+    // token-count law: n_out = n_in − n_merged
+    val totalIn = docs.select(explode(split(col("text"), " "))).count()
+    val totalOut = TextStats.phraseMerge(docs, "doc_id",
+      split(col("text"), " "), phrases).count()
+    assert(totalOut == totalIn - 5) // 3 + 1 + 1 merges
+  }
+
+  test("phraseMerge with an empty phrase table is the identity " +
+    "retokenization") {
+    val docs = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val empty = Seq.empty[(String, String)].toDF("wa", "wb")
+    val got = TextStats.phraseMerge(docs, "doc_id",
+      split(col("text"), " "), empty)
+      .as[(Long, Int, String)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(got == Seq("a", "b", "c"))
+  }
 }
