@@ -400,6 +400,25 @@ object ScaleSmoke {
         docs, "doc_id", split(col("text"), " "), phrases)
         .filter(col("token").isNotNull).count()
     }
+    time("training-order") {
+      // q150 at N×: the total-order assignment WITHOUT a global sort —
+      // (bucket, hex-cell) rank windows parallelize buckets×16 ways,
+      // the offsets table stays a bounded single-partition window, and
+      // nothing range-partitions the corpus. Expect scan-bound ~linear
+      // wall; the position-sum check forces every position to evaluate
+      // (it equals N(N+1)/2 iff the bijection holds at this mult).
+      val d = bigDocsOrdered.select(col("doc_id"),
+        least(floor(size(split(col("text"), " ")) / lit(10)), lit(9))
+          .cast("long").as("b"))
+      val out = operators.Sampling.trainingOrder(d, "doc_id", col("b"), "ep1")
+      val (n, psum) = {
+        val r = out.agg(count(lit(1)), sum(col("pos"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(psum == n * (n + 1) / 2,
+        s"training-order bijection broke at x$mult: n=$n pos-sum=$psum")
+      n
+    }
     // q113's exact shape (url synthesis from doc_id → canonicalUrl →
     // keep-first window) with and without the fan-out wrap — the paired
     // evidence VERDICT r12 #4 asked for at N×. The map work here is

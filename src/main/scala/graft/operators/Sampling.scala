@@ -208,4 +208,49 @@ object Sampling {
         (struct((col("logratio") * -1).as("__nlr"), col(idCol).as("__id"))
           <= col("__kth")).as("selected"))
   }
+
+  /** Training-order assignment — curriculum ordering (Bengio et al.
+    * 2009) WITHOUT a global sort: every document gets a dense 1-based
+    * position such that ordering by `pos` is EXACTLY ordering by
+    * `(bucket, md5(salt_id), id)` — curriculum buckets first (e.g.
+    * short→long documents), an md5-stable shuffle within each bucket
+    * (re-salting re-shuffles deterministically per epoch), id as the
+    * total tiebreak.
+    *
+    * A literal ORDER BY over the corpus funnels 100 TB through a range
+    * sort whose output order no downstream writer preserves anyway; the
+    * scalable form is distributed rank + offsets: positions are computed
+    * as `offset(bucket, sub) + rank within (bucket, sub)` where `sub` is
+    * the first hex char of the shuffle hash — 16 sub-cells per bucket,
+    * so the rank windows parallelize `buckets×16` ways and the offset
+    * table (one count per cell, cumulated in one bounded single-partition
+    * window) broadcasts. Widening `sub` to k hex chars gives 16^k cells —
+    * the same split extends to any fan-out a larger cluster wants. The bijection law (sorting by pos == sorting by
+    * the declared key; positions dense 1..N) is spec-pinned, and the
+    * ORACLE computes positions with the straight global-sort
+    * `row_number() OVER (ORDER BY ...)` — parity across two genuinely
+    * different plans.
+    *
+    * Output: (idCol, bucket, pos). */
+  def trainingOrder(df: DataFrame, idCol: String, bucketCol: Column,
+                    salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), bucketCol.cast("long").as("bucket"),
+      md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))).as("__h"))
+      .withColumn("__sub", substring(col("__h"), 1, 1))
+    val offsets = base.groupBy(col("bucket"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.partitionBy(lit(1))
+          .orderBy(col("bucket"), col("__sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("__sub"), col("__off"))
+    base
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("bucket"), col("__sub"))
+          .orderBy(col("__h"), col(idCol))))
+      .join(broadcast(offsets), Seq("bucket", "__sub"))
+      .select(col(idCol), col("bucket"),
+        (col("__off") + col("__r")).as("pos"))
+  }
 }

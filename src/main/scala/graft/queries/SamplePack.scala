@@ -63,6 +63,20 @@ object SamplePack extends QueryPack {
         col("source"),
         size(split(col("text"), " ")),
         budget = 1000000L))),
+
+    // curriculum training-order assignment (Bengio et al. 2009) WITHOUT
+    // a global sort: dense 1-based positions equal to ORDER BY (length
+    // bucket short→long, md5 epoch-salted shuffle, doc_id) — computed as
+    // distributed rank + broadcast offsets over (bucket, hex-char)
+    // cells (the offset table is one bounded single-partition window).
+    // The ORACLE takes the literal global-sort row_number() — parity
+    // across two genuinely different plans is the check.
+    "q150_training_order" -> ((s, dir) => Q.ordered {
+      val d = Q.t(s, dir, "documents").select(col("doc_id"),
+        least(floor(size(split(col("text"), " ")) / lit(10)), lit(9))
+          .cast("long").as("b"))
+      Sampling.trainingOrder(d, "doc_id", col("b"), "ep1")
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -152,6 +166,19 @@ object SamplePack extends QueryPack {
                                      ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
                                               doc_id NULLS FIRST) AS rn
            FROM documents) WHERE rn <= 3
+         ORDER BY ALL NULLS FIRST""",
+
+    // the literal global-sort form of the position assignment the Spark
+    // side computes via distributed rank + offsets — same declared order
+    // key (bucket, epoch-salted md5, id), a genuinely different plan
+    "q150_training_order" ->
+      """SELECT doc_id, bucket,
+                CAST(row_number() OVER (ORDER BY bucket, h, doc_id)
+                     AS BIGINT) AS pos
+         FROM (SELECT doc_id,
+                      least(len(str_split(text, ' ')) // 10, 9) AS bucket,
+                      md5('ep1_' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents)
          ORDER BY ALL NULLS FIRST""",
   )
 }

@@ -356,6 +356,13 @@ class PlanLintSpec extends AnyFunSuite {
   assertScanBudget("q149_phrase_merge", 4)
   assertShuffleBudget("q149_phrase_merge", 10)
 
+  // Training-order assignment: NO global sort anywhere — one
+  // (bucket, sub)-keyed rank window + the bounded cell-count agg + its
+  // single-partition offsets window (the offsets table broadcasts back);
+  // two scans (rank side + count side of the same base)
+  assertScanBudget("q150_training_order", 2)
+  assertShuffleBudget("q150_training_order", 3)
+
   // SCD2 history: both windows (change-detect lag, interval lead) and
   // the version-start filter between them share one (user_id; ts, id)
   // partitioning+order — one keyed exchange, one scan

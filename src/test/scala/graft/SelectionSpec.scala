@@ -262,4 +262,40 @@ class SelectionSpec extends AnyFunSuite {
     assert(canon("not a url").isEmpty)
     assert(canon("").isEmpty)
   }
+
+  // ---- trainingOrder ------------------------------------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+
+  test("trainingOrder: dense 1..N bijection equal to the declared sort key, " +
+    "computed without a global sort") {
+    val rows = (1L to 97L).map(i => (i, i % 4))
+    val df = rows.toDF("doc_id", "b")
+    val got = Sampling.trainingOrder(df, "doc_id", col("b"), "ep1")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq == (1L to 97L))   // dense bijection
+    // positions ORDER exactly like (bucket, md5(salt_id), id)
+    val expected = rows
+      .sortBy { case (id, b) => (b, md5Hex(s"ep1_$id"), id) }.map(_._1)
+    assert(got.sortBy(_._3).map(_._1).toSeq == expected)
+    // bucket column is carried through faithfully
+    assert(got.map(r => r._1 -> r._2).toMap == rows.toMap)
+  }
+
+  test("trainingOrder: re-salting reshuffles deterministically; " +
+    "partitioning does not change the assignment") {
+    val df = (1L to 50L).map(i => (i, 0L)).toDF("doc_id", "b")
+    val a = Sampling.trainingOrder(df, "doc_id", col("b"), "ep1")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    val b2 = Sampling.trainingOrder(df, "doc_id", col("b"), "ep2")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    assert(a != b2)                       // different epoch, different order
+    assert(a.sorted == b2.sorted)         // same ids, both bijections
+    val rep = Sampling.trainingOrder(df.repartition(7), "doc_id",
+      col("b"), "ep1")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    assert(rep == a)                      // pure function of the data
+  }
 }
