@@ -286,20 +286,40 @@ object TextStats {
     * Output: (wa, wb, c_a, c_b, c_ab, score), c_ab >= minCount. */
   def collocations(df: DataFrame, tokensCol: Column, minCount: Long,
                    delta: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
-    val uc = df.select(explode(tokensCol).as("w"))
+    scoreCollocations(unigramCounts(df, tokensCol),
+      bigramCounts(df, tokensCol).filter(col("c_ab") >= minCount), delta)
+  }
+
+  /** Token occurrence counts `(w, c)` — one map+agg corpus pass. The
+    * count half of [[collocations]], exposed so the streaming sink can
+    * accumulate epoch contributions (counts are exact and ADDITIVE —
+    * vocabulary-bounded state, the sketch-sink family contract). */
+  def unigramCounts(df: DataFrame, tokensCol: Column): DataFrame =
+    df.select(explode(tokensCol).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
-    val bc = df.select(explode(bigrams(tokensCol)).as("bg"))
+
+  /** Adjacent-pair occurrence counts `(wa, wb, c_ab)` — one map+agg
+    * corpus pass ([[unigramCounts]]'s pair sibling). */
+  def bigramCounts(df: DataFrame, tokensCol: Column): DataFrame =
+    df.select(explode(bigrams(tokensCol)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
       .select(substring_index(col("bg"), "_", 1).as("wa"),
         substring_index(col("bg"), "_", -1).as("wb"), col("c_ab"))
+
+  /** The scoring half of [[collocations]], over ALREADY-AGGREGATED count
+    * tables (`uc` = (w, c), `bc` = (wa, wb, c_ab)) — N rides the
+    * vocab-bounded unigram table as a single-partition window, the
+    * unigram side broadcasts into both scoring joins, and the score is
+    * the fixed 4-op IEEE chain over exact integer counts. */
+  def scoreCollocations(uc: DataFrame, bc: DataFrame,
+                        delta: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val un = uc.withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
     bc
-      .join(broadcast(uc.select(col("w").as("wa"), col("c").as("c_a"),
+      .join(broadcast(un.select(col("w").as("wa"), col("c").as("c_a"),
         col("n"))), Seq("wa"))
-      .join(broadcast(uc.select(col("w").as("wb"), col("c").as("c_b"))),
+      .join(broadcast(un.select(col("w").as("wb"), col("c").as("c_b"))),
         Seq("wb"))
       .select(col("wa"), col("wb"), col("c_a"), col("c_b"), col("c_ab"),
         (((col("c_ab") - lit(delta)).cast("double") /

@@ -515,6 +515,79 @@ object StreamingJobs {
       flaggedKind = "quantile_rows_emitted")
   }
 
+  /** The sketch-sink family's VOCABULARY-mining member — incremental
+    * collocation mining (q148's operator as a sink): each micro-batch
+    * contributes its own unigram and bigram count rows, and the
+    * cumulative (or `maxEpochAge`-sliding) scored collocation table —
+    * [[graft.operators.TextStats.scoreCollocations]] over the SUMMED
+    * counts — is emitted to `outDir/epoch=N`. The production question:
+    * "which phrases are emerging in the ingest stream" without ever
+    * holding corpus-sized state — counts are exact and ADDITIVE and the
+    * state is VOCABULARY-bounded per retained epoch, so the cumulative
+    * table EQUALS the one-shot `TextStats.collocations` over the
+    * concatenated stream (StreamingSpec pins the equality, score doubles
+    * included — identical integer counts → identical IEEE chain).
+    * `maxEpochAge` N > 0 keeps a sliding vocabulary window — TRENDING
+    * phrases, not all-time.
+    *
+    * Replay contract, family-standard ([[cmsSink]]): contributions
+    * keyed (side, wa, wb, __epoch) — side 'u' rows carry (w, '') —
+    * a replayed epoch overwrites its own rows; probes filter
+    * `__epoch < epochId` before adding the pinned fresh contribution;
+    * output overwrites by epoch. */
+  def collocSink(docs: DataFrame, tokensCol: Column,
+                 stateDir: String, outDir: String,
+                 minCount: Long, delta: Long = 2L,
+                 maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        collocBatch(batch, epochId, tokensCol, stateDir, outDir,
+          minCount, delta, maxEpochAge)
+      }
+
+  /** One epoch of [[collocSink]], exposed for replay/merge testing. */
+  def collocBatch(batch: DataFrame, epochId: Long, tokensCol: Column,
+                  stateDir: String, outDir: String,
+                  minCount: Long, delta: Long = 2L,
+                  maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.TextStats
+    val fresh = TextStats.unigramCounts(batch, tokensCol)
+      .select(lit("u").as("side"), col("w").as("wa"), lit("").as("wb"),
+        col("c"))
+      .unionByName(TextStats.bigramCounts(batch, tokensCol)
+        .select(lit("b").as("side"), col("wa"), col("wb"),
+          col("c_ab").as("c")))
+      .withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    val cumulative = prior.select(col("side"), col("wa"), col("wb"), col("c"))
+      .unionByName(fresh.select(col("side"), col("wa"), col("wb"), col("c")))
+      .groupBy("side", "wa", "wb").agg(sum("c").as("c"))
+    val scored = TextStats.scoreCollocations(
+      cumulative.filter(col("side") === "u")
+        .select(col("wa").as("w"), col("c")),
+      cumulative.filter(col("side") === "b")
+        .select(col("wa"), col("wb"), col("c").as("c_ab"))
+        .filter(col("c_ab") >= minCount),
+      delta)
+    scored.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, fresh, Seq("side", "wa", "wb", "__epoch"),
+      col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = stateDir,
+      flaggedKind = "collocations_emitted")
+  }
+
   /** The retrieval tier's streaming story (VERDICT r13 #8 — q136's
     * fusion had no incremental form): maintain the HYBRID top-`n` of a
     * scored document stream. Input rows carry the two arm scores

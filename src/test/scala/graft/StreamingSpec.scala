@@ -382,6 +382,59 @@ class StreamingSpec extends AnyFunSuite {
       oneShot(e1 ++ e2))
   }
 
+  test("collocBatch: cumulative phrase table equals one-shot collocations, " +
+    "replay-stable, sliding vocabulary window") {
+    import graft.operators.TextStats
+    val stateDir = java.nio.file.Files.createTempDirectory("collstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("collout").toString
+    val e0 = (1 to 30).map(i => s"new york trip $i") :+ "a new car"
+    val e1 = (1 to 25).map(i => s"new york and hong kong $i")
+    val e2 = (1 to 20).map(i => s"hong kong stories $i only")
+    def run(e: Long, docs: Seq[String]): Unit =
+      StreamingJobs.collocBatch(docs.toDF("text"), e, split(col("text"), " "),
+        stateDir, outDir, minCount = 10L, delta = 2L)
+    def emitted(e: Long): Set[(String, String, Long, Long, Long, Double)] =
+      spark.read.parquet(s"$outDir/epoch=$e")
+        .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    def oneShot(docs: Seq[String]): Set[(String, String, Long, Long, Long, Double)] =
+      TextStats.collocations(docs.toDF("text"), split(col("text"), " "),
+        minCount = 10L, delta = 2L)
+        .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    run(0, e0); run(1, e1); run(2, e2)
+    // additive exact counts: the cumulative table at each horizon IS the
+    // one-shot build over the concatenated stream — score DOUBLES equal
+    // bit-for-bit (identical integer counts, identical IEEE chain)
+    assert(emitted(0) == oneShot(e0))
+    assert(emitted(1) == oneShot(e0 ++ e1))
+    assert(emitted(2) == oneShot(e0 ++ e1 ++ e2))
+    assert(emitted(2).exists { case (wa, wb, _, _, _, _) =>
+      (wa, wb) == ("hong", "kong") })
+    // crash-after-commit replay: per-epoch keyed contributions overwrite
+    val before = emitted(2)
+    run(2, e2)
+    assert(emitted(2) == before)
+    // state is vocabulary-bounded: (side, wa, wb, epoch) rows only
+    val v = graft.sources.Writers.latestVersion(stateDir).get
+    val state = spark.read.parquet(s"$stateDir/v$v")
+    val vocab = (e0 ++ e1 ++ e2).flatMap(_.split(" ")).distinct.size
+    assert(state.filter(col("side") === "u").count() <= 3L * vocab)
+    // sliding window: maxEpochAge=1 → epoch 2's table covers e1 ∪ e2
+    val stateDir2 = java.nio.file.Files.createTempDirectory("collstate2").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("collout2").toString
+    def run2(e: Long, docs: Seq[String]): Unit =
+      StreamingJobs.collocBatch(docs.toDF("text"), e, split(col("text"), " "),
+        stateDir2, outDir2, minCount = 10L, delta = 2L, maxEpochAge = 1)
+    run2(0, e0); run2(1, e1); run2(2, e2)
+    val slid = spark.read.parquet(s"$outDir2/epoch=2")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(slid == oneShot(e1 ++ e2))
+    // the all-time table kept 'new york' (e0-heavy); the slid one dropped
+    // it below minCount only if its e1 count alone is < 10 — it is 25, so
+    // instead assert the e0-only pair 'york trip' aged out
+    assert(!slid.exists { case (wa, wb, _, _, _, _) =>
+      (wa, wb) == ("york", "trip") })
+  }
+
   test("scd2Batch: reconstruction equals batch scd2, late drops counted, replay-stable") {
     import graft.operators.Delta
     val stateDir = java.nio.file.Files.createTempDirectory("scdstate").toString
