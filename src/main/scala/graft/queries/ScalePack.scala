@@ -342,8 +342,10 @@ object ScalePack extends QueryPack {
       s"""WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
                       FROM events),
           b AS (SELECT event_type,
-                       (length(bin(v)) - 1) * $k
-                         + ((v << $kb) >> (length(bin(v)) - 1)) - $k AS bin
+                       CASE WHEN v < 1 THEN CAST(-1 AS BIGINT)
+                            ELSE (length(bin(v)) - 1) * $k
+                              + ((v << $kb) >> (length(bin(v)) - 1)) - $k
+                       END AS bin
                 FROM ev),
           sk AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
                  FROM b GROUP BY 1, 2),
@@ -352,7 +354,10 @@ object ScalePack extends QueryPack {
                                            ORDER BY bin) AS BIGINT) AS cum,
                        CAST(sum(cnt) OVER (PARTITION BY event_type)
                             AS BIGINT) AS n,
-                       (($k + (bin & ${k - 1})) << (bin >> $kb)) >> $kb AS low
+                       CASE WHEN bin < 0 THEN CAST(0 AS BIGINT)
+                            ELSE (($k + (bin & ${k - 1})) << (bin >> $kb))
+                                   >> $kb
+                       END AS low
                 FROM sk),
           q AS (SELECT event_type, max(n) AS n_rows,
                        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN low END)

@@ -292,4 +292,55 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(f2.length == 3)
     assert(f2.find(_.getString(0) == "3").exists(r => r.isNullAt(1) && r.getLong(2) == 1L))
   }
+
+  test("frequentItems with shards=1 degenerates to the direct " +
+    "count-filter; empty and all-below-threshold streams yield empty") {
+    import graft.operators.Sketches
+    val rows = (1 to 30).map(i => (s"r$i", if (i <= 20) "hot" else s"c$i"))
+    val got = Sketches.frequentItems(rows.toDF("rk", "item"),
+      col("item"), col("rk"), shards = 1, minCount = 20L)
+      .select("item", "cnt").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 20L)))
+    val below = Sketches.frequentItems(rows.toDF("rk", "item"),
+      col("item"), col("rk"), shards = 4, minCount = 1000L)
+    assert(below.isEmpty)
+    val emptyIn = Seq.empty[(String, String)].toDF("rk", "item")
+    assert(Sketches.frequentItems(emptyIn, col("item"), col("rk"),
+      4, 10L).isEmpty)
+  }
+
+  test("sq8Search ranks all-negative corpora correctly; trainingOrder " +
+    "handles empty and single-row inputs") {
+    // all-negative components: amax comes from |v|, codes are negative,
+    // the most-negative-dot vector still ranks LAST for a negative query
+    val vecs = Seq(
+      (1L, Seq(-1.0f, -1.0f)),   // dot with q = 2.0  (best)
+      (2L, Seq(-0.5f, -0.1f)),   // dot 0.6
+      (3L, Seq(-0.1f, -0.1f)))   // dot 0.2
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(-1.0f, -1.0f))).toDF("qvec")
+    val got = Similarity.sq8Search(vecs, "vec_id", "embedding", q, "qvec", 3)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    import graft.operators.Sampling
+    val emptyDocs = Seq.empty[(Long, Long)].toDF("doc_id", "b")
+    assert(Sampling.trainingOrder(emptyDocs, "doc_id", col("b"), "s")
+      .isEmpty)
+    val one = Sampling.trainingOrder(
+      Seq((42L, 3L)).toDF("doc_id", "b"), "doc_id", col("b"), "s")
+      .as[(Long, Long, Long)].head()
+    assert(one == ((42L, 3L, 1L)))
+  }
+
+  test("collocations below minCount everywhere yields empty; phraseMerge " +
+    "merges a doc that is exactly one flagged pair") {
+    import graft.operators.TextStats
+    val docs = Seq((1L, "x y"), (2L, "p q")).toDF("doc_id", "text")
+    assert(TextStats.collocations(docs, split(col("text"), " "),
+      minCount = 5L).isEmpty)
+    val merged = TextStats.phraseMerge(docs, "doc_id",
+      split(col("text"), " "), Seq(("x", "y")).toDF("wa", "wb"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(merged == Set((1L, 1, "x_y"), (2L, 1, "p"), (2L, 2, "q")))
+  }
 }
