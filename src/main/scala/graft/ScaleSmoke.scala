@@ -833,6 +833,90 @@ object ScaleSmoke {
         Seq("key"), "ts", Seq("id"), Seq("v")).count()
     }
 
+    // ---- Positional phrase search (q151) — layout A/B twins ----
+    // The probe's 100 TB claim is the STORED token-partitioned index
+    // (q131's directory-pruning leg): a phrase probe reads only its
+    // tokens' partitions, so probe work tracks the PHRASE's posting
+    // mass, not corpus bytes. The flat twin pays the full live index
+    // build + whole-stream filter — what a probe costs WITHOUT the
+    // layout. Index build cost is materialization (reported once,
+    // excluded from stage timings), exactly like every stored table
+    // here. Postings for "fast table" grow ∝ replicas, so pruned-probe
+    // wall grows with its own posting mass — the A/B delta, not the
+    // absolute exponent, is the claim.
+    val postingsPath = s"$scratch/postings_x$mult"
+    if (stageActive("phrase-probe") &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(postingsPath))) {
+      val t0 = System.nanoTime()
+      operators.Retrieval.invertedIndex(
+        bigDocsOrdered.select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks")),
+        "doc_id", col("toks"))
+        .write.partitionBy("token").mode("overwrite").parquet(postingsPath)
+      println(f"[scale] materialize postings x$mult  ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timeBest("phrase-probe-pruned") {
+      operators.Retrieval.phraseSearch(
+        spark.read.parquet(postingsPath), "doc_id", Seq("fast", "table"))
+        .count()
+    }
+    timeBest("phrase-probe-flat") {
+      operators.Retrieval.phraseSearch(
+        operators.Retrieval.invertedIndex(
+          bigDocsOrdered.select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks")),
+          "doc_id", col("toks")),
+        "doc_id", Seq("fast", "table")).count()
+    }
+
+    time("token-budget") {
+      // q152 at N×: 20 sources, per-source budget growing with the
+      // corpus (admitted fraction ~constant — the realistic axis: a
+      // bigger crawl feeds a bigger mix). The stage REQUIRES every
+      // source's budget to actually FILL (last admitted doc crosses the
+      // line) before reporting — the admission law, not just a row
+      // count. Window parallelism is sources×16 hex cells at every
+      // mult; the offsets table stays 320 bounded rows.
+      val docs = bigDocsRtoks.select(col("doc_id"),
+        concat(lit("s"), col("doc_id") % 20).as("source"),
+        size(col("toks")).cast("long").as("n_tok"))
+      val budget = 2000L * mult
+      val budgets = spark.range(20).select(
+        concat(lit("s"), col("id")).as("source"), lit(budget).as("budget"))
+      val admitted = operators.Sampling.tokenBudget(
+        docs, "doc_id", col("source"), col("n_tok"), budgets, "mix1")
+      val fills = admitted.groupBy("source")
+        .agg(max(col("tok_before") + col("n_tok")).as("mass"))
+        .filter(col("mass") >= budget).count()
+      require(fills == 20, s"only $fills/20 budgets filled at x$mult")
+      admitted.count()
+    }
+
+    time("profile") {
+      // q154 at N×: one melted pass over six lineitem columns — the
+      // value-count exchange carries one row per DISTINCT (col, value),
+      // so the high-cardinality key columns dominate and wall tracks
+      // the scan ~linearly; output is SIX rows at every mult.
+      operators.Profile.profile(big, Seq("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+        .count()
+    }
+
+    time("hard-negatives") {
+      // q153 at N×: a FIXED 16-query contrastive batch against the N×
+      // corpus — the broadcast-batch × corpus-scan shape, cost ∝
+      // corpus×|Q| map work with WindowGroupLimit cutting each probe's
+      // exchange to ≤ k·partitions rows. Expect scan-bound ~linear
+      // wall; nothing data-sized is ever collected or broadcast.
+      val queries = vecBase.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          (col("vec_id") % 5).as("qlabel"))
+      operators.Similarity.hardNegatives(
+        bigVecs.withColumn("label", col("vec_id") % 5),
+        "vec_id", "embedding", "label",
+        queries, "qid", "qvec", "qlabel", k = 10).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

@@ -135,6 +135,55 @@ object Retrieval {
           .as("bm25"))
   }
 
+  /** Positional postings table — the inverted index every lexical
+    * retrieval system stores: one row per token occurrence, `(token,
+    * idCol, pos)` with 0-based positions. Built in one map-only pass
+    * (a posexplode, no shuffle); at corpus scale the index is written
+    * ONCE partitioned/bucketed by `token` (Writers.ensurePartitioned —
+    * q131's directory-pruning leg), so a phrase probe's scan prunes to
+    * the phrase's tokens and never touches the rest of the corpus. */
+  def invertedIndex(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol), posexplode(tokensCol).as(Seq("pos", "token")))
+      .select(col("token"), col(idCol), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search over a positional postings table: a document
+    * matches at start `s` when `token(s + i) == phrase(i)` for every i —
+    * ALL start positions count, overlapping included (the standard
+    * positional-index contract; "aaa" matches "aa" twice).
+    *
+    * Distributed form (one aligned-start aggregation, never a k-way
+    * positional self-join): postings are filtered to the phrase's tokens
+    * (on a stored token-partitioned index this is partition pruning, not
+    * a scan), each surviving posting emits `(id, pos − i)` for every
+    * phrase slot i its token fills (fan-out ≤ the phrase's repeat count,
+    * bounded by |phrase|), and a start matches iff its (id, start) group
+    * holds exactly k slot-hits — each slot can hit a given start at most
+    * once (the posting at `start + i` is unique), so `count == k` is the
+    * full conjunction. Two keyed shuffles over phrase-hit rows only;
+    * corpus-sized work is the pruned posting scan.
+    *
+    * Returns one row per matching document: `(idCol, n_matches,
+    * first_pos)`. */
+  def phraseSearch(postings: DataFrame, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val k = phrase.length
+    val slots = array(phrase.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("t"), lit(i.toLong).as("i")) }: _*)
+    postings
+      .filter(col("token").isin(phrase.distinct: _*))
+      .select(col(idCol), col("pos"),
+        explode(filter(slots, e => e.getField("t") === col("token"))).as("m"))
+      .select(col(idCol), (col("pos") - col("m").getField("i")).as("__start"))
+      .filter(col("__start") >= 0)
+      .groupBy(col(idCol), col("__start"))
+      .agg(count(lit(1)).as("__nhit"))
+      .filter(col("__nhit") === k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__start")).as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
     * ranked candidate lists — the standard hybrid-retrieval combiner
     * (lexical BM25 list ⊕ vector ANN list) that needs no score

@@ -253,4 +253,55 @@ object Sampling {
       .select(col(idCol), col("bucket"),
         (col("__off") + col("__r")).as("pos"))
   }
+
+  /** Token-budget corpus cut — assemble a training mix by admitting each
+    * source's documents, in a deterministic md5-shuffled order, until
+    * that source's token budget is spent (the selection step after
+    * [[mixtureWeights]] decides how many tokens each source OWES the
+    * mix). A document is admitted while the tokens BEFORE it are under
+    * budget, so the first doc to cross the line is kept (budgets fill,
+    * never undershoot) and everything after it is cut.
+    *
+    * Scale shape — [[trainingOrder]]'s distributed-rank pattern with
+    * WEIGHTED running sums: a naive per-source running sum is one window
+    * partition per source (a handful of partitions for 100 TB — the
+    * skew this family refuses), so the per-doc prefix sum is computed as
+    * `cell offset + within-cell running sum` over (source, first hex
+    * char of the shuffle hash) cells: 16 sub-cells per source, window
+    * parallelism `sources×16` (widen the hex prefix for more), and the
+    * per-cell offset table (one bounded aggregation, cumulated per
+    * source) broadcasts. `budgets` carries (source, budget) — one row
+    * per source, broadcast into the admission filter.
+    *
+    * Output: admitted docs as (idCol, source, n_tok, tok_before). The
+    * oracle computes the same admission with the literal per-source
+    * running-sum window — parity across two genuinely different plans
+    * (the q150 check). */
+  def tokenBudget(df: DataFrame, idCol: String, sourceCol: Column,
+                  nTokCol: Column, budgets: DataFrame,
+                  salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), sourceCol.as("source"),
+      nTokCol.cast("long").as("n_tok"),
+      md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))).as("__h"))
+      .withColumn("__sub", substring(col("__h"), 1, 1))
+    val offsets = base.groupBy(col("source"), col("__sub"))
+      .agg(sum(col("n_tok")).as("__cell"))
+      .withColumn("__off", coalesce(
+        sum(col("__cell")).over(Window.partitionBy(col("source"))
+          .orderBy(col("__sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("__sub"), col("__off"))
+    base
+      .withColumn("__run", sum(col("n_tok")).over(
+        Window.partitionBy(col("source"), col("__sub"))
+          .orderBy(col("__h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_tok"))
+      .join(broadcast(offsets), Seq("source", "__sub"))
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("tok_before", col("__off") + col("__run"))
+      .filter(col("tok_before") < col("budget"))
+      .select(col(idCol), col("source"), col("n_tok"), col("tok_before"))
+  }
 }

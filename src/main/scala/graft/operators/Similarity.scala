@@ -318,6 +318,63 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("score"))
   }
 
+  /** Hard-negative mining for embedding-model training (the contrastive-
+    * learning data step: for each training query, the most-similar
+    * corpus items that are NOT relevant — "hard" because a random
+    * negative teaches nothing once the model separates easy pairs).
+    * Relevance here is label equality: a hard negative for query q is a
+    * corpus vector with `label != q.label`, ranked by cosine similarity
+    * to q. The query's own id is excluded defensively (a mislabeled
+    * self-pair would otherwise always top the list).
+    *
+    * Scale shape: the query table is a training batch — bounded, never
+    * corpus-sized — so it broadcasts into one corpus scan (the q51/q146
+    * 1-query-side nested-loop shape, PlanLint-whitelisted); the label
+    * disqualification runs inside that map-side join, and per-query
+    * top-k is a rank window over survivors partitioned by qid (Spark
+    * plans WindowGroupLimit — partial top-k before the shuffle, so the
+    * exchange carries ≤ |Q|·k·partitions rows, not |Q|·corpus). Scores
+    * are round-6 cosines, ties break on corpus id (the q51 parity
+    * chain). Duplicate/NULL qids are collapsed/dropped the same way as
+    * [[annSearchBatch]] — a duplicated qid would corrupt its ranking
+    * window. Output: (qidCol, idCol, label, score) — `label` rides along
+    * as the audit column (it must differ from the query's). */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    queries: DataFrame, qidCol: String, queryVecCol: String,
+                    queryLabelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(qidCol != idCol && queryVecCol != vecCol && queryLabelCol != labelCol,
+      s"query columns must differ from corpus columns " +
+        s"(got id $qidCol/$idCol, vec $queryVecCol/$vecCol, " +
+        s"label $queryLabelCol/$labelCol) — alias one side")
+    import org.apache.spark.sql.expressions.Window
+    val distinctQ = queries
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
+      .filter(col(qidCol).isNotNull)
+      .withColumn("__qrn", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col(queryVecCol).asc_nulls_last)))
+      .filter(col("__qrn") === 1)
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
+    vectors
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(distinctQ))
+      .filter(col(labelCol) =!= col(queryLabelCol) &&
+        col(idCol) =!= col(qidCol))
+      // + 0.0 kills the -0.0 a tiny negative cosine rounds to in DuckDB
+      // but not in Spark (numerically equal, hash-distinct — q109)
+      .select(col(qidCol), col(idCol), col(labelCol),
+        (round(cosine(col(vecCol), col(queryVecCol)), 6) + lit(0.0))
+          .as("score"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)))
+      .filter(col("__rk") <= k)
+      .select(col(qidCol), col(idCol), col(labelCol), col("score"))
+  }
+
   /** Incremental embedding near-dup — the L2 analog of
     * `Dedup.incrementalLshCandidates` (q93's text shape): a fresh batch
     * of vectors probes a STORED IVF-bucketed corpus instead of

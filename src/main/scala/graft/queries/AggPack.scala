@@ -303,6 +303,23 @@ object AggPack extends QueryPack {
         .agg(pmod(sum(col("h60").cast("decimal(38,0)")),
             lit(1152921504606846976L)).cast("long").as("group_hash"),
           count(lit(1)).as("n")))),
+
+    // Dataset profiling — the per-column stats card (rows/nulls/distinct/
+    // lexicographic min-max/mean length) every curation stage prints.
+    // One corpus scan: map-side melt to (col_name, v), value-counts
+    // first (partial agg collapses repeats — the second exchange carries
+    // one row per DISTINCT value), then per-column rollup. `lang_nn`
+    // nulls out the majority language to exercise the null/empty-column
+    // paths the raw fixture lacks.
+    "q154_profile" -> ((s, dir) => Q.ordered {
+      import graft.operators.Profile
+      Profile.profile(
+        Q.t(s, dir, "documents").select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          when(col("lang") === "en", lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang_nn")),
+        Seq("doc_id", "lang", "source", "n_chars", "lang_nn"))
+    }),
   )
 
   private val rowHashSql =
@@ -503,5 +520,28 @@ object AggPack extends QueryPack {
                        CAST('0x' || substr(md5($rowHashSql), 1, 15) AS BIGINT) AS h
                 FROM orders)
           GROUP BY o_custkey ORDER BY ALL NULLS FIRST""",
+
+    // the literal per-column aggregate over the same string casts; the
+    // engine's two-step (value counts → rollup) must agree with the
+    // direct count(DISTINCT)/min/max/avg formulation. Integer-length
+    // sums are exact, so the DECIMAL→DOUBLE avg_len chain is 1-ulp safe.
+    "q154_profile" ->
+      """WITH src AS (SELECT doc_id, lang, source, n_chars,
+                             CASE WHEN lang = 'en' THEN NULL ELSE lang END
+                               AS lang_nn
+                      FROM documents),
+         m AS (SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM src
+               UNION ALL SELECT 'lang', lang FROM src
+               UNION ALL SELECT 'source', source FROM src
+               UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM src
+               UNION ALL SELECT 'lang_nn', lang_nn FROM src)
+         SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(v) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                min(v) AS min_v, max(v) AS max_v,
+                round(CAST(CAST(sum(len(v)) AS DECIMAL(28,6)) AS DOUBLE)
+                      / count(v), 4) AS avg_len
+         FROM m GROUP BY col_name
+         ORDER BY ALL NULLS FIRST""",
   )
 }

@@ -105,6 +105,22 @@ object LlmPack extends QueryPack {
           .select(col("embedding").as("qvec")),
         "qvec", k = 20))),
 
+    // L2 hard-negative mining (contrastive training data): per query,
+    // the top-10 most-cosine-similar corpus vectors whose LABEL differs
+    // — similar-but-irrelevant is what teaches an embedding model its
+    // margins. Query batch = 3 vectors, broadcast into one corpus scan
+    // (the q51 bounded nested-loop shape); per-query top-k is a rank
+    // window (WindowGroupLimit cuts before the shuffle).
+    "q153_hard_negatives" -> ((s, dir) => Q.ordered {
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 3).select(
+          col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel")),
+        "qid", "qvec", "qlabel", k = 10)
+    }),
+
     // L3: multimodal doc-ref array (label,url structs) built per row and
     // exploded with position — the reference's `documentos` shape. The
     // third entry is conditional (variable-length collections); src0 rows
@@ -326,6 +342,27 @@ object LlmPack extends QueryPack {
            FROM embeddings, q
            ORDER BY score DESC NULLS LAST, vec_id ASC
            LIMIT 20)
+         ORDER BY ALL NULLS FIRST""",
+
+    // the q51 cosine chain per (query, candidate), label-disqualified,
+    // ranked per query; + 0.0 matches the engine's -0.0 guard
+    "q153_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+                    FROM embeddings WHERE vec_id < 3),
+         s AS (SELECT qid, vec_id, label,
+                      round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(qvec AS DOUBLE[])) /
+                            (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                   CAST(embedding AS DOUBLE[]))) *
+                             sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),
+                                                   CAST(qvec AS DOUBLE[])))), 6)
+                        + CAST(0.0 AS DOUBLE) AS score
+               FROM embeddings, q
+               WHERE label <> qlabel AND vec_id <> qid),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY score DESC NULLS LAST, vec_id ASC) AS rk
+               FROM s)
+         SELECT qid, vec_id, label, score FROM r WHERE rk <= 10
          ORDER BY ALL NULLS FIRST""",
 
     "q65_cosine_topk_native" ->

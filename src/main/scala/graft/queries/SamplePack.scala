@@ -77,6 +77,26 @@ object SamplePack extends QueryPack {
           .cast("long").as("b"))
       Sampling.trainingOrder(d, "doc_id", col("b"), "ep1")
     }),
+
+    // token-budget corpus cut (the selection step after q29 decides the
+    // mixture): each source admits md5-ordered docs until its budget is
+    // spent — first doc to cross the line kept, rest cut. The engine
+    // computes prefix sums as cell-offset + within-cell running sum
+    // (q150's distributed-rank pattern, weighted); the ORACLE is the
+    // literal per-source running-sum window — parity across two
+    // genuinely different plans. Budgets here derive from the source id
+    // (300 + 200·(srcnum mod 4) tokens — cuts each ~1.4k-token source
+    // to roughly its front quarter-to-half).
+    "q152_token_budget" -> ((s, dir) => Q.ordered {
+      val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget", lit(300L) +
+          lit(200L) * (substring(col("source"), 4, 8).cast("long") % 4))
+      Sampling.tokenBudget(docs, "doc_id", col("source"), col("n_tok"),
+        budgets, "mix1")
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -179,6 +199,29 @@ object SamplePack extends QueryPack {
                       least(len(str_split(text, ' ')) // 10, 9) AS bucket,
                       md5('ep1_' || CAST(doc_id AS VARCHAR)) AS h
                FROM documents)
+         ORDER BY ALL NULLS FIRST""",
+
+    // the literal per-source running-sum admission the engine computes
+    // via cell offsets + within-cell windows (see the Spark-side comment)
+    "q152_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+                           CAST(len(list_filter(str_split(text, ' '),
+                                t -> t <> '')) AS BIGINT) AS n_tok,
+                           md5('mix1_' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+         b AS (SELECT DISTINCT source,
+                      300 + 200 * (CAST(substr(source, 4) AS BIGINT) % 4)
+                        AS budget
+               FROM documents),
+         r AS (SELECT doc_id, source, n_tok,
+                      CAST(sum(n_tok) OVER (PARTITION BY source
+                             ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok
+                           AS BIGINT) AS tok_before
+               FROM d)
+         SELECT doc_id, source, n_tok, tok_before
+         FROM r JOIN b USING (source)
+         WHERE tok_before < budget
          ORDER BY ALL NULLS FIRST""",
   )
 }

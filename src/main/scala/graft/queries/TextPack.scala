@@ -632,7 +632,30 @@ object TextPack extends QueryPack {
         .filter(col("score") >= CollocScoreMin)
       TextStats.phraseMerge(docs, "doc_id", split(col("text"), " "), phrases)
     }),
+
+    // Retrieval-tier EXACT PHRASE search over a positional inverted
+    // index (the lexical sibling of q136's ranked arms): postings built
+    // map-only, probe = aligned-start aggregation — each posting of
+    // phrase slot i votes for start pos−i, a start with |phrase| votes
+    // is a match (never a k-way positional self-join). At corpus scale
+    // the index is stored token-partitioned (q131's layout leg), so the
+    // probe scans only the phrase's tokens. The oracle is the row-local
+    // definition itself: every s with toks[s..s+k−1] == phrase.
+    "q151_phrase_search" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val postings = Retrieval.invertedIndex(
+        Q.wide(Q.t(s, dir, "documents"))
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks")),
+        "doc_id", col("toks"))
+      Retrieval.phraseSearch(postings, "doc_id", PhraseFixture)
+    }),
   )
+
+  /** q151 probe phrase — 18 matching docs / 19 starts at sf0.01;
+    * repeated-token and overlapping-match semantics are RetrievalSpec's
+    * job, volume is the oracle's. */
+  private val PhraseFixture = Seq("fast", "table")
 
   // q148/q149 collocation parameters: δ=2 discounts rare-pair flukes;
   // minCount 10 is the surfacing floor; 1.2 cuts the ~8% upper tail of
@@ -1407,6 +1430,21 @@ object TextPack extends QueryPack {
                      AS INT) AS pos_out,
                 CASE WHEN sel THEN w || '_' || nxt ELSE w END AS token
          FROM em WHERE emit
+         ORDER BY ALL NULLS FIRST""",
+
+    // the row-local phrase definition itself: every 1-based start s with
+    // toks[s] = w0 AND toks[s+1] = w1; engine positions are 0-based
+    "q151_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id,
+                      list_filter(range(1, len(toks)),
+                        s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts
+               FROM d)
+         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+         FROM m WHERE len(starts) > 0
          ORDER BY ALL NULLS FIRST""",
   )
 

@@ -652,4 +652,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .groupBy("vec_id").count().as[(Long, Long)].collect().toMap
     assert(codes == Map(1L -> 2L)) // the 3-dim vector codes NO subspace
   }
+
+  test("hardNegatives: cross-label only, query id excluded, cosine-ranked top-k") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), "A"),      // same label as the query — never returned
+      (2L, Seq(0f, 1f), "A"),
+      (3L, Seq(1f, 1f), "B"),      // cos = 1/sqrt(2)   = 0.707107
+      (4L, Seq(1f, 0.5f), "B"),    // cos = 1/sqrt(1.25) = 0.894427
+      (5L, Seq(0f, 1f), "C"),      // cos = 0
+      (100L, Seq(1f, 0f), "B")     // id == qid — excluded despite label B
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Seq(1f, 0f), "A")).toDF("qid", "qvec", "qlabel")
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+      q, "qid", "qvec", "qlabel", k = 3)
+      .as[(Long, Long, String, Double)].collect().toList
+      .sortBy(r => -r._4)
+    assert(got == List(
+      (100L, 4L, "B", 0.894427),
+      (100L, 3L, "B", 0.707107),
+      (100L, 5L, "C", 0.0)))
+  }
+
+  test("hardNegatives collapses duplicate qids (array-minimal vector wins) " +
+    "and drops NULL qids") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), "A"), (2L, Seq(0f, 1f), "B"), (3L, Seq(1f, 1f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    // qid 7 appears with (1,0) and (0,1): (0,1) is array-minimal and wins,
+    // so the top negative must be vec 2 (cos 1.0), not an average of both
+    val dirty = Seq(
+      (Some(7L), Seq(1f, 0f), "A"), (Some(7L), Seq(0f, 1f), "A"),
+      (Option.empty[Long], Seq(1f, 0f), "A")
+    ).toDF("qid", "qvec", "qlabel")
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+      dirty, "qid", "qvec", "qlabel", k = 1)
+      .as[(Long, Long, String, Double)].collect().toList
+    assert(got == List((7L, 2L, "B", 1.0)))
+  }
 }

@@ -64,7 +64,11 @@ class PlanLintSpec extends AnyFunSuite {
     // q146 sq8Search crosses the 1-row quantized query-code row into
     // the corpus code scan, then the 1-row raw query vector into the
     // k-row audit join (q51's 1-row query-broadcast shape, twice)
-    "q146_sq8_ann")
+    "q146_sq8_ann",
+    // q153 hardNegatives broadcasts the TRAINING BATCH of query vectors
+    // (bounded by construction — a contrastive batch, never the corpus)
+    // into one corpus scan; per-qid top-k cuts via WindowGroupLimit
+    "q153_hard_negatives")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -362,6 +366,31 @@ class PlanLintSpec extends AnyFunSuite {
   // two scans (rank side + count side of the same base)
   assertScanBudget("q150_training_order", 2)
   assertShuffleBudget("q150_training_order", 3)
+
+  // Phrase search: postings are one map-only posexplode over one corpus
+  // scan; the aligned-start conjunction is 2 keyed aggs ((id,start) then
+  // id) over phrase-token rows only
+  assertScanBudget("q151_phrase_search", 1)
+  assertShuffleBudget("q151_phrase_search", 2)
+
+  // Token-budget cut: q150's cell-offset shape with weighted sums —
+  // base referenced twice (cell-count agg + rank window), offsets
+  // cumulated in one single-partition window then broadcast back.
+  // The third scan + fourth exchange are the FIXTURE's budget table
+  // (distinct sources of the same corpus); production passes a config
+  // table there
+  assertScanBudget("q152_token_budget", 3)
+  assertShuffleBudget("q152_token_budget", 4)
+
+  // Hard negatives: corpus scan + the bounded query side (scan 2, then
+  // broadcast); shuffles: query-dedup window + per-qid rank window
+  assertScanBudget("q153_hard_negatives", 2)
+  assertShuffleBudget("q153_hard_negatives", 3)
+
+  // Profile: ONE melted corpus scan, two keyed aggs (value counts →
+  // per-column rollup) — the whole point of the operator
+  assertScanBudget("q154_profile", 1)
+  assertShuffleBudget("q154_profile", 2)
 
   // SCD2 history: both windows (change-detect lag, interval lead) and
   // the version-start filter between them share one (user_id; ts, id)

@@ -156,4 +156,55 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  // ---- invertedIndex / phraseSearch ---------------------------------------
+
+  private def phraseHits(corpus: Seq[(Long, String)],
+                         phrase: Seq[String]): Map[Long, (Long, Long)] = {
+    val postings = Retrieval.invertedIndex(
+      corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("toks")),
+      "doc_id", col("toks"))
+    Retrieval.phraseSearch(postings, "doc_id", phrase)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
+  test("phraseSearch finds every start position, overlapping included") {
+    val hits = phraseHits(Seq(
+      (1L, "a a a a"),        // "a a" at starts 0,1,2 — overlaps count
+      (2L, "x a a y a a"),    // starts 1, 4
+      (3L, "a x a"),          // no adjacent pair
+      (4L, "a")),             // shorter than the phrase
+      Seq("a", "a"))
+    assert(hits == Map(1L -> (3L, 0L), 2L -> (2L, 1L)))
+  }
+
+  test("phraseSearch requires exact slot alignment for repeated-token phrases") {
+    // "a b a": doc must hold a at s, b at s+1, a at s+2 — the repeated
+    // token fans each 'a' posting into two slots, but only aligned
+    // starts reach count == 3.
+    val hits = phraseHits(Seq(
+      (1L, "a b a b a"),      // starts 0 and 2
+      (2L, "a b b a"),        // 'a b' and 'b a' but never 'a b a'
+      (3L, "b a b a")),       // start 1
+      Seq("a", "b", "a"))
+    assert(hits == Map(1L -> (2L, 0L), 3L -> (1L, 1L)))
+  }
+
+  test("phraseSearch single-token phrase degenerates to term frequency") {
+    val hits = phraseHits(Seq((1L, "c x c"), (2L, "x y")), Seq("c"))
+    assert(hits == Map(1L -> (2L, 0L)))
+  }
+
+  test("invertedIndex emits 0-based positions and builds without a shuffle") {
+    val postings = Retrieval.invertedIndex(
+      Seq((7L, "p q p")).toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("toks")),
+      "doc_id", col("toks"))
+    assert(postings.as[(String, Long, Long)].collect().toSet ==
+      Set(("p", 7L, 0L), ("q", 7L, 1L), ("p", 7L, 2L)))
+    val plan = postings.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"index build must be map-only:\n$plan")
+  }
 }

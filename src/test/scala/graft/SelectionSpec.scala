@@ -298,4 +298,53 @@ class SelectionSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
     assert(rep == a)                      // pure function of the data
   }
+
+  // ---- tokenBudget ---------------------------------------------------------
+
+  test("tokenBudget admits md5-ordered docs until each source's budget fills, " +
+    "keeping the crossing doc") {
+    val rows = (1L to 60L).map(i => (i, s"s${i % 3}", 10L + i % 7))
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    val budgets = Seq(("s0", 55L), ("s1", 100L), ("s2", 1L)).toDF("source", "budget")
+    val got = Sampling.tokenBudget(df, "doc_id", col("source"), col("n_tok"),
+      budgets, "mix1")
+      .as[(Long, String, Long, Long)].collect()
+
+    // literal reference: per source, order by (md5('mix1_'+id), id),
+    // running sum of tokens BEFORE each doc, admit while under budget
+    val budgetMap = Map("s0" -> 55L, "s1" -> 100L, "s2" -> 1L)
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      val ordered = docs.sortBy { case (id, _, _) => (md5Hex(s"mix1_$id"), id) }
+      val before = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(before).collect {
+        case ((id, _, n), b) if b < budgetMap(src) => (id, src, n, b)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // every budget fills: the LAST admitted doc of each source crosses
+    // or meets the line (tok_before < budget <= tok_before + n_tok)
+    got.groupBy(_._2).foreach { case (src, admitted) =>
+      val last = admitted.maxBy(_._4)
+      assert(last._4 + last._3 >= budgetMap(src),
+        s"$src underfilled: ${last._4} + ${last._3} < ${budgetMap(src)}")
+    }
+    // s2's budget of 1 token still admits exactly one doc (first crosser)
+    assert(got.count(_._2 == "s2") == 1)
+  }
+
+  test("tokenBudget is a pure function of the data — partitioning invariant") {
+    val rows = (1L to 40L).map(i => (i, s"s${i % 2}", 5L))
+    val budgets = Seq(("s0", 37L), ("s1", 50L)).toDF("source", "budget")
+    val a = Sampling.tokenBudget(rows.toDF("doc_id", "source", "n_tok"),
+      "doc_id", col("source"), col("n_tok"), budgets, "mix1")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Sampling.tokenBudget(
+      rows.toDF("doc_id", "source", "n_tok").repartition(11),
+      "doc_id", col("source"), col("n_tok"), budgets, "mix1")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // 5-token docs against budget 37 → ceil(37/5) = 8 admitted
+    assert(a.count(_._2 == "s0") == 8)
+    assert(a.count(_._2 == "s1") == 10)
+  }
 }
