@@ -28,21 +28,57 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** The map-side melt both forms share: one `(col_name, v)` row per
+    * (row, column) — a per-row array explode, fan-out ×|cols|, no
+    * shuffle; values through their canonical string cast. */
+  def melt(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate column in profile list: ${cols.mkString(", ")}")
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("m"))
+      .select(col("m").getField("col_name").as("col_name"),
+        col("m").getField("v").as("v"))
+  }
+
+  /** The ADDITIVE per-column moments — everything in the profile except
+    * the distinct count: `(col_name, n_rows, n_null, sum_len, min_v,
+    * max_v)`, one row per column from one keyed aggregation. Merge law
+    * (the streaming form's contract): sum the three counts, min/max the
+    * two extremes — partial moments over stream parts reduce to exactly
+    * the whole-stream moments, which is what lets `profileSink` keep
+    * |cols|-bounded state per epoch where the exact-distinct batch form
+    * must see every value. */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame =
+    melt(df, cols)
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        coalesce(sum(when(col("v").isNotNull, length(col("v"))
+          .cast("long"))), lit(0L)).as("sum_len"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
+  /** `avg_len` from reduced moments, on the same exact-integer →
+    * DECIMAL(28,6) → double chain as [[profile]] (sum_len is an exact
+    * long at any scale a LongType survives, so batch and cumulative
+    * streaming averages agree bit-for-bit). */
+  def finishMoments(reduced: DataFrame): DataFrame =
+    reduced.select(col("col_name"), col("n_rows"), col("n_null"),
+      col("min_v"), col("max_v"),
+      when(col("n_rows") === col("n_null"), lit(null).cast("double"))
+        .otherwise(round(col("sum_len").cast("decimal(28,6)").cast("double") /
+          (col("n_rows") - col("n_null")), 4))
+        .as("avg_len"))
+
   /** One profile row per column of `cols`: `(col_name, n_rows, n_null,
     * n_distinct, min_v, max_v, avg_len)`. `n_distinct` counts distinct
     * NON-NULL values; `avg_len` averages string lengths over non-null
     * values (NULL when the column is entirely null). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    require(cols.distinct.size == cols.size,
-      s"duplicate column in profile list: ${cols.mkString(", ")}")
-    val melted = df
-      .select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
-        .as("m"))
-      .select(col("m").getField("col_name").as("col_name"),
-        col("m").getField("v").as("v"))
-    melted
+    melt(df, cols)
       .groupBy(col("col_name"), col("v"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col("col_name"))

@@ -203,6 +203,38 @@ object Sketches {
   def kmvDistinct(items: DataFrame, item: Column, k: Int): DataFrame =
     kmvEstimate(kmvMinima(items, item, k), k)
 
+  /** Per-GROUP KMV minima — the ≤ k smallest distinct md5 hashes of
+    * `item` within each value of `group`, as rows `(g, h)`. One keyed
+    * aggregation whose per-task buffer is a ≤ k-long array PER GROUP
+    * (groups × k bounded state, never data-sized); same merge law as
+    * [[kmvMinima]], per group. NULL items contribute nothing (the
+    * distinct count is over values, matching [[Profile.profile]]'s
+    * `n_distinct` contract). */
+  def kmvMinimaBy(items: DataFrame, group: Column, item: Column,
+                  k: Int): DataFrame =
+    items
+      .filter(item.isNotNull)
+      .select(group.as("g"), HashFunctions.md5Window(item, 0).as("h"))
+      .groupBy(col("g"))
+      .agg(udaf(new KmvAgg(k), Encoders.scalaLong).apply(col("h")).as("mins"))
+      .select(col("g"), explode(col("mins")).as("h"))
+
+  /** Per-group `(g, k, n_mins, h_k, est)` from any bounded superset of
+    * each group's true minima rows `(g, h)` — re-reduces each group to
+    * its k smallest distinct first (KmvAgg output is ascending, so h_k
+    * is the last element), then applies [[kmvEstimate]]'s exact
+    * formula. */
+  def kmvEstimateBy(minima: DataFrame, k: Int): DataFrame =
+    minima.select(col("g"), col("h"))
+      .groupBy(col("g"))
+      .agg(udaf(new KmvAgg(k), Encoders.scalaLong).apply(col("h")).as("mins"))
+      .select(col("g"), size(col("mins")).cast("long").as("n_mins"),
+        element_at(col("mins"), size(col("mins"))).as("h_k"))
+      .select(col("g"), lit(k.toLong).as("k"), col("n_mins"), col("h_k"),
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            col("h_k").cast("double")).as("est"))
+
   /** Log-linear histogram bin id for a positive integer value — the
     * HdrHistogram / DDSketch bucket family (Masson et al., VLDB 2019),
     * built to be ORACLE-REPLAYABLE: the octave `e = floor(log2 v)` comes

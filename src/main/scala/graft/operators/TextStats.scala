@@ -381,4 +381,40 @@ object TextStats {
         when(col("sel"), concat(col("w"), lit("_"), col("nxt")))
           .otherwise(col("w")).as("token"))
   }
+
+  /** Per-document tf-idf keyword extraction — the top-k terms that
+    * characterize each document (the tagging/labeling pass a curation
+    * pipeline runs before routing or faceted search). Score is the
+    * ln-FREE idf ratio `tf · N / df` (the q148 discipline: ln is only
+    * ~1-ulp portable cross-engine and monotone in the ratio anyway, so
+    * the RANKING is identical and the score itself replays exactly —
+    * tf·N stays an exact long, one IEEE division is correctly rounded
+    * in both engines). Ties break on term asc.
+    *
+    * Scale shape (the q115 discipline): everything derives from ONE
+    * (doc, term) tf table — df as a term-keyed count window over it, N
+    * as a bounded 1-row broadcast — then one per-doc rank window that
+    * plans WindowGroupLimit (partial top-k before the exchange). One
+    * corpus scan, three keyed exchanges, no data-sized state.
+    *
+    * Output: (idCol, term, tf, df, score) for each kept keyword. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, toks: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val n = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
+    val tf = docs.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(n)
+      .withColumn("score",
+        (col("tf") * col("__n_docs")).cast("double") / col("df"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc_nulls_last, col("term").asc_nulls_first)))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -515,6 +515,99 @@ object StreamingJobs {
       flaggedKind = "quantile_rows_emitted")
   }
 
+  /** The sketch-sink family's QA member — the per-column dataset
+    * profile (q154's operator) maintained incrementally: each
+    * micro-batch contributes its ADDITIVE per-column moments
+    * ([[graft.operators.Profile.moments]] — counts sum, extremes
+    * min/max) and its per-column KMV minima, and the cumulative (or
+    * `maxEpochAge`-sliding) stats card is emitted to `outDir/epoch=N`
+    * as one row per profiled column: `(col_name, n_rows, n_null,
+    * min_v, max_v, avg_len, est_distinct)`. The production question:
+    * "what does the ingest stream look like, per column, right now" —
+    * drift triage and schema QA without re-scanning history.
+    *
+    * The exact-distinct batch form must see every value, so the
+    * streaming twin swaps that one field for the KMV estimate
+    * ([[graft.operators.Sketches.kmvMinimaBy]] — the q135 tier): state
+    * is |cols| moment rows + ≤ k minima PER COLUMN per retained epoch,
+    * corpus-independent. Every other field is EXACTLY the batch
+    * operator's: moments are additive and re-reduced per emit (min/max
+    * re-reduce correctly under epoch eviction too — each retained
+    * epoch holds its own extremes), and the avg_len chain is the same
+    * exact-integer → DECIMAL → double division, so the cumulative card
+    * equals `Profile.profile` over the concatenated stream on all
+    * exact fields while `est_distinct` equals `kmvDistinct` over it
+    * (both StreamingSpec-pinned).
+    *
+    * Replay contract, family-standard: moment rows keyed
+    * (col_name, __epoch), minima rows keyed (col_name, h, __epoch) —
+    * a replayed epoch overwrites its own contributions; probes filter
+    * `__epoch < epochId`; output overwrites by epoch. */
+  def profileSink(rows: DataFrame, cols: Seq[String],
+                  stateDir: String, outDir: String,
+                  k: Int = 256, maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        profileBatch(batch, epochId, cols, stateDir, outDir, k, maxEpochAge)
+      }
+
+  /** One epoch of [[profileSink]], exposed for replay/merge testing. */
+  def profileBatch(batch: DataFrame, epochId: Long, cols: Seq[String],
+                   stateDir: String, outDir: String,
+                   k: Int = 256, maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val momentsDir = s"$stateDir/moments"
+    val kmvDir = s"$stateDir/kmv"
+    val freshM = graft.operators.Profile.moments(batch, cols)
+      .withColumn("__epoch", lit(epochId))
+    val freshK = graft.operators.Sketches.kmvMinimaBy(
+        graft.operators.Profile.melt(batch, cols), col("col_name"),
+        col("v"), k)
+      .withColumnRenamed("g", "col_name")
+      .withColumn("__epoch", lit(epochId))
+    def prior(dir: String, fresh: DataFrame): DataFrame =
+      graft.sources.Writers.latestVersion(dir) match {
+        case Some(v) => spark.read.parquet(s"$dir/v$v")
+          .filter(col("__epoch") < epochId)
+        case None => fresh.limit(0)
+      }
+    val momentCols =
+      Seq("col_name", "n_rows", "n_null", "sum_len", "min_v", "max_v")
+    val reduced = prior(momentsDir, freshM)
+      .select(momentCols.map(col): _*)
+      .unionByName(freshM.select(momentCols.map(col): _*))
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        sum(col("sum_len")).as("sum_len"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+    val est = graft.operators.Sketches.kmvEstimateBy(
+      prior(kmvDir, freshK).select(col("col_name").as("g"), col("h"))
+        .unionByName(freshK.select(col("col_name").as("g"), col("h"))), k)
+      .select(col("g").as("col_name"), col("est").as("est_distinct"))
+    graft.operators.Profile.finishMoments(reduced)
+      // an all-null column contributes no minima → no est row → 0 distinct
+      .join(est, Seq("col_name"), "left")
+      .withColumn("est_distinct", coalesce(col("est_distinct"), lit(0.0)))
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    val evict =
+      if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+      else None
+    graft.sources.Writers.mergeState(
+      spark, momentsDir, freshM, Seq("col_name", "__epoch"), col("__epoch"),
+      evict = evict)
+    graft.sources.Writers.mergeState(
+      spark, kmvDir, freshK, Seq("col_name", "h", "__epoch"), col("__epoch"),
+      evict = evict)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = cols.size.toLong,
+      stateDir = momentsDir,
+      flaggedKind = "profile_rows_emitted")
+  }
+
   /** The sketch-sink family's VOCABULARY-mining member — incremental
     * collocation mining (q148's operator as a sink): each micro-batch
     * contributes its own unigram and bigram count rows, and the

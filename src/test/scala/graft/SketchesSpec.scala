@@ -236,4 +236,34 @@ class SketchesSpec extends AnyFunSuite {
     val rows = out.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
     assert(rows.find(_._1 == "a").get._3 == 1)
   }
+
+  test("per-group KMV equals the global sketch run per group, drops NULLs, " +
+    "and re-reduces bounded supersets") {
+    val df = (0 until 500).map { i =>
+      (s"g${i % 3}", if (i % 17 == 0) null else s"v${i % (40 + i % 3 * 30)}")
+    }.toDF("grp", "x")
+    val est = Sketches.kmvEstimateBy(
+      Sketches.kmvMinimaBy(df, col("grp"), col("x"), 16), 16)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    (0 until 3).foreach { g =>
+      val single = Sketches.kmvDistinct(
+        df.filter(col("grp") === s"g$g" && col("x").isNotNull),
+        col("x"), 16).head().getDouble(3)
+      assert(est(s"g$g") == single, s"group g$g: ${est(s"g$g")} != $single")
+    }
+    // minima rows are ≤ k per group, and feeding the UNION of two parts'
+    // per-group minima re-reduces to the whole-stream estimate (the
+    // profileSink merge law)
+    val mins = Sketches.kmvMinimaBy(df, col("grp"), col("x"), 16)
+    assert(mins.groupBy("g").count().as[(String, Long)].collect()
+      .forall(_._2 <= 16))
+    val (a, b) = (df.filter(col("x") < "v5"), df.filter(!(col("x") < "v5")))
+    val merged = Sketches.kmvEstimateBy(
+      Sketches.kmvMinimaBy(a, col("grp"), col("x"), 16)
+        .unionByName(Sketches.kmvMinimaBy(b, col("grp"), col("x"), 16)), 16)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(merged == est)
+  }
 }

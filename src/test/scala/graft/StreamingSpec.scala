@@ -382,6 +382,68 @@ class StreamingSpec extends AnyFunSuite {
       oneShot(e1 ++ e2))
   }
 
+  test("profileBatch: cumulative card equals one-shot Profile on exact fields, " +
+    "KMV distinct is exactly mergeable, replay-stable, sliding window") {
+    import graft.operators.{Profile, Sketches}
+    val cols = Seq("id", "s", "t")
+    val stateDir = java.nio.file.Files.createTempDirectory("profstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("profout").toString
+    val e0: Seq[(Long, Option[String], Option[String])] = (1L to 60L).map(i =>
+      (i, if (i % 5 == 0) None else Some(s"v${i % 7}"), None))
+    val e1: Seq[(Long, Option[String], Option[String])] = (61L to 120L).map(i =>
+      (i, Some(if (i % 11 == 0) "" else s"w${i % 13}"), None))
+    val e2: Seq[(Long, Option[String], Option[String])] = (121L to 150L).map(i => (i, Some(s"v${i % 7}"), None))
+    def run(e: Long, rows: Seq[(Long, Option[String], Option[String])]): Unit =
+      StreamingJobs.profileBatch(rows.toDF("id", "s", "t"), e, cols,
+        stateDir, outDir, k = 32)
+    def card(e: Long): Map[String, (Long, Long, Option[String], Option[String], Option[Double], Double)] =
+      spark.read.parquet(s"$outDir/epoch=$e")
+        .select("col_name", "n_rows", "n_null", "min_v", "max_v",
+          "avg_len", "est_distinct")
+        .as[(String, Long, Long, Option[String], Option[String], Option[Double], Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    def oneShot(rows: Seq[(Long, Option[String], Option[String])]): Map[String, (Long, Long, Option[String], Option[String], Option[Double], Double)] = {
+      val df = rows.toDF("id", "s", "t")
+      val exact = Profile.profile(df, cols)
+        .select("col_name", "n_rows", "n_null", "min_v", "max_v", "avg_len")
+        .as[(String, Long, Long, Option[String], Option[String], Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+      cols.map { c =>
+        val vals = Profile.melt(df, Seq(c)).filter(col("v").isNotNull)
+        val est =
+          if (vals.isEmpty) 0.0
+          else Sketches.kmvDistinct(vals, col("v"), 32).head().getDouble(3)
+        val x = exact(c)
+        c -> ((x._2, x._3, x._4, x._5, x._6, est))
+      }.toMap
+    }
+    run(0, e0); run(1, e1); run(2, e2)
+    // every exact field matches the batch operator over the concatenated
+    // stream at each horizon, and est_distinct matches the one-shot KMV
+    // (k-minima mergeability) — including the all-null column 't'
+    assert(card(0) == oneShot(e0))
+    assert(card(1) == oneShot(e0 ++ e1))
+    assert(card(2) == oneShot(e0 ++ e1 ++ e2))
+    assert(card(2)("t") == ((150L, 150L, None, None, None, 0.0)))
+    // crash-after-commit replay of the last epoch reconstructs identically
+    val before = card(2)
+    run(2, e2)
+    assert(card(2) == before)
+    // sliding window: maxEpochAge=1 → epoch 2's card covers e1 ∪ e2
+    val stateDir2 = java.nio.file.Files.createTempDirectory("profstate2").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("profout2").toString
+    def run2(e: Long, rows: Seq[(Long, Option[String], Option[String])]): Unit =
+      StreamingJobs.profileBatch(rows.toDF("id", "s", "t"), e, cols,
+        stateDir2, outDir2, k = 32, maxEpochAge = 1)
+    run2(0, e0); run2(1, e1); run2(2, e2)
+    val slid = spark.read.parquet(s"$outDir2/epoch=2")
+      .select("col_name", "n_rows", "n_null", "min_v", "max_v",
+        "avg_len", "est_distinct")
+      .as[(String, Long, Long, Option[String], Option[String], Option[Double], Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(slid == oneShot(e1 ++ e2))
+  }
+
   test("collocBatch: cumulative phrase table equals one-shot collocations, " +
     "replay-stable, sliding vocabulary window") {
     import graft.operators.TextStats
