@@ -845,15 +845,25 @@ object ScaleSmoke {
     // wall grows with its own posting mass — the A/B delta, not the
     // absolute exponent, is the claim.
     val postingsPath = s"$scratch/postings_x$mult"
-    if (stageActive("phrase-probe") &&
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(postingsPath))) {
+    // gate the build on EITHER probe label (an `only` filter of the
+    // exact stage name used to skip the build yet run the probe —
+    // ADVICE r14), and key reuse on a completion MARKER carrying a
+    // layout-version token, so a partial write or a postings-generator
+    // change rebuilds instead of silently reusing a stale directory.
+    val postingsMarker =
+      java.nio.file.Paths.get(s"$postingsPath/_graft_postings_v1")
+    if ((stageActive("phrase-probe-pruned") ||
+          stageActive("phrase-probe-flat")) &&
+        !java.nio.file.Files.exists(postingsMarker)) {
       val t0 = System.nanoTime()
       operators.Retrieval.invertedIndex(
         bigDocsOrdered.select(col("doc_id"),
           filter(split(col("text"), " "), t => t =!= "").as("toks")),
         "doc_id", col("toks"))
         .write.partitionBy("token").mode("overwrite").parquet(postingsPath)
-      println(f"[scale] materialize postings x$mult  ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val rows = spark.read.parquet(postingsPath).count()
+      java.nio.file.Files.writeString(postingsMarker, rows.toString)
+      println(f"[scale] materialize postings x$mult rows=$rows ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     timeBest("phrase-probe-pruned") {
       operators.Retrieval.phraseSearch(

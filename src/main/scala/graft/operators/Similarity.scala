@@ -352,9 +352,14 @@ object Similarity {
     val distinctQ = queries
       .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
       .filter(col(qidCol).isNotNull)
+      // label joins the ordering: two rows sharing a qid AND an
+      // identical vector but different labels would otherwise tie, and
+      // the surviving qlabel (hence the disqualification set) would be
+      // partitioning-dependent (ADVICE r14)
       .withColumn("__qrn", row_number().over(
         Window.partitionBy(col(qidCol))
-          .orderBy(col(queryVecCol).asc_nulls_last)))
+          .orderBy(col(queryVecCol).asc_nulls_last,
+            col(queryLabelCol).asc_nulls_last)))
       .filter(col("__qrn") === 1)
       .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
     vectors

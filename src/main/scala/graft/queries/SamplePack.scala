@@ -91,9 +91,19 @@ object SamplePack extends QueryPack {
       val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("source"),
         size(filter(split(col("text"), " "), t => t =!= ""))
           .cast("long").as("n_tok"))
+      // explicit digit-suffix parse that FAILS LOUDLY on a fixture-shape
+      // drift (ADVICE r14): the old substring cast returned NULL on a
+      // non-numeric suffix and the budget join silently dropped that
+      // source's rows, while the oracle's CAST errored — a confusing
+      // parity mismatch instead of a clear failure. regexp_extract +
+      // raise_error makes both sides total-or-raise.
+      val srcnum = regexp_extract(col("source"), "([0-9]+)$", 1)
       val budgets = docs.select(col("source")).distinct()
-        .withColumn("budget", lit(300L) +
-          lit(200L) * (substring(col("source"), 4, 8).cast("long") % 4))
+        .withColumn("budget", lit(300L) + lit(200L) *
+          (when(srcnum =!= "", srcnum.cast("long"))
+            .otherwise(raise_error(concat(
+              lit("q152: source without numeric suffix: "), col("source"))))
+            % 4))
       Sampling.tokenBudget(docs, "doc_id", col("source"), col("n_tok"),
         budgets, "mix1")
     }),
@@ -210,7 +220,8 @@ object SamplePack extends QueryPack {
                            md5('mix1_' || CAST(doc_id AS VARCHAR)) AS h
                     FROM documents),
          b AS (SELECT DISTINCT source,
-                      300 + 200 * (CAST(substr(source, 4) AS BIGINT) % 4)
+                      300 + 200 * (CAST(regexp_extract(source, '([0-9]+)$')
+                                        AS BIGINT) % 4)
                         AS budget
                FROM documents),
          r AS (SELECT doc_id, source, n_tok,
