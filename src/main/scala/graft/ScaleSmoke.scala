@@ -927,6 +927,25 @@ object ScaleSmoke {
         queries, "qid", "qvec", "qlabel", k = 10).count()
     }
 
+    time("routed-negatives") {
+      // q155 at N×: the SAME 16-query batch, IVF-routed — each query
+      // ranks only its nprobe=4 nearest coarse buckets' population, so
+      // wall tracks the probed posting mass while the brute stage above
+      // scans corpus×|Q|. The centroid training pass is corpus-linear
+      // but |Q|-independent (amortized over every query in the batch);
+      // the candidate stage (the |Q|-scaling one) reads only probed
+      // buckets via the bucket equi-join. Expect a corpus-axis exponent
+      // clearly below the brute stage's ~0.5 once training amortizes.
+      val queries = vecBase.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          (col("vec_id") % 5).as("qlabel"))
+      operators.Similarity.routedNegatives(
+        bigVecs.withColumn("label", col("vec_id") % 5),
+        "vec_id", "embedding", "label",
+        queries, "qid", "qvec", "qlabel",
+        probeDims = 8, nprobe = 4, k = 10).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

@@ -231,12 +231,18 @@ object Sampling {
     * `row_number() OVER (ORDER BY ...)` — parity across two genuinely
     * different plans.
     *
-    * Output: (idCol, bucket, pos). */
+    * Output: (idCol, carry..., bucket, pos) — `carry` names extra input
+    * columns to pass through unchanged (they ride the SAME rank windows,
+    * costing nothing; the q159 recipe carries source/n_tok so the
+    * ordered mix needs no join back onto its own subtree, which would
+    * re-execute it). */
   def trainingOrder(df: DataFrame, idCol: String, bucketCol: Column,
-                    salt: String): DataFrame = {
+                    salt: String, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol), bucketCol.cast("long").as("bucket"),
-      md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))).as("__h"))
+    val base = df.select(
+      (col(idCol) +: carry.map(col)) :+
+        bucketCol.cast("long").as("bucket") :+
+        md5(concat(lit(salt), lit("_"), col(idCol).cast("string"))).as("__h"): _*)
       .withColumn("__sub", substring(col("__h"), 1, 1))
     val offsets = base.groupBy(col("bucket"), col("__sub"))
       .agg(count(lit(1)).as("__n"))
@@ -250,8 +256,8 @@ object Sampling {
         Window.partitionBy(col("bucket"), col("__sub"))
           .orderBy(col("__h"), col(idCol))))
       .join(broadcast(offsets), Seq("bucket", "__sub"))
-      .select(col(idCol), col("bucket"),
-        (col("__off") + col("__r")).as("pos"))
+      .select((col(idCol) +: carry.map(col)) :+ col("bucket") :+
+        (col("__off") + col("__r")).as("pos"): _*)
   }
 
   /** Token-budget corpus cut — assemble a training mix by admitting each

@@ -380,6 +380,88 @@ object Similarity {
       .select(col(qidCol), col(idCol), col(labelCol), col("score"))
   }
 
+  /** IVF-ROUTED hard-negative mining — [[hardNegatives]] at batch scale
+    * (VERDICT r14 #1): compose the coarse routing of [[ivfPqSearch]]
+    * with the label-disqualified per-query top-k, so mining negatives
+    * for a training batch costs |Q| × (nprobe buckets' population)
+    * instead of |Q| × corpus. A contrastive-training run mines for
+    * millions of queries — the broadcast-batch full-scan shape
+    * ([[hardNegatives]]) is the one linear-in-corpus retrieval left;
+    * this is its routed replacement, and it joins the corpus on the
+    * BUCKET KEY (equi-join — no nested-loop, no PlanLint whitelist
+    * entry, unlike every bounded-batch brute query).
+    *
+    * Distributed shape (the [[annSearchBatch]] skeleton): the centroid
+    * table (bucket-count rows, bounded by the key space — never
+    * corpus-sized) broadcasts against the query table; a per-query rank
+    * window keeps the `nprobe` nearest buckets (q141's probe
+    * arithmetic: exact-millionth centroid means, the rounded qq − 2qc +
+    * cc dot identity, bucket-asc tie-break — so an oracle replays the
+    * probed SET bit-for-bit); the corpus is scanned once and equi-joined
+    * to the probe set on the bucket key (queries sharing a bucket share
+    * the scan); label disqualification and the self-id guard run inside
+    * that join; per-query top-k is a rank window (WindowGroupLimit —
+    * partial top-k before the exchange). Scores are the q51 round-6
+    * cosine chain, ties break on corpus id. Duplicate/NULL qids collapse
+    * exactly as [[hardNegatives]] (vector then label ascending).
+    *
+    * Recall contract: a negative is missed iff it lives outside the
+    * query's `nprobe` nearest coarse buckets — the standard IVF recall
+    * trade, measured in DedupSimilaritySpec; `nprobe` ≥ the bucket count
+    * degenerates to [[hardNegatives]] exactly (spec-pinned). Output:
+    * (qidCol, idCol, label, score) — [[hardNegatives]]' schema. */
+  def routedNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String,
+                      queries: DataFrame, qidCol: String, queryVecCol: String,
+                      queryLabelCol: String,
+                      probeDims: Int, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1,
+      s"need nprobe >= 1 and k >= 1 (got nprobe=$nprobe k=$k)")
+    require(qidCol != idCol && queryVecCol != vecCol && queryLabelCol != labelCol,
+      s"query columns must differ from corpus columns " +
+        s"(got id $qidCol/$idCol, vec $queryVecCol/$vecCol, " +
+        s"label $queryLabelCol/$labelCol) — alias one side")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = vectors
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .withColumn("__bucket", ivfAssign(col(vecCol), probeDims))
+      .filter(col("__bucket").isNotNull)
+    val cents = centroidMeans(centroids(bucketed, col("__bucket"), col(vecCol)))
+      .withColumnRenamed("bucket", "__bucket")
+    val distinctQ = queries
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
+      .filter(col(qidCol).isNotNull)
+      .withColumn("__qrn", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col(queryVecCol).asc_nulls_last,
+            col(queryLabelCol).asc_nulls_last)))
+      .filter(col("__qrn") === 1)
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
+    val probeSet = distinctQ
+      .crossJoin(broadcast(cents))
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol), col("__bucket"),
+        (round(
+          dot(col(queryVecCol), col(queryVecCol))
+            - lit(2.0) * dot(col(queryVecCol), col("centroid"))
+            + dot(col("centroid"), col("centroid")), 8) + lit(0.0)).as("__d2"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("__d2").asc_nulls_last, col("__bucket").asc)))
+      .filter(col("__r") <= nprobe)
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol), col("__bucket"))
+    bucketed.join(probeSet, Seq("__bucket"))
+      .filter(col(labelCol) =!= col(queryLabelCol) &&
+        col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol), col(labelCol),
+        (round(cosine(col(vecCol), col(queryVecCol)), 6) + lit(0.0))
+          .as("score"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)))
+      .filter(col("__rk") <= k)
+      .select(col(qidCol), col(idCol), col(labelCol), col("score"))
+  }
+
   /** Incremental embedding near-dup — the L2 analog of
     * `Dedup.incrementalLshCandidates` (q93's text shape): a fresh batch
     * of vectors probes a STORED IVF-bucketed corpus instead of
@@ -706,6 +788,87 @@ object Similarity {
         .as("codes"))
     pqAdcRankWide(
       wide.filter(col("__bucket").isin(probedIds: _*)).drop("__bucket"),
+      dense, idCol, k)
+  }
+
+  /** IVF × PQ with a TRAINED coarse quantizer (VERDICT r14 missing #2
+    * — [[ivfPqSearch]] routes via the deterministic hash-assigned
+    * [[ivfAssign]] buckets; FAISS trains the coarse level, and hash
+    * buckets cost recall at fixed nprobe): the caller provides the
+    * coarse centroid table — [[kmeans]] output re-meaned through
+    * [[centroids]]/[[centroidMeans]], or any fixed seed set — and both
+    * assignment and probe ranking run against it in EXACT integer
+    * arithmetic (components quantized to thousandths, the q23 engine-
+    * exact argmin: squared distances are exact longs, ties break on
+    * centroid id), so a SQL oracle replays the routing bit-for-bit
+    * with no training loop to unroll.
+    *
+    * Plan shape (the [[ivfPqSearch]] serving contract, kept): the
+    * coarse table is the model artifact — k rows, collected ONCE at
+    * construction (the pqAdcDense bounded-driver-state pattern) and
+    * inlined as literals, so assignment is a row-local argmin (zero
+    * joins); the probed cluster ids are computed on the driver over
+    * those same k rows (≤ nprobe longs); the scan side stays map-only
+    * filter + ADC literal lookups. Rows whose vector has the wrong
+    * dimension or a NULL component are dropped up front (the [[kmeans]]
+    * ragged rule — a NULL distance would silently pollute cluster 0).
+    *
+    * Recall: DedupSimilaritySpec measures recall@20 vs exact L2 for
+    * kmeans-trained centroids against the hash-assigned variant at
+    * equal nprobe — trained routing must never lose. Returns ascending
+    * (idCol, adist) top-k over the probed population. */
+  def ivfPqSearchTrained(vectors: DataFrame, idCol: String, vecCol: String,
+                         query: DataFrame, queryVecCol: String,
+                         coarse: DataFrame, coarseIdCol: String,
+                         coarseVecCol: String,
+                         nprobe: Int, k: Int,
+                         m: Int = 4, subDim: Int = 16,
+                         probeDims: Int = 4): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    def quant(v: Column): Column =
+      transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    val cents: Array[(Long, Array[Long])] = coarse
+      .select(col(coarseIdCol).cast("long"), quant(col(coarseVecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "trained coarse quantizer needs >= 1 centroid")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      "coarse centroids must share one dimension")
+    val qv: Array[Long] = {
+      val r = query.select(quant(col(queryVecCol))).head()
+      r.getSeq[Long](0).toArray
+    }
+    require(qv.length == dim,
+      s"query dimension ${qv.length} != centroid dimension $dim")
+    // driver-side exact long arithmetic == engine long arithmetic:
+    // the probed set is replayable by any SQL engine
+    val probed: Seq[Long] = cents.map { case (cid, cv) =>
+      var d2 = 0L; var i = 0
+      while (i < dim) { val t = qv(i) - cv(i); d2 += t * t; i += 1 }
+      (d2, cid)
+    }.sorted.take(nprobe).map(_._2).toSeq
+    val clean = vectors
+      .filter(size(col(vecCol)) === dim &&
+        !exists(col(vecCol), x => x.isNull))
+      .withColumn("__qv", quant(col(vecCol)))
+    val assignment = array_min(array(cents.map { case (cid, cv) =>
+      struct(
+        aggregate(zip_with(col("__qv"), lit(cv), (x, y) => (x - y) * (x - y)),
+          lit(0L), (s2, x) => s2 + x).as("d"),
+        lit(cid).as("c"))
+    }.toIndexedSeq: _*)).getField("c")
+    val book = centroidMeans(pqCodebook(
+      pqCodes(vectors, idCol, vecCol, m, subDim, probeDims)))
+    val dense = pqAdcDense(
+      pqAdcTable(book, query, queryVecCol, m, subDim), m, probeDims)
+    val wide = clean.select(col(idCol), assignment.as("__cluster"),
+      array((0 until m).map(i =>
+        ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
+        .as("codes"))
+    pqAdcRankWide(
+      wide.filter(col("__cluster").isin(probed: _*)).drop("__cluster"),
       dense, idCol, k)
   }
 

@@ -393,9 +393,11 @@ object TextStats {
     *
     * Scale shape (the q115 discipline): everything derives from ONE
     * (doc, term) tf table — df as a term-keyed count window over it, N
-    * as a bounded 1-row broadcast — then one per-doc rank window that
-    * plans WindowGroupLimit (partial top-k before the exchange). One
-    * corpus scan, three keyed exchanges, no data-sized state.
+    * as a bounded 1-row broadcast (its own stats scan, the q28/q71
+    * shape) — then one per-doc rank window that plans WindowGroupLimit
+    * (partial top-k before the exchange). Two corpus scans (tf +
+    * 1-row stats), three keyed exchanges, no data-sized state
+    * (PlanLint-pinned via q157).
     *
     * Output: (idCol, term, tf, df, score) for each kept keyword. */
   def tfidfKeywords(docs: DataFrame, idCol: String, toks: Column,

@@ -121,6 +121,25 @@ object LlmPack extends QueryPack {
         "qid", "qvec", "qlabel", k = 10)
     }),
 
+    // L2 hard-negative mining at BATCH scale (VERDICT r14 #1): q153's
+    // label-disqualified top-k composed with q141's coarse IVF routing —
+    // per query only its nprobe nearest buckets' vectors are ranked, so
+    // batch mining costs |Q|×bucket instead of |Q|×corpus, and the
+    // corpus join is a bucket-key EQUI-join (no nested loop, no
+    // whitelist). The oracle replays all three deterministic artifacts:
+    // coarse buckets, exact-millionth centroid means, the per-query
+    // rounded dot-identity probe ranking — then the disqualified
+    // cosine top-k over the probed population only.
+    "q155_routed_negatives" -> ((s, dir) => Q.ordered {
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.routedNegatives(
+        emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 3).select(
+          col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel")),
+        "qid", "qvec", "qlabel", probeDims = 8, nprobe = 4, k = 10)
+    }),
+
     // L3: multimodal doc-ref array (label,url structs) built per row and
     // exploded with position — the reference's `documentos` shape. The
     // third entry is conditional (variable-length collections); src0 rows
@@ -362,6 +381,60 @@ object LlmPack extends QueryPack {
          r AS (SELECT *, row_number() OVER (PARTITION BY qid
                            ORDER BY score DESC NULLS LAST, vec_id ASC) AS rk
                FROM s)
+         SELECT qid, vec_id, label, score FROM r WHERE rk <= 10
+         ORDER BY ALL NULLS FIRST""",
+
+    // q141's coarse-bucket + centroid-mean + probe-ranking chain, made
+    // PER-QUERY (row_number over qid), then q153's disqualified cosine
+    // top-k restricted to each query's probed buckets — a divergence in
+    // any routing artifact moves some query's candidate population and
+    // breaks the hash
+    "q155_routed_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec,
+                           label AS qlabel
+                    FROM embeddings WHERE vec_id < 3),
+         s AS (SELECT vec_id, embedding, label,
+                list_reverse_sort(list_transform(range(1, 9), i ->
+                  [abs(CAST(embedding[i] AS DOUBLE)),
+                   CAST(i AS DOUBLE) * CAST(sign(CAST(embedding[i] AS DOUBLE)) AS DOUBLE)])) AS st
+                FROM embeddings),
+         e AS (SELECT vec_id, embedding, label,
+                CASE WHEN len(embedding) >= 8 THEN
+                  (CAST(st[1][2] AS INT) + 8) * 17 + (CAST(st[2][2] AS INT) + 8) END AS bucket
+               FROM s),
+         p AS (SELECT bucket, unnest(range(1, len(embedding) + 1)) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM e WHERE bucket IS NOT NULL),
+         a AS (SELECT bucket, pos, count(*) AS n,
+                      CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+               FROM p GROUP BY 1, 2),
+         cmean AS (SELECT bucket,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cm
+                   FROM a GROUP BY 1),
+         pd AS (SELECT q.qid, c.bucket,
+                       round(list_dot_product(q.qvec, q.qvec)
+                             - CAST(2.0 AS DOUBLE) * list_dot_product(q.qvec, c.cm)
+                             + list_dot_product(c.cm, c.cm), 8)
+                         + CAST(0.0 AS DOUBLE) AS d2
+                FROM cmean c, q),
+         pr AS (SELECT qid, bucket FROM (
+                  SELECT qid, bucket,
+                         row_number() OVER (PARTITION BY qid
+                             ORDER BY d2 ASC NULLS LAST, bucket ASC) AS r
+                  FROM pd) WHERE r <= 4),
+         cand AS (SELECT q.qid, e.vec_id, e.label,
+                         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec) /
+                               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+                           + CAST(0.0 AS DOUBLE) AS score
+                  FROM e JOIN pr ON e.bucket = pr.bucket
+                       JOIN q ON pr.qid = q.qid
+                  WHERE e.label <> q.qlabel AND e.vec_id <> q.qid),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY score DESC NULLS LAST, vec_id ASC) AS rk
+               FROM cand)
          SELECT qid, vec_id, label, score FROM r WHERE rk <= 10
          ORDER BY ALL NULLS FIRST""",
 

@@ -298,6 +298,28 @@ object NearDupPack extends QueryPack {
         "qvec", coarseDims = 8, nprobe = 4, k = 20)
     }),
 
+    // L2 serving tier, TRAINED coarse level (VERDICT r14 missing #2):
+    // ivfPq routing against a provided centroid TABLE instead of hash
+    // buckets — the FAISS shape proper. Assignment and probe ranking
+    // are the q23 engine-exact integer argmin (quantized thousandths,
+    // packed-min tie-break), so the oracle replays the trained routing
+    // bit-for-bit with no Lloyd's loop to unroll (here the centroid
+    // table is the deterministic vec_id<8 seed set; the kmeans-trained
+    // path is DedupSimilaritySpec's recall job — same operator, any
+    // centroid table). The scan side stays ivfPq's map-only filter +
+    // ADC literal lookups: zero joins, zero shuffles.
+    "q156_ivfpq_trained" -> ((s, dir) => Q.ordered {
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.ivfPqSearchTrained(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "cid", "cvec", nprobe = 3, k = 20)
+    }),
+
     // L2 memory tier between brute floats and PQ codes: per-tensor
     // symmetric int8 quantization (the production int8-dot serving
     // shape) with SYMMETRIC integer scoring — ONE global amax scale
@@ -1136,6 +1158,85 @@ object NearDupPack extends QueryPack {
          pop AS (SELECT c.vec_id, c.m, c.code
                  FROM codes c JOIN e USING (vec_id)
                  WHERE e.bucket IN (SELECT bucket FROM probed)
+                   AND c.code IS NOT NULL),
+         tot AS (SELECT vec_id,
+                        CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                             AS DECIMAL(28,8)) AS DOUBLE) AS adist
+                 FROM pop JOIN dt USING (m, code) GROUP BY 1)
+         SELECT * FROM (
+           SELECT vec_id, adist FROM tot
+           ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
+         ORDER BY ALL NULLS FIRST""",
+
+    // the q23 exact-integer coarse routing (quantized thousandths,
+    // packed-min argmin, integer probe ranking) + q141's ADC chain
+    // restricted to the probed clusters — every routing artifact is
+    // exact BIGINT arithmetic, so a divergence anywhere moves the
+    // scanned population and breaks the hash
+    "q156_ivfpq_trained" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+                    FROM embeddings WHERE vec_id = 1),
+         vq AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
+         vl AS (SELECT vec_id, unnest(qv) AS x,
+                       generate_subscripts(qv, 1) AS i FROM vq),
+         sl AS (SELECT cid, unnest(cq) AS y,
+                       generate_subscripts(cq, 1) AS i FROM seeds),
+         dist AS (SELECT vl.vec_id, sl.cid,
+                         CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                  FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+         asg AS (SELECT vec_id,
+                        CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
+                 FROM dist GROUP BY 1),
+         ql AS (SELECT unnest(qq) AS x, generate_subscripts(qq, 1) AS i FROM q),
+         pd AS (SELECT sl.cid,
+                       CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+                FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1),
+         probed AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
+                      FROM pd) WHERE r <= 3),
+         mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         sub AS (SELECT vec_id, m,
+                        list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                       x -> CAST(x AS DOUBLE)) AS sub
+                 FROM embeddings, mm),
+         stc AS (SELECT vec_id, m, sub,
+                       list_reverse_sort(list_transform(range(1, 5), i ->
+                         [abs(sub[i]),
+                          CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+                FROM sub),
+         codes AS (SELECT vec_id, m, sub,
+                          CASE WHEN len(sub) >= 4 THEN
+                            (CAST(srt[1][2] AS INT) + 4) * 9
+                              + (CAST(srt[2][2] AS INT) + 4) END AS code
+                   FROM stc),
+         pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                       unnest(sub) AS v
+                FROM codes WHERE code IS NOT NULL),
+         ac AS (SELECT m, code, pos, count(*) AS n,
+                       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+                FROM pc GROUP BY 1, 2, 3),
+         cb AS (SELECT m, code,
+                       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                            ORDER BY pos) AS cmean
+                FROM ac GROUP BY 1, 2),
+         qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+                FROM q, mm),
+         dt AS (SELECT cb.m, cb.code,
+                       round(list_dot_product(qs.qsub, qs.qsub)
+                             - CAST(2.0 AS DOUBLE)
+                               * list_dot_product(qs.qsub, cb.cmean)
+                             + list_dot_product(cb.cmean, cb.cmean), 8)
+                         + CAST(0.0 AS DOUBLE) AS d2
+                FROM cb JOIN qs ON qs.m = cb.m),
+         pop AS (SELECT c.vec_id, c.m, c.code
+                 FROM codes c JOIN asg USING (vec_id)
+                 WHERE asg.cluster IN (SELECT cid FROM probed)
                    AND c.code IS NOT NULL),
          tot AS (SELECT vec_id,
                         CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))

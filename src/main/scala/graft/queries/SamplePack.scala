@@ -107,6 +107,35 @@ object SamplePack extends QueryPack {
       Sampling.tokenBudget(docs, "doc_id", col("source"), col("n_tok"),
         budgets, "mix1")
     }),
+
+    // THE data-recipe flagship (VERDICT r14 #6): the three selection
+    // tiers composed as ONE lazy plan, no driver loop — q29's
+    // temperature mixture apportions a 2000-token global budget into
+    // per-source token budgets (largest-remainder, so they sum exactly);
+    // q152's admission admits each source's md5-ordered docs until its
+    // budget fills; q150's curriculum assigns dense training positions
+    // (length bucket short→long, salted shuffle, id tiebreak) over the
+    // admitted mix — source/n_tok CARRIED through the rank windows so
+    // the ordered mix needs no join back onto its own subtree. The
+    // oracle replays all three tiers as chained CTEs with the literal
+    // global-sort forms. Production materializes between tiers (the W4
+    // handoff) — the in-plan tier re-references are priced by the
+    // PlanLint scan budget.
+    "q159_data_recipe" -> ((s, dir) => Q.ordered {
+      val docs = Q.t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      val budgets = Sampling.mixtureWeights(
+          docs, col("source"), col("n_tok"), budget = 2000L)
+        .select(col("source"), col("target_rows").as("budget"))
+      val admitted = Sampling.tokenBudget(
+        docs, "doc_id", col("source"), col("n_tok"), budgets, "rcp1")
+      Sampling.trainingOrder(
+        admitted.withColumn("b",
+          least(floor(col("n_tok") / lit(10)), lit(9)).cast("long")),
+        "doc_id", col("b"), "ord1", carry = Seq("source", "n_tok"))
+    }),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -234,5 +263,51 @@ object SamplePack extends QueryPack {
          FROM r JOIN b USING (source)
          WHERE tok_before < budget
          ORDER BY ALL NULLS FIRST""",
+
+    // the three tiers replayed as chained CTEs: the q29 apportionment
+    // (budget 2000), the q152 literal running-sum admission (salt
+    // rcp1), the q150 literal global-sort curriculum (salt ord1) over
+    // the admitted mix
+    "q159_data_recipe" ->
+      """WITH d AS (SELECT doc_id, source,
+                           CAST(len(list_filter(str_split(text, ' '),
+                                t -> t <> '')) AS BIGINT) AS n_tok,
+                           md5('rcp1_' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+         s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok
+               FROM d GROUP BY 1),
+         w AS (SELECT *, CAST(round(sqrt(CAST(src_tok AS DOUBLE)), 6)
+                              AS DECIMAL(18,6)) AS w
+               FROM s),
+         t AS (SELECT CAST(sum(w) AS DECIMAL(28,6)) AS tw FROM w),
+         e AS (SELECT source,
+                      2000 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) AS ex
+               FROM w CROSS JOIN t),
+         b0 AS (SELECT *, CAST(floor(ex) AS BIGINT) AS base FROM e),
+         l AS (SELECT CAST(2000 - sum(base) AS BIGINT) AS leftover FROM b0),
+         rb AS (SELECT *, row_number() OVER (ORDER BY ex - base DESC,
+                                             source ASC) AS rk
+                FROM b0),
+         b AS (SELECT source,
+                      CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                           AS BIGINT) AS budget
+               FROM rb CROSS JOIN l),
+         r AS (SELECT doc_id, source, n_tok,
+                      CAST(sum(n_tok) OVER (PARTITION BY source
+                             ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok
+                           AS BIGINT) AS tok_before
+               FROM d),
+         adm AS (SELECT r.doc_id, r.source, r.n_tok
+                 FROM r JOIN b USING (source)
+                 WHERE tok_before < budget),
+         f AS (SELECT doc_id, source, n_tok,
+                      least(n_tok // 10, 9) AS bucket,
+                      md5('ord1_' || CAST(doc_id AS VARCHAR)) AS h2
+               FROM adm)
+         SELECT doc_id, source, n_tok, CAST(bucket AS BIGINT) AS bucket,
+                CAST(row_number() OVER (ORDER BY bucket, h2, doc_id)
+                     AS BIGINT) AS pos
+         FROM f ORDER BY ALL NULLS FIRST""",
   )
 }

@@ -91,6 +91,22 @@ object TextPack extends QueryPack {
             .as("tfidf"))
     }),
 
+    // L4: per-document tf-idf KEYWORD extraction (ADVICE r14 — the
+    // operator landed unwired; this is its oracle). Top-3 terms per doc
+    // by the ln-FREE idf ratio tf·N/df (monotone in the ln form, exact
+    // long product + ONE correctly-rounded IEEE division — q148's
+    // no-ln discipline), ties term-asc. Everything derives from the
+    // one (doc, term) tf table: df is a term-keyed count window over
+    // it (the q71/q28 window lesson), N a 1-row broadcast; the per-doc
+    // rank cut plans WindowGroupLimit.
+    "q157_tfidf_keywords" -> ((s, dir) => Q.ordered {
+      TextStats.tfidfKeywords(
+        Q.wide(Q.t(s, dir, "documents"))
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks")),
+        "doc_id", col("toks"), k = 3)
+    }),
+
     // L4: Gopher-style repetition filter — a doc dominated by one token
     // or by repeated bigrams is boilerplate, not training prose. Both
     // metrics are row-local HOF expressions; thresholds picked so this
@@ -650,6 +666,23 @@ object TextPack extends QueryPack {
         "doc_id", col("toks"))
       Retrieval.phraseSearch(postings, "doc_id", PhraseFixture)
     }),
+
+    // q151's STORED-layout twin (VERDICT r14 #5): the postings index
+    // written ONCE partitioned by md5-prefix token directories
+    // (Writers.ensurePostings — the q131/q133 layout discipline), the
+    // probe reading only the phrase's directories via driver-computed
+    // partition literals (PartitionFilters in the scan, PlanLint-
+    // pinned) with the residual token IN (...) pushed into the parquet
+    // reader. Same oracle as q151 — layout, not semantics (the
+    // q130/q131 framing); probe IO tracks the phrase's posting mass,
+    // not corpus bytes.
+    "q158_phrase_stored" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensurePostings(s, dir, "documents")
+      Retrieval.phraseSearch(
+        graft.sources.Writers.prunedPostings(s, path, PhraseFixture),
+        "doc_id", PhraseFixture)
+    }),
   )
 
   /** q151 probe phrase — 18 matching docs / 19 starts at sf0.01;
@@ -949,6 +982,27 @@ object TextPack extends QueryPack {
          SELECT t.doc_id, t.token, t.tf, d.df,
                 round(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
          FROM tf t JOIN dfc d USING (token), tot
+         ORDER BY ALL NULLS FIRST""",
+
+    // the row-local definition: tf per (doc, term), df as a count over
+    // the same grouped table, score the exact tf·N long divided once
+    "q157_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+                 GROUP BY 1, 2),
+         wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+                 FROM tfc),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term, tf, df,
+                      CAST(tf * n_docs AS DOUBLE) / df AS score
+               FROM wdf, n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC NULLS LAST, term ASC) AS rk
+               FROM s)
+         SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 3
          ORDER BY ALL NULLS FIRST""",
 
     "q90_repetition_filter" ->
@@ -1435,6 +1489,21 @@ object TextPack extends QueryPack {
     // the row-local phrase definition itself: every 1-based start s with
     // toks[s] = w0 AND toks[s+1] = w1; engine positions are 0-based
     "q151_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id,
+                      list_filter(range(1, len(toks)),
+                        s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts
+               FROM d)
+         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+         FROM m WHERE len(starts) > 0
+         ORDER BY ALL NULLS FIRST""",
+
+    // IDENTICAL to q151's oracle — the stored layout changes where the
+    // probe's bytes come from, never what the phrase matches
+    "q158_phrase_stored" ->
       """WITH d AS (SELECT doc_id,
                            list_filter(str_split(text, ' '), t -> t <> '') AS toks
                     FROM documents),

@@ -105,6 +105,76 @@ object Writers {
     })
   }
 
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedPostings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The postings partition key: first two hex chars of md5(token) —
+    * 256 directories regardless of vocabulary size (partitioning by the
+    * raw token would mint one directory per vocab entry, unbounded at
+    * corpus scale), engine-portable, and computable on the DRIVER for a
+    * literal probe phrase so the partition filter is a plan-time
+    * constant (directory pruning, not a runtime filter). */
+  def tokenPart(token: Column): Column =
+    org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.md5(token), 1, 2)
+
+  /** Driver-side twin of [[tokenPart]] — MUST produce the identical
+    * prefix for the identical token or probes read the wrong
+    * directories (spec-pinned in SourcesSpec). */
+  def tokenPartOf(token: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"${d(0) & 0xff}%02x".take(2)
+  }
+
+  /** Token-partitioned positional postings of corpus table `name` —
+    * the STORED inverted index the lexical retrieval tier probes
+    * (VERDICT r14 #5: the q151 pruned-vs-flat A/B lived only in
+    * ScaleSmoke; this is the declared layout leg, the q131/q133
+    * discipline for the postings table). One map-only invertedIndex
+    * pass, written partitioned by [[tokenPart]] (256 bounded
+    * directories); every phrase probe then reads ONLY its tokens'
+    * directories via [[prunedPostings]] — probe IO tracks the phrase's
+    * posting mass, not corpus bytes. Written AT MOST ONCE per (JVM,
+    * corpus dir) into PID-scoped tmp scratch (the [[ensurePartitioned]]
+    * contract). */
+  def ensurePostings(spark: SparkSession, dir: String,
+                     name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.{col, filter, split}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postings-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedPostings.computeIfAbsent(path, { p =>
+      graft.operators.Retrieval.invertedIndex(
+        graft.Tables.load(spark, dir, name)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks")),
+        "doc_id", col("toks"))
+        .withColumn("tok_part", tokenPart(col("token")))
+        .write.partitionBy("tok_part").mode("overwrite").parquet(p)
+      p
+    })
+  }
+
+  /** Probe-side read of an [[ensurePostings]] layout: the partition
+    * filter is built from DRIVER-computed [[tokenPartOf]] literals, so
+    * Catalyst prunes non-matching directories at planning time
+    * (`PartitionFilters` in the scan — PlanLint-pinned via q158); the
+    * residual `token IN (...)` predicate pushes into the parquet reader
+    * within the surviving directories. Returns (token, doc_id, pos) —
+    * [[graft.operators.Retrieval.invertedIndex]]'s schema. */
+  def prunedPostings(spark: SparkSession, path: String,
+                     tokens: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(tokens.nonEmpty, "prunedPostings needs at least one token")
+    val parts = tokens.distinct.map(tokenPartOf).distinct
+    spark.read.parquet(path)
+      .filter(col("tok_part").isin(parts: _*) &&
+        col("token").isin(tokens.distinct: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+  }
+
   private def versionOf(p: java.nio.file.Path): Option[Long] = {
     val n = p.getFileName.toString
     if (n.startsWith("v")) n.drop(1).toLongOption else None

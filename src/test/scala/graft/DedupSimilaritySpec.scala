@@ -570,6 +570,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF×PQ recall@20 vs exact L2 fell to $recall")
   }
 
+  test("ivfPqSearchTrained: kmeans-trained coarse routing never loses " +
+    "recall@20 to the hash-assigned variant at equal nprobe, and wins " +
+    "outright when cluster structure crosses hash-bucket boundaries " +
+    "(VERDICT r14 #2)") {
+    // 10 true clusters whose centers carry tie-heavy equal-magnitude
+    // components, so member perturbations flip the dominant-dim ORDER —
+    // members of one true cluster scatter across ivfAssign's hash
+    // buckets (its worst case) while kmeans recovers the real cells.
+    // Probing the single nearest cell is the discriminating setting:
+    // the trained router sends the query to its true cluster, the hash
+    // router can't (measured 0.65 vs 0.50 recall@20; at wider nprobe
+    // both converge to the PQ-coding ceiling of this fixture, 0.50 —
+    // extra probes only add ADC-confusable impostors).
+    val vecs = (1L to 200L).map { i =>
+      val c = (i % 10).toInt
+      (i, (0 until 8).map { d =>
+        val center = ((c * 7 + d * 3) % 5 - 2).toFloat
+        val pert = (((i * 11 + d * 5) % 3).toInt - 1) * 0.3f
+        center + pert
+      })
+    }.toDF("vec_id", "embedding")
+    val query = vecs.filter(col("vec_id") === 9)
+      .select(col("embedding").as("qvec"))
+    val exact = vecs.crossJoin(query)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("qvec"),
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (s, x) => s + x).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // the hash variant's coarse cell count fixes k so the comparison is
+    // routing quality at IDENTICAL coarse granularity and nprobe
+    val nBuckets = vecs
+      .select(Similarity.ivfAssign(col("embedding"), 4).as("b"))
+      .filter(col("b").isNotNull).distinct().count().toInt
+    val assigned = Similarity.kmeans(vecs, "vec_id", "embedding", k = nBuckets)
+    val trainedCents = Similarity.centroidMeans(Similarity.centroids(
+        assigned.join(vecs, "vec_id"), col("cluster"), col("embedding")))
+      .select(col("bucket").as("cid"), col("centroid").as("cvec"))
+    def recall(res: Seq[(Long, Double)]): Double =
+      res.map(_._1).count(exact.contains) / 20.0
+    def both(np: Int): (Double, Double) = {
+      val hash = Similarity.ivfPqSearch(vecs, "vec_id", "embedding",
+        query, "qvec", coarseDims = 4, nprobe = np, k = 20,
+        m = 2, subDim = 4, probeDims = 4)
+        .as[(Long, Double)].collect().toSeq
+      val trained = Similarity.ivfPqSearchTrained(vecs, "vec_id", "embedding",
+        query, "qvec", trainedCents, "cid", "cvec", nprobe = np, k = 20,
+        m = 2, subDim = 4, probeDims = 4)
+        .as[(Long, Double)].collect().toSeq
+      // a narrow probe may legitimately hold < k candidates — recall@20
+      // (denominator 20) already charges for the short list
+      assert(trained.nonEmpty)
+      info(f"recall@20 at nprobe=$np over $nBuckets coarse cells: " +
+        f"hash=${recall(hash)}%.2f trained=${recall(trained)}%.2f " +
+        f"(delta ${recall(trained) - recall(hash)}%+.2f)")
+      (recall(hash), recall(trained))
+    }
+    val (h1, t1) = both(1)
+    assert(t1 > h1,
+      s"trained coarse routing must WIN at nprobe=1 on the " +
+        s"cross-bucket-cluster fixture: trained=$t1 hash=$h1")
+    val (h6, t6) = both(6)
+    assert(t6 >= h6,
+      s"trained coarse routing lost recall at nprobe=6: trained=$t6 hash=$h6")
+  }
+
   test("sq8: signed codes in [-127,127], dequantization error within half " +
     "a step, zero corpus codes zero, ranking recalls the exact dot order") {
     val vecs = (1L to 200L)
@@ -671,6 +739,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (100L, 4L, "B", 0.894427),
       (100L, 3L, "B", 0.707107),
       (100L, 5L, "C", 0.0)))
+  }
+
+  test("routedNegatives: nprobe=∞ degenerates to hardNegatives exactly; a " +
+    "real nprobe cut keeps recall against the brute miner (VERDICT r14 #1)") {
+    // 200 uniform-dim vectors across 5 labels; 8 query vectors
+    val corpus = (1L to 200L)
+      .map(i => (i, (0 until 8).map(j =>
+        (((i * 13 + j * 7) % 23).toInt - 11).toFloat / 4f), s"L${i % 5}"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") <= 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val brute = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+      "label", queries, "qid", "qvec", "qlabel", k = 10)
+      .as[(Long, Long, String, Double)].collect().toSet
+    // every bucket probed → identical rows to the brute miner (same
+    // dedup, same disqualification, same round-6 ranking chain)
+    val all = Similarity.routedNegatives(corpus, "vec_id", "embedding",
+      "label", queries, "qid", "qvec", "qlabel",
+      probeDims = 4, nprobe = 1000000, k = 10)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(all == brute)
+    // a genuine nprobe cut: per-query recall@10 vs brute stays useful
+    // while each query ranks a strict corpus subset
+    val routed = Similarity.routedNegatives(corpus, "vec_id", "embedding",
+      "label", queries, "qid", "qvec", "qlabel",
+      probeDims = 4, nprobe = 6, k = 10)
+      .as[(Long, Long, String, Double)].collect()
+    val routedByQ = routed.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val bruteByQ = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = bruteByQ.map { case (q, ids) =>
+      routedByQ.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean routed recall@10 fell to $mean")
+    // and the routed miner still never returns a same-label or self row
+    assert(routed.forall { case (q, id, lab, _) =>
+      id != q && lab != s"L${q % 5}" })
   }
 
   test("hardNegatives collapses duplicate qids (array-minimal vector wins) " +

@@ -332,6 +332,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(one == ((42L, 3L, 1L)))
   }
 
+  test("data recipe (q159 composition): a source apportioned ZERO tokens " +
+    "admits nothing, and curriculum positions stay dense over the rest") {
+    import graft.operators.Sampling
+    // A holds ~all the token mass; with a 10-token global budget B's
+    // sqrt share floors to 0 and the largest-remainder unit goes to A —
+    // B must vanish from the mix, not error or leak a partial doc
+    val docs = ((1L to 5L).map(i => (i, "A", 2000L)) :+ (9L, "B", 1L))
+      .toDF("doc_id", "source", "n_tok")
+    val budgets = Sampling.mixtureWeights(
+        docs, col("source"), col("n_tok"), budget = 10L)
+      .select(col("source"), col("target_rows").as("budget"))
+    assert(budgets.as[(String, Long)].collect().toMap == Map(
+      "A" -> 10L, "B" -> 0L))
+    val admitted = Sampling.tokenBudget(
+      docs, "doc_id", col("source"), col("n_tok"), budgets, "rcp1")
+    val ordered = Sampling.trainingOrder(
+      admitted.withColumn("b",
+        least(floor(col("n_tok") / lit(10)), lit(9)).cast("long")),
+      "doc_id", col("b"), "ord1", carry = Seq("source", "n_tok"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(ordered.forall(_._2 == "A"), s"source B leaked: ${ordered.toSeq}")
+    // budget 10 < one 2000-token doc: exactly the first md5-ordered doc
+    // is admitted (the first-over-the-line rule), densely positioned
+    assert(ordered.map(_._5).sorted.toSeq == (1L to ordered.length).toSeq)
+    assert(ordered.length == 1)
+  }
+
   test("collocations below minCount everywhere yields empty; phraseMerge " +
     "merges a doc that is exactly one flagged pair") {
     import graft.operators.TextStats

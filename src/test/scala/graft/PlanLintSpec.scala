@@ -68,7 +68,16 @@ class PlanLintSpec extends AnyFunSuite {
     // q153 hardNegatives broadcasts the TRAINING BATCH of query vectors
     // (bounded by construction — a contrastive batch, never the corpus)
     // into one corpus scan; per-qid top-k cuts via WindowGroupLimit
-    "q153_hard_negatives")
+    "q153_hard_negatives",
+    // q157 tfidfKeywords crosses the 1-row n_docs count into the scored
+    // tf stream (the q71/q28 1-row corpus-stats broadcast shape)
+    "q157_tfidf_keywords",
+    // q155 routedNegatives crosses the query batch against the BOUNDED
+    // centroid table (≤ key-space rows) for probe ranking — bounded ×
+    // bounded; the CORPUS side joins on the bucket equi-key (the shape
+    // VERDICT r14 asked the L2 tier to move toward — no corpus-side
+    // nested loop anywhere in this plan)
+    "q155_routed_negatives")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -125,7 +134,12 @@ class PlanLintSpec extends AnyFunSuite {
         "re-assembly bound, Dedup.dedupTokenWindowsIncremental)"),
     "q125_pq_ann" ->
       ("group = one PQ centroid's own components, bounded by subDim=16 " +
-        "(the q99 Similarity.centroids re-assembly inside pqCodebook)"))
+        "(the q99 Similarity.centroids re-assembly inside pqCodebook)"),
+    "q155_routed_negatives" ->
+      ("group = one coarse centroid's own components, bounded by vector " +
+        "dim (the q99 Similarity.centroidMeans re-assembly — kept LAZY " +
+        "here, unlike q141's construction-time collect, because the " +
+        "probe set is per-query)"))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name holds no per-group-unbounded aggregation buffer") {
@@ -261,6 +275,29 @@ class PlanLintSpec extends AnyFunSuite {
       s"event_type = 'view' did not prune at the partition level:\n$plan")
   }
 
+  // stored phrase probe: one scan of the postings layout + the
+  // (id, start) and (id) aggregation exchanges — the q151 shape over
+  // the stored index
+  assertShuffleBudget("q158_phrase_stored", 2)
+  assertScanBudget("q158_phrase_stored", 1)
+  test("q158_phrase_stored actually prunes postings directories " +
+    "(PartitionFilters on tok_part, VERDICT r14 #5)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q158_phrase_stored")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    // the md5-prefix literals must land as PARTITION filters (directory
+    // skip before any row is read); the residual token IN pushes into
+    // the parquet reader within surviving directories
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("tok_part"),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("token"),
+      s"token IN (...) did not push into the parquet reader:\n$plan")
+  }
+
   // zone skipping: one scan of the sorted layout + the one agg exchange
   assertShuffleBudget("q133_zone_skipping", 1)
   assertScanBudget("q133_zone_skipping", 1)
@@ -373,6 +410,30 @@ class PlanLintSpec extends AnyFunSuite {
   assertScanBudget("q151_phrase_search", 1)
   assertShuffleBudget("q151_phrase_search", 2)
 
+  // tf-idf keywords: ONE (doc, term) tf table drives everything — df
+  // is a window over it, N a 1-row broadcast (2nd scan), the top-k a
+  // WindowGroupLimit rank; 4 exchanges = tf groupBy + term window +
+  // doc rank window + the 1-row N agg's single-partition exchange
+  assertScanBudget("q157_tfidf_keywords", 2)
+  assertShuffleBudget("q157_tfidf_keywords", 4)
+
+  // Trained-coarse IVF×PQ: the declared plan is THE serving shape —
+  // one corpus scan, row-local argmin + code lookups, TakeOrdered;
+  // routing artifacts (centroids, probed ids, ADC table) are bounded
+  // construction-time state, so any exchange or extra scan appearing
+  // here means the serving path grew a join
+  assertScanBudget("q156_ivfpq_trained", 1)
+  assertShuffleBudget("q156_ivfpq_trained", 0)
+
+  // Routed negatives: corpus scanned for bucketing + centroid training
+  // + the query side (3 scans); ONE qid exchange serves the dedup
+  // window, the probe-rank window (through the BNLJ's streamed side)
+  // AND the final top-k window (through the bucket join's streamed
+  // side), plus the two centroid aggregations — a 4th exchange means a
+  // window lost the shared qid partitioning
+  assertScanBudget("q155_routed_negatives", 3)
+  assertShuffleBudget("q155_routed_negatives", 3)
+
   // Token-budget cut: q150's cell-offset shape with weighted sums —
   // base referenced twice (cell-count agg + rank window), offsets
   // cumulated in one single-partition window then broadcast back.
@@ -381,6 +442,18 @@ class PlanLintSpec extends AnyFunSuite {
   // table there
   assertScanBudget("q152_token_budget", 3)
   assertShuffleBudget("q152_token_budget", 4)
+
+  // Data recipe (q29→q152→q150 composed as ONE lazy plan): the
+  // curriculum tier's offsets+rank pair re-references the admitted-mix
+  // subtree, which itself re-references the q152 base — the measured
+  // 6-scan/13-exchange plan is the DECLARED composition price at test
+  // scale; production materializes between tiers (the W4 handoff, as
+  // ScaleSmoke's token-budget stage does) and pays each tier's own
+  // budget once. The budgets pin the shape so a refactor that adds a
+  // join-back (re-executing the whole mix per output column) fails
+  // loudly.
+  assertScanBudget("q159_data_recipe", 6)
+  assertShuffleBudget("q159_data_recipe", 13)
 
   // Hard negatives: corpus scan + the bounded query side (scan 2, then
   // broadcast); shuffles: query-dedup window + per-qid rank window

@@ -216,6 +216,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(kept.map(_.get(1)) == Seq(1, 2, 4))
   }
 
+  test("postings layout: driver-side tokenPartOf matches the engine's " +
+    "tokenPart for every probe token (directory-addressing parity)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // ascii, unicode, empty-ish, hash-prefix-digit cases
+    val toks = Seq("fast", "table", "café", "中文", "x",
+      "0", "a b", "ZZZZ")
+    val engine = spark.createDataFrame(toks.map(Tuple1(_))).toDF("token")
+      .select(col("token"), Writers.tokenPart(col("token")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    toks.foreach { t =>
+      assert(Writers.tokenPartOf(t) == engine(t),
+        s"tokenPart mismatch for '$t': driver=${Writers.tokenPartOf(t)} " +
+          s"engine=${engine(t)}")
+    }
+  }
+
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
     val raw = ConfigLoader.storageTable(storageYaml, "raw")
     val sql = JdbcUpsert.Postgres.upsertSql(raw)

@@ -277,4 +277,23 @@ class TextStatsSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().sortBy(_._2).map(_._3).toSeq
     assert(got == Seq("a", "b", "c"))
   }
+
+  test("tfidfKeywords: exact ln-free scores, term-asc ties, per-doc k cut, " +
+    "WindowGroupLimit top-k (ADVICE r14)") {
+    val docs = Seq(
+      (1L, "a b b c"), (2L, "b c c"), (3L, "a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val out = TextStats.tfidfKeywords(docs, "doc_id", col("toks"), k = 2)
+    // N=3; df: a→2 b→2 c→2; score = tf·N/df exactly
+    val got = out.as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "b", 2L, 2L, 3.0), (1L, "a", 1L, 2L, 1.5), // tie a/c → a wins
+      (2L, "c", 2L, 2L, 3.0), (2L, "b", 1L, 2L, 1.5),
+      (3L, "a", 1L, 2L, 1.5)))
+    // the claimed partial-top-k shape: rank cut plans WindowGroupLimit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"tfidfKeywords lost its WindowGroupLimit top-k:\n$plan")
+  }
 }
