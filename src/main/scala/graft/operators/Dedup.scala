@@ -475,6 +475,23 @@ object Dedup {
     * spans for free (a token survives iff NO duplicate window covers
     * it).
     *
+    * GRAIN CONTRACT (measured, SelectionSpec — VERDICT r14 #7): the
+    * window grain is a SHARP detection threshold, not an approximation
+    * gradient. A duplicated span of g tokens contains a duplicate
+    * w-window iff g ≥ w, so spans shorter than `w` are structurally
+    * INVISIBLE (measured miss rate 1.0 at every grain 4–7 under w=8)
+    * while spans at or above it are FULLY removed (measured 0.0 at
+    * grains 8–10) — there is no partial-credit band. Lee et al.'s
+    * suffix-array form is exact at every grain; this operator trades
+    * that for one-pass distributed hashing, and the trade is entirely
+    * in `w`: choose it as the smallest duplicated span that MUST be
+    * caught (Lee et al. use 50 tokens for training-data dedup; w=8
+    * here only because the test corpus is synthetic and tiny). A finer
+    * catch needs a smaller w — costing window-stream volume, never a
+    * different plan — not a second pass.
+    * [[dedupTokenWindowsIncremental]] (q120) inherits the same
+    * contract.
+    *
     * Phases (all hash-partitioned, nothing driver-side):
     *  1. window: explode positions 1..n-w+1, hash the w-token slice
     *     (md5 of the space-joined window — engine-portable);

@@ -106,6 +106,19 @@ object Vocab {
     * down the Zipf tail with the affected-type count, which is what
     * makes wall-clock sub-linear in ranks (ScaleSmoke bpe-train-ranks).
     *
+    * NON-COMPLETE regime, measured (SCALE.md r15, `bpe-train-cjk` —
+    * a 2048-ideograph alphabet whose ~6k realized initial pairs exceed
+    * the default snapshot): re-snapshots do NOT accumulate — floor
+    * trust held ONE snapshot across 2400 ranks at 68% pair coverage,
+    * because the snapshot tail's count sits far below the merge
+    * horizon's. Sizing rule: `snapshotSize` ≥ realized initial pair
+    * count guarantees complete mode; otherwise size it so the floor
+    * count lands well under the counts you'll still be merging —
+    * coverage of the UNIVERSE is not required. The regime's measured
+    * cost is elsewhere: tie-dense alphabets truncate speculation
+    * (rank-axis exponent ~0.93 vs 0.63 complete), governed by
+    * `maxBatch`, not snapshots.
+    *
     * The learned table is VALID by construction — rank k's components
     * exist before rank k — which is precisely the property
     * [[graft.functions.Bpe]]'s ascending-pass oracle equivalence rests
@@ -116,7 +129,22 @@ object Vocab {
     * rank order; stops early when no adjacent pair remains. */
   def learnBpe(types: DataFrame, word: Column, weight: Column, nMerges: Int,
                snapshotSize: Int = 4096,
-               maxBatch: Int = 16): Seq[(String, String)] = {
+               maxBatch: Int = 16): Seq[(String, String)] =
+    learnBpeWithStats(types, word, weight, nMerges, snapshotSize, maxBatch)._1
+
+  /** Training-loop observability for [[learnBpe]]: how many FULL
+    * type-table pair aggregations ran (`snapshots` — ONE for a corpus
+    * whose initial pair universe fits `snapshotSize`, the complete
+    * regime; each extra one is the non-complete regime's re-snapshot
+    * cost), how many speculative batches committed work, and how many
+    * were truncated mid-validation. ScaleSmoke's non-complete stage
+    * reports these; SCALE.md derives the snapshotSize sizing rule. */
+  final case class BpeStats(snapshots: Int, batches: Int, truncations: Int)
+
+  /** [[learnBpe]] + its [[BpeStats]] — same training, same result. */
+  def learnBpeWithStats(types: DataFrame, word: Column, weight: Column,
+                        nMerges: Int, snapshotSize: Int = 4096,
+                        maxBatch: Int = 16): (Seq[(String, String)], BpeStats) = {
     require(nMerges >= 0, s"nMerges must be >= 0 (got $nMerges)")
     require(snapshotSize >= 1 && maxBatch >= 1)
     // a maxBatch-deep chain of merge stages (each a few nested lambda
@@ -141,6 +169,9 @@ object Vocab {
     var rank = 0
     var depth = math.min(2, maxBatch) // adaptive speculation depth
     var exhausted = false
+    var nSnapshots = 0
+    var nBatches = 0
+    var nTruncations = 0
 
     def viewMax: Option[((String, String), Long)] = {
       var best: ((String, String), Long) = null
@@ -173,6 +204,7 @@ object Vocab {
         view.clear()
         snap.foreach(r =>
           view((r.getString(0), r.getString(1))) = r.getLong(2))
+        nSnapshots += 1
         complete = snap.length < snapshotSize
         floor = if (complete) Long.MinValue else snap.last.getLong(2)
         lastSnapPair =
@@ -271,6 +303,8 @@ object Vocab {
               mismatch = true; needSnapshot = !complete
           }
         }
+        nBatches += 1
+        if (validated < ps.length) nTruncations += 1
         depth =
           if (validated == ps.length) math.min(maxBatch, depth * 2)
           else math.max(1, validated)
@@ -302,7 +336,7 @@ object Vocab {
         }
       }
     }
-    merges.toSeq
+    (merges.toSeq, BpeStats(nSnapshots, nBatches, nTruncations))
   }
 
   /** Spark's binary (UTF-8 byte) string order on pairs — the driver-side

@@ -598,6 +598,28 @@ object TextPack extends QueryPack {
         QualityTrainBuckets, QualityTrainIters)
     }),
 
+    // K/L4 learned tier, MULTICLASS (VERDICT r14 #8 — q54's langid is a
+    // hand-written marker argmax; this TRAINS one): one-vs-rest over
+    // the q140 feature space against the corpus's OWN lang labels —
+    // simultaneous training (one featurize, one gradient job per
+    // iteration computing all 5 classes), then the q54-shape row-local
+    // argmax over inlined trained weights (exact BIGINT scores, first-
+    // class tie-break, NULL for featureless docs). The oracle RE-TRAINS
+    // all five binary models via the q140 CTE chain per class and
+    // replays scoring + argmax — a divergence in any class's any step
+    // moves some weight and breaks the hash.
+    "q160_langid_trained" -> ((s, dir) => Q.ordered {
+      import graft.operators.QualityModel
+      val docs = Q.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      val w = QualityModel.fitMulticlass(docs, col("toks"), col("lang"),
+        LangidClasses, LangidBuckets, LangidIters)
+      QualityModel.predictClass(docs, col("toks"), w,
+        LangidClasses, LangidBuckets, outCol = "lang")
+        .drop("toks")
+    }),
+
     // L4 retrieval, batch form: BM25 for a whole TABLE of probe queries
     // in ONE corpus pass (training-batch retrieval — per-query jobs
     // would be a driver-side loop). The union term set broadcast-
@@ -713,6 +735,16 @@ object TextPack extends QueryPack {
   private val QualityTrainIters = 3
   private val QualityTrainLabelMin = 55
   private val QualityTrainLrDen = 1024L
+
+  /** q160 fixture constants — the corpus's own lang label space (the
+    * classes must be a FIXED literal list so the oracle generator and
+    * the Spark builder cannot drift) and a 2-step/128-bucket training
+    * chain (5 classes × 2 steps × 4 CTEs keeps the unrolled oracle
+    * tractable; convergence depth is QualityModelSpec's job). */
+  private val LangidClasses = Seq("de", "en", "es", "fr", "zh")
+  private val LangidBuckets = 128
+  private val LangidIters = 2
+  private val LangidLrDen = 1024L
 
   /** q107's oracle: one word's BPE as the ascending nested-replace pass —
     * each char wrapped `|c|`, then rank-ordered `replace('|x||y|','|xy|')`
@@ -1412,6 +1444,7 @@ object TextPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
 
     "q140_quality_train" -> qualityTrainSql,
+    "q160_langid_trained" -> langidTrainedSql,
     "q142_bm25_batch" -> bm25BatchSql,
 
     // replays both count tables and the 4-op IEEE ratio chain —
@@ -1569,6 +1602,81 @@ object TextPack extends QueryPack {
                  CAST(0 AS BIGINT) AS w_micro),
         $steps
         SELECT bucket, w_micro FROM w$QualityTrainIters
+        ORDER BY ALL NULLS FIRST"""
+  }
+
+  /** q160's oracle: FIVE one-vs-rest quality models re-trained in SQL —
+    * per class the exact q140 gradient chain (label-free shared feature
+    * CTE, labels joined per class at the error step), then per-doc
+    * per-class BIGINT scores and the q54 first-wins argmax CASE.
+    * AS MATERIALIZED throughout (the q132 2^N-scan lesson). */
+  private lazy val langidTrainedSql: String = {
+    val classChains = LangidClasses.map { c =>
+      val w0 =
+        s"""w0_$c AS MATERIALIZED (
+              SELECT CAST(unnest(range($LangidBuckets)) AS BIGINT) AS bucket,
+                     CAST(0 AS BIGINT) AS w_micro)"""
+      val steps = (1 to LangidIters).map { k =>
+        s"""m${k}_$c AS MATERIALIZED (
+              SELECT doc_id, CAST(sum(w.w_micro) AS BIGINT) AS margin
+              FROM b JOIN w${k - 1}_$c w USING (bucket) GROUP BY doc_id),
+            e${k}_$c AS MATERIALIZED (
+              SELECT m.doc_id,
+                     least(greatest(CAST(floor(CAST(margin AS DOUBLE) / 4.0)
+                         AS BIGINT) + 500000, 0), 1000000)
+                       - (CASE WHEN y.lang = '$c' THEN 1 ELSE 0 END) * 1000000
+                         AS e
+              FROM m${k}_$c m JOIN y USING (doc_id)),
+            g${k}_$c AS MATERIALIZED (
+              SELECT bucket, CAST(sum(e.e) AS BIGINT) AS g
+              FROM b JOIN e${k}_$c e USING (doc_id) GROUP BY bucket),
+            w${k}_$c AS MATERIALIZED (
+              SELECT w.bucket,
+                     w.w_micro - CAST(floor(CAST(coalesce(g.g, 0) AS DOUBLE)
+                       / $LangidLrDen.0) AS BIGINT) AS w_micro
+              FROM w${k - 1}_$c w LEFT JOIN g${k}_$c g USING (bucket))"""
+      }.mkString(",\n")
+      s"$w0,\n$steps"
+    }.mkString(",\n")
+    val scoreCtes = LangidClasses.map { c =>
+      s"""s_$c AS MATERIALIZED (
+            SELECT doc_id, CAST(sum(w.w_micro) AS BIGINT) AS s
+            FROM b JOIN w${LangidIters}_$c w USING (bucket) GROUP BY 1)"""
+    }.mkString(",\n")
+    val scoreCols = LangidClasses.map(c => s"s_$c.s AS score_$c").mkString(",\n                ")
+    val joins = LangidClasses.map(c => s"LEFT JOIN s_$c USING (doc_id)").mkString("\n              ")
+    // the q54 fold: class i wins iff its score >= every LATER class's;
+    // a featureless doc (all scores NULL) predicts NULL, guarded first
+    // (a NULL CASE condition would otherwise fall through to the ELSE)
+    val argmax = {
+      val whens = LangidClasses.init.zipWithIndex.map { case (c, i) =>
+        val later = LangidClasses.drop(i + 1)
+          .map(c2 => s"s_$c.s >= s_$c2.s").mkString(" AND ")
+        s"WHEN $later THEN '$c'"
+      }.mkString("\n                     ")
+      s"""CASE WHEN s_${LangidClasses.head}.s IS NULL THEN NULL
+                     $whens
+                     ELSE '${LangidClasses.last}' END"""
+    }
+    s"""WITH d AS (SELECT doc_id, lang,
+                          list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                   FROM documents),
+        f AS (SELECT doc_id,
+                     unnest(toks || list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS feat
+              FROM d),
+        b AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                   % $LangidBuckets AS bucket
+          FROM f),
+        y AS MATERIALIZED (SELECT doc_id, lang FROM d),
+        $classChains,
+        $scoreCtes
+        SELECT d.doc_id, d.lang,
+                $scoreCols,
+                $argmax AS pred_lang
+        FROM d $joins
         ORDER BY ALL NULLS FIRST"""
   }
 }

@@ -768,6 +768,73 @@ object StreamingJobs {
       flaggedKind = "fused_heads_emitted")
   }
 
+  /** The sketch-sink family's LEXICAL-RETRIEVAL member — the positional
+    * inverted index as a sink (q151/q158's stored table built
+    * incrementally; VERDICT r14 stretch): postings are exact and
+    * ADDITIVE (each epoch contributes its own docs' (token, id, pos)
+    * rows — the index over a union of corpora IS the union of their
+    * indexes), so the cumulative index equals the one-shot
+    * `Retrieval.invertedIndex` over the concatenated stream, and each
+    * epoch emits the `probePhrase`'s `Retrieval.phraseSearch` result
+    * over the cumulative index to `outDir/epoch=N` — "which documents
+    * match this phrase, as of this epoch" (StreamingSpec pins equality
+    * with the one-shot build at every horizon).
+    *
+    * Contract: an APPEND-ONLY document stream — each doc_id's content
+    * arrives once; a crash-replayed EPOCH overwrites its own keyed
+    * contribution ((token, id, pos, __epoch) PK, the family rule) and
+    * is idempotent, but a doc re-delivered in a LATER epoch with
+    * different content would leave its old postings standing (the
+    * mutable-doc case routes through [[mergeStateSink]]'s keyed upsert
+    * instead — rebuild the index from merged docs). `maxEpochAge` > 0
+    * keeps a sliding index (recent-epoch retrieval only). State is
+    * posting-mass-bounded per retained epoch — the postings ARE the
+    * product, as with every layout table; at production scale the state
+    * directory is the token-partitioned layout
+    * ([[graft.sources.Writers.ensurePostings]]) and probes prune to
+    * their tokens' directories. */
+  def invertedIndexSink(docs: DataFrame, idCol: String, tokensCol: Column,
+                        stateDir: String, outDir: String,
+                        probePhrase: Seq[String],
+                        maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        invertedIndexBatch(batch, epochId, idCol, tokensCol, stateDir,
+          outDir, probePhrase, maxEpochAge)
+      }
+
+  /** One epoch of [[invertedIndexSink]], exposed for replay/merge
+    * testing. */
+  def invertedIndexBatch(batch: DataFrame, epochId: Long, idCol: String,
+                         tokensCol: Column, stateDir: String,
+                         outDir: String, probePhrase: Seq[String],
+                         maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.Retrieval
+    val fresh = Retrieval.invertedIndex(batch, idCol, tokensCol)
+      .withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(stateDir) match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    val cumulative = prior.select(col("token"), col(idCol), col("pos"))
+      .unionByName(fresh.select(col("token"), col(idCol), col("pos")))
+    Retrieval.phraseSearch(cumulative, idCol, probePhrase)
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, stateDir, fresh, Seq("token", idCol, "pos", "__epoch"),
+      col("__epoch"),
+      evict = if (maxEpochAge > 0) Some(col("__epoch") <= epochId - maxEpochAge)
+              else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = stateDir,
+      flaggedKind = "phrase_match_docs")
+  }
+
   /** [[cmsSink]]'s membership sibling — the Bloom ingest gate
     * ([[graft.operators.Sketches.bloomBuild]]/`bloomProbe`) as an
     * incremental sink: each micro-batch's keys probe the persisted bit

@@ -417,6 +417,13 @@ class PlanLintSpec extends AnyFunSuite {
   assertScanBudget("q157_tfidf_keywords", 2)
   assertShuffleBudget("q157_tfidf_keywords", 4)
 
+  // Trained langid: training collapses to construction-time driver
+  // state (k×buckets longs); the DECLARED plan is the q54 serving
+  // shape — one corpus scan, row-local inlined-literal scores + argmax,
+  // zero joins, zero exchanges
+  assertScanBudget("q160_langid_trained", 1)
+  assertShuffleBudget("q160_langid_trained", 0)
+
   // Trained-coarse IVF×PQ: the declared plan is THE serving shape —
   // one corpus scan, row-local argmin + code lookups, TakeOrdered;
   // routing artifacts (centroids, probed ids, ADC table) are bounded

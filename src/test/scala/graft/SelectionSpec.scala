@@ -33,6 +33,45 @@ class SelectionSpec extends AnyFunSuite {
       (2L, "x y", 4L, 2L)))
   }
 
+  test("window-grain contract measured (VERDICT r14 #7): duplicated spans " +
+    "below the w=8 grain are structurally INVISIBLE (miss rate 1.0 at " +
+    "grain 4–7), spans at or above it are fully removed (0.0 at 8–10)") {
+    val w = 8
+    val grains = 4 to 10
+    // per grain: two docs sharing ONLY a g-token span; filler tokens are
+    // doc-unique so no window mixing filler can be a cross-doc duplicate
+    // — duplicate windows exist iff some w-window fits INSIDE the span
+    val rows = grains.flatMap { g =>
+      val span = (1 to g).map(i => s"dup${g}x$i").mkString(" ")
+      Seq(
+        (g * 10L, ((1 to 6).map(i => s"fa${g}x$i").mkString(" ")
+          + " " + span + " "
+          + (7 to 12).map(i => s"fa${g}x$i").mkString(" "))),
+        (g * 10L + 1, ((1 to 6).map(i => s"fb${g}x$i").mkString(" ")
+          + " " + span + " "
+          + (7 to 12).map(i => s"fb${g}x$i").mkString(" "))))
+    }
+    val got = windowed(rows, w).map(r => r._1 -> r._2).toMap
+    val miss = grains.map { g =>
+      val survivors = got(g * 10L + 1).split(" ").count(_.startsWith(s"dup${g}x"))
+      g -> survivors.toDouble / g
+    }.toMap
+    // the sharp threshold IS the contract: below w nothing is caught
+    // (Lee et al.'s suffix-grain exact dedup would catch these; choose
+    // w = the smallest span that must be caught — scaladoc), at/above
+    // w the span is fully covered and removed
+    grains.foreach { g =>
+      if (g < w) assert(miss(g) == 1.0,
+        s"grain $g: expected total miss below the window grain, got ${miss(g)}")
+      else assert(miss(g) == 0.0,
+        s"grain $g: expected full removal at/above the grain, got ${miss(g)}")
+    }
+    // and the first occurrence always survives untouched
+    grains.foreach { g =>
+      assert(got(g * 10L).split(" ").count(_.startsWith(s"dup${g}x")) == g)
+    }
+  }
+
   test("an exact-copy document is fully emptied") {
     val got = windowed(Seq(1L -> "a b c d", 3L -> "a b c d"), 2)
     assert(got == List(

@@ -497,6 +497,58 @@ class StreamingSpec extends AnyFunSuite {
       (wa, wb) == ("york", "trip") })
   }
 
+  test("invertedIndexBatch: cumulative phrase result equals the one-shot " +
+    "index at every horizon, replay-stable, sliding window (r14 stretch)") {
+    import graft.operators.Retrieval
+    val stateDir = java.nio.file.Files.createTempDirectory("iistate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("iiout").toString
+    val e0 = Seq((1L, "fast table scan runs"), (2L, "the fast car"))
+    val e1 = Seq((3L, "a fast table and a fast table again"),
+      (4L, "slow table"))
+    val e2 = Seq((5L, "fast table fast table"), (6L, "unrelated words"))
+    def run(e: Long, docs: Seq[(Long, String)], state: String = stateDir,
+            out: String = outDir, age: Int = 0): Unit =
+      StreamingJobs.invertedIndexBatch(docs.toDF("doc_id", "text"), e,
+        "doc_id", split(col("text"), " "), state, out,
+        Seq("fast", "table"), maxEpochAge = age)
+    def emitted(e: Long, out: String = outDir): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$out/epoch=$e")
+        .as[(Long, Long, Long)].collect().toSet
+    def oneShot(docs: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      Retrieval.phraseSearch(
+        Retrieval.invertedIndex(docs.toDF("doc_id", "text"), "doc_id",
+          split(col("text"), " ")),
+        "doc_id", Seq("fast", "table"))
+        .as[(Long, Long, Long)].collect().toSet
+    run(0, e0); run(1, e1); run(2, e2)
+    // additive postings: each horizon's probe equals the one-shot build
+    // over the concatenated stream — overlapping matches included (doc 5
+    // matches twice, doc 3 twice at distinct starts)
+    assert(emitted(0) == oneShot(e0))
+    assert(emitted(1) == oneShot(e0 ++ e1))
+    assert(emitted(2) == oneShot(e0 ++ e1 ++ e2))
+    assert(emitted(2).exists(_._1 == 5L))
+    // crash-after-commit replay: the epoch's keyed contribution
+    // overwrites itself — output and state unchanged
+    val before = emitted(2)
+    val stateRowsBefore = {
+      val v = graft.sources.Writers.latestVersion(stateDir).get
+      spark.read.parquet(s"$stateDir/v$v").count()
+    }
+    run(2, e2)
+    assert(emitted(2) == before)
+    val v2 = graft.sources.Writers.latestVersion(stateDir).get
+    assert(spark.read.parquet(s"$stateDir/v$v2").count() == stateRowsBefore)
+    // sliding index: maxEpochAge=1 → epoch 2's probe covers e1 ∪ e2 only
+    val st2 = java.nio.file.Files.createTempDirectory("iistate2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("iiout2").toString
+    run(0, e0, st2, out2, age = 1)
+    run(1, e1, st2, out2, age = 1)
+    run(2, e2, st2, out2, age = 1)
+    assert(emitted(2, out2) == oneShot(e1 ++ e2))
+    assert(!emitted(2, out2).exists(_._1 == 1L)) // e0's match aged out
+  }
+
   test("scd2Batch: reconstruction equals batch scd2, late drops counted, replay-stable") {
     import graft.operators.Delta
     val stateDir = java.nio.file.Files.createTempDirectory("scdstate").toString
