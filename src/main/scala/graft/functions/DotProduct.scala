@@ -137,6 +137,94 @@ case class LookupSum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native MULTI-table lookup-sum: k weight tables probed in ONE pass
+  * over the index array — the one-vs-rest margin/serving kernel of
+  * [[graft.operators.QualityModel.fitMulticlass]]/`predictClass`
+  * (fastText's k-class linear head over hashed features). k separate
+  * [[LookupSum]] columns traverse the feature array k times per row
+  * and are NOT common-subexpression-eliminable (k distinct weight
+  * literals); this fuses them: the flat table is BUCKET-MAJOR
+  * (`flat[j*k + c]` = class c's weight for bucket j), so each feature
+  * touches k CONTIGUOUS longs and the row costs one traversal + k
+  * accumulators regardless of k. Returns array<long> of the k exact
+  * BIGINT sums (class order = the interleave order) — `element_at`
+  * projections of the SAME expression subtree CSE to one evaluation.
+  * NULL (loud, never a silent 0) when: any index element is NULL or
+  * out of range, or the flat table's length is not a multiple of k.
+  * Empty indices yield k zeros — [[LookupSum]]'s fold identity. */
+case class LookupSums(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"graft_lookup_sums expects a positive table count k, got $k")
+    else (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lookup_sums expects (array<bigint> indices, array<bigint> " +
+          s"bucket-major flat weights, int k), got ${l.sql} / ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_lookup_sums"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    val wn = w.numElements()
+    if (wn % k != 0) return null
+    val acc = new Array[Long](k)
+    val n = idx.numElements()
+    var i = 0
+    while (i < n) {
+      if (idx.isNullAt(i)) return null
+      val j = idx.getLong(i)
+      if (j < 0 || (j + 1) * k > wn) return null
+      val base = (j * k).toInt
+      var c = 0
+      while (c < k) { acc(c) += w.getLong(base + c); c += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val wn = ctx.freshName("wn")
+      s"""
+         |int $wn = $b.numElements();
+         |long[] $acc = new long[$k];
+         |${ev.isNull} = ($wn % $k != 0);
+         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $j = $a.getLong($i);
+         |  if ($j < 0 || ($j + 1) * $k > $wn) { ${ev.isNull} = true; break; }
+         |  int $base = (int) ($j * $k);
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    $acc[$c] += $b.getLong($base + $c);
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LookupSums =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -157,4 +245,11 @@ object VectorFunctions {
     ColumnBridge.column(
       LookupSum(ColumnBridge.expression(indices),
         ColumnBridge.expression(weights)))
+
+  /** Native k-table lookup-sum over a BUCKET-MAJOR flat weight literal
+    * (`flat[j*k + c]`); returns the k exact sums as array<long>. */
+  def lookupSumsNative(indices: Column, flatWeights: Column, k: Int): Column =
+    ColumnBridge.column(
+      LookupSums(ColumnBridge.expression(indices),
+        ColumnBridge.expression(flatWeights), k))
 }

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotFunction)
     ext.injectFunction(GraftFunctions.lookupSumFunction)
+    ext.injectFunction(GraftFunctions.lookupSumsFunction)
     ext.injectFunction(GraftFunctions.xmlFieldsFunction)
     ext.injectFunction(GraftFunctions.xmlLabeledLinksFunction)
     ext.injectFunction(GraftFunctions.mainContentFunction)
@@ -100,6 +101,21 @@ object GraftFunctions {
     (FunctionIdentifier("graft_lookup_sum"),
       new ExpressionInfo(classOf[LookupSum].getName, "graft_lookup_sum"),
       lookupSumBuilder)
+
+  /** k is expression configuration (an int literal, the Md5Hash32
+    * window contract), not a data argument. */
+  private[functions] val lookupSumsBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+      LookupSums(a, b, k)
+    case other => throw new IllegalArgumentException(
+      "graft_lookup_sums expects (indices, bucket-major flat weights, " +
+        s"table count k as an int literal), got ${other.size} arguments")
+  }
+
+  val lookupSumsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lookup_sums"),
+      new ExpressionInfo(classOf[LookupSums].getName, "graft_lookup_sums"),
+      lookupSumsBuilder)
 
   /** Raw digest window: the second argument is a digest-window INDEX 0–3
     * (an int literal — expression configuration, the xpath-path
@@ -186,6 +202,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerExpression(spark, "graft_dot", dotBuilder)
     ColumnBridge.registerExpression(spark, "graft_lookup_sum", lookupSumBuilder)
+    ColumnBridge.registerExpression(spark, "graft_lookup_sums", lookupSumsBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_fields", xmlFieldsBuilder)
     ColumnBridge.registerExpression(spark, "graft_xml_labeled_links",
       xmlLabeledLinksBuilder)

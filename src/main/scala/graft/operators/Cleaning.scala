@@ -210,13 +210,17 @@ object Cleaning {
         explode(blocks(col("dirty"))).as("__blk"))
       .join(broadcast(cand),
         col("__blk") === col("__cblk") &&
-          abs(length(col("dirty")) - length(col("__cand"))) <= maxDist &&
-          levenshtein(col("dirty"), col("__cand")) <= maxDist,
+          abs(length(col("dirty")) - length(col("__cand"))) <= maxDist,
         "left")
+      // ONE banded levenshtein per surviving pair (threshold form is
+      // O(n·maxDist) and returns -1 above the band) — verifying inside
+      // the join predicate would compute the full-matrix distance twice.
       .select(col(idCol), col("dirty"), col("__cand"),
-        levenshtein(col("dirty"), col("__cand")).cast("long").as("__dist"))
+        when(col("__cand").isNotNull,
+          levenshtein(col("dirty"), col("__cand"), maxDist))
+          .cast("long").as("__dist"))
       .groupBy(col(idCol), col("dirty"))
-      .agg(min(when(col("__cand").isNotNull,
+      .agg(min(when(col("__dist") >= 0,
         struct(col("__dist"), col("__cand")))).as("__m"))
       .select(col(idCol), col("dirty"),
         col("__m.__cand").as("matched"), col("__m.__dist").as("dist"))

@@ -44,6 +44,8 @@ class CodegenLintSpec extends AnyFunSuite {
     "graft_dot" -> "graft_dot(va, vb)",
     "graft_lookup_sum" ->
       "graft_lookup_sum(array(0L, 2L, 2L), array(10L, 20L, 30L))",
+    "graft_lookup_sums" ->
+      "graft_lookup_sums(array(0L, 2L, 2L), array(10L, 11L, 20L, 21L, 30L, 31L), 2)",
     "graft_xml_fields" -> "graft_xml_fields(xml, '/doc/t/text()')",
     "graft_xml_labeled_links" -> "graft_xml_labeled_links(xml, '//a', 'href', 'text')",
     "graft_main_content" -> "graft_main_content(xml)",

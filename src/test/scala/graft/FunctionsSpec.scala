@@ -83,6 +83,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.isNullAt(0) && got.isNullAt(1))
   }
 
+  test("lookupSumsNative ≡ k independent lookupSumNative columns; " +
+    "NULL on out-of-range/null-element/ragged-flat; empty gives k zeros") {
+    val w0 = Seq(10L, 20L, 30L)
+    val w1 = Seq(1L, 2L, 3L)
+    val flat = Seq(10L, 1L, 20L, 2L, 30L, 3L) // bucket-major interleave
+    val df = Seq(
+      Seq(0L, 2L, 2L),          // in range
+      Seq.empty[Long],          // empty -> zeros
+      Seq(0L, 3L),              // out of range -> NULL
+      Seq(-1L)                  // negative -> NULL
+    ).toDF("f")
+    val got = df.select(
+      VectorFunctions.lookupSumsNative(col("f"), typedLit(flat), 2).as("m"),
+      VectorFunctions.lookupSumNative(col("f"), typedLit(w0)).as("s0"),
+      VectorFunctions.lookupSumNative(col("f"), typedLit(w1)).as("s1"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else {
+        val m = r.getSeq[Long](0)
+        assert(m == Seq(r.getLong(1), r.getLong(2)))
+      }
+    }
+    assert(got(1).getSeq[Long](0) == Seq(0L, 0L))
+    // flat length not a multiple of k -> NULL (loud, never a silent sum)
+    val ragged = df.limit(1)
+      .select(VectorFunctions.lookupSumsNative(
+        col("f"), typedLit(Seq(1L, 2L, 3L)), 2))
+      .collect().head
+    assert(ragged.isNullAt(0))
+    // null index element -> NULL
+    val nullElem = Seq(Seq(Some(0L), None)).toDF("f")
+      .select(VectorFunctions.lookupSumsNative(
+        col("f"), typedLit(flat), 2)).collect().head
+    assert(nullElem.isNullAt(0))
+  }
+
   test("graft_dot is SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
