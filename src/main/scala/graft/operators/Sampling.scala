@@ -310,4 +310,43 @@ object Sampling {
       .filter(col("tok_before") < col("budget"))
       .select(col(idCol), col("source"), col("n_tok"), col("tok_before"))
   }
+
+  /** Cluster-balanced selection — the coverage-balancing step of
+    * cluster-based data pruning (the SemDeDup/DiverseEvol family's
+    * selection half): assign every vector to its nearest seed centroid
+    * ([[Similarity.seedAssign]]'s exact-integer argmin), join the quality
+    * table, keep the top `perCluster` rows PER CLUSTER by (quality DESC,
+    * id ASC). Where [[mixtureWeights]] balances by source label, this
+    * balances by embedding-space REGION — sparse regions contribute their
+    * best docs at full weight instead of drowning under a dominant mode.
+    *
+    * Scale shape: corpus × broadcast-k assignment → one keyed
+    * aggregation → id equi-join to the quality table → per-cluster rank
+    * window. The window partitions on `cluster` (k partitions — the skew
+    * this family refuses for RANKING), but the `rank <= perCluster`
+    * filter is a WindowGroupLimit: each map task pre-cuts to its local
+    * top-`perCluster` per cluster BEFORE the exchange, so the window's
+    * shuffle carries ≤ tasks × k × perCluster rows, never the corpus.
+    *
+    * Output: (cluster, qIdCol, quality, rank, carry...). */
+  def clusterBalanced(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, quality: DataFrame, qIdCol: String,
+                      qualityCol: Column, perCluster: Int,
+                      carry: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity.seedAssign(vectors, idCol, vecCol, k)
+      .select(col(idCol), col("cluster"))
+    val q = quality.select(
+      col(qIdCol) +: qualityCol.cast("long").as("quality") +: carry.map(col): _*)
+    val joined =
+      if (qIdCol == idCol) q.join(assigned, Seq(idCol))
+      else q.join(assigned, col(qIdCol) === col(idCol)).drop(idCol)
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col(qIdCol).asc)).cast("long"))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster") +: col(qIdCol) +: col("quality") +:
+        col("rank") +: carry.map(col): _*)
+  }
 }

@@ -40,6 +40,35 @@ object Similarity {
       .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)
       .limit(k)
 
+  /** Exact-integer nearest-seed assignment — every vector to its closest
+    * of the k lowest-id vectors (the fixed-seed rule q23/q156 pin against
+    * the oracle; for TRAINED centroids run [[kmeans]] or route through
+    * [[ivfPqSearchTrained]]). Distances are computed over 1e3-quantized
+    * integer components so the argmin is exact in both engines (no
+    * float-sum association drift), and (dist, seed) packs into ONE BIGINT
+    * so `min()` itself is the deterministic tie-break (min dist, then min
+    * seed id) — the same argmin q23 declares inline. Scale shape: corpus
+    * × broadcast-k candidates (bounded by k, never by data) → one keyed
+    * aggregation; k ≤ 8 is the packing contract (widen the factor to
+    * raise it). Returns (idCol, cluster, d_min). */
+  def seedAssign(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"seedAssign packs (dist, seed) as dist*8+seed — k must be in [1, 8], got $k")
+    def quant(v: Column): Column =
+      transform(v, x => round(x.cast("double") * 1000).cast("long"))
+    val vecs = df.select(col(idCol), quant(col(vecCol)).as("__qv"))
+    val seeds = df.filter(col(idCol) < k)
+      .select(col(idCol).as("__c"), quant(col(vecCol)).as("__qc"))
+    vecs.crossJoin(broadcast(seeds))
+      .select(col(idCol),
+        (aggregate(zip_with(col("__qv"), col("__qc"),
+          (x, y) => (x - y) * (x - y)),
+          lit(0L), (s, x) => s + x) * 8 + col("__c")).as("__p"))
+      .groupBy(idCol).agg(min("__p").as("__p"))
+      .select(col(idCol), (col("__p") % 8).as("cluster"),
+        expr("__p div 8").as("d_min"))
+  }
+
   /** IVF-style coarse bucketing: composite key of the `keyDims` dominant
     * dimensions (by |component|, signed) among the first `probeDims`.
     * Vectors and queries bucketed the same way; ANN search joins on the

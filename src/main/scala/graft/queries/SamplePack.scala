@@ -136,6 +136,22 @@ object SamplePack extends QueryPack {
           least(floor(col("n_tok") / lit(10)), lit(9)).cast("long")),
         "doc_id", col("b"), "ord1", carry = Seq("source", "n_tok"))
     }),
+
+    // cluster-balanced selection (the SemDeDup/DiverseEvol family's
+    // selection half): nearest-seed assignment over the embedding space
+    // (q23's exact-integer packed argmin, k=4 fixed low-id seeds), join
+    // the documents table for a quality signal, keep the best 50 docs
+    // PER CLUSTER by (n_chars DESC, doc_id ASC) — coverage balanced by
+    // embedding-space REGION where q29 balances by source label, so
+    // sparse regions contribute their best docs at full weight instead
+    // of drowning under a dominant mode. The rank<=50 cut is a
+    // WindowGroupLimit: map tasks pre-cut to their local top-50 per
+    // cluster BEFORE the k-partition window exchange.
+    "q161_cluster_balanced" -> ((s, dir) => Q.ordered(
+      Sampling.clusterBalanced(
+        Q.wide(Q.t(s, dir, "embeddings")), "vec_id", "embedding", k = 4,
+        Q.t(s, dir, "documents"), "doc_id", col("n_chars"),
+        perCluster = 50, carry = Seq("source")))),
   )
 
   override val oracleSql: Map[String, String] = Map(
@@ -309,5 +325,30 @@ object SamplePack extends QueryPack {
                 CAST(row_number() OVER (ORDER BY bucket, h2, doc_id)
                      AS BIGINT) AS pos
          FROM f ORDER BY ALL NULLS FIRST""",
+
+    // the q23 packed-argmin CTE chain, then per-cluster quality top-k
+    "q161_cluster_balanced" ->
+      """WITH q AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                    FROM embeddings),
+            seeds AS (SELECT vec_id AS c, qv AS qc FROM q WHERE vec_id < 4),
+            ql AS (SELECT vec_id, unnest(qv) AS x,
+                          generate_subscripts(qv, 1) AS i FROM q),
+            sl AS (SELECT c, unnest(qc) AS y,
+                          generate_subscripts(qc, 1) AS i FROM seeds),
+            dd AS (SELECT ql.vec_id, sl.c,
+                          CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS dist
+                   FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1, 2),
+            a AS (SELECT vec_id, CAST(min(dist * 8 + c) % 8 AS BIGINT) AS cluster
+                  FROM dd GROUP BY 1),
+            j AS (SELECT a.cluster, d.doc_id,
+                         CAST(d.n_chars AS BIGINT) AS quality, d.source
+                  FROM a JOIN documents d ON d.doc_id = a.vec_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+                           ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+                  FROM j)
+         SELECT cluster, doc_id, quality, rank, source FROM r
+         WHERE rank <= 50 ORDER BY ALL NULLS FIRST""",
   )
 }

@@ -77,7 +77,11 @@ class PlanLintSpec extends AnyFunSuite {
     // bounded; the CORPUS side joins on the bucket equi-key (the shape
     // VERDICT r14 asked the L2 tier to move toward — no corpus-side
     // nested loop anywhere in this plan)
-    "q155_routed_negatives")
+    "q155_routed_negatives",
+    // q161 clusterBalanced's seedAssign stage is q23's corpus ×
+    // broadcast-k seed shape (k=4, bounded by k, never by data); the
+    // selection itself is an id equi-join + WindowGroupLimit
+    "q161_cluster_balanced")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -461,6 +465,15 @@ class PlanLintSpec extends AnyFunSuite {
   // loudly.
   assertScanBudget("q159_data_recipe", 6)
   assertShuffleBudget("q159_data_recipe", 13)
+
+  // Cluster-balanced selection: embeddings scanned for corpus + the k=4
+  // seed filter, documents for the quality side (3 scans); 2 keyed
+  // exchanges = the assignment groupBy + the per-cluster rank window
+  // (whose rank<=perCluster filter is a WindowGroupLimit — map tasks
+  // pre-cut before the k-partition exchange, so it carries candidates,
+  // never the corpus)
+  assertScanBudget("q161_cluster_balanced", 3)
+  assertShuffleBudget("q161_cluster_balanced", 2)
 
   // Hard negatives: corpus scan + the bounded query side (scan 2, then
   // broadcast); shuffles: query-dedup window + per-qid rank window

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Cleaning, Dedup, Sampling}
+import graft.operators.{Cleaning, Dedup, Sampling, Similarity}
 
 /** Round-11 curation-selection operators: windowed substring dedup
   * (Dedup.dedupTokenWindows), DSIR importance weights
@@ -385,5 +385,45 @@ class SelectionSpec extends AnyFunSuite {
     // 5-token docs against budget 37 → ceil(37/5) = 8 admitted
     assert(a.count(_._2 == "s0") == 8)
     assert(a.count(_._2 == "s1") == 10)
+  }
+
+  test("clusterBalanced: nearest-seed exact argmin (min-seed tie-break), " +
+    "top-k per cluster by (quality DESC, id ASC), carry passthrough, " +
+    "partitioning invariant") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)), (2L, Seq(0f, 10f)),
+      (3L, Seq(10f, 10f)),
+      (4L, Seq(1f, 0f)), (5L, Seq(9f, 0f)), (6L, Seq(0f, 9f)),
+      (7L, Seq(5f, 5f))) // equidistant to all 4 seeds → min seed id wins
+      .toDF("vec_id", "embedding")
+    val asn = Similarity.seedAssign(vecs, "vec_id", "embedding", 4)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(asn == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 0L, 5L -> 1L, 6L -> 2L, 7L -> 0L))
+    val quality = Seq(
+      (0L, 5L, "a"), (1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "b"),
+      (4L, 5L, "c"), (5L, 4L, "c"), (6L, 6L, "d"), (7L, 9L, "d"))
+      .toDF("doc_id", "n_chars", "source")
+    def run(v: org.apache.spark.sql.DataFrame) =
+      Sampling.clusterBalanced(v, "vec_id", "embedding", 4,
+        quality, "doc_id", col("n_chars"), perCluster = 2,
+        carry = Seq("source"))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+    val got = run(vecs)
+    // cluster 0 = {0,4,7}: 7 (q=9) ranks 1; the q=5 tie between 0 and 4
+    // breaks by id asc — 0 takes rank 2, 4 is cut by perCluster=2
+    assert(got == Set(
+      (0L, 7L, 9L, 1L, "d"), (0L, 0L, 5L, 2L, "a"),
+      (1L, 5L, 4L, 1L, "c"), (1L, 1L, 1L, 2L, "a"),
+      (2L, 6L, 6L, 1L, "d"), (2L, 2L, 2L, 2L, "b"),
+      (3L, 3L, 3L, 1L, "b")))
+    assert(run(vecs.repartition(7)) == got)
+    // the rank<=perCluster cut must plan as a WindowGroupLimit (map-side
+    // pre-cut before the k-partition window exchange) — a plain Window
+    // filter would shuffle the full corpus into k partitions
+    val plan = Sampling.clusterBalanced(vecs, "vec_id", "embedding", 4,
+      quality, "doc_id", col("n_chars"), 2, Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 }
