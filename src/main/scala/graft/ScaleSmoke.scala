@@ -972,6 +972,66 @@ object ScaleSmoke {
         probeDims = 8, nprobe = 4, k = 10).count()
     }
 
+    time("ivfpq-search-trained") {
+      // q156 at N×: identical serving shape to ivfpq-search above, but
+      // routed by a TRAINED (caller-provided) coarse centroid table —
+      // the q156 fixed low-id rule, 8 centroids from the natural
+      // corpus — so the two stages differ ONLY in how routing picks
+      // nprobe bucket ids. Every routing artifact stays bounded (8
+      // centroids collected, ≤nprobe probed ids, the ADC literal
+      // table); the scan side is the same map-only filter over
+      // compressed codes. Expect the ivfpq-search exponent.
+      val query = vecBase.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qvec"))
+      val coarse = vecBase.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      operators.Similarity.ivfPqSearchTrained(bigVecs, "vec_id",
+        "embedding", query, "qvec", coarse, "cid", "cvec",
+        nprobe = 8, k = 10, m = 4, subDim = vecDim / 4,
+        probeDims = math.min(4, vecDim / 4)).count()
+    }
+
+    time("tfidf-keywords") {
+      // q157 at N×: ONE (doc, term) tf aggregation drives everything —
+      // df as a term-keyed window over it, N as a 1-row broadcast, the
+      // per-doc top-k as a WindowGroupLimit rank. Token-linear work
+      // with no data-sized driver state; the rtoks corpus keeps replica
+      // vocabularies disjoint, so the df window's key space grows with
+      // the corpus (the honest axis: term cardinality, not row count).
+      operators.TextStats.tfidfKeywords(
+        bigDocsRtoks.select(col("doc_id"), col("toks")),
+        "doc_id", col("toks"), 5).count()
+    }
+
+    time("cluster-balanced") {
+      // q161 at N×: assignment is corpus × broadcast-4 row-local argmin
+      // + ONE keyed agg; the per-cluster quality top-k cuts via
+      // WindowGroupLimit BEFORE its k-partition window exchange, so the
+      // window shuffle carries ≤ tasks×4×64 candidate rows at every
+      // mult and the output is a constant 4×64 rows. Expect scan-bound
+      // ~linear wall; the constant output/exchange mass is the claim.
+      val quality = bigVecs.select(col("vec_id"),
+        (col("vec_id") % 9973L).as("q"))
+      operators.Sampling.clusterBalanced(bigVecs, "vec_id", "embedding",
+        4, quality, "vec_id", col("q"), 64).count()
+    }
+
+    time("fit-multiclass") {
+      // q160's training loop at N×: k=5 one-vs-rest models trained
+      // SIMULTANEOUSLY — per iteration ONE fused-margin corpus pass
+      // (graft_lookup_sums: all 5 margins in one feature-array
+      // traversal) + ONE bucket-keyed partial agg; ≤ k×buckets gradient
+      // rows reach the driver per iteration. Expect ~linear wall in
+      // corpus (iters × 2 corpus-linear jobs after the one-time
+      // featurize checkpoint); rows= prints the weight-table size —
+      // bounded at every mult, the state claim.
+      val labeled = bigDocsRtoks.select(col("doc_id"),
+        concat(lit("c"), (col("doc_id") % 5).cast("string")).as("lab"),
+        col("toks"))
+      operators.QualityModel.fitMulticlass(labeled, col("toks"),
+        col("lab"), (0 until 5).map(i => s"c$i"), 128, 2).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

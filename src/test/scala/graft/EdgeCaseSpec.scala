@@ -370,4 +370,26 @@ class EdgeCaseSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().toSet
     assert(merged == Set((1L, 1, "x_y"), (2L, 1, "p"), (2L, 2, "q")))
   }
+
+  test("clusterBalanced: a cluster thinner than perCluster emits what it " +
+    "has; vectors without a quality row drop (inner join); an empty " +
+    "quality side is empty, not a crash") {
+    import graft.operators.Sampling
+    // seeds 0/1 at the corners; 2 joins cluster 0, 3 joins cluster 1 —
+    // but 3 has NO quality row, so cluster 1 keeps only its seed
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(1f, 0f)), (3L, Seq(9f, 10f))).toDF("vec_id", "embedding")
+    val quality = Seq((0L, 7L), (1L, 3L), (2L, 5L))
+      .toDF("doc_id", "score")
+    val got = Sampling.clusterBalanced(vecs, "vec_id", "embedding", 2,
+      quality, "doc_id", col("score"), perCluster = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 7L, 1L), (0L, 2L, 5L, 2L), // cluster 0: both, q desc
+      (1L, 1L, 3L, 1L)))                  // cluster 1: lone survivor
+    val empty = Sampling.clusterBalanced(vecs, "vec_id", "embedding", 2,
+      quality.limit(0), "doc_id", col("score"), perCluster = 5)
+    assert(empty.isEmpty)
+  }
 }
