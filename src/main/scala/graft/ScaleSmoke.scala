@@ -991,6 +991,46 @@ object ScaleSmoke {
         probeDims = math.min(4, vecDim / 4)).count()
     }
 
+    // ---- Stored IVF×PQ probe (q162) — the A/B against the live arms ----
+    // Every live IVF×PQ stage above pays coding + codebook training per
+    // call (documented upper bounds); this materializes the bucket-
+    // partitioned index ONCE (build cost reported as materialization,
+    // excluded — the postings-layout framing) and measures what a probe
+    // costs against the STORED layout: two bounded reads + probed-
+    // bucket directory IO. The stored-vs-live delta, not the absolute
+    // exponent, is the claim.
+    val ivfIdxPath = s"$scratch/ivfpq_x$mult"
+    val ivfIdxMarker =
+      java.nio.file.Paths.get(s"$ivfIdxPath/_graft_ivfpq_v1")
+    if (stageActive("ivfpq-stored-probe") &&
+        !java.nio.file.Files.exists(ivfIdxMarker)) {
+      val t0 = System.nanoTime()
+      val coarse = vecBase.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (codes, book) = operators.Similarity.ivfPqIndexTables(
+        bigVecs, "vec_id", "embedding", coarse, "cid", "cvec",
+        m = 4, subDim = vecDim / 4,
+        probeDims = math.min(4, vecDim / 4))
+      codes.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$ivfIdxPath/codes")
+      book.write.mode("overwrite").parquet(s"$ivfIdxPath/codebook")
+      coarse.write.mode("overwrite").parquet(s"$ivfIdxPath/centroids")
+      val rows = spark.read.parquet(s"$ivfIdxPath/codes").count()
+      java.nio.file.Files.writeString(ivfIdxMarker, rows.toString)
+      println(f"[scale] materialize ivfpq index x$mult rows=$rows ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timeBest("ivfpq-stored-probe") {
+      val query = vecBase.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qvec"))
+      operators.Similarity.ivfPqSearchStored(
+        spark.read.parquet(s"$ivfIdxPath/codes"),
+        spark.read.parquet(s"$ivfIdxPath/codebook"),
+        spark.read.parquet(s"$ivfIdxPath/centroids"),
+        "vec_id", query, "qvec", nprobe = 8, k = 10,
+        m = 4, subDim = vecDim / 4,
+        probeDims = math.min(4, vecDim / 4)).count()
+    }
+
     time("tfidf-keywords") {
       // q157 at N×: ONE (doc, term) tf aggregation drives everything —
       // df as a term-keyed window over it, N as a 1-row broadcast, the

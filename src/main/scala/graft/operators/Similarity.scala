@@ -846,6 +846,84 @@ object Similarity {
     * kmeans-trained centroids against the hash-assigned variant at
     * equal nprobe — trained routing must never lose. Returns ascending
     * (idCol, adist) top-k over the probed population. */
+  private def quantMilli(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Collected, 1e3-quantized coarse centroid table — bounded driver
+    * state (the kmeans pattern), sorted by id so routing ties replay. */
+  private def collectQuantCents(coarse: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Long])] = {
+    val cents = coarse
+      .select(col(idCol).cast("long"), quantMilli(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "trained coarse quantizer needs >= 1 centroid")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim),
+      "coarse centroids must share one dimension")
+    cents
+  }
+
+  /** Driver-side exact long arithmetic == engine long arithmetic: the
+    * probed bucket set is replayable by any SQL engine. */
+  private def probedIds(qv: Array[Long], cents: Array[(Long, Array[Long])],
+      nprobe: Int): Seq[Long] =
+    cents.map { case (cid, cv) =>
+      var d2 = 0L; var i = 0
+      while (i < qv.length) { val t = qv(i) - cv(i); d2 += t * t; i += 1 }
+      (d2, cid)
+    }.sorted.take(nprobe).map(_._2).toSeq
+
+  private def quantQuery(query: DataFrame, queryVecCol: String,
+      dim: Int): Array[Long] = {
+    val qv = query.select(quantMilli(col(queryVecCol))).head()
+      .getSeq[Long](0).toArray
+    require(qv.length == dim,
+      s"query dimension ${qv.length} != centroid dimension $dim")
+    qv
+  }
+
+  /** Build-side of a STORED IVF×PQ index: the corpus coded ONCE into
+    * `(idCol, codes, bucket)` — bucket from the trained-coarse exact
+    * argmin (the [[ivfPqSearchTrained]] assignment, bit-for-bit), codes
+    * from the q125 chain — plus the corpus-trained PQ codebook in
+    * [[pqCodebook]]'s EXACT integer-sum form (parquet-safe; means are
+    * divided at probe time). Write the codes parquet `partitionBy
+    * ("bucket")` ([[graft.sources.Writers.ensureIvfPqIndex]]) and a
+    * probe's coarse routing becomes DIRECTORY pruning — the q158
+    * stored-layout discipline applied to ANN serving. */
+  def ivfPqIndexTables(vectors: DataFrame, idCol: String, vecCol: String,
+                       coarse: DataFrame, coarseIdCol: String,
+                       coarseVecCol: String, m: Int = 4, subDim: Int = 16,
+                       probeDims: Int = 4): (DataFrame, DataFrame) =
+    ivfPqIndexTablesWith(vectors, idCol, vecCol,
+      collectQuantCents(coarse, coarseIdCol, coarseVecCol),
+      m, subDim, probeDims)
+
+  private def ivfPqIndexTablesWith(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Long])], m: Int,
+      subDim: Int, probeDims: Int): (DataFrame, DataFrame) = {
+    val dim = cents.head._2.length
+    val clean = vectors
+      .filter(size(col(vecCol)) === dim &&
+        !exists(col(vecCol), x => x.isNull))
+      .withColumn("__qv", quantMilli(col(vecCol)))
+    val assignment = array_min(array(cents.map { case (cid, cv) =>
+      struct(
+        aggregate(zip_with(col("__qv"), lit(cv), (x, y) => (x - y) * (x - y)),
+          lit(0L), (s2, x) => s2 + x).as("d"),
+        lit(cid).as("c"))
+    }.toIndexedSeq: _*)).getField("c")
+    val codes = clean.select(col(idCol),
+      array((0 until m).map(i =>
+        ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
+        .as("codes"),
+      assignment.as("bucket"))
+    val book = pqCodebook(pqCodes(vectors, idCol, vecCol, m, subDim, probeDims))
+    (codes, book)
+  }
+
   def ivfPqSearchTrained(vectors: DataFrame, idCol: String, vecCol: String,
                          query: DataFrame, queryVecCol: String,
                          coarse: DataFrame, coarseIdCol: String,
@@ -854,50 +932,46 @@ object Similarity {
                          m: Int = 4, subDim: Int = 16,
                          probeDims: Int = 4): DataFrame = {
     require(nprobe >= 1 && k >= 1)
-    def quant(v: Column): Column =
-      transform(v, x => round(x.cast("double") * 1000).cast("long"))
-    val cents: Array[(Long, Array[Long])] = coarse
-      .select(col(coarseIdCol).cast("long"), quant(col(coarseVecCol)))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "trained coarse quantizer needs >= 1 centroid")
-    val dim = cents.head._2.length
-    require(cents.forall(_._2.length == dim),
-      "coarse centroids must share one dimension")
-    val qv: Array[Long] = {
-      val r = query.select(quant(col(queryVecCol))).head()
-      r.getSeq[Long](0).toArray
-    }
-    require(qv.length == dim,
-      s"query dimension ${qv.length} != centroid dimension $dim")
-    // driver-side exact long arithmetic == engine long arithmetic:
-    // the probed set is replayable by any SQL engine
-    val probed: Seq[Long] = cents.map { case (cid, cv) =>
-      var d2 = 0L; var i = 0
-      while (i < dim) { val t = qv(i) - cv(i); d2 += t * t; i += 1 }
-      (d2, cid)
-    }.sorted.take(nprobe).map(_._2).toSeq
-    val clean = vectors
-      .filter(size(col(vecCol)) === dim &&
-        !exists(col(vecCol), x => x.isNull))
-      .withColumn("__qv", quant(col(vecCol)))
-    val assignment = array_min(array(cents.map { case (cid, cv) =>
-      struct(
-        aggregate(zip_with(col("__qv"), lit(cv), (x, y) => (x - y) * (x - y)),
-          lit(0L), (s2, x) => s2 + x).as("d"),
-        lit(cid).as("c"))
-    }.toIndexedSeq: _*)).getField("c")
-    val book = centroidMeans(pqCodebook(
-      pqCodes(vectors, idCol, vecCol, m, subDim, probeDims)))
+    val cents = collectQuantCents(coarse, coarseIdCol, coarseVecCol)
+    val qv = quantQuery(query, queryVecCol, cents.head._2.length)
+    val probed = probedIds(qv, cents, nprobe)
+    val (codes, book) = ivfPqIndexTablesWith(
+      vectors, idCol, vecCol, cents, m, subDim, probeDims)
     val dense = pqAdcDense(
-      pqAdcTable(book, query, queryVecCol, m, subDim), m, probeDims)
-    val wide = clean.select(col(idCol), assignment.as("__cluster"),
-      array((0 until m).map(i =>
-        ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
-        .as("codes"))
+      pqAdcTable(centroidMeans(book), query, queryVecCol, m, subDim),
+      m, probeDims)
     pqAdcRankWide(
-      wide.filter(col("__cluster").isin(probed: _*)).drop("__cluster"),
+      codes.filter(col("bucket").isin(probed: _*)).drop("bucket"),
+      dense, idCol, k)
+  }
+
+  /** Probe-side of a stored [[ivfPqIndexTables]] layout — what an
+    * IVF×PQ search costs when the index is MATERIALIZED (the FAISS
+    * deployment shape; the live-coding searches above are upper
+    * bounds): `centroids` and `book` are bounded reads collected at
+    * construction (≤k centroid rows, ≤m·(2p+1)² codebook rows); the
+    * ONLY corpus-sized read is the codes layout, filtered to the
+    * probed buckets — with `bucket` as the parquet partition column
+    * the filter prunes DIRECTORIES before any row is read
+    * (PartitionFilters, PlanLint-pinned via q162). Bit-identical to
+    * [[ivfPqSearchTrained]] at equal inputs: same routing arithmetic,
+    * same codebook, same ADC ranking (spec-pinned). `centroids` uses
+    * the stored-layout contract columns (cid, cvec). */
+  def ivfPqSearchStored(codes: DataFrame, book: DataFrame,
+                        centroids: DataFrame, idCol: String,
+                        query: DataFrame, queryVecCol: String,
+                        nprobe: Int, k: Int,
+                        m: Int = 4, subDim: Int = 16,
+                        probeDims: Int = 4): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val cents = collectQuantCents(centroids, "cid", "cvec")
+    val qv = quantQuery(query, queryVecCol, cents.head._2.length)
+    val probed = probedIds(qv, cents, nprobe)
+    val dense = pqAdcDense(
+      pqAdcTable(centroidMeans(book), query, queryVecCol, m, subDim),
+      m, probeDims)
+    pqAdcRankWide(
+      codes.filter(col("bucket").isin(probed: _*)).drop("bucket"),
       dense, idCol, k)
   }
 

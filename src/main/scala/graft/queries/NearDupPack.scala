@@ -320,6 +320,29 @@ object NearDupPack extends QueryPack {
         "cid", "cvec", nprobe = 3, k = 20)
     }),
 
+    // q156's STORED-layout twin (the q158 discipline applied to ANN
+    // serving): the IVF×PQ index materialized ONCE as a bucket-
+    // partitioned codes table + exact-integer codebook + centroid
+    // table (Writers.ensureIvfPqIndex); the probe collects the two
+    // bounded artifacts at construction and its ONLY corpus-sized read
+    // is the codes layout filtered to the probed buckets — coarse
+    // routing as DIRECTORY pruning (PartitionFilters, PlanLint-
+    // pinned). Same oracle as q156: layout, not semantics. This is
+    // what q141/q156's scaladocs call "production materializes the
+    // code table once", now a declared, lint-guarded leg instead of a
+    // caveat.
+    "q162_ivfpq_stored" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndex(s, dir)
+      Similarity.ivfPqSearchStored(
+        s.read.parquet(s"$path/codes"),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+    }),
+
     // L2 memory tier between brute floats and PQ codes: per-tensor
     // symmetric int8 quantization (the production int8-dot serving
     // shape) with SYMMETRIC integer scoring — ONE global amax scale
@@ -550,7 +573,7 @@ object NearDupPack extends QueryPack {
     }),
   )
 
-  override val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // Keep-first at paragraph grain: the window's (doc_id, pos) order is
     // the oracle twin of the operator's min(struct(doc_id, pos)) winner;
     // reassembly order is the pos sort on both sides.
@@ -1406,4 +1429,10 @@ object NearDupPack extends QueryPack {
          WHERE cos >= 0.3
          ORDER BY ALL NULLS FIRST""",
   )
+
+  // q162 probes the STORED bucket-partitioned index q156 computes live
+  // — layout, not semantics (the q158/q151 framing), so the oracle IS
+  // q156's: identical routing, codebook, ADC ranking over base tables.
+  override val oracleSql: Map[String, String] =
+    oracleBase + ("q162_ivfpq_stored" -> oracleBase("q156_ivfpq_trained"))
 }

@@ -157,6 +157,45 @@ object Writers {
     })
   }
 
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedIvfPq =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bucket-partitioned STORED IVF×PQ index of corpus table `name` —
+    * the materialized ANN serving layout (the [[ensurePostings]]
+    * discipline applied to vectors): `codes/` holds (vec_id, codes,
+    * bucket) written `partitionBy("bucket")` so a probe's coarse
+    * routing prunes DIRECTORIES, `codebook/` the exact integer-sum PQ
+    * codebook, `centroids/` the coarse table (cid, cvec) — here the
+    * q156 fixed low-id rule over `coarseK` vectors; a kmeans-trained
+    * table stores the same way. Every live IVF×PQ search above pays
+    * coding + codebook training per call (documented upper bounds);
+    * probes of THIS layout pay only probed-bucket IO + two bounded
+    * reads. Written AT MOST ONCE per (JVM, corpus dir, params) into
+    * PID-scoped tmp scratch (the [[ensurePartitioned]] contract). */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String,
+                       name: String = "embeddings", coarseK: Int = 8,
+                       m: Int = 4, subDim: Int = 16,
+                       probeDims: Int = 4): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}_${coarseK}_${m}_${subDim}_$probeDims"
+    preparedIvfPq.computeIfAbsent(path, { p =>
+      val vecs = graft.Tables.load(spark, dir, name)
+      val coarse = vecs.filter(col("vec_id") < coarseK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
+        vecs, "vec_id", "embedding", coarse, "cid", "cvec",
+        m, subDim, probeDims)
+      codes.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$p/codes")
+      book.write.mode("overwrite").parquet(s"$p/codebook")
+      coarse.write.mode("overwrite").parquet(s"$p/centroids")
+      p
+    })
+  }
+
   /** Probe-side read of an [[ensurePostings]] layout: the partition
     * filter is built from DRIVER-computed [[tokenPartOf]] literals, so
     * Catalyst prunes non-matching directories at planning time

@@ -835,6 +835,107 @@ object StreamingJobs {
       flaggedKind = "phrase_match_docs")
   }
 
+  /** Streaming ANN index — the FAISS deployment contract made a sink:
+    * TRAIN ONCE, ADD FOREVER. The first NON-EMPTY batch trains the two
+    * bounded artifacts (coarse centroid table = its `coarseK` lowest-id
+    * vectors, the q156 fixed-seed rule; PQ codebook =
+    * [[graft.operators.Similarity.pqCodebook]] over that batch's own
+    * codes) and FREEZES them under `stateDir/artifacts`; every batch
+    * then codes its vectors against the frozen artifacts (row-local,
+    * exact, replayable) and merges (id, codes, bucket, __epoch) into
+    * the versioned state — PK (id, __epoch), the invertedIndexSink
+    * append-only contract (ids are content-addressed vectors; a
+    * re-observed id keeps its FIRST coding at probe time; mutable
+    * vectors route through [[mergeStateSink]]). Each epoch emits the
+    * probe query's cumulative [[graft.operators.Similarity
+    * .ivfPqSearchStored]] top-k to `outDir/epoch=N`.
+    *
+    * Freezing is WHY this streams: retraining codebook/centroids per
+    * epoch would re-code every prior vector (a full-state rewrite per
+    * batch); frozen artifacts make the epoch cost ∝ |batch| coding +
+    * one probe of the cumulative code table. The trade, stated
+    * plainly: distribution drift between the training batch and later
+    * data costs RECALL (ADC distances stay exact for the codes as
+    * written) — the same trade FAISS ships; the retrain move is a new
+    * index built offline and cut over, not an in-place mutation.
+    * `maxEpochAge` > 0 slides the searchable window (codes age out by
+    * first-seen epoch — the family eviction contract). */
+  def ivfCodesSink(vecs: DataFrame, idCol: String, vecCol: String,
+                   stateDir: String, outDir: String,
+                   queryVec: Seq[Float], nprobe: Int, k: Int,
+                   coarseK: Int = 8, m: Int = 4, subDim: Int = 16,
+                   probeDims: Int = 4,
+                   maxEpochAge: Int = 0): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ivfCodesBatch(batch, epochId, idCol, vecCol, stateDir, outDir,
+          queryVec, nprobe, k, coarseK, m, subDim, probeDims, maxEpochAge)
+      }
+
+  /** One epoch of [[ivfCodesSink]], exposed for replay/merge testing. */
+  def ivfCodesBatch(batch: DataFrame, epochId: Long, idCol: String,
+                    vecCol: String, stateDir: String, outDir: String,
+                    queryVec: Seq[Float], nprobe: Int, k: Int,
+                    coarseK: Int = 8, m: Int = 4, subDim: Int = 16,
+                    probeDims: Int = 4, maxEpochAge: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    import graft.operators.Similarity
+    val artDone = java.nio.file.Paths.get(s"$stateDir/artifacts/_done")
+    if (!java.nio.file.Files.exists(artDone)) {
+      if (batch.isEmpty) {
+        // nothing to train on and nothing searchable yet: an empty
+        // epoch before training emits an empty result, not a crash
+        batch.sparkSession.range(0)
+          .select(col("id").as(idCol), lit(0.0).as("adist"))
+          .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        return
+      }
+      val coarse = batch
+        .orderBy(col(idCol).asc_nulls_last).limit(coarseK)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      val (_, book) = Similarity.ivfPqIndexTables(
+        batch, idCol, vecCol, coarse, "cid", "cvec", m, subDim, probeDims)
+      coarse.write.mode("overwrite")
+        .parquet(s"$stateDir/artifacts/centroids")
+      book.write.mode("overwrite").parquet(s"$stateDir/artifacts/codebook")
+      // marker last: a crash mid-write retrains on replay (the
+      // postings-marker discipline); content is a pure function of the
+      // training batch, so a replayed train overwrites with itself
+      java.nio.file.Files.writeString(artDone, "1")
+    }
+    val cents = spark.read.parquet(s"$stateDir/artifacts/centroids")
+    val book = spark.read.parquet(s"$stateDir/artifacts/codebook")
+    val (coded, _) = Similarity.ivfPqIndexTables(
+      batch, idCol, vecCol, cents, "cid", "cvec", m, subDim, probeDims)
+    val fresh = coded.withColumn("__epoch", lit(epochId))
+    val prior = graft.sources.Writers.latestVersion(s"$stateDir/codes") match {
+      case Some(v) => spark.read.parquet(s"$stateDir/codes/v$v")
+        .filter(col("__epoch") < epochId)
+      case None => fresh.limit(0)
+    }
+    // probe view: first-seen coding wins for a re-observed id (the
+    // append-only contract applied at read, so a duplicate send can
+    // never surface one id twice in a top-k)
+    val searchable = graft.operators.Upsert.keepFirst(
+      prior.unionByName(fresh), Seq(idCol), Seq(col("__epoch").asc))
+    val query = spark.range(1)
+      .select(typedLit(queryVec).cast("array<float>").as("qvec"))
+    Similarity.ivfPqSearchStored(searchable, book, cents, idCol,
+      query, "qvec", nprobe, k, m, subDim, probeDims)
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    graft.sources.Writers.mergeState(
+      spark, s"$stateDir/codes", fresh, Seq(idCol, "__epoch"),
+      col("__epoch"),
+      evict = if (maxEpochAge > 0)
+        Some(col("__epoch") <= epochId - maxEpochAge) else None)
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId").count(),
+      stateDir = s"$stateDir/codes",
+      flaggedKind = "ann_topk_rows")
+  }
+
   /** [[cmsSink]]'s membership sibling — the Bloom ingest gate
     * ([[graft.operators.Sketches.bloomBuild]]/`bloomProbe`) as an
     * incremental sink: each micro-batch's keys probe the persisted bit

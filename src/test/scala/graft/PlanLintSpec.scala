@@ -302,6 +302,25 @@ class PlanLintSpec extends AnyFunSuite {
       s"token IN (...) did not push into the parquet reader:\n$plan")
   }
 
+  // stored IVF-PQ probe: ONE scan of the bucket-partitioned codes
+  // layout, map-only ADC literal lookups + TakeOrdered — the
+  // construction-time codebook/centroid reads are bounded collects,
+  // not part of the declared plan (the q141/q156 framing)
+  assertShuffleBudget("q162_ivfpq_stored", 0)
+  assertScanBudget("q162_ivfpq_stored", 1)
+  test("q162_ivfpq_stored actually prunes bucket directories " +
+    "(PartitionFilters on bucket — coarse routing as directory skip)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q162_ivfpq_stored")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("bucket"),
+      s"bucket did not prune at the partition level:\n$plan")
+  }
+
   // zone skipping: one scan of the sorted layout + the one agg exchange
   assertShuffleBudget("q133_zone_skipping", 1)
   assertScanBudget("q133_zone_skipping", 1)

@@ -232,6 +232,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq stored layout: probing the materialized index is " +
+    "bit-identical to the live trained search (q162 ≡ q156)") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"))
+    val live = Similarity.ivfPqSearchTrained(
+      emb, "vec_id", "embedding", query, "qvec",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", nprobe = 3, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val path = Writers.ensureIvfPqIndex(spark, dir)
+    val stored = Similarity.ivfPqSearchStored(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/centroids"),
+      "vec_id", query, "qvec", nprobe = 3, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(live.nonEmpty && stored == live)
+  }
+
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
     val raw = ConfigLoader.storageTable(storageYaml, "raw")
     val sql = JdbcUpsert.Postgres.upsertSql(raw)

@@ -549,6 +549,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(!emitted(2, out2).exists(_._1 == 1L)) // e0's match aged out
   }
 
+  test("ivfCodesBatch: train-once/add-forever — every horizon's probe " +
+    "equals the one-shot search with epoch-0-frozen artifacts, " +
+    "replay-stable, sliding window") {
+    import graft.operators.Similarity
+    val stateDir = java.nio.file.Files.createTempDirectory("ivfstate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ivfout").toString
+    val e0 = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f)),
+      (4L, Seq(0.9f, 0.1f, 0f, 0f)), (5L, Seq(0.8f, 0f, 0.1f, 0f)))
+    val e1 = Seq(
+      (6L, Seq(0.95f, 0f, 0f, 0.1f)), (7L, Seq(0f, 0.9f, 0.1f, 0f)),
+      (8L, Seq(0.1f, 0f, 0.9f, 0f)), (9L, Seq(0.7f, 0.3f, 0f, 0f)))
+    val e2 = Seq(
+      (10L, Seq(0.99f, 0.01f, 0f, 0f)), (11L, Seq(0f, 0f, 0f, 0.9f)))
+    val qv = Seq(1f, 0f, 0.05f, 0f)
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    def run(e: Long, rows: Seq[(Long, Seq[Float])], state: String = stateDir,
+            out: String = outDir, age: Int = 0): Unit =
+      StreamingJobs.ivfCodesBatch(df(rows), e, "vec_id", "embedding",
+        state, out, qv, nprobe = 2, k = 5, coarseK = 4, m = 2,
+        subDim = 2, probeDims = 2, maxEpochAge = age)
+    def emitted(e: Long, out: String = outDir): Seq[(Long, Double)] =
+      spark.read.parquet(s"$out/epoch=$e")
+        .as[(Long, Double)].collect().sortBy(r => (r._2, r._1)).toSeq
+    // one-shot comparator: artifacts FROZEN from the training slice,
+    // codes over whatever is searchable — exactly the sink's contract
+    def oneShot(train: Seq[(Long, Seq[Float])],
+                searchable: Seq[(Long, Seq[Float])]): Seq[(Long, Double)] = {
+      val coarse = df(train).orderBy(col("vec_id").asc_nulls_last).limit(4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (_, book) = Similarity.ivfPqIndexTables(
+        df(train), "vec_id", "embedding", coarse, "cid", "cvec", 2, 2, 2)
+      val (codes, _) = Similarity.ivfPqIndexTables(
+        df(searchable), "vec_id", "embedding", coarse, "cid", "cvec", 2, 2, 2)
+      val query = spark.range(1)
+        .select(typedLit(qv).cast("array<float>").as("qvec"))
+      Similarity.ivfPqSearchStored(codes, book, coarse, "vec_id",
+        query, "qvec", nprobe = 2, k = 5, m = 2, subDim = 2, probeDims = 2)
+        .as[(Long, Double)].collect().sortBy(r => (r._2, r._1)).toSeq
+    }
+    run(0, e0); run(1, e1); run(2, e2)
+    assert(emitted(0) == oneShot(e0, e0))
+    assert(emitted(1) == oneShot(e0, e0 ++ e1))
+    assert(emitted(2) == oneShot(e0, e0 ++ e1 ++ e2))
+    assert(emitted(2).nonEmpty)
+    // artifacts stayed frozen across epochs: still e0's 4 lowest ids
+    val cids = spark.read.parquet(s"$stateDir/artifacts/centroids")
+      .select("cid").as[Long].collect().sorted.toSeq
+    assert(cids == Seq(0L, 1L, 2L, 3L))
+    // crash-after-commit replay: output and state unchanged
+    val before = emitted(2)
+    val vBefore = graft.sources.Writers.latestVersion(s"$stateDir/codes").get
+    val rowsBefore = spark.read.parquet(s"$stateDir/codes/v$vBefore").count()
+    run(2, e2)
+    assert(emitted(2) == before)
+    val vAfter = graft.sources.Writers.latestVersion(s"$stateDir/codes").get
+    assert(spark.read.parquet(s"$stateDir/codes/v$vAfter").count() == rowsBefore)
+    // sliding window: age=1 → epoch 2 searches e1 ∪ e2 only, with the
+    // artifacts STILL trained on e0 (training never ages out)
+    val st2 = java.nio.file.Files.createTempDirectory("ivfstate2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("ivfout2").toString
+    run(0, e0, st2, out2, age = 1)
+    run(1, e1, st2, out2, age = 1)
+    run(2, e2, st2, out2, age = 1)
+    assert(emitted(2, out2) == oneShot(e0, e1 ++ e2))
+  }
+
   test("scd2Batch: reconstruction equals batch scd2, late drops counted, replay-stable") {
     import graft.operators.Delta
     val stateDir = java.nio.file.Files.createTempDirectory("scdstate").toString
