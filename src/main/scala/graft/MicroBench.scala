@@ -48,6 +48,24 @@ object MicroBench {
     time("lookup-hof") { fdf.select(sum(hofLookup(col("f")))).collect() }
     time("lookup-native") { fdf.select(sum(
       VectorFunctions.lookupSumNative(col("f"), wlit))).collect() }
+
+    // k-class margins (the r15 fusion): k SEPARATE lookup-sum columns
+    // carry k DISTINCT weight literals — CSE cannot fuse them, so each
+    // row pays k feature-array traversals — vs ONE bucket-major
+    // graft_lookup_sums pass (QualityModel.fitMulticlass/predictClass).
+    val kCls = 5
+    val wks = (0 until kCls).map(c => (0 until 128).map(i =>
+      ((i * 41 + 11 * c + 7) % 2001 - 1000).toLong))
+    val wflat = typedLit((0 until 128).flatMap(b =>
+      (0 until kCls).map(c => wks(c)(b))))
+    val sepCols = wks.map(w => sum(
+      VectorFunctions.lookupSumNative(col("f"), typedLit(w))))
+    val sumsCol = VectorFunctions.lookupSumsNative(col("f"), wflat, kCls)
+    val fusedCols = (1 to kCls).map(c => sum(element_at(sumsCol, c)))
+    fdf.limit(1000).select(sepCols: _*).collect()
+    fdf.limit(1000).select(fusedCols: _*).collect()
+    time("lookup-5sep") { fdf.select(sepCols: _*).collect() }
+    time("lookup-5fused") { fdf.select(fusedCols: _*).collect() }
     fdf.unpersist()
 
     // topTokenFrac: the shipped sorted-longest-run form vs the naive

@@ -615,6 +615,17 @@ class StreamingSpec extends AnyFunSuite {
     run(1, e1, st2, out2, age = 1)
     run(2, e2, st2, out2, age = 1)
     assert(emitted(2, out2) == oneShot(e0, e1 ++ e2))
+    // an EMPTY epoch before anything trains emits an empty result (not
+    // a crash, not artifacts trained on nothing); the first non-empty
+    // batch then trains as epoch 0 would have
+    val st3 = java.nio.file.Files.createTempDirectory("ivfstate3").toString
+    val out3 = java.nio.file.Files.createTempDirectory("ivfout3").toString
+    run(0, Seq.empty, st3, out3)
+    assert(emitted(0, out3).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$st3/artifacts/_done")))
+    run(1, e0, st3, out3)
+    assert(emitted(1, out3) == oneShot(e0, e0))
   }
 
   test("scd2Batch: reconstruction equals batch scd2, late drops counted, replay-stable") {
