@@ -204,6 +204,27 @@ object Retrieval {
         (coalesce(lit(1.0) / (lit(c) + col(rankA)), lit(0.0)) +
           coalesce(lit(1.0) / (lit(c) + col(rankB)), lit(0.0))).as("rrf"))
 
+  /** Retrieval-quality evaluation over a ranked candidate table — the
+    * metric primitive the retrieval tier is tuned against (recall@k /
+    * MRR inputs): per query, the rank of the FIRST relevant hit (NULL
+    * when none lands in the top k) and the relevant count within the
+    * top k. Deliberately kept in EXACT integers — the fractional
+    * aggregates (MRR = avg(1/first_rel_rank), recall@k = n_rel_at_k /
+    * total) are one row-local division away and left to the caller, so
+    * the oracle-checked surface never leaves BIGINT arithmetic (the
+    * q104 ln-lesson: fractional rank keys cost cross-engine parity).
+    * `carry` names query-side columns functionally dependent on the
+    * qid (a label, a query string) to ride the one keyed aggregation —
+    * which runs over ≤ |Q|·k already-cut rows, never the corpus. */
+  def rankEval(ranked: DataFrame, qidCol: String, relCol: Column,
+               rankCol: Column, k: Int,
+               carry: Seq[String] = Nil): DataFrame =
+    ranked.filter(rankCol <= lit(k))
+      .groupBy(col(qidCol) +: carry.map(col): _*)
+      .agg(
+        min(when(relCol, rankCol)).cast("long").as("first_rel_rank"),
+        sum(when(relCol, lit(1L)).otherwise(lit(0L))).as("n_rel_at_k"))
+
   /** Spark-round-compatible round-to-6 for the driver-side greedy:
     * `BigDecimal(x).setScale(6, HALF_UP)` is exactly what Catalyst's
     * `round(_, 6)` computes on doubles, `+ 0.0` kills the −0.0 the

@@ -140,6 +140,44 @@ object LlmPack extends QueryPack {
         "qid", "qvec", "qlabel", probeDims = 8, nprobe = 4, k = 10)
     }),
 
+    // L2 eval: retrieval-quality measurement — the metric primitive the
+    // whole tier is tuned against. 8 broadcast query vectors rank the
+    // corpus by round-6 cosine (the q51/q153 bounded-batch shape,
+    // WindowGroupLimit top-10 per query); relevance = SAME label, the
+    // corpus's own ground truth. Per query: first relevant rank (NULL
+    // when none reach the top 10), relevant-in-top-10 count, and the
+    // same-label population excluding the query itself (the recall
+    // denominator) — all exact BIGINTs; MRR / recall@10 are one
+    // row-local division the caller applies (Retrieval.rankEval
+    // scaladoc: fractional keys cost cross-engine parity).
+    "q163_retrieval_eval" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Retrieval
+      val emb = Q.wide(Q.t(s, dir, "embeddings"))
+      val queries = Q.t(s, dir, "embeddings")
+        .filter(col("vec_id") >= 1 && col("vec_id") <= 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val ranked = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          (round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            + lit(0.0)).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc_nulls_last,
+              col("vec_id").asc_nulls_first)))
+      val ev = Retrieval.rankEval(
+        ranked.withColumn("rel", col("label") === col("qlabel")),
+        "qid", col("rel"), col("rank"), k = 10, carry = Seq("qlabel"))
+      val totals = Q.t(s, dir, "embeddings")
+        .groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("__n"))
+      ev.join(broadcast(totals), Seq("qlabel"))
+        .select(col("qid"), col("first_rel_rank"), col("n_rel_at_k"),
+          (col("__n") - lit(1L)).cast("long").as("n_rel_total"))
+    }),
+
     // L3: multimodal doc-ref array (label,url structs) built per row and
     // exploded with position — the reference's `documentos` shape. The
     // third entry is conditional (variable-length collections); src0 rows
@@ -436,6 +474,36 @@ object LlmPack extends QueryPack {
                            ORDER BY score DESC NULLS LAST, vec_id ASC) AS rk
                FROM cand)
          SELECT qid, vec_id, label, score FROM r WHERE rk <= 10
+         ORDER BY ALL NULLS FIRST""",
+
+    // the q51 cosine rank chain per query, then exact-integer eval:
+    // first same-label rank, same-label count in the top 10, and the
+    // label population minus the query itself as the recall denominator
+    "q163_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec,
+                           label AS qlabel
+                    FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         sc AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec) /
+                             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[]))) *
+                              sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+                         + CAST(0.0 AS DOUBLE) AS score
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.qid),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
+               FROM sc),
+         t AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+         ev AS (SELECT qid, qlabel,
+                       CAST(min(CASE WHEN label = qlabel THEN rank END) AS BIGINT)
+                         AS first_rel_rank,
+                       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_rel_at_k
+                FROM r WHERE rank <= 10 GROUP BY 1, 2)
+         SELECT ev.qid, ev.first_rel_rank, ev.n_rel_at_k,
+                CAST(t.n - 1 AS BIGINT) AS n_rel_total
+         FROM ev JOIN t ON t.label = ev.qlabel
          ORDER BY ALL NULLS FIRST""",
 
     "q65_cosine_topk_native" ->

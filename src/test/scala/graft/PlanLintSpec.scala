@@ -81,7 +81,11 @@ class PlanLintSpec extends AnyFunSuite {
     // q161 clusterBalanced's seedAssign stage is q23's corpus ×
     // broadcast-k seed shape (k=4, bounded by k, never by data); the
     // selection itself is an id equi-join + WindowGroupLimit
-    "q161_cluster_balanced")
+    "q161_cluster_balanced",
+    // q163 broadcasts the 8-row query batch into one corpus scan (the
+    // q153 bounded-batch shape); the eval itself aggregates ≤ |Q|·k
+    // already-cut rows
+    "q163_retrieval_eval")
   // q92_dedup_clusters is NOT whitelisted: its jaccardPairs stage (with
   // the q60-shape 1-row broadcast) executes during construction and
   // localCheckpoint truncates it, so the declared plan is just the
@@ -493,6 +497,13 @@ class PlanLintSpec extends AnyFunSuite {
   // never the corpus)
   assertScanBudget("q161_cluster_balanced", 3)
   assertShuffleBudget("q161_cluster_balanced", 2)
+
+  // Retrieval eval: corpus + query-batch + label-totals scans (3); the
+  // rank window's qid exchange is REUSED by the eval aggregation (no
+  // extra shuffle — the q144 shared-exchange discipline), so 2 keyed
+  // exchanges total: the window and the bounded label-totals groupBy
+  assertScanBudget("q163_retrieval_eval", 3)
+  assertShuffleBudget("q163_retrieval_eval", 2)
 
   // Hard negatives: corpus scan + the bounded query side (scan 2, then
   // broadcast); shuffles: query-dedup window + per-qid rank window

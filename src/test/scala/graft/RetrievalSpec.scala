@@ -207,4 +207,26 @@ class RetrievalSpec extends AnyFunSuite {
     val plan = postings.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"index build must be map-only:\n$plan")
   }
+
+  test("rankEval: first relevant rank, count at k, NULL when nothing " +
+    "relevant reaches the cut, carry rides the aggregation") {
+    val ranked = Seq(
+      // q1: rel at ranks 2 and 4 (4 is beyond k=3)
+      (1L, "a", 1L, false), (1L, "a", 2L, true),
+      (1L, "a", 3L, false), (1L, "a", 4L, true),
+      // q2: nothing relevant within k
+      (2L, "b", 1L, false), (2L, "b", 2L, false), (2L, "b", 3L, false),
+      // q3: everything relevant
+      (3L, "a", 1L, true), (3L, "a", 2L, true))
+      .toDF("qid", "qlabel", "rank", "rel")
+    val got = Retrieval.rankEval(ranked, "qid", col("rel"), col("rank"),
+      k = 3, carry = Seq("qlabel"))
+      .select("qid", "qlabel", "first_rel_rank", "n_rel_at_k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", 2L, 1L),   // rank-4 hit is outside k=3
+      (2L, "b", -1L, 0L),  // NULL first rank, zero hits
+      (3L, "a", 1L, 2L)))
+  }
 }

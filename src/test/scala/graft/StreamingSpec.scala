@@ -628,6 +628,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted(1, out3) == oneShot(e0, e0))
   }
 
+  test("ivfCodesSink drift trade MEASURED: epoch-0-frozen codebook means " +
+    "misrank drifted data that fresh retraining ranks perfectly") {
+    import graft.operators.Similarity
+    // Cell geometry: the TRAINING epoch puts one tiny vector in the
+    // (+,+)-dominant code cell and six decoys in the (+,−) cell; the
+    // DRIFTED epoch adds ten strong (+,+) vectors that are the query's
+    // true neighbors. Frozen ADC scores every (+,+) member by the
+    // training-epoch cell mean (≈ the tiny vector) — so the decoy
+    // cell's mean sits closer to the query and decoys sweep the top-k.
+    // Retrained-on-everything ADC moves the (+,+) mean onto the
+    // drifted mass and ranks the true neighbors first.
+    val tail = Seq(0.5f, 0.25f) // shared second subspace: constant term
+    val trainEpoch = ((50L, Seq(0.05f, 0.01f) ++ tail) +:
+      (51L to 56L).map(i => (i, Seq(0.6f, -0.1f) ++ tail))).toSeq
+    val driftEpoch = (1L to 10L).map(i => (i, Seq(0.95f, 0.4f) ++ tail))
+    val all = trainEpoch ++ driftEpoch
+    val qv = Seq(0.9f, 0.4f) ++ tail
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val stateDir = java.nio.file.Files.createTempDirectory("drift").toString
+    val outDir = java.nio.file.Files.createTempDirectory("driftout").toString
+    def run(e: Long, rows: Seq[(Long, Seq[Float])]): Unit =
+      StreamingJobs.ivfCodesBatch(df(rows), e, "vec_id", "embedding",
+        stateDir, outDir, qv, nprobe = 1, k = 5, coarseK = 1, m = 2,
+        subDim = 2, probeDims = 2)
+    run(0, trainEpoch); run(1, driftEpoch)
+    val frozen = spark.read.parquet(s"$outDir/epoch=1")
+      .select("vec_id").as[Long].collect().toSet
+    val fresh = {
+      val coarse = df(all).orderBy(col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (_, book) = Similarity.ivfPqIndexTables(
+        df(all), "vec_id", "embedding", coarse, "cid", "cvec", 2, 2, 2)
+      val (codes, _) = Similarity.ivfPqIndexTables(
+        df(all), "vec_id", "embedding", coarse, "cid", "cvec", 2, 2, 2)
+      Similarity.ivfPqSearchStored(codes, book, coarse, "vec_id",
+        spark.range(1).select(typedLit(qv).cast("array<float>").as("qvec")),
+        "qvec", nprobe = 1, k = 5, m = 2, subDim = 2, probeDims = 2)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val brute = Similarity.cosineTopK(df(all), "vec_id", "embedding",
+      spark.range(1).select(typedLit(qv).cast("array<float>").as("qvec")),
+      "qvec", k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(got: Set[Long]) = got.intersect(brute).size / 5.0
+    // the measured trade the ivfCodesSink scaladoc documents: frozen
+    // artifacts lose the drifted neighbors entirely (recall 0 here),
+    // retraining recovers them exactly — and the retrain move is a NEW
+    // index, which is the cut-over the scaladoc prescribes
+    assert(recall(fresh) == 1.0, s"fresh=$fresh brute=$brute")
+    assert(recall(frozen) == 0.0, s"frozen=$frozen brute=$brute")
+  }
+
   test("scd2Batch: reconstruction equals batch scd2, late drops counted, replay-stable") {
     import graft.operators.Delta
     val stateDir = java.nio.file.Files.createTempDirectory("scdstate").toString
