@@ -332,15 +332,28 @@ object Sampling {
   def clusterBalanced(vectors: DataFrame, idCol: String, vecCol: String,
                       k: Int, quality: DataFrame, qIdCol: String,
                       qualityCol: Column, perCluster: Int,
-                      carry: Seq[String] = Nil): DataFrame = {
+                      carry: Seq[String] = Nil): DataFrame =
+    clusterBalancedAssigned(
+      Similarity.seedAssign(vectors, idCol, vecCol, k),
+      idCol, quality, qIdCol, qualityCol, perCluster, carry)
+
+  /** [[clusterBalanced]] over a CALLER-PROVIDED assignment table
+    * `(idCol, cluster)` — the TRAINED path: [[Similarity.kmeans]]
+    * output (or any clustering) plugs in directly, with no k ≤ 8
+    * packing limit; the fixed-seed form above is exactly this composed
+    * with [[Similarity.seedAssign]]. Same plan shape from the
+    * assignment onward: id equi-join + per-cluster WindowGroupLimit. */
+  def clusterBalancedAssigned(assigned: DataFrame, idCol: String,
+                              quality: DataFrame, qIdCol: String,
+                              qualityCol: Column, perCluster: Int,
+                              carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = Similarity.seedAssign(vectors, idCol, vecCol, k)
-      .select(col(idCol), col("cluster"))
+    val asg = assigned.select(col(idCol), col("cluster"))
     val q = quality.select(
       col(qIdCol) +: qualityCol.cast("long").as("quality") +: carry.map(col): _*)
     val joined =
-      if (qIdCol == idCol) q.join(assigned, Seq(idCol))
-      else q.join(assigned, col(qIdCol) === col(idCol)).drop(idCol)
+      if (qIdCol == idCol) q.join(asg, Seq(idCol))
+      else q.join(asg, col(qIdCol) === col(idCol)).drop(idCol)
     joined
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("cluster"))

@@ -425,5 +425,20 @@ class SelectionSpec extends AnyFunSuite {
       quality, "doc_id", col("n_chars"), 2, Seq("source"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
+    // the TRAINED path: kmeans assignments plug in directly and the
+    // fixed-seed form is exactly seedAssign ∘ clusterBalancedAssigned
+    val viaAssigned = Sampling.clusterBalancedAssigned(
+      Similarity.seedAssign(vecs, "vec_id", "embedding", 4), "vec_id",
+      quality, "doc_id", col("n_chars"), 2, Seq("source"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(viaAssigned == got)
+    val trained = Sampling.clusterBalancedAssigned(
+      Similarity.kmeans(vecs, "vec_id", "embedding", k = 2), "vec_id",
+      quality, "doc_id", col("n_chars"), perCluster = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    // balanced: no cluster exceeds perCluster, ranks are dense from 1
+    assert(trained.groupBy(_._1).values.forall(g =>
+      g.length <= 3 && g.map(_._4).sorted.toSeq == (1L to g.length)))
+    assert(trained.nonEmpty)
   }
 }
