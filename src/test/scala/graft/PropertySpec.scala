@@ -472,4 +472,64 @@ class PropertySpec extends AnyFunSuite {
     both("dedupLines", c => TextStats.dedupLines(c))
     both("redactPii", Cleaning.redactPii)
   }
+
+  test("rankEval properties: n_rel_at_k monotone in k, first_rel_rank " +
+    "k-stable once found, counts match a brute reference (10 tables)") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    for (_ <- 1 to 10) {
+      val rows = (1 to 3).flatMap { q =>
+        val n = 4 + rnd.nextInt(6)
+        (1 to n).map(r => (q.toLong, r.toLong, rnd.nextBoolean()))
+      }
+      val df = rows.toDF("qid", "rank", "rel")
+      def evalAt(k: Int): Map[Long, (Option[Long], Long)] =
+        Retrieval.rankEval(df, "qid", col("rel"), col("rank"), k)
+          .collect().map(r => r.getLong(0) ->
+            ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+              r.getLong(2))).toMap
+      val at3 = evalAt(3); val at7 = evalAt(7)
+      // brute reference at k=7
+      val ref = rows.groupBy(_._1).map { case (q, rs) =>
+        val in = rs.filter(r => r._2 <= 7 && r._3).map(_._2)
+        q -> (in.sorted.headOption, in.size.toLong)
+      }
+      assert(at7 == ref)
+      at3.foreach { case (q, (fr3, n3)) =>
+        val (fr7, n7) = at7(q)
+        assert(n3 <= n7, s"q$q: n_rel_at_k must be monotone in k")
+        // a first hit found at k=3 is THE first hit at any larger k
+        fr3.foreach(r => assert(fr7.contains(r), s"q$q: first rank moved"))
+      }
+    }
+  }
+
+  test("seedAssign properties: row-order/partitioning invariant, seeds " +
+    "assign to themselves at distance 0, d_min is the true min (8 tables)") {
+    import graft.operators.Similarity
+    for (_ <- 1 to 8) {
+      val n = 6 + rnd.nextInt(8)
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Seq.fill(4)((rnd.nextInt(2001) - 1000) / 1000.0f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val a = Similarity.seedAssign(df, "vec_id", "embedding", 3)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val b = Similarity.seedAssign(df.repartition(5), "vec_id", "embedding", 3)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+      // brute reference over the same 1e3-quantized integers
+      val seeds = vecs.filter(_._1 < 3)
+        .map { case (i, v) => i -> v.map(x => math.round(x.toDouble * 1000)) }
+      a.foreach { case (id, cluster, dMin) =>
+        val qv = vecs.find(_._1 == id).get._2
+          .map(x => math.round(x.toDouble * 1000))
+        val dists = seeds.map { case (c, sv) =>
+          (qv.zip(sv).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+        }
+        assert((dMin, cluster) == dists.min,
+          s"id $id: packed argmin disagrees with brute")
+        if (id < 3) assert(cluster == id && dMin == 0L)
+      }
+    }
+  }
 }
