@@ -177,13 +177,17 @@ case class LookupSums(left: Expression, right: Expression, k: Int)
     val w = b.asInstanceOf[ArrayData]
     val wn = w.numElements()
     if (wn % k != 0) return null
+    // bucket-count bound, not (j + 1) * k: the product form overflows
+    // Long for j >= ~2^63/k and would sail past the range check into an
+    // unbounded UnsafeArrayData read (ADVICE r15)
+    val nBuckets = wn / k
     val acc = new Array[Long](k)
     val n = idx.numElements()
     var i = 0
     while (i < n) {
       if (idx.isNullAt(i)) return null
       val j = idx.getLong(i)
-      if (j < 0 || (j + 1) * k > wn) return null
+      if (j < 0 || j >= nBuckets) return null
       val base = (j * k).toInt
       var c = 0
       while (c < k) { acc(c) += w.getLong(base + c); c += 1 }
@@ -200,14 +204,16 @@ case class LookupSums(left: Expression, right: Expression, k: Int)
       val base = ctx.freshName("base")
       val acc = ctx.freshName("acc")
       val wn = ctx.freshName("wn")
+      val nb = ctx.freshName("nBuckets")
       s"""
          |int $wn = $b.numElements();
+         |int $nb = $wn / $k;
          |long[] $acc = new long[$k];
          |${ev.isNull} = ($wn % $k != 0);
          |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $j = $a.getLong($i);
-         |  if ($j < 0 || ($j + 1) * $k > $wn) { ${ev.isNull} = true; break; }
+         |  if ($j < 0 || $j >= (long) $nb) { ${ev.isNull} = true; break; }
          |  int $base = (int) ($j * $k);
          |  for (int $c = 0; $c < $k; $c++) {
          |    $acc[$c] += $b.getLong($base + $c);

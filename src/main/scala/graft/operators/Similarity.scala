@@ -41,9 +41,14 @@ object Similarity {
       .limit(k)
 
   /** Exact-integer nearest-seed assignment — every vector to its closest
-    * of the k lowest-id vectors (the fixed-seed rule q23/q156 pin against
-    * the oracle; for TRAINED centroids run [[kmeans]] or route through
-    * [[ivfPqSearchTrained]]). Distances are computed over 1e3-quantized
+    * of the seed vectors with ids `0..k-1` (the fixed-seed rule q23/q156
+    * pin against the oracle; for TRAINED centroids run [[kmeans]] or
+    * route through [[ivfPqSearchTrained]]). PRECONDITION: the corpus
+    * carries exactly the ids 0..k-1 among its rows — a non-dense or
+    * offset id space would silently shrink the seed set (ADVICE r15), so
+    * the realized seed count is asserted at construction (one bounded
+    * pushed-filter scan; the seeds are broadcast-small by contract).
+    * Distances are computed over 1e3-quantized
     * integer components so the argmin is exact in both engines (no
     * float-sum association drift), and (dist, seed) packs into ONE BIGINT
     * so `min()` itself is the deterministic tie-break (min dist, then min
@@ -59,6 +64,12 @@ object Similarity {
     val vecs = df.select(col(idCol), quant(col(vecCol)).as("__qv"))
     val seeds = df.filter(col(idCol) < k)
       .select(col(idCol).as("__c"), quant(col(vecCol)).as("__qc"))
+    val nSeeds = seeds.select(countDistinct(col("__c"))).head().getLong(0)
+    require(nSeeds == k,
+      s"seedAssign seeds on ids 0..${k - 1} but the corpus realizes only " +
+        s"$nSeeds of them — a non-dense/offset id space would silently " +
+        s"shrink the cluster space; pass a 0-based dense-id corpus or use " +
+        s"kmeans/ivfPqSearchTrained for arbitrary centroid tables")
     vecs.crossJoin(broadcast(seeds))
       .select(col(idCol),
         (aggregate(zip_with(col("__qv"), col("__qc"),

@@ -786,7 +786,12 @@ object StreamingJobs {
     * is idempotent, but a doc re-delivered in a LATER epoch with
     * different content would leave its old postings standing (the
     * mutable-doc case routes through [[mergeStateSink]]'s keyed upsert
-    * instead — rebuild the index from merged docs). `maxEpochAge` > 0
+    * instead — rebuild the index from merged docs). `assertAppendOnly`
+    * makes that contract CHECKABLE instead of purely documented (ADVICE
+    * r15): each epoch compares the fresh batch's re-delivered doc_ids'
+    * posting sets against prior state (probe ∝ the re-delivered subset,
+    * never state×state) and RAISES on a content change — for sources
+    * that promise append-only but can't prove it. `maxEpochAge` > 0
     * keeps a sliding index (recent-epoch retrieval only). State is
     * posting-mass-bounded per retained epoch — the postings ARE the
     * product, as with every layout table; at production scale the state
@@ -796,12 +801,13 @@ object StreamingJobs {
   def invertedIndexSink(docs: DataFrame, idCol: String, tokensCol: Column,
                         stateDir: String, outDir: String,
                         probePhrase: Seq[String],
-                        maxEpochAge: Int = 0): DataStreamWriter[Row] =
+                        maxEpochAge: Int = 0,
+                        assertAppendOnly: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         invertedIndexBatch(batch, epochId, idCol, tokensCol, stateDir,
-          outDir, probePhrase, maxEpochAge)
+          outDir, probePhrase, maxEpochAge, assertAppendOnly)
       }
 
   /** One epoch of [[invertedIndexSink]], exposed for replay/merge
@@ -809,7 +815,8 @@ object StreamingJobs {
   def invertedIndexBatch(batch: DataFrame, epochId: Long, idCol: String,
                          tokensCol: Column, stateDir: String,
                          outDir: String, probePhrase: Seq[String],
-                         maxEpochAge: Int = 0): Unit = {
+                         maxEpochAge: Int = 0,
+                         assertAppendOnly: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import graft.operators.Retrieval
     val fresh = Retrieval.invertedIndex(batch, idCol, tokensCol)
@@ -818,6 +825,33 @@ object StreamingJobs {
       case Some(v) => spark.read.parquet(s"$stateDir/v$v")
         .filter(col("__epoch") < epochId)
       case None => fresh.limit(0)
+    }
+    if (assertAppendOnly) {
+      // re-delivered ids only (semi-join — probe ∝ |fresh|, the family
+      // incremental rule); content changed ⇔ the (token, pos) multiset
+      // differs, detected as any (id, token, pos) present on exactly one
+      // side. A replay of the SAME content matches both sides and passes
+      // (crash-replay idempotence is unaffected).
+      val redelivered = fresh.select(col(idCol)).distinct()
+        .join(prior.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      val sideOf = (df: DataFrame, p: Int, f: Int) =>
+        df.select(col(idCol), col("token"), col("pos"))
+          .join(redelivered, Seq(idCol), "left_semi")
+          .select(col(idCol), col("token"), col("pos"),
+            lit(p.toLong).as("__p"), lit(f.toLong).as("__f"))
+      val changed = sideOf(prior, 1, 0).unionByName(sideOf(fresh, 0, 1))
+        .groupBy(col(idCol), col("token"), col("pos"))
+        .agg(sum(col("__p")).as("__np"), sum(col("__f")).as("__nf"))
+        .filter(col("__np") === 0 || col("__nf") === 0)
+        .select(col(idCol)).distinct()
+        .orderBy(col(idCol)).limit(5)
+        .collect().map(_.get(0))
+      require(changed.isEmpty,
+        s"invertedIndexSink append-only contract violated at epoch " +
+          s"$epochId: doc ids ${changed.mkString(", ")} were re-delivered " +
+          s"with different posting sets — their old postings would stand " +
+          s"and corrupt phrase results; route mutable docs through " +
+          s"mergeStateSink and rebuild the index from merged docs")
     }
     val cumulative = prior.select(col("token"), col(idCol), col("pos"))
       .unionByName(fresh.select(col("token"), col(idCol), col("pos")))

@@ -118,6 +118,13 @@ class FunctionsSpec extends AnyFunSuite {
       .select(VectorFunctions.lookupSumsNative(
         col("f"), typedLit(flat), 2)).collect().head
     assert(nullElem.isNullAt(0))
+    // pathological huge index: (j + 1) * k overflows Long and would
+    // bypass a product-form range check into an out-of-bounds
+    // UnsafeArrayData read (ADVICE r15) — must be NULL, never garbage
+    val huge = Seq(Seq(Long.MaxValue - 1), Seq(Long.MaxValue / 2)).toDF("f")
+      .select(VectorFunctions.lookupSumsNative(
+        col("f"), typedLit(flat), 2)).collect()
+    assert(huge.forall(_.isNullAt(0)))
   }
 
   test("graft_dot is SQL-callable after registration") {

@@ -531,5 +531,14 @@ class PropertySpec extends AnyFunSuite {
         if (id < 3) assert(cluster == id && dMin == 0L)
       }
     }
+    // offset/non-dense id space: fewer than k of the ids 0..k-1 exist —
+    // must fail loudly instead of silently shrinking the cluster space
+    // (ADVICE r15)
+    val offset = (10L to 15L).map(i => (i, Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.seedAssign(offset, "vec_id", "embedding", 3)
+    }
+    assert(err.getMessage.contains("0..2"))
   }
 }

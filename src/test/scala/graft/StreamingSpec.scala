@@ -549,6 +549,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!emitted(2, out2).exists(_._1 == 1L)) // e0's match aged out
   }
 
+  test("invertedIndexBatch assertAppendOnly: same-content re-delivery " +
+    "passes, changed content raises instead of silently corrupting " +
+    "(ADVICE r15)") {
+    val stateDir = java.nio.file.Files.createTempDirectory("iiaostate").toString
+    val outDir = java.nio.file.Files.createTempDirectory("iiaoout").toString
+    def run(e: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingJobs.invertedIndexBatch(docs.toDF("doc_id", "text"), e,
+        "doc_id", split(col("text"), " "), stateDir, outDir,
+        Seq("fast", "table"), assertAppendOnly = true)
+    run(0, Seq((1L, "fast table scan"), (2L, "the fast car")))
+    // same content in a later epoch: posting sets match both sides, ok
+    run(1, Seq((1L, "fast table scan"), (3L, "slow table")))
+    // changed content for a known id: the old postings would stand and
+    // corrupt phrase results — the assertion mode must raise, naming it
+    val err = intercept[IllegalArgumentException] {
+      run(2, Seq((2L, "entirely different words now")))
+    }
+    assert(err.getMessage.contains("append-only"))
+    assert(err.getMessage.contains("2"))
+  }
+
   test("ivfCodesBatch: train-once/add-forever — every horizon's probe " +
     "equals the one-shot search with epoch-0-frozen artifacts, " +
     "replay-stable, sliding window") {
