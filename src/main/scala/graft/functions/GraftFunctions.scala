@@ -191,6 +191,7 @@ object GraftFunctions {
       ("graft_flac_info", classOf[FlacInfo], unary("graft_flac_info", FlacInfo)),
       ("graft_ogg_info", classOf[OggInfo], unary("graft_ogg_info", OggInfo)),
       ("graft_avi_info", classOf[AviInfo], unary("graft_avi_info", AviInfo)),
+      ("graft_pdf_info", classOf[PdfInfo], unary("graft_pdf_info", PdfInfo)),
       ("graft_dhash", classOf[ImageDHash], unary("graft_dhash", ImageDHash)))
 
   val mediaFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

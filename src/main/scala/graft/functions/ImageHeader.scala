@@ -663,6 +663,165 @@ object ImageHeader {
     }
     -1L
   }
+
+  // ---- PDF (classic cross-reference table) ----
+
+  /** -1 unless `b` is a classic-xref PDF whose page tree resolves; else
+    * major<<40 | minor<<32 | pageCount. Walks the REAL document
+    * structure (reference detail pages link `.pdf` documentos —
+    * detail_parser.py:97-119 — so this is the one container the
+    * reference pipeline actually stores): `%PDF-M.N` header version →
+    * tail `startxref` → cross-reference table (multi-subsection) →
+    * trailer `/Root` → catalog `/Pages` → page-tree `/Count`. Every
+    * hop is bounds-checked (the TIFF IFD discipline) with hard caps on
+    * subsection and entry counts; xref STREAMS (PDF 1.5 compressed
+    * xref) and any malformed byte return -1, never throw. Called from
+    * generated code — must stay a pure static-forwardable function. */
+  def packedPdf(b: Array[Byte]): Long = {
+    if (b == null || b.length < 40 || !asciiAt(b, 0, "%PDF-")) return -1L
+    val c = new PdfCur(b)
+    // version digits sit immediately after the signature — no ws skip
+    c.i = 5
+    val major = c.digits(99L)
+    if (c.failed || c.i >= b.length || b(c.i) != '.') return -1L
+    c.i += 1
+    val minor = c.digits(99L)
+    if (c.failed) return -1L
+    // startxref: last occurrence wins (incremental updates append) —
+    // searched from the tail, where a conforming trailer puts it
+    val sxi = lastAscii(b, "startxref")
+    if (sxi < 0) return -1L
+    c.i = sxi + 9
+    val xrefOff = c.uint(b.length - 4L)
+    if (c.failed) return -1L
+    // classic xref table → (objNum → byte offset) for in-use entries
+    c.i = xrefOff.toInt
+    if (!c.keyword("xref")) return -1L
+    val offsets = new java.util.HashMap[Long, Long]()
+    var sections = 0
+    var done = false
+    while (!done) {
+      c.skipWs()
+      if (asciiAt(b, c.i, "trailer")) { c.i += 7; done = true }
+      else {
+        sections += 1
+        if (sections > 1000) return -1L
+        val start = c.uint(100000000L)
+        val cnt = c.uint(100000L)
+        if (c.failed) return -1L
+        var j = 0L
+        while (j < cnt) {
+          val off = c.uint(9999999999L)
+          c.uint(99999L) // generation — parsed, not used
+          c.skipWs()
+          if (c.failed || c.i >= b.length) return -1L
+          val t = b(c.i); c.i += 1
+          if (t == 'n') { if (off < b.length) offsets.put(start + j, off) }
+          else if (t != 'f') return -1L
+          j += 1
+        }
+      }
+    }
+    // trailer dict: /Root n g R
+    val ri = findAscii(b, c.i, math.min(b.length, c.i + 4096), "/Root")
+    if (ri < 0) return -1L
+    c.i = ri + 5
+    val rootN = c.uint(100000000L)
+    if (c.failed) return -1L
+    // catalog: /Pages n g R
+    val cat = objBounds(c, offsets, rootN)
+    if (c.failed) return -1L
+    val pi = findAscii(b, (cat >>> 32).toInt, (cat & 0xffffffffL).toInt, "/Pages")
+    if (pi < 0) return -1L
+    c.i = pi + 6
+    val pagesN = c.uint(100000000L)
+    if (c.failed) return -1L
+    // page-tree root: /Count N (authoritative total leaf count)
+    val pg = objBounds(c, offsets, pagesN)
+    if (c.failed) return -1L
+    val ci = findAscii(b, (pg >>> 32).toInt, (pg & 0xffffffffL).toInt, "/Count")
+    if (ci < 0) return -1L
+    c.i = ci + 6
+    val pages = c.uint(0xffffffffL)
+    if (c.failed) return -1L
+    (major << 40) | (minor << 32) | pages
+  }
+
+  /** Resolve object `n` via the xref map: positions the cursor after
+    * "n g obj" and returns dictStart<<32 | scanEnd (bounded by the next
+    * `endobj` or a 64 KiB window). Sets the cursor's fail flag on any
+    * miss. */
+  private def objBounds(c: PdfCur, offsets: java.util.HashMap[Long, Long],
+                        n: Long): Long = {
+    val off = offsets.getOrDefault(n, -1L)
+    if (off < 0 || off >= c.b.length) return c.fail()
+    c.i = off.toInt
+    val num = c.uint(100000000L)
+    c.uint(99999L)
+    if (c.failed || num != n || !c.keyword("obj")) return c.fail()
+    val start = c.i
+    val cap = math.min(c.b.length, start + 65536)
+    val end = findAscii(c.b, start, cap, "endobj")
+    ((start.toLong << 32) | (if (end < 0) cap else end).toLong)
+  }
+
+  /** Byte-cursor over an ASCII-structured PDF skeleton; all parses are
+    * bounds-checked and latch `failed`. */
+  private final class PdfCur(val b: Array[Byte]) {
+    var i: Int = 0
+    var failed: Boolean = false
+    def fail(): Long = { failed = true; -1L }
+    def skipWs(): Unit = {
+      while (i < b.length && isPdfWs(b(i))) i += 1
+    }
+    /** Unsigned decimal run at the cursor (no ws skip); fails on empty
+      * or > max. */
+    def digits(max: Long): Long = {
+      var v = 0L; var n = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); n += 1; i += 1
+        if (v > max) return fail()
+      }
+      if (n == 0) fail() else v
+    }
+    def uint(max: Long): Long = { skipWs(); digits(max) }
+    def keyword(s: String): Boolean = {
+      skipWs()
+      if (asciiAt(b, i, s)) { i += s.length; true } else false
+    }
+  }
+
+  private def isPdfWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == '\f'
+
+  private def asciiAt(b: Array[Byte], off: Int, s: String): Boolean = {
+    if (off < 0 || off + s.length > b.length) return false
+    var k = 0
+    while (k < s.length) {
+      if (b(off + k) != s.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  private def lastAscii(b: Array[Byte], s: String): Int = {
+    var i = b.length - s.length
+    while (i >= 0) {
+      if (asciiAt(b, i, s)) return i
+      i -= 1
+    }
+    -1
+  }
+
+  private def findAscii(b: Array[Byte], from: Int, to: Int, s: String): Int = {
+    var i = math.max(0, from)
+    val stop = math.min(to, b.length) - s.length
+    while (i <= stop) {
+      if (asciiAt(b, i, s)) return i
+      i += 1
+    }
+    -1
+  }
 }
 
 /** `image_dims(binary) -> long` — NULL unless the payload starts with a
@@ -968,6 +1127,40 @@ case class OggInfo(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `pdf_info(binary) -> long` — NULL unless the payload is a classic-xref
+  * PDF whose page tree resolves; else major<<40|minor<<32|pageCount
+  * (unpacked by [[ImageFunctions.pdfMeta]]). Same codegen shape as
+  * [[ImageDims]]. */
+case class PdfInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pdf_info expects binary input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pdf_info"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val packed = ImageHeader.packedPdf(input.asInstanceOf[Array[Byte]])
+    if (packed < 0) null else packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val packed = ctx.freshName("packed")
+      s"""
+         |long $packed = graft.functions.ImageHeader.packedPdf($c);
+         |if ($packed < 0) { ${ev.isNull} = true; } else { ${ev.value} = $packed; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PdfInfo =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the image-header expressions. */
 object ImageFunctions {
 
@@ -1091,4 +1284,21 @@ object ImageFunctions {
       shiftright(packed, 44).bitwiseAND(lit(0xfffffL)).cast("int").as("width"),
       shiftright(packed, 24).bitwiseAND(lit(0xfffffL)).cast("int").as("height"),
       packed.bitwiseAND(lit(0xffffffL)).as("duration_ms"))
+
+  /** Packed (major, minor, pageCount) long for classic-xref PDF
+    * payloads, NULL otherwise. */
+  def pdfInfo(payload: Column): Column =
+    ColumnBridge.column(PdfInfo(ColumnBridge.expression(payload)))
+
+  /** Typed PDF metadata `{version, pages}` — NULL fields for payloads
+    * that are not resolvable classic-xref PDFs. */
+  def pdfMeta(payload: Column): Column = {
+    val packed = pdfInfo(payload)
+    struct(
+      concat(shiftright(packed, 40).bitwiseAND(lit(0xffL)).cast("string"),
+        lit("."),
+        shiftright(packed, 32).bitwiseAND(lit(0xffL)).cast("string"))
+        .as("version"),
+      packed.bitwiseAND(lit(0xffffffffL)).cast("int").as("pages"))
+  }
 }

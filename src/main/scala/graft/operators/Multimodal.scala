@@ -178,6 +178,44 @@ object Multimodal {
         (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
   }
 
+  /** Deterministic synthetic PDF table derived from `documents` — the
+    * [[synthesizeMedia]] discipline for the one container the reference
+    * pipeline actually stores (detail pages harvest `.pdf` documentos:
+    * reference detail_parser.py:97-119). Every payload is a COMPLETE
+    * classic-xref PDF built from column math: header version cycles
+    * 1.3–1.7 with doc_id, the page-tree /Count is the 6-digit-padded
+    * pages value, and because every variable field is fixed-width the
+    * object byte offsets are compile-time constants — so the embedded
+    * cross-reference table is byte-exact and a real xref walker
+    * ([[graft.functions.ImageHeader.packedPdf]]) traverses
+    * header → startxref → xref → trailer /Root → catalog /Pages →
+    * /Count against genuine structure. Returns (pdf_id, payload,
+    * meta{version, pages}). */
+  def synthesizePdfs(docs: DataFrame): DataFrame = {
+    val verDigit = (col("doc_id") % 5 + 3).cast("int") // versions 1.3..1.7
+    val pages = (col("n_chars") % 900 + 1).cast("int")
+    val o1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+    val o2a = "2 0 obj<</Type/Pages/Kids[3 0 R]/Count "
+    val o2b = ">>endobj\n"
+    val o3 = "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n"
+    val off1 = 9 // "%PDF-1.x\n"
+    val off2 = off1 + o1.length
+    val off3 = off2 + o2a.length + 6 + o2b.length
+    val offX = off3 + o3.length
+    def entry(off: Int) = f"$off%010d 00000 n \n"
+    val tail = "xref\n0 4\n" + "0000000000 65535 f \n" +
+      entry(off1) + entry(off2) + entry(off3) +
+      "trailer<</Size 4/Root 1 0 R>>\nstartxref\n" + offX + "\n%%EOF"
+    docs.select(
+      col("doc_id").as("pdf_id"),
+      concat(lit("%PDF-1."), verDigit.cast("string"), lit("\n" + o1 + o2a),
+        lpad(pages.cast("string"), 6, "0"), lit(o2b + o3 + tail))
+        .cast("binary").as("payload"),
+      struct(
+        concat(lit("1."), verDigit.cast("string")).as("version"),
+        pages.as("pages")).as("meta"))
+  }
+
   /** Decoded per-item features: fixed-dim vector + frame count. */
   final case class MediaFeatures(ok: Boolean, features: Array[Float], nFrames: Int)
 

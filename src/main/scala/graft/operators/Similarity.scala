@@ -177,10 +177,23 @@ object Similarity {
     * handling ivfAssign applies via NULL buckets — a null distance
     * would otherwise sort first in the argmin and silently pollute
     * cluster 0). Returns (idCol, cluster) for `maxIter` rounds or until
-    * assignments stop changing. */
+    * assignments stop changing.
+    *
+    * Oracle parity (q164): per-iteration squared distances are ROUNDED
+    * to 6 decimals before the struct-argmin (the q51 round-before-rank
+    * discipline — a 1-ulp fold difference between engines cannot flip
+    * an argmin off the rounded grid), ties break on the lower cluster
+    * id in both engines, and the centroid recompute is [[centroids]]'
+    * exact integer-millionth sums divided in the fixed written order
+    * (s / 1e6 / n). `seedLevels` is the sampling escalation ladder;
+    * `Seq(1)` pins the exact full-dedup seeding — the form a SQL oracle
+    * replays (dedup by vector, min-id winner, first k by id), since the
+    * default xxhash64 sample levels are engine-specific. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             maxIter: Int = 10): DataFrame = {
+             maxIter: Int = 10,
+             seedLevels: Seq[Long] = Seq(1024L, 32L, 1L)): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(seedLevels.nonEmpty, "seedLevels must be non-empty")
     def comps(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Any](0).map {
         case f: java.lang.Float  => f.toDouble
@@ -189,7 +202,7 @@ object Similarity {
       }.toArray
     val nonNull = df.filter(!exists(col(vecCol), x => x.isNull))
     var seeds = Array.empty[Array[Double]]
-    val levels = Iterator(1024L, 32L, 1L)
+    val levels = seedLevels.iterator
     while (seeds.length < k && levels.hasNext)
       seeds = seedCandidates(nonNull, idCol, vecCol, k, levels.next())
         .collect().map(comps)
@@ -200,12 +213,13 @@ object Similarity {
     val clean = nonNull.filter(size(col(vecCol)) === dim)
     var cents: Array[Array[Double]] = seeds.filter(_.length == dim)
     def assignExpr(cs: Array[Array[Double]]): Column = {
-      // row-local argmin over the broadcast centroid literals
+      // row-local argmin over the broadcast centroid literals; round-6
+      // BEFORE the argmin so the struct comparison is engine-portable
       val dists = cs.zipWithIndex.map { case (c, i) =>
         val d2 = aggregate(
           zip_with(col(vecCol), lit(c), (x, y) => (d(x) - y) * (d(x) - y)),
           lit(0.0), (s, x) => s + x)
-        struct(d2.as("d"), lit(i).as("c"))
+        struct(round(d2, 6).as("d"), lit(i).as("c"))
       }
       array_min(array(dists.toIndexedSeq: _*)).getField("c")
     }
@@ -904,17 +918,23 @@ object Similarity {
     * ("bucket")` ([[graft.sources.Writers.ensureIvfPqIndex]]) and a
     * probe's coarse routing becomes DIRECTORY pruning — the q158
     * stored-layout discipline applied to ANN serving. */
+  /** `passthrough` columns ride the codes table untouched (the FAISS
+    * payload-alongside-codes shape) — e.g. a label column so stored-
+    * index mining ([[routedNegativesStored]]) never re-joins the
+    * corpus-sized base table at probe time. */
   def ivfPqIndexTables(vectors: DataFrame, idCol: String, vecCol: String,
                        coarse: DataFrame, coarseIdCol: String,
                        coarseVecCol: String, m: Int = 4, subDim: Int = 16,
-                       probeDims: Int = 4): (DataFrame, DataFrame) =
+                       probeDims: Int = 4,
+                       passthrough: Seq[String] = Nil): (DataFrame, DataFrame) =
     ivfPqIndexTablesWith(vectors, idCol, vecCol,
       collectQuantCents(coarse, coarseIdCol, coarseVecCol),
-      m, subDim, probeDims)
+      m, subDim, probeDims, passthrough)
 
   private def ivfPqIndexTablesWith(vectors: DataFrame, idCol: String,
       vecCol: String, cents: Array[(Long, Array[Long])], m: Int,
-      subDim: Int, probeDims: Int): (DataFrame, DataFrame) = {
+      subDim: Int, probeDims: Int,
+      passthrough: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val dim = cents.head._2.length
     val clean = vectors
       .filter(size(col(vecCol)) === dim &&
@@ -926,11 +946,11 @@ object Similarity {
           lit(0L), (s2, x) => s2 + x).as("d"),
         lit(cid).as("c"))
     }.toIndexedSeq: _*)).getField("c")
-    val codes = clean.select(col(idCol),
+    val codes = clean.select(col(idCol) +: passthrough.map(col) :+
       array((0 until m).map(i =>
         ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
-        .as("codes"),
-      assignment.as("bucket"))
+        .as("codes") :+
+      assignment.as("bucket"): _*)
     val book = pqCodebook(pqCodes(vectors, idCol, vecCol, m, subDim, probeDims))
     (codes, book)
   }
@@ -1065,19 +1085,137 @@ object Similarity {
     * subspace are dropped; a missing subspace contributes 0, matching
     * [[pqAdcRank]]'s partial-sum semantics on ragged rows. */
   def pqAdcRankWide(wideCodes: DataFrame, dense: Array[Array[Double]],
-                    idCol: String, k: Int): DataFrame = {
-    val m = dense.length
-    val perSub = (0 until m).map { i =>
+                    idCol: String, k: Int): DataFrame =
+    wideCodes
+      .filter(adcAnyCode(dense.length))
+      .select(col(idCol), adcDist(dense).as("adist"))
+      .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)
+      .limit(k)
+
+  /** Row-local ADC distance over a `codes` array column against one
+    * query's dense literal tables — [[pqAdcRankWide]]'s scoring
+    * expression, shared with the batch form. */
+  private def adcDist(dense: Array[Array[Double]]): Column =
+    dense.indices.map { i =>
       val c = element_at(col("codes"), i + 1)
       when(c.isNull, lit(BigDecimal(0)).cast("decimal(28,8)"))
         .otherwise(element_at(lit(dense(i)), c + 1).cast("decimal(28,8)"))
+    }.reduce(_ + _).cast("decimal(28,8)").cast("double")
+
+  private def adcAnyCode(m: Int): Column =
+    (0 until m).map(i =>
+      element_at(col("codes"), i + 1).isNotNull).reduce(_ || _)
+
+  /** IVF-routed hard-negative mining against a STORED
+    * [[ivfPqIndexTables]] layout — the stored twin of
+    * [[routedNegatives]] (q155), ranked by ADC distance ASCENDING over
+    * PQ codes instead of exact cosine over embeddings (the index holds
+    * ~16×-compressed codes plus the `labelCol` payload written at build
+    * time, so probing never re-joins the corpus-sized base table; the
+    * recall trade vs the live arm is measured in ScaleSmoke).
+    *
+    * Scale shape: the query batch collapses duplicate/NULL qids (the
+    * [[hardNegatives]] rule) and its QUANTIZED vectors are collected
+    * once — bounded by the batch, the pqAdcDense contract; routing is
+    * driver-side EXACT integer argsort per query (replayable by any SQL
+    * engine), and the distinct probed-bucket union is ≤ the CENTROID
+    * count regardless of |Q|, so the codes scan carries plan-time
+    * PartitionFilters literals (directory pruning) no matter how large
+    * the batch grows. The scan side is ONE filtered pass of the codes
+    * layout, a broadcast equi-join on the bucket key fanning rows to
+    * their probing queries (queries sharing a bucket share the scan),
+    * label/self disqualification inside that join, a per-qid CASE of
+    * ADC literal lookups, and one qid-keyed rank window
+    * (WindowGroupLimit cuts before the exchange). Returns
+    * (qidCol, idCol, labelCol, adist), per-query ascending top-k, ids
+    * ascending on ties. qids must be integral (they key the driver-side
+    * routing map). */
+  def routedNegativesStored(codes: DataFrame, book: DataFrame,
+                            centroids: DataFrame, idCol: String,
+                            labelCol: String, queries: DataFrame,
+                            qidCol: String, queryVecCol: String,
+                            queryLabelCol: String, nprobe: Int, k: Int,
+                            m: Int = 4, subDim: Int = 16,
+                            probeDims: Int = 4): DataFrame = {
+    require(nprobe >= 1 && k >= 1,
+      s"need nprobe >= 1 and k >= 1 (got nprobe=$nprobe k=$k)")
+    require(qidCol != idCol && queryLabelCol != labelCol,
+      s"query columns must differ from stored-index columns " +
+        s"(got id $qidCol/$idCol, label $queryLabelCol/$labelCol) — " +
+        s"alias one side")
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = collectQuantCents(centroids, "cid", "cvec")
+    val distinctQ = queries
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
+      .filter(col(qidCol).isNotNull)
+      .withColumn("__qrn", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col(queryVecCol).asc_nulls_last,
+            col(queryLabelCol).asc_nulls_last)))
+      .filter(col("__qrn") === 1)
+      .select(col(qidCol), col(queryVecCol), col(queryLabelCol))
+    // bounded probe batch: quantized vectors collected once, routed on
+    // the driver in exact integer arithmetic
+    val qrows = distinctQ
+      .select(col(qidCol).cast("long"), quantMilli(col(queryVecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    if (qrows.isEmpty)
+      return codes.filter(lit(false))
+        .join(distinctQ, col(qidCol) === col(idCol))
+        .select(col(qidCol), col(idCol), col(labelCol),
+          lit(0.0).as("adist"))
+    qrows.foreach { case (q, v) => require(v.length == cents.head._2.length,
+      s"query $q dimension ${v.length} != centroid dimension " +
+        s"${cents.head._2.length}") }
+    val probePairs = qrows.toSeq.flatMap { case (q, v) =>
+      probedIds(v, cents, nprobe).map(b => (q, b))
     }
-    wideCodes
-      .filter((0 until m).map(i =>
-        element_at(col("codes"), i + 1).isNotNull).reduce(_ || _))
-      .select(col(idCol),
-        perSub.reduce(_ + _).cast("decimal(28,8)").cast("double").as("adist"))
-      .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)
-      .limit(k)
+    val unionBuckets = probePairs.map(_._2).distinct
+    // per-query ADC tables: book ⋈ broadcast query subvectors (the
+    // pqAdcTable arithmetic, qid-keyed), collected — ≤ |Q|·m·(2p+1)²
+    val qsubs = distinctQ.select(col(qidCol).cast("long").as("__qid"),
+      posexplode(array((0 until m).map(i =>
+        slice(col(queryVecCol), i * subDim + 1, subDim)): _*))
+        .as(Seq("m", "qsub")))
+    val radix = 2 * probeDims + 1
+    val denseByQ: Map[Long, Array[Array[Double]]] =
+      qrows.map { case (q, _) =>
+        q -> Array.fill(m, radix * radix)(Double.NaN)
+      }.toMap
+    centroidMeans(book).join(broadcast(qsubs), Seq("m"))
+      .select(col("__qid"), col("m"), col("code"),
+        (round(
+          dot(col("qsub"), col("qsub"))
+            - lit(2.0) * dot(col("qsub"), col("centroid"))
+            + dot(col("centroid"), col("centroid")), 8) + lit(0.0)).as("d2"))
+      .collect()
+      .foreach(r => denseByQ(r.getLong(0))(r.getInt(1))(r.getInt(2)) =
+        r.getDouble(3))
+    val adistExpr = qrows.foldRight(lit(null).cast("double")) {
+      case ((q, _), acc) =>
+        when(col(qidCol).cast("long") === q, adcDist(denseByQ(q)))
+          .otherwise(acc)
+    }
+    val probeSide = distinctQ
+      .select(col(qidCol), col(queryLabelCol))
+      .join(broadcast(probePairs.toDF("__qid", "bucket")),
+        col(qidCol).cast("long") === col("__qid"))
+      .select(col(qidCol), col(queryLabelCol), col("bucket"))
+    codes
+      .filter(col("bucket").isin(unionBuckets: _*))
+      .join(broadcast(probeSide), Seq("bucket"))
+      .filter(col(labelCol) =!= col(queryLabelCol) &&
+        col(idCol) =!= col(qidCol))
+      .filter(adcAnyCode(m))
+      .select(col(qidCol), col(idCol), col(labelCol),
+        adistExpr.as("adist"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)))
+      .filter(col("__rk") <= k)
+      .select(col(qidCol), col(idCol), col(labelCol), col("adist"))
   }
 }

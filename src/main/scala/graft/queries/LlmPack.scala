@@ -140,6 +140,33 @@ object LlmPack extends QueryPack {
         "qid", "qvec", "qlabel", probeDims = 8, nprobe = 4, k = 10)
     }),
 
+    // q155's STORED twin (VERDICT r15 #7 — q162 probes one query;
+    // mining probes a batch): hard-negative mining against the
+    // MATERIALIZED bucket-partitioned IVF×PQ layout. Routing is
+    // driver-side exact-integer per query over the stored centroid
+    // table; the distinct probed-bucket union (≤ centroid count, never
+    // |Q|) lands as plan-time PartitionFilters literals, so the ONLY
+    // corpus-sized read is the pruned codes scan; the label payload
+    // rides the codes layout (written at build time), so
+    // disqualification runs in-scan with no base-table join; ranking
+    // is ADC distance ascending (the compressed-index trade vs q155's
+    // exact cosine — recall A/B'd in ScaleSmoke). The oracle replays
+    // the q156 assignment + per-query probe ranking, the per-qid ADC
+    // tables, and the disqualified DECIMAL-sum top-k.
+    "q168_routed_negatives_stored" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndex(s, dir)
+      val emb = Q.t(s, dir, "embeddings")
+      Similarity.routedNegativesStored(
+        s.read.parquet(s"$path/codes"),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id", "label",
+        emb.filter(col("vec_id") < 3).select(
+          col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel")),
+        "qid", "qvec", "qlabel", nprobe = 4, k = 10)
+    }),
+
     // L2 eval: retrieval-quality measurement — the metric primitive the
     // whole tier is tuned against. 8 broadcast query vectors rank the
     // corpus by round-6 cosine (the q51/q153 bounded-batch shape,
@@ -265,6 +292,30 @@ object LlmPack extends QueryPack {
           col("vhdr.width").as("vid_w"),
           col("vhdr.height").as("vid_h"),
           col("vhdr.duration_ms").as("video_ms")))),
+
+    // L3: PDF structure parse (VERDICT r15 #5 — the one container the
+    // reference actually stores: detail pages harvest `.pdf` documentos,
+    // detail_parser.py:97-119). synthesizePdfs builds COMPLETE
+    // classic-xref PDFs from column math (fixed-width fields make the
+    // embedded xref offsets byte-exact constants); the Spark side must
+    // recover version + page count by WALKING the real structure
+    // (header → startxref → xref table → trailer /Root → catalog
+    // /Pages → page-tree /Count — graft_pdf_info). Every 10th payload
+    // is truncated mid-body: the walk fails bounds-checked and yields
+    // NULL, the corrupt-bytes contract of the whole L3 family,
+    // oracle-checked here rather than spec-only. The oracle is the
+    // q100 arithmetic twin: version/pages recomputed from the
+    // generating formulas.
+    "q167_pdf_meta" -> ((s, dir) => Q.ordered {
+      val pdfs = Multimodal.synthesizePdfs(Q.t(s, dir, "documents"))
+      val payload = when(col("pdf_id") % 10 === 7,
+        substring(col("payload"), 1, 40)).otherwise(col("payload"))
+      pdfs
+        .withColumn("hdr", graft.functions.ImageFunctions.pdfMeta(payload))
+        .select(col("pdf_id"),
+          col("hdr.version").as("pdf_version"),
+          col("hdr.pages").as("n_pages"))
+    }),
 
     // W3: final-sink JSONB wrap (reference src/storage.py:146-147) — the
     // documentos array serialized to a JSON string column, NULL → '[]'.
@@ -476,6 +527,97 @@ object LlmPack extends QueryPack {
          SELECT qid, vec_id, label, score FROM r WHERE rk <= 10
          ORDER BY ALL NULLS FIRST""",
 
+    // the q156 exact-integer assignment over the stored layout's fixed
+    // low-id centroids, per-QUERY integer probe ranking, per-qid ADC
+    // tables (the q125 dot-identity chain), label/self disqualification,
+    // DECIMAL-sum ascending top-10 per query
+    "q168_routed_negatives_stored" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec,
+                           label AS qlabel,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+                    FROM embeddings WHERE vec_id < 3),
+         vq AS MATERIALIZED (
+             SELECT vec_id, label,
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
+         sl AS MATERIALIZED (
+             SELECT cid, unnest(cq) AS y, generate_subscripts(cq, 1) AS i
+             FROM seeds),
+         vl AS (SELECT vec_id, unnest(qv) AS x,
+                       generate_subscripts(qv, 1) AS i FROM vq),
+         dist AS (SELECT vl.vec_id, sl.cid,
+                         CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                  FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+         asg AS MATERIALIZED (
+             SELECT vec_id, CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS bucket
+             FROM dist GROUP BY 1),
+         ql AS (SELECT qid, unnest(qq) AS x,
+                       generate_subscripts(qq, 1) AS i FROM q),
+         pd AS (SELECT ql.qid, sl.cid,
+                       CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+                FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1, 2),
+         pr AS (SELECT qid, cid FROM (
+                  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                           ORDER BY d2 ASC, cid ASC) AS r
+                  FROM pd) WHERE r <= 4),
+         mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         sub AS (SELECT vec_id, m,
+                        list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                       x -> CAST(x AS DOUBLE)) AS sub
+                 FROM embeddings, mm),
+         stc AS (SELECT vec_id, m, sub,
+                        list_reverse_sort(list_transform(range(1, 5), i ->
+                          [abs(sub[i]),
+                           CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+                 FROM sub),
+         codes AS (SELECT vec_id, m, sub,
+                          CASE WHEN len(sub) >= 4 THEN
+                            (CAST(srt[1][2] AS INT) + 4) * 9
+                              + (CAST(srt[2][2] AS INT) + 4) END AS code
+                   FROM stc),
+         pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                       unnest(sub) AS v
+                FROM codes WHERE code IS NOT NULL),
+         ac AS (SELECT m, code, pos, count(*) AS n,
+                       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+                FROM pc GROUP BY 1, 2, 3),
+         cb AS (SELECT m, code,
+                       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                            ORDER BY pos) AS cmean
+                FROM ac GROUP BY 1, 2),
+         qs AS (SELECT qid, m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+                FROM q, mm),
+         dt AS MATERIALIZED (
+             SELECT qs.qid, cb.m, cb.code,
+                    round(list_dot_product(qs.qsub, qs.qsub)
+                          - CAST(2.0 AS DOUBLE)
+                            * list_dot_product(qs.qsub, cb.cmean)
+                          + list_dot_product(cb.cmean, cb.cmean), 8)
+                      + CAST(0.0 AS DOUBLE) AS d2
+             FROM cb JOIN qs ON qs.m = cb.m),
+         cand AS (SELECT pr.qid, c.vec_id, v.label, c.m, c.code
+                  FROM codes c
+                  JOIN asg ON asg.vec_id = c.vec_id
+                  JOIN pr ON asg.bucket = pr.cid
+                  JOIN vq v ON v.vec_id = c.vec_id
+                  JOIN q ON q.qid = pr.qid
+                  WHERE v.label <> q.qlabel AND c.vec_id <> q.qid
+                    AND c.code IS NOT NULL),
+         tot AS (SELECT cand.qid AS qid, vec_id, label,
+                        CAST(CAST(sum(CAST(dt.d2 AS DECIMAL(28,8)))
+                             AS DECIMAL(28,8)) AS DOUBLE) AS adist
+                 FROM cand JOIN dt ON dt.qid = cand.qid
+                      AND dt.m = cand.m AND dt.code = cand.code
+                 GROUP BY 1, 2, 3),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY adist ASC NULLS LAST, vec_id ASC) AS rk
+               FROM tot)
+         SELECT qid, vec_id, label, adist FROM r WHERE rk <= 10
+         ORDER BY ALL NULLS FIRST""",
+
     // the q51 cosine rank chain per query, then exact-integer eval:
     // first same-label rank, same-label count in the top 10, and the
     // label population minus the query itself as the recall denominator
@@ -561,6 +703,20 @@ object LlmPack extends QueryPack {
                 CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 640 + 1 AS INT) END AS vid_w,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars % 480 + 1 AS INT) END AS vid_h,
                 CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 10 AS BIGINT) END AS video_ms
+         FROM documents ORDER BY ALL NULLS FIRST""",
+
+    // the arithmetic twin of the Spark side's xref WALK: version and
+    // page count derive from doc_id/n_chars exactly as synthesizePdfs
+    // writes them into the PDF skeleton; the truncated tenth yields
+    // NULLs (the walk can't reach startxref)
+    "q167_pdf_meta" ->
+      """SELECT doc_id AS pdf_id,
+                CASE WHEN doc_id % 10 <> 7
+                     THEN '1.' || CAST(doc_id % 5 + 3 AS VARCHAR)
+                END AS pdf_version,
+                CASE WHEN doc_id % 10 <> 7
+                     THEN CAST(n_chars % 900 + 1 AS INT)
+                END AS n_pages
          FROM documents ORDER BY ALL NULLS FIRST""",
 
     "q53_token_stats" ->

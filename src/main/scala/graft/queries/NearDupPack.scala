@@ -343,6 +343,49 @@ object NearDupPack extends QueryPack {
         "qvec", nprobe = 3, k = 20)
     }),
 
+    // L2 TRAINING itself, oracle-checked (VERDICT r15 #1 — kmeans was
+    // the one load-bearing operator with spec-only coverage, yet its
+    // output feeds every "trained" serving tier): Lloyd's at k=4 for 2
+    // iterations over the embeddings corpus, with the exact full-dedup
+    // seeding regime (seedLevels = Seq(1) — dedup by vector, min-id
+    // winner, first k by id; the default xxhash64 sample ladder is
+    // engine-specific and spec-pinned separately). The oracle RE-RUNS
+    // the training loop as unrolled per-iteration MATERIALIZED CTEs
+    // (the q132/q140/q160 re-learn pattern): seed selection → round-6
+    // argmin assignment → integer-millionth centroid sums divided in
+    // the written order → reassign — a seeding, rounding, argmin
+    // tie-break, empty-cluster, or sum divergence on either side moves
+    // some vector's cluster and breaks the hash.
+    "q164_kmeans_train" -> ((s, dir) => Q.ordered {
+      Similarity.kmeans(Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, maxIter = 2, seedLevels = Seq(1L))
+    }),
+
+    // The FAISS lifecycle end-to-end as ONE declared query (VERDICT
+    // r15 #3): train (q164's kmeans, exact-seeding regime) → build
+    // (Writers.ensureIvfPqIndexTrained — final assignment re-meaned
+    // into the (cid, cvec) centroid contract, codes written
+    // bucket-partitioned) → probe (ivfPqSearchStored: coarse routing
+    // as DIRECTORY pruning, bounded codebook/centroid reads, ADC
+    // literal-lookup rank). q156/q162 route on a fixed low-id seed
+    // table; THIS routes on trained centroids, so the trained-artifact
+    // seam every L2 "trained" claim rests on is oracle-checked in
+    // composition. The oracle replays the whole chain: the q164
+    // unrolled Lloyd's CTEs, the centroid-mean re-quantization, the
+    // exact-integer trained assignment + probe ranking, then q156's
+    // codes/codebook/ADC tail restricted to the probed clusters.
+    "q166_ivfpq_trained_stored" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndexTrained(s, dir)
+      Similarity.ivfPqSearchStored(
+        s.read.parquet(s"$path/codes"),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 2, k = 20)
+    }),
+
     // L2 memory tier between brute floats and PQ codes: per-tensor
     // symmetric int8 quantization (the production int8-dot serving
     // shape) with SYMMETRIC integer scoring — ONE global amax scale
@@ -1430,9 +1473,174 @@ object NearDupPack extends QueryPack {
          ORDER BY ALL NULLS FIRST""",
   )
 
+  /** The unrolled-Lloyd's CTE chain (q164/q166 oracles): re-runs
+    * `Similarity.kmeans(k, iters, seedLevels = Seq(1))` in SQL. Emits a
+    * WITH-body fragment (no `WITH`) ending at `a$iters` (vec_id,
+    * cluster) with `cl` (vec_id, x: DOUBLE[]) as the clean corpus.
+    * Every step replays the operator bit-for-bit: exact full-dedup
+    * seeding (min-id winner, first k by id, reindexed after the
+    * dimension filter), round-6 squared distances BEFORE the argmin
+    * (ties → lower cluster id), centroid recompute as exact
+    * integer-millionth sums divided in the engine's written order
+    * (s / 1e6 / n), empty clusters keeping the previous centroid.
+    * AS MATERIALIZED throughout (the q132 2^N-scan lesson). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""p$t AS (SELECT a.cluster AS c,
+                unnest(range(1, len(cl.x) + 1)) AS pos,
+                unnest(list_transform(cl.x,
+                  e -> CAST(round(e * 1000000) AS BIGINT))) AS q
+         FROM cl JOIN a${t - 1} a USING (vec_id)),
+         g$t AS (SELECT c, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+                 FROM p$t GROUP BY 1, 2),
+         m$t AS (SELECT c, list(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+                                ORDER BY pos) AS cx
+                 FROM g$t GROUP BY 1),
+         c$t AS MATERIALIZED (
+           SELECT p.c, coalesce(m$t.cx, p.cx) AS cx
+           FROM c${t - 1} p LEFT JOIN m$t USING (c)),
+         ${assignCte(t)}"""
+    }.mkString(",\n")
+    s"""v AS MATERIALIZED (
+           SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS x
+           FROM embeddings
+           WHERE len(list_filter(embedding, e -> e IS NULL)) = 0),
+       sd AS (SELECT embedding, min(vec_id) AS sid FROM v GROUP BY embedding),
+       sr AS (SELECT CAST(embedding AS DOUBLE[]) AS cx, sid
+              FROM (SELECT * FROM sd ORDER BY sid ASC LIMIT $k)),
+       dim0 AS (SELECT len(cx) AS dim FROM sr ORDER BY sid ASC LIMIT 1),
+       c0 AS MATERIALIZED (
+         SELECT CAST(row_number() OVER (ORDER BY sid ASC) AS INT) - 1 AS c, cx
+         FROM sr, dim0 WHERE len(cx) = dim),
+       cl AS MATERIALIZED (
+         SELECT vec_id, x FROM v, dim0 WHERE len(x) = dim),
+       ${assignCte(0)},
+       $steps"""
+  }
+
+  /** One round-6 argmin assignment CTE: `a$t` from centroid table
+    * `c$t` — ties break on the lower cluster id, matching the engine's
+    * struct array_min. */
+  private def assignCte(t: Int): String =
+    s"""d$t AS (SELECT vec_id, c, round(list_dot_product(dv, dv), 6) AS d2
+         FROM (SELECT cl.vec_id, c$t.c,
+                      list_transform(range(1, len(cl.x) + 1),
+                                     i -> cl.x[i] - c$t.cx[i]) AS dv
+               FROM cl, c$t)),
+       a$t AS MATERIALIZED (
+         SELECT vec_id, c AS cluster FROM (
+           SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC NULLS LAST, c ASC) AS rn FROM d$t)
+         WHERE rn = 1)"""
+
+  // the full re-trained Lloyd's loop; output = final assignment
+  private lazy val kmeansTrainSql: String =
+    s"""WITH ${kmeansCtes(k = 4, iters = 2)}
+       SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2
+       ORDER BY ALL NULLS FIRST"""
+
+  /** q166's oracle: the q164 Lloyd's chain, then the stored-index
+    * build + probe replayed — final assignment re-meaned with
+    * centroidMeans' division order (s / (n·1e6)) and quantized to
+    * thousandths, exact-integer trained assignment (ties → lower cid)
+    * and probe ranking, then q156's PQ codes / codebook / ADC tail
+    * restricted to the nprobe=2 probed clusters. */
+  private lazy val ivfPqTrainedStoredSql: String =
+    s"""WITH ${kmeansCtes(k = 4, iters = 2)},
+       p3 AS (SELECT a.cluster AS c,
+                     unnest(range(1, len(cl.x) + 1)) AS pos,
+                     unnest(list_transform(cl.x,
+                       e -> CAST(round(e * 1000000) AS BIGINT))) AS q
+              FROM cl JOIN a2 a USING (vec_id)),
+       g3 AS (SELECT c, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+              FROM p3 GROUP BY 1, 2),
+       tc AS MATERIALIZED (
+         SELECT c AS cid,
+                list(CAST(round(CAST(s AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1000000.0) * 1000) AS BIGINT)
+                     ORDER BY pos) AS cq
+         FROM g3 GROUP BY 1),
+       vq AS MATERIALIZED (
+         SELECT vec_id, list_transform(x,
+                  e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+         FROM cl),
+       tl AS MATERIALIZED (
+         SELECT cid, unnest(cq) AS yq, generate_subscripts(cq, 1) AS i
+         FROM tc),
+       vl AS (SELECT vec_id, unnest(qv) AS xq,
+                     generate_subscripts(qv, 1) AS i
+              FROM vq),
+       dist AS (SELECT vl.vec_id, tl.cid,
+                       CAST(sum((vl.xq - tl.yq) * (vl.xq - tl.yq)) AS BIGINT) AS d2
+                FROM vl JOIN tl ON vl.i = tl.i GROUP BY 1, 2),
+       asg AS MATERIALIZED (
+         SELECT vec_id, cid AS cluster FROM (
+           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC, cid ASC) AS rn FROM dist)
+         WHERE rn = 1),
+       q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+             FROM embeddings WHERE vec_id = 1),
+       ql AS (SELECT unnest(qv) AS xq, generate_subscripts(qv, 1) AS i
+              FROM vq WHERE vec_id = 1),
+       pd AS (SELECT tl.cid,
+                     CAST(sum((ql.xq - tl.yq) * (ql.xq - tl.yq)) AS BIGINT) AS d2
+              FROM ql JOIN tl ON ql.i = tl.i GROUP BY 1),
+       probed AS (SELECT cid FROM (
+                    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
+                    FROM pd) WHERE r <= 2),
+       mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       sub AS (SELECT vec_id, m,
+                      list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                     x -> CAST(x AS DOUBLE)) AS sub
+               FROM embeddings, mm),
+       stc AS (SELECT vec_id, m, sub,
+                      list_reverse_sort(list_transform(range(1, 5), i ->
+                        [abs(sub[i]),
+                         CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+               FROM sub),
+       codes AS (SELECT vec_id, m, sub,
+                        CASE WHEN len(sub) >= 4 THEN
+                          (CAST(srt[1][2] AS INT) + 4) * 9
+                            + (CAST(srt[2][2] AS INT) + 4) END AS code
+                 FROM stc),
+       pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                     unnest(sub) AS v
+              FROM codes WHERE code IS NOT NULL),
+       ac AS (SELECT m, code, pos, count(*) AS n,
+                     CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+              FROM pc GROUP BY 1, 2, 3),
+       cb AS (SELECT m, code,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cmean
+              FROM ac GROUP BY 1, 2),
+       qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+              FROM q, mm),
+       dt AS (SELECT cb.m, cb.code,
+                     round(list_dot_product(qs.qsub, qs.qsub)
+                           - CAST(2.0 AS DOUBLE)
+                             * list_dot_product(qs.qsub, cb.cmean)
+                           + list_dot_product(cb.cmean, cb.cmean), 8)
+                       + CAST(0.0 AS DOUBLE) AS d2
+              FROM cb JOIN qs ON qs.m = cb.m),
+       pop AS (SELECT c.vec_id, c.m, c.code
+               FROM codes c JOIN asg USING (vec_id)
+               WHERE asg.cluster IN (SELECT cid FROM probed)
+                 AND c.code IS NOT NULL),
+       tot AS (SELECT vec_id,
+                      CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                           AS DECIMAL(28,8)) AS DOUBLE) AS adist
+               FROM pop JOIN dt USING (m, code) GROUP BY 1)
+       SELECT * FROM (
+         SELECT vec_id, adist FROM tot
+         ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
+       ORDER BY ALL NULLS FIRST"""
+
   // q162 probes the STORED bucket-partitioned index q156 computes live
   // — layout, not semantics (the q158/q151 framing), so the oracle IS
   // q156's: identical routing, codebook, ADC ranking over base tables.
   override val oracleSql: Map[String, String] =
-    oracleBase + ("q162_ivfpq_stored" -> oracleBase("q156_ivfpq_trained"))
+    oracleBase + (
+      "q162_ivfpq_stored" -> oracleBase("q156_ivfpq_trained"),
+      "q164_kmeans_train" -> kmeansTrainSql,
+      "q166_ivfpq_trained_stored" -> ivfPqTrainedStoredSql)
 }

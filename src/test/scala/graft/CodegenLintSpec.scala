@@ -62,6 +62,7 @@ class CodegenLintSpec extends AnyFunSuite {
     "graft_flac_info" -> "graft_flac_info(bin)",
     "graft_ogg_info" -> "graft_ogg_info(bin)",
     "graft_avi_info" -> "graft_avi_info(bin)",
+    "graft_pdf_info" -> "graft_pdf_info(bin)",
     "graft_dhash" -> "graft_dhash(bin)")
 
   test("every registered graft_* function has a lint invocation") {

@@ -413,6 +413,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == Seq(Seq(0.0f, 0.0f), Seq(9.0f, 9.0f)))
   }
 
+  test("kmeans seedLevels=Seq(1) (q164's oracle-replayable regime) " +
+    "equals the default ladder when sampling falls through to full dedup") {
+    // 8 distinct vectors: the 1024- and 32-level samples are (almost
+    // surely) too sparse for k=3, so the default ladder lands on the
+    // same exact full-dedup seeding Seq(1) pins directly
+    val df = (0L until 8L).map(i =>
+      (i, Seq(i.toFloat, (i * i % 7).toFloat))).toDF("vec_id", "embedding")
+    val viaLadder = Similarity.kmeans(df, "vec_id", "embedding", k = 3,
+      maxIter = 3).as[(Long, Int)].collect().toMap
+    val viaExact = Similarity.kmeans(df, "vec_id", "embedding", k = 3,
+      maxIter = 3, seedLevels = Seq(1L)).as[(Long, Int)].collect().toMap
+    assert(viaExact.size == 8 && viaLadder == viaExact)
+  }
+
   test("incrementalLshCandidates probes fresh against capped state buckets") {
     val state = Seq((1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b2"), (4L, 1, "b1"))
       .toDF("doc_id", "band", "bucket")

@@ -376,6 +376,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == ((320, 240, 10000L)))
   }
 
+  test("packedPdf golden and corrupt fixtures; codegen parity; " +
+    "synthesizePdfs round-trip") {
+    import graft.functions.{ImageFunctions, ImageHeader}
+    // hand-built classic-xref PDF: offsets computed from the literal
+    // segments so the xref table is byte-exact
+    def pdf(ver: String, pages: String): Array[Byte] = {
+      val h = s"%PDF-$ver\n"
+      val o1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+      val o2 = s"2 0 obj<</Type/Pages/Kids[3 0 R]/Count $pages>>endobj\n"
+      val o3 = "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n"
+      val off1 = h.length; val off2 = off1 + o1.length
+      val off3 = off2 + o2.length; val offX = off3 + o3.length
+      def e(o: Int) = f"$o%010d 00000 n \n"
+      (h + o1 + o2 + o3 +
+        "xref\n0 4\n" + "0000000000 65535 f \n" + e(off1) + e(off2) + e(off3) +
+        "trailer<</Size 4/Root 1 0 R>>\nstartxref\n" + offX + "\n%%EOF")
+        .getBytes("US-ASCII")
+    }
+    val golden = pdf("1.7", "42")
+    val p = ImageHeader.packedPdf(golden)
+    assert(p >= 0 && (p >> 40) == 1L && ((p >> 32) & 0xff) == 7L &&
+      (p & 0xffffffffL) == 42L)
+    // multi-digit version + zero-padded count (both legal PDF numbers)
+    val p2 = ImageHeader.packedPdf(pdf("2.0", "000900"))
+    assert(p2 >= 0 && (p2 >> 40) == 2L && ((p2 >> 32) & 0xff) == 0L &&
+      (p2 & 0xffffffffL) == 900L)
+    val bad = Seq(
+      golden.take(40),                         // truncated before startxref
+      golden.take(golden.length - 20),         // startxref number cut off
+      pdf("1.x", "42"),                        // non-numeric version
+      new String(golden, "US-ASCII")
+        .replace("/Root 1", "/Root 9").getBytes("US-ASCII"), // dangling root
+      new String(golden, "US-ASCII")
+        .replace("xref\n0 4", "9 0 obj\n<</Type/XRef>>stream")
+        .getBytes("US-ASCII"),                 // xref STREAM, not a table
+      "not a pdf at all, though it does say startxref".getBytes("US-ASCII"),
+      Array.empty[Byte])
+    bad.foreach(b => assert(ImageHeader.packedPdf(b) == -1L,
+      new String(b.take(60), "US-ASCII")))
+    // interpreted vs codegen parity
+    val all = Seq(golden) ++ bad
+    val viaStatic = all.map(b => Option(ImageHeader.packedPdf(b)).filter(_ >= 0))
+    val viaPlan = all.zipWithIndex.map { case (b, i) => (i, b) }
+      .toDF("i", "payload")
+      .select(col("i"), ImageFunctions.pdfInfo(col("payload")).as("d"))
+      .as[(Int, Option[Long])].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaPlan == viaStatic)
+    // synthesizePdfs payloads round-trip their meta through the walk
+    val docs = Seq((1L, 57L), (7L, 903L), (10L, 0L))
+      .toDF("doc_id", "n_chars")
+    val rt = Multimodal.synthesizePdfs(docs)
+      .select(col("pdf_id"),
+        ImageFunctions.pdfMeta(col("payload")).as("h"),
+        col("meta"))
+      .select(col("pdf_id"), col("h.version"), col("h.pages"),
+        col("meta.version").as("ev"), col("meta.pages").as("ep"))
+      .as[(Long, String, Int, String, Int)].collect()
+    rt.foreach { case (id, v, pg, ev, ep) =>
+      assert(v == ev && pg == ep, s"pdf $id: parsed ($v, $pg) != meta ($ev, $ep)")
+    }
+  }
+
   test("packedMp4 golden and corrupt fixtures") {
     import graft.functions.ImageHeader
     def hx(s: String): Array[Byte] =

@@ -325,6 +325,77 @@ class PlanLintSpec extends AnyFunSuite {
       s"bucket did not prune at the partition level:\n$plan")
   }
 
+  // PDF meta: synthesis + xref walk + unpack are all row-local column
+  // math over one corpus scan — map-only by construction
+  assertShuffleBudget("q167_pdf_meta", 0)
+  assertScanBudget("q167_pdf_meta", 1)
+
+  // stored-index batch mining: the pruned codes scan + the bounded
+  // query-batch scan, PLUS one DPP copy of the query side — Spark
+  // layers dynamicpruningexpression on top of the static bucket-IN
+  // PartitionFilters and materializes the (3-row) broadcast side again
+  // for it; runtime pruning stacked on plan-time pruning is the
+  // desired behavior, and the duplicated subtree is the bounded batch,
+  // never the corpus. Exchanges: the query-dedup window (×2 via the
+  // DPP copy) + the final rank window (WindowGroupLimit cuts before it)
+  assertScanBudget("q168_routed_negatives_stored", 3)
+  assertShuffleBudget("q168_routed_negatives_stored", 3)
+  test("q168_routed_negatives_stored prunes bucket directories for the " +
+    "BATCH probe (PartitionFilters on bucket — the union of probed " +
+    "buckets is a plan-time literal set)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q168_routed_negatives_stored")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("bucket"),
+      s"bucket did not prune at the partition level:\n$plan")
+  }
+
+  // kmeans training runs at construction (the q103 checkpointed-loop
+  // shape: one assignment job + one centroid-sum shuffle per
+  // iteration); the DECLARED plan is a projection of the final
+  // checkpointed assignment — an in-memory RDD scan, no FileScan, no
+  // exchange (the q140 framing: the trained artifact IS the result)
+  assertShuffleBudget("q164_kmeans_train", 0)
+  test("q164_kmeans_train's declared plan is the checkpointed final " +
+    "assignment (no corpus FileScan survives into the served plan)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q164_kmeans_train")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    assert(!plan.contains("FileScan"), plan)
+  }
+
+  // stored-model langid: the weight table is a bounded parquet read
+  // collected at construction; the DECLARED plan is q160's serving
+  // shape exactly — one corpus scan, row-local inlined-literal scores
+  // + argmax, zero joins, zero exchanges
+  assertScanBudget("q165_langid_stored", 1)
+  assertShuffleBudget("q165_langid_stored", 0)
+
+  // trained stored IVF-PQ probe: q162's serving contract with kmeans-
+  // trained routing — ONE scan of the bucket-partitioned codes layout,
+  // map-only ADC lookups + TakeOrdered, and the probed clusters prune
+  // DIRECTORIES (PartitionFilters below)
+  assertShuffleBudget("q166_ivfpq_trained_stored", 0)
+  assertScanBudget("q166_ivfpq_trained_stored", 1)
+  test("q166_ivfpq_trained_stored prunes bucket directories " +
+    "(PartitionFilters on bucket — trained coarse routing as directory skip)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q166_ivfpq_trained_stored")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("bucket"),
+      s"bucket did not prune at the partition level:\n$plan")
+  }
+
   // zone skipping: one scan of the sorted layout + the one agg exchange
   assertShuffleBudget("q133_zone_skipping", 1)
   assertScanBudget("q133_zone_skipping", 1)

@@ -255,6 +255,92 @@ class SourcesSpec extends AnyFunSuite {
     assert(live.nonEmpty && stored == live)
   }
 
+  test("trained ivfpq layout: probing the kmeans-trained stored index " +
+    "is bit-identical to the live trained search over the same " +
+    "centroid table (q166 ≡ ivfPqSearchTrained)") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"))
+    val path = Writers.ensureIvfPqIndexTrained(spark, dir)
+    val stored = Similarity.ivfPqSearchStored(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/centroids"),
+      "vec_id", query, "qvec", nprobe = 2, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the live arm consumes the layout's OWN centroid table — the
+    // stored/live equivalence is about the codes+routing path, with
+    // the trained artifact held fixed (its training is q164's gate)
+    val live = Similarity.ivfPqSearchTrained(
+      emb, "vec_id", "embedding", query, "qvec",
+      spark.read.parquet(s"$path/centroids"), "cid", "cvec",
+      nprobe = 2, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(live.nonEmpty && stored == live)
+  }
+
+  test("routedNegativesStored: guards hold (no self, no same-label), " +
+    "k rows per query, and at nprobe=all the candidate set is the " +
+    "exact arm's — only the ADC-vs-cosine ranking differs") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"),
+      col("label").as("qlabel"))
+    val path = Writers.ensureIvfPqIndex(spark, dir)
+    val stored = Similarity.routedNegativesStored(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/centroids"),
+      "vec_id", "label", queries, "qid", "qvec", "qlabel",
+      nprobe = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(stored.groupBy(_._1).forall(_._2.length == 10))
+    val qlabels = queries.select("qid", "qlabel").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    stored.foreach { case (q, id, lab) =>
+      assert(id != q, s"self-pair survived for query $q")
+      assert(lab != qlabels(q), s"same-label negative for query $q")
+    }
+    // overlap with the exact-cosine arm: at nprobe=all both rank the
+    // identical disqualified candidate set, so any divergence is the
+    // documented ADC compression trade — it must still recall a usable
+    // share of the true hardest negatives
+    val exact = Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", queries,
+      "qid", "qvec", "qlabel", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = stored.count { case (q, id, _) => exact.contains((q, id)) }
+    assert(hits >= 6, s"stored arm recalled only $hits/30 exact negatives")
+  }
+
+  test("ensureModel: trains at most once per (corpus, params) and the " +
+    "stored weight table round-trips exactly") {
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/testdata/sf0.001"
+    var trains = 0
+    def train: DataFrame = {
+      trains += 1
+      graft.operators.QualityModel.fixtureWeights(spark, 32)
+    }
+    val p1 = Writers.ensureModel(spark, dir, "spec-model", "32")(train)
+    val p2 = Writers.ensureModel(spark, dir, "spec-model", "32")(train)
+    assert(p1 == p2 && trains == 1, "second call must hit the cache")
+    val stored = spark.read.parquet(p1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.operators.QualityModel.fixtureWeights(spark, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == direct)
+    // a different params token is a different artifact
+    val p3 = Writers.ensureModel(spark, dir, "spec-model", "64") {
+      graft.operators.QualityModel.fixtureWeights(spark, 64)
+    }
+    assert(p3 != p1 && spark.read.parquet(p3).count() == 64)
+  }
+
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
     val raw = ConfigLoader.storageTable(storageYaml, "raw")
     val sql = JdbcUpsert.Postgres.upsertSql(raw)
