@@ -68,6 +68,27 @@ object MicroBench {
     time("lookup-5fused") { fdf.select(fusedCols: _*).collect() }
     fdf.unpersist()
 
+    // featurization (the r16 kernel): hashed unigram+bigram buckets as
+    // the HOF composition (zip_with bigrams + transform(md5) — lambda
+    // dispatch per feature, HOF codegen fallback) vs the one-pass
+    // native graft_feature_buckets — the dominant serving cost of the
+    // quality-model family (q109/q140/q160/q165).
+    val tdf = spark.range(rows / 8).select(
+      transform(sequence(lit(1), lit(24)),
+        i => concat(lit("tok"), ((i * (col("id") + 5)) % 997).cast("string")))
+        .as("toks")).cache()
+    tdf.count()
+    import graft.operators.QualityModel
+    tdf.limit(1000).select(sum(size(
+      QualityModel.featureBucketsHof(col("toks"), 4096)))).collect()
+    tdf.limit(1000).select(sum(size(
+      QualityModel.featureBuckets(col("toks"), 4096)))).collect()
+    time("featurize-hof") { tdf.select(sum(size(
+      QualityModel.featureBucketsHof(col("toks"), 4096)))).collect() }
+    time("featurize-native") { tdf.select(sum(size(
+      QualityModel.featureBuckets(col("toks"), 4096)))).collect() }
+    tdf.unpersist()
+
     // topTokenFrac: the shipped sorted-longest-run form vs the naive
     // distinct×scan form on pathologically long documents — the case the
     // O(d·n) shape stalls on (one 100k-token doc ≈ 2e9 comparisons).

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bpeFunction)
     ext.injectFunction(GraftFunctions.md5WindowFunction)
     ext.injectFunction(GraftFunctions.md5BucketFunction)
+    ext.injectFunction(GraftFunctions.featureBucketsFunction)
     GraftFunctions.mediaFunctions.foreach(ext.injectFunction)
   }
 }
@@ -153,6 +154,22 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Md5Hash32].getName, "graft_md5_bucket"),
       md5BucketBuilder)
 
+  /** One-pass hashed unigram+bigram featurization — the bucket count
+    * configures the expression, so it must be an int literal (the
+    * md5-window contract). */
+  private[functions] val featureBucketsBuilder: Seq[Expression] => Expression = {
+    case Seq(toks, Literal(b: Int, org.apache.spark.sql.types.IntegerType)) =>
+      FeatureBuckets(toks, b)
+    case other => throw new IllegalArgumentException(
+      "graft_feature_buckets expects (array<string> tokens, bucket-count " +
+        s"int literal), got $other")
+  }
+
+  val featureBucketsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_feature_buckets"),
+      new ExpressionInfo(classOf[FeatureBuckets].getName, "graft_feature_buckets"),
+      featureBucketsBuilder)
+
   val xmlFieldsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_xml_fields"),
       new ExpressionInfo(classOf[XmlFields].getName, "graft_xml_fields"),
@@ -212,6 +229,8 @@ object GraftFunctions {
     ColumnBridge.registerExpression(spark, "graft_bpe", bpeBuilder)
     ColumnBridge.registerExpression(spark, "graft_md5_window", md5WindowBuilder)
     ColumnBridge.registerExpression(spark, "graft_md5_bucket", md5BucketBuilder)
+    ColumnBridge.registerExpression(spark, "graft_feature_buckets",
+      featureBucketsBuilder)
     ColumnBridge.registerExpression(spark, "graft_deflate_ratio",
       unary("graft_deflate_ratio", DeflateRatio))
     mediaBuilders.foreach { case (name, _, builder) =>

@@ -78,6 +78,83 @@ object Md5 {
   }
 }
 
+/** Native fastText featurization — the hashed unigram+bigram bucket
+  * array of a token array in ONE codegen'd pass
+  * (`graft_feature_buckets`). Bit-identical to the HOF composition
+  * [[graft.operators.QualityModel.featureBuckets]] shipped through
+  * round 15 (`transform(concat(toks, sliced zip_with bigrams),
+  * f => md5Window(f, 0) % buckets)`) — QualityModelSpec pins the
+  * equivalence on null/empty/single-token edges — but without the
+  * per-feature interpreted lambda dispatch, the intermediate bigram
+  * array, or the HOF chain's codegen fallback: the quality-model
+  * serving path (q109/q140/q160/q165) evaluates this once per row
+  * inside whole-stage codegen. NULL input → NULL; a NULL TOKEN hashes
+  * to a NULL element (md5(null) semantics — downstream lookup-sums
+  * then return NULL loudly); bigrams join non-null neighbors with a
+  * space, concat_ws-style (one-sided null → the survivor, both → ""). */
+case class FeatureBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (buckets < 1) TypeCheckResult.TypeCheckFailure(
+      s"graft_feature_buckets expects a positive bucket count, got $buckets")
+    else child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_feature_buckets expects array<string>, got ${t.sql}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_feature_buckets"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    FeatureHash.buckets(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.FeatureHash.buckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureBuckets =
+    copy(child = newChild)
+}
+
+/** Static row kernel for [[FeatureBuckets]]'s generated code (the
+  * [[Md5]] standalone-object pattern — janino needs a static-shaped
+  * call target). */
+object FeatureHash {
+  def buckets(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+              nBuckets: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n + math.max(n - 1, 0))
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i))
+        out(i) = Md5.hash32(toks.getUTF8String(i), 0) % nBuckets
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    i = 0
+    while (i < n - 1) {
+      val a = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val b = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      // concat_ws(" ", a, b): nulls are SKIPPED, never propagated
+      val joined =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concatWs(space, a, b)
+      out(n + i) = Md5.hash32(joined, 0) % nBuckets
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column entry points for the native md5 hash windows. */
 object HashFunctions {
 
@@ -89,4 +166,9 @@ object HashFunctions {
   /** The engine's standard bucket hash: first md5 window mod `buckets`. */
   def md5Bucket(c: Column, buckets: Int): Column =
     md5Window(c, 0) % buckets
+
+  /** Native one-pass hashed unigram+bigram feature buckets — see
+    * [[FeatureBuckets]]. */
+  def featureBuckets(toks: Column, buckets: Int): Column =
+    ColumnBridge.column(FeatureBuckets(ColumnBridge.expression(toks), buckets))
 }

@@ -53,6 +53,7 @@ class CodegenLintSpec extends AnyFunSuite {
     "graft_md5_window" -> "graft_md5_window(s, 1)",
     "graft_deflate_ratio" -> "graft_deflate_ratio(s)",
     "graft_md5_bucket" -> "graft_md5_bucket(s, 4096)",
+    "graft_feature_buckets" -> "graft_feature_buckets(array(s, s), 4096)",
     "graft_image_dims" -> "graft_image_dims(bin)",
     "graft_wav_info" -> "graft_wav_info(bin)",
     "graft_mp4_info" -> "graft_mp4_info(bin)",

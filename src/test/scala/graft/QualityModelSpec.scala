@@ -23,6 +23,41 @@ class QualityModelSpec extends AnyFunSuite {
     assert(n == Map(1L -> 5, 2L -> 1, 3L -> 0)) // 2n-1 features
   }
 
+  test("native one-pass featureBuckets ≡ the round-15 HOF composition, " +
+    "bit for bit, on null/empty/single/duplicate-token edges") {
+    val edge = Seq(
+      (1L, Some(Seq(Some("good"), Some("clean"), Some("prose")))),
+      (2L, Some(Seq(Some("spam")))),
+      (3L, Some(Seq.empty[Option[String]])),
+      (4L, None), // NULL array -> NULL result on both forms
+      (5L, Some(Seq(Some("a"), None, Some("b")))), // null TOKEN element
+      (6L, Some(Seq(None, None))), // all-null tokens (bigram = "")
+      (7L, Some(Seq(Some("x y"), Some("x"), Some("y")))), // space inside token
+      (8L, Some(Seq(Some("dup"), Some("dup"), Some("dup"))))
+    ).toDF("id", "toks")
+    for (buckets <- Seq(7, 64, 4096)) {
+      val got = edge.select(col("id"),
+          QualityModel.featureBuckets(col("toks"), buckets).as("native"),
+          QualityModel.featureBucketsHof(col("toks"), buckets).as("hof"))
+        .collect()
+      got.foreach { r =>
+        val n = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        val h = if (r.isNullAt(2)) null else r.getSeq[Any](2)
+        assert(n == h, s"id ${r.getLong(0)} buckets $buckets: $n != $h")
+      }
+    }
+    // and the SQL registration resolves to the same values
+    graft.functions.GraftFunctions.register(spark)
+    edge.filter(col("id") === 1).createOrReplaceTempView("fb_edge")
+    val viaSql = spark.sql(
+      "SELECT graft_feature_buckets(toks, 64) FROM fb_edge")
+      .head().getSeq[Any](0)
+    val viaCol = edge.filter(col("id") === 1)
+      .select(QualityModel.featureBuckets(col("toks"), 64))
+      .head().getSeq[Any](0)
+    assert(viaSql == viaCol)
+  }
+
   test("score: exact integer sums, spine totality, keep/drop labels") {
     val w = QualityModel.fixtureWeights(spark, 64)
     val got = QualityModel.score(docs, "doc_id", col("toks"), w, 64)
