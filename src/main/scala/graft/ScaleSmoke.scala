@@ -928,6 +928,46 @@ object ScaleSmoke {
       admitted.count()
     }
 
+    // ---- Data recipe (q159) — composed vs tier-materialized (W4) ----
+    // q159's declared plan is the three selection tiers (mixture →
+    // token-budget admission → curriculum order) as ONE lazy
+    // composition, whose curriculum tier re-references the admitted-mix
+    // subtree (the PlanLint-priced 6-scan/13-exchange shape). PLANS.md
+    // carries a production note that a real pipeline materializes
+    // between tiers (the W4 handoff) and pays each tier's budget once —
+    // this pair puts a NUMBER on that note: same tiers, same data, one
+    // arm composed, one with a parquet handoff after admission (write
+    // cost INCLUDED — it is the price the handoff pays to stop the
+    // re-execution).
+    def recipeDocs = bigDocsRtoks.select(col("doc_id"),
+      concat(lit("s"), col("doc_id") % 20).as("source"),
+      size(col("toks")).cast("long").as("n_tok"))
+    def recipeBudgets(docs: DataFrame) = operators.Sampling
+      .mixtureWeights(docs, col("source"), col("n_tok"),
+        budget = 2000L * mult)
+      .select(col("source"), col("target_rows").as("budget"))
+    def recipeOrder(admitted: DataFrame, salt: String) =
+      operators.Sampling.trainingOrder(
+        admitted.withColumn("b",
+          least(floor(col("n_tok") / lit(10)), lit(9)).cast("long")),
+        "doc_id", col("b"), salt, carry = Seq("source", "n_tok"))
+    timeBest("recipe-composed") {
+      val docs = recipeDocs
+      val admitted = operators.Sampling.tokenBudget(
+        docs, "doc_id", col("source"), col("n_tok"),
+        recipeBudgets(docs), "rcpA")
+      recipeOrder(admitted, "ordA").count()
+    }
+    timeBest("recipe-materialized") {
+      val docs = recipeDocs
+      val admitted = operators.Sampling.tokenBudget(
+        docs, "doc_id", col("source"), col("n_tok"),
+        recipeBudgets(docs), "rcpA")
+      admitted.write.mode("overwrite").parquet(s"$scratch/recipe_admit_x$mult")
+      recipeOrder(spark.read.parquet(s"$scratch/recipe_admit_x$mult"), "ordA")
+        .count()
+    }
+
     time("profile") {
       // q154 at N×: one melted pass over six lineitem columns — the
       // value-count exchange carries one row per DISTINCT (col, value),
@@ -1001,16 +1041,21 @@ object ScaleSmoke {
     // exponent, is the claim.
     val ivfIdxPath = s"$scratch/ivfpq_x$mult"
     val ivfIdxMarker =
-      java.nio.file.Paths.get(s"$ivfIdxPath/_graft_ivfpq_v1")
-    if (stageActive("ivfpq-stored-probe") &&
+      java.nio.file.Paths.get(s"$ivfIdxPath/_graft_ivfpq_v2")
+    if ((stageActive("ivfpq-stored-probe") ||
+         stageActive("routed-negs-stored")) &&
         !java.nio.file.Files.exists(ivfIdxMarker)) {
       val t0 = System.nanoTime()
       val coarse = vecBase.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // label rides the codes layout (the routedNegativesStored payload
+      // contract) — same synthetic label rule as the live mining arms
       val (codes, book) = operators.Similarity.ivfPqIndexTables(
-        bigVecs, "vec_id", "embedding", coarse, "cid", "cvec",
+        bigVecs.withColumn("label", col("vec_id") % 5),
+        "vec_id", "embedding", coarse, "cid", "cvec",
         m = 4, subDim = vecDim / 4,
-        probeDims = math.min(4, vecDim / 4))
+        probeDims = math.min(4, vecDim / 4),
+        passthrough = Seq("label"))
       codes.write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$ivfIdxPath/codes")
       book.write.mode("overwrite").parquet(s"$ivfIdxPath/codebook")
@@ -1028,6 +1073,29 @@ object ScaleSmoke {
         spark.read.parquet(s"$ivfIdxPath/centroids"),
         "vec_id", query, "qvec", nprobe = 8, k = 10,
         m = 4, subDim = vecDim / 4,
+        probeDims = math.min(4, vecDim / 4)).count()
+    }
+
+    timeBest("routed-negs-stored") {
+      // q168 at N× — the stored twin of the routed-negatives stage
+      // above, SAME 16-query batch: routing is driver-side integer
+      // argsort over the stored centroid table, the probed-bucket
+      // union is a plan-time PartitionFilters literal set, and the
+      // only corpus-sized read is the pruned codes directories (with
+      // the label payload in-layout, so disqualification adds no
+      // join). The live arm re-buckets + re-trains centroids per call
+      // and scans full embeddings; the stored arm's delta vs it is
+      // the build-once/probe-many claim for MINING, not just q162's
+      // single-query serving.
+      val queries = vecBase.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          (col("vec_id") % 5).as("qlabel"))
+      operators.Similarity.routedNegativesStored(
+        spark.read.parquet(s"$ivfIdxPath/codes"),
+        spark.read.parquet(s"$ivfIdxPath/codebook"),
+        spark.read.parquet(s"$ivfIdxPath/centroids"),
+        "vec_id", "label", queries, "qid", "qvec", "qlabel",
+        nprobe = 4, k = 10, m = 4, subDim = vecDim / 4,
         probeDims = math.min(4, vecDim / 4)).count()
     }
 
