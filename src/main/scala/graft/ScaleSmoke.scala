@@ -1140,6 +1140,44 @@ object ScaleSmoke {
         col("lab"), (0 until 5).map(i => s"c$i"), 128, 2).count()
     }
 
+    // q165's serving half at N×: the model is a FIXED artifact trained
+    // once on the natural corpus (the ensureModel contract — trained
+    // OUTSIDE the timed stage, as the stored layout implies); the
+    // corpus is the axis. Serving is map-only: one scan, the one-pass
+    // native featurize kernel + the fused k-margin lookup + argmax.
+    // Expect scan-bound ~linear — THE shape a 100 TB labeling pass
+    // runs.
+    val langidServeW = if (stageActive("langid-serve")) {
+      val labeledNat = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          concat(lit("c"), (col("doc_id") % 5).cast("string")).as("lab"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      operators.QualityModel.fitMulticlass(labeledNat, col("toks"),
+        col("lab"), (0 until 5).map(i => s"c$i"), 128, 1).localCheckpoint()
+    } else null
+    timeBest("langid-serve") {
+      // filter on the prediction so count() cannot prune the map work
+      // (the Bench noop-sink rule: a bare count measures the scan only)
+      operators.QualityModel.predictClass(
+        bigDocsRtoks.select(col("doc_id"), col("toks")),
+        col("toks"), langidServeW, (0 until 5).map(i => s"c$i"), 128)
+        .filter(col("pred_class").isNotNull).count()
+    }
+
+    time("kmeans-train") {
+      // q164's trainer at N×: 2 Lloyd's iterations at k=8 under the
+      // exact-seeding regime — per iteration ONE broadcast-literal
+      // argmin assignment job + ONE (cluster, pos)-keyed exact-
+      // millionth centroid aggregation; driver state is k×dim doubles
+      // and the full-dedup seed pick is a corpus-keyed agg ONCE.
+      // Expect ~linear wall in corpus rows (iters × 2 corpus-linear
+      // jobs + the seed dedup); rows= is the assignment (corpus-sized
+      // OUTPUT, bounded driver state — the claim is the state, not
+      // the output).
+      operators.Similarity.kmeans(bigVecs, "vec_id", "embedding",
+        k = 8, maxIter = 2, seedLevels = Seq(1024L, 32L, 1L)).count()
+    }
+
     time("pagerank-3iter") {
       // q103's iterative link-graph shape at N×: 3 out-edges per node
       // over an N×-sized id space (no union-plan concern — the edge

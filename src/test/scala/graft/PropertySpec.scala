@@ -541,4 +541,72 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("0..2"))
   }
+
+  test("packedPdf fuzz: random bytes, random mutations of a valid PDF, " +
+    "and hostile xref shapes never throw — every result is -1 or a " +
+    "well-formed pack (500 cases)") {
+    import graft.functions.ImageHeader
+    def golden(pages: Int): Array[Byte] = {
+      val h = "%PDF-1.6\n"
+      val o1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+      val o2 = s"2 0 obj<</Type/Pages/Kids[3 0 R]/Count $pages>>endobj\n"
+      val o3 = "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n"
+      val off1 = h.length; val off2 = off1 + o1.length
+      val off3 = off2 + o2.length; val offX = off3 + o3.length
+      def e(o: Int) = f"$o%010d 00000 n \n"
+      (h + o1 + o2 + o3 + "xref\n0 4\n" + "0000000000 65535 f \n" +
+        e(off1) + e(off2) + e(off3) +
+        "trailer<</Size 4/Root 1 0 R>>\nstartxref\n" + offX + "\n%%EOF")
+        .getBytes("US-ASCII")
+    }
+    def checkPack(p: Long): Unit =
+      if (p != -1L) {
+        assert(p >= 0, s"negative non-sentinel pack $p")
+        assert(((p >> 40) & 0xff) <= 99 && ((p >> 32) & 0xff) <= 99)
+      }
+    // pure random bytes (some seeded with PDF-ish magics)
+    for (i <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      if (i % 3 == 0 && b.length >= 9)
+        "%PDF-1.4\n".getBytes("US-ASCII").copyToArray(b)
+      if (i % 7 == 0 && b.length >= 20)
+        "startxref".getBytes("US-ASCII").copyToArray(b, b.length - 15)
+      checkPack(ImageHeader.packedPdf(b))
+    }
+    // point mutations / truncations / splices of a valid document: the
+    // walker follows whatever offsets survive — it must stay in bounds
+    for (_ <- 1 to 250) {
+      val b = golden(1 + rnd.nextInt(9999)).clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-4 bytes anywhere
+          (1 to 1 + rnd.nextInt(4)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = (rnd.nextInt(256) - 128).toByte }
+          checkPack(ImageHeader.packedPdf(b))
+        case 1 => // truncate
+          checkPack(ImageHeader.packedPdf(b.take(rnd.nextInt(b.length))))
+        case 2 => // splice the tail of one doc onto the head of another
+          val c = golden(1 + rnd.nextInt(9999))
+          val cut = rnd.nextInt(b.length)
+          checkPack(ImageHeader.packedPdf(b.take(cut) ++ c.drop(cut)))
+      }
+    }
+    // hostile structured shapes: self-referential xref offset, offset
+    // into the middle of the trailer, absurd subsection counts, and a
+    // /Pages chain that points back at the catalog (cycle — must
+    // terminate because the walk is fixed-depth, not recursive)
+    val hostile = Seq(
+      "%PDF-1.4\nstartxref\n0\n%%EOF", // xref offset -> the header itself
+      "%PDF-1.4\nxref\n0 99999\ntrailer<</Root 1 0 R>>\nstartxref\n9\n%%EOF",
+      "%PDF-1.4\n" + "1 0 obj<</Type/Catalog/Pages 1 0 R>>endobj\n" +
+        "xref\n0 2\n0000000000 65535 f \n0000000009 00000 n \n" +
+        "trailer<</Size 2/Root 1 0 R>>\nstartxref\n52\n%%EOF",
+      "%PDF-1.4\nstartxref\n999999999999\n%%EOF", // offset way out of range
+      "%PDF-1.4\nstartxref\nstartxref\n%%EOF")    // non-numeric offset
+    hostile.foreach(s =>
+      checkPack(ImageHeader.packedPdf(s.getBytes("US-ASCII"))))
+    // the golden doc itself still parses after all that
+    val ok = ImageHeader.packedPdf(golden(123))
+    assert(ok >= 0 && (ok & 0xffffffffL) == 123L)
+  }
 }
