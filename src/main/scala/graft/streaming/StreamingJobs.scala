@@ -1314,6 +1314,52 @@ object StreamingJobs {
       stateDir = stateDir)
   }
 
+  /** Streaming labeling with a FROZEN stored model — the deployment
+    * shape of the learned tier (q165's serving half as a stream): the
+    * weight table is a BOUNDED artifact read from `modelPath` (the
+    * `Writers.ensureModel` layout) each epoch, and the micro-batch is
+    * labeled MAP-ONLY via `QualityModel.predictClass` (one-pass native
+    * featurize + fused k-margin lookup + argmax). Epoch cost ∝ |batch|;
+    * this is the family's one STATELESS sink — labeling is a pure
+    * function of (doc, model), so there is no stateDir, no merge, and
+    * replay idempotence holds by construction (each epoch overwrites
+    * its own keyed output). Model retraining follows the ivfCodesSink
+    * frozen-artifact contract: train offline, write a NEW artifact,
+    * cut the sink over — never mutate the live path mid-stream (a
+    * half-read weight table would label one epoch with a torn model).
+    * Emits the labeled batch (idCol + per-class scores + pred column)
+    * to `outDir/epoch=N`; the metrics sidecar counts labeled rows
+    * (state_rows is 0 — stateless). */
+  def labelSink(docs: DataFrame, idCol: String, tokensCol: Column,
+                modelPath: String, classes: Seq[String], buckets: Int,
+                outDir: String, outCol: String = "class"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        labelBatch(batch, epochId, idCol, tokensCol, modelPath, classes,
+          buckets, outDir, outCol)
+      }
+
+  /** One epoch of [[labelSink]], exposed for replay testing. */
+  def labelBatch(batch: DataFrame, epochId: Long, idCol: String,
+                 tokensCol: Column, modelPath: String, classes: Seq[String],
+                 buckets: Int, outDir: String,
+                 outCol: String = "class"): Unit = {
+    val spark = batch.sparkSession
+    val weights = spark.read.parquet(modelPath)
+    graft.operators.QualityModel.predictClass(
+        batch.select(col(idCol), tokensCol.as("__toks")),
+        col("__toks"), weights, classes, buckets, outCol)
+      .drop("__toks")
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    writeEpochMetrics(spark, outDir, epochId,
+      inputRows = batch.count(),
+      flagged = spark.read.parquet(s"$outDir/epoch=$epochId")
+        .filter(col(s"pred_$outCol").isNotNull).count(),
+      stateDir = outDir, // no state — latestVersion(outDir) is None -> 0
+      flaggedKind = "rows_labeled")
+  }
+
   /** Per-epoch sink observability (the reference's per-run delta-count
     * logging, dags/scraping_etl.py:71, generalized): each incremental
     * sink epoch writes ONE counter row under `outDir/_metrics/epoch=N`

@@ -413,6 +413,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == Seq(Seq(0.0f, 0.0f), Seq(9.0f, 9.0f)))
   }
 
+  test("kmeans is partitioning/row-order invariant (value-based seeding " +
+    "+ row-local argmin + exact integer centroid sums)") {
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val a = Similarity.kmeans(vecs, "vec_id", "embedding", k = 4,
+      maxIter = 2, seedLevels = Seq(1L))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val b = Similarity.kmeans(vecs.repartition(7).sortWithinPartitions(
+        col("embedding").getItem(3)), "vec_id", "embedding", k = 4,
+      maxIter = 2, seedLevels = Seq(1L))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a.nonEmpty && a == b)
+    assert(a.map(_._2).distinct.forall(c => c >= 0 && c < 4))
+  }
+
   test("kmeans seedLevels=Seq(1) (q164's oracle-replayable regime) " +
     "equals the default ladder when sampling falls through to full dedup") {
     // 8 distinct vectors: the 1024- and 32-level samples are (almost

@@ -570,6 +570,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("2"))
   }
 
+  test("labelBatch: stateless frozen-model labeling — each epoch equals " +
+    "the batch predictClass over the same docs, replay-idempotent, " +
+    "cut-over = a new artifact path") {
+    import graft.operators.QualityModel
+    val outDir = java.nio.file.Files.createTempDirectory("lblout").toString
+    val classes = Seq("a", "b")
+    val train = Seq(
+      (1L, "x x x x x", "a"), (2L, "y y y y y", "b"),
+      (3L, "x x x y", "a"), (4L, "y y x", "b"))
+      .toDF("doc_id", "text", "lab")
+      .select(col("doc_id"), col("lab"),
+        split(col("text"), " ").as("toks"))
+    val mdl1 = java.nio.file.Files.createTempDirectory("lblmdl1").toString
+    QualityModel.fitMulticlass(train, col("toks"), col("lab"),
+      classes, 64, 2).write.mode("overwrite").parquet(mdl1)
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), t => t =!= "")
+    def run(e: Long, docs: Seq[(Long, String)], path: String = mdl1): Unit =
+      StreamingJobs.labelBatch(docs.toDF("doc_id", "text"), e,
+        "doc_id", toks(col("text")), path, classes, 64, outDir)
+    def emitted(e: Long): Map[Long, String] =
+      spark.read.parquet(s"$outDir/epoch=$e")
+        .select(col("doc_id"), col("pred_class"))
+        .as[(Long, Option[String])].collect()
+        .collect { case (id, Some(p)) => id -> p }.toMap
+    val e0 = Seq((10L, "x x x"), (11L, "y y"), (12L, ""))
+    val e1 = Seq((13L, "x y x"), (14L, "y"))
+    run(0, e0); run(1, e1)
+    def direct(docs: Seq[(Long, String)], path: String): Map[Long, String] =
+      QualityModel.predictClass(
+          docs.toDF("doc_id", "text")
+            .select(col("doc_id"), toks(col("text")).as("toks")),
+          col("toks"), spark.read.parquet(path), classes, 64)
+        .select(col("doc_id"), col("pred_class"))
+        .as[(Long, Option[String])].collect()
+        .collect { case (id, Some(p)) => id -> p }.toMap
+    assert(emitted(0) == direct(e0, mdl1))
+    assert(emitted(1) == direct(e1, mdl1))
+    assert(emitted(0)(10L) == "a" && emitted(0)(11L) == "b")
+    // replay: stateless, so re-running an epoch is trivially identical
+    val before = emitted(1)
+    run(1, e1)
+    assert(emitted(1) == before)
+    // cut-over: a retrained artifact at a NEW path relabels from the
+    // next epoch on — prior epoch outputs stand untouched
+    val mdl2 = java.nio.file.Files.createTempDirectory("lblmdl2").toString
+    QualityModel.fitMulticlass(
+        train.withColumn("lab", // labels flipped -> argmax flips
+          when(col("lab") === "a", "b").otherwise("a")),
+        col("toks"), col("lab"), classes, 64, 2)
+      .write.mode("overwrite").parquet(mdl2)
+    run(2, e0, mdl2)
+    assert(emitted(2) == direct(e0, mdl2))
+    assert(emitted(2)(10L) == "b" && emitted(0)(10L) == "a")
+    // metrics sidecar: rows_labeled excludes the featureless doc 12
+    val m = spark.read.parquet(s"$outDir/_metrics/epoch=0").collect().head
+    assert(m.getAs[Long]("input_rows") == 3 &&
+      m.getAs[Long]("flagged") == 2 &&
+      m.getAs[Long]("state_rows") == 0)
+  }
+
   test("ivfCodesBatch: train-once/add-forever — every horizon's probe " +
     "equals the one-shot search with epoch-0-frozen artifacts, " +
     "replay-stable, sliding window") {
