@@ -383,6 +383,49 @@ object ScaleSmoke {
         Seq("join", "filter", "scan"))
         .filter(col("bm25").isNotNull).count()
     }
+    // q169's stored-index probe vs the live q28 arm above — the index
+    // materialized ONCE (cost reported as materialization, excluded —
+    // the postings-layout framing), then a probe pays only the terms'
+    // directory IO + the hit-stream shuffles. The stored-vs-live delta
+    // at growing mult is the Lucene-shape claim for the ranked tier.
+    val bm25IdxPath = s"$scratch/bm25_x$mult"
+    val bm25IdxMarker =
+      java.nio.file.Paths.get(s"$bm25IdxPath/_graft_bm25_v1")
+    if (stageActive("bm25-stored-probe") &&
+        !java.nio.file.Files.exists(bm25IdxMarker)) {
+      val t0 = System.nanoTime()
+      val base = bigDocsOrdered
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          size(col("__toks")).cast("long").as("dl"))
+      base.agg(count(lit(1)).as("n_docs"),
+          round(sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)")
+            .cast("double") / count(lit(1)), 6).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$bm25IdxPath/stats")
+      base.select(col("doc_id"), col("dl"),
+          explode(col("__toks")).as("token"))
+        .groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tok_part",
+          graft.sources.Writers.tokenPart(col("token")))
+        .write.partitionBy("tok_part").mode("overwrite")
+        .parquet(s"$bm25IdxPath/tf")
+      java.nio.file.Files.writeString(bm25IdxMarker, "ok")
+      println(f"[scale] materialize bm25 index x$mult  ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    timeBest("bm25-stored-probe") {
+      val terms = Seq("join", "filter", "scan")
+      val parts = terms.map(graft.sources.Writers.tokenPartOf).distinct
+      operators.Retrieval.bm25Stored(
+        spark.read.parquet(s"$bm25IdxPath/tf")
+          .filter(col("tok_part").isin(parts: _*) &&
+            col("token").isin(terms: _*))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl")),
+        spark.read.parquet(s"$bm25IdxPath/stats"),
+        "doc_id", terms)
+        .filter(col("bm25").isNotNull).count()
+    }
+
     time("phrase-merge") {
       // q148+q149 at N×: collocation learning is two map+agg passes into
       // VOCAB-bounded count tables (vocabulary fixed as the corpus

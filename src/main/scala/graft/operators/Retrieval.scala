@@ -56,6 +56,16 @@ object Retrieval {
       .select(col(idCol), col("dl"),
         col("qt.token").as("token"), col("qt.tf").as("tf"))
       .filter(col("tf") > 0)
+    bm25Score(tf, st, idCol, k1, b)
+  }
+
+  /** The BM25 rank stage shared by [[bm25]] and [[bm25Stored]]: takes
+    * the matched-hit table (idCol, dl, token, tf — one row per (doc,
+    * matched term)) and the 1-row (n_docs, avgdl) stats, computes df as
+    * a per-token count window over the hits (never a corpus re-scan)
+    * and the rounded idf/term-score/DECIMAL-sum chain. */
+  private def bm25Score(tf: DataFrame, st: DataFrame, idCol: String,
+                        k1: Double, b: Double): DataFrame = {
     // one row per (doc, matched term) → the per-token window count IS
     // the distinct-doc df, computed without re-scanning the corpus
     val withDf = tf.withColumn("df", count(lit(1)).over(
@@ -75,6 +85,29 @@ object Retrieval {
         count(lit(1)).as("n_terms"),
         round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)
           .as("bm25"))
+  }
+
+  /** [[bm25]] against a STORED index (the Lucene deployment shape; the
+    * q158/q162 layout discipline applied to the RANKED lexical tier):
+    * `tf` is the pruned read of a
+    * [[graft.sources.Writers.ensureBm25Index]] layout — (token, idCol,
+    * tf, dl) rows for the query's tokens only, reached via md5-prefix
+    * PartitionFilters + a residual token-IN pushdown — and `stats` is
+    * the layout's 1-row (n_docs, avgdl) table, so a probe never touches
+    * corpus text: probe IO tracks the query terms' posting mass. df
+    * comes from the same per-token count window as the live form
+    * (the pruned rows ARE the matched hits), and every rounding step is
+    * [[bm25]]'s — stored ≡ live bit-for-bit (SourcesSpec), oracle
+    * shared with q28 (layout, not semantics). */
+  def bm25Stored(tf: DataFrame, stats: DataFrame, idCol: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Stored needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "bm25 query terms must be distinct (duplicates double-count)")
+    bm25Score(
+      tf.select(col(idCol), col("dl"), col("token"), col("tf")),
+      stats, idCol, k1, b)
   }
 
   /** [[bm25]] for a whole TABLE of queries — retrieval for a training

@@ -153,7 +153,26 @@ object TextPack extends QueryPack {
       Retrieval.bm25(
         Q.wide(Q.t(s, dir, "documents")).select(col("doc_id"), col("text")),
         "doc_id", split(col("text"), " "),
-        Seq("join", "filter", "scan"))
+        Bm25Terms)
+    }),
+
+    // q28's STORED-index twin (the q158/q162 layout discipline applied
+    // to the RANKED lexical tier — the Lucene deployment shape): the
+    // (token, doc_id, tf, dl) table written ONCE partitioned by
+    // md5-prefix token directories with the 1-row (n_docs, avgdl)
+    // stats alongside (Writers.ensureBm25Index); the probe reads ONLY
+    // its terms' directories (PartitionFilters from driver-computed
+    // literals, residual token IN pushed into the reader — probe IO
+    // tracks the terms' posting mass, never corpus text) and replays
+    // bm25's exact df-window/idf/term-score/DECIMAL-sum chain over the
+    // pruned hits. Same oracle as q28: layout, not semantics.
+    "q169_bm25_stored" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25Index(s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
     }),
 
     // L4: per-language length-band filter — drop the outlier tails,
@@ -739,6 +758,11 @@ object TextPack extends QueryPack {
     * job, volume is the oracle's. */
   private val PhraseFixture = Seq("fast", "table")
 
+  /** q28/q169 probe terms — shared between the live and stored BM25
+    * forms so the q28 oracle serves both (the fixture ALSO appears as
+    * string literals inside bm25ChainSql's tf CTE — keep in sync). */
+  private val Bm25Terms = Seq("join", "filter", "scan")
+
   // q148/q149 collocation parameters: δ=2 discounts rare-pair flukes;
   // minCount 10 is the surfacing floor; 1.2 cuts the ~8% upper tail of
   // this corpus's score distribution (max 2.39 at sf0.01) into the
@@ -961,6 +985,13 @@ object TextPack extends QueryPack {
     // (libm-vs-JVM last-ulp), per-term scores rounded to 6 and summed in
     // DECIMAL. 2.2 = k1+1 (exact in binary: 1.2d + 1.0d == 2.2d).
     "q28_bm25" ->
+      s"""WITH $bm25ChainSql
+         SELECT doc_id, n_terms, bm25
+         FROM bm ORDER BY ALL NULLS FIRST""",
+
+    // IDENTICAL to q28's oracle — the stored layout changes where the
+    // probe's tf/dl/stats bytes come from, never what BM25 scores
+    "q169_bm25_stored" ->
       s"""WITH $bm25ChainSql
          SELECT doc_id, n_terms, bm25
          FROM bm ORDER BY ALL NULLS FIRST""",

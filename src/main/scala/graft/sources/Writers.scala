@@ -158,6 +158,62 @@ object Writers {
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedBm25 =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Token-partitioned STORED BM25 index of corpus table `name` — the
+    * [[ensurePostings]] discipline for the RANKED lexical tier (the
+    * Lucene deployment shape): `tf/` holds one (token, doc_id, tf, dl)
+    * row per (doc, token) — doc length rides the row, so a probe needs
+    * NO doclen join — written `partitionBy(tok_part)` ([[tokenPart]]'s
+    * 256 bounded md5-prefix directories at any vocabulary size);
+    * `stats/` the 1-row (n_docs, avgdl) table in EXACTLY
+    * `Retrieval.bm25`'s arithmetic (decimal sum, round-6 division) so
+    * stored scoring replays the live chain bit-for-bit. Tokenization is
+    * q28's (`split(text, ' ')`, unfiltered). Written AT MOST ONCE per
+    * (JVM, corpus dir) into PID-scoped tmp scratch. */
+  def ensureBm25Index(spark: SparkSession, dir: String,
+                      name: String = "documents"): String = {
+    import org.apache.spark.sql.functions._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-bm25-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedBm25.computeIfAbsent(path, { p =>
+      val base = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          size(col("__toks")).cast("long").as("dl"))
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)")
+            .cast("double") / count(lit(1)), 6).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$p/stats")
+      base.select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
+        .groupBy(col("token"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tok_part", tokenPart(col("token")))
+        .write.partitionBy("tok_part").mode("overwrite").parquet(s"$p/tf")
+      p
+    })
+  }
+
+  /** Probe-side read of an [[ensureBm25Index]] tf layout — the
+    * [[prunedPostings]] contract: driver-computed [[tokenPartOf]]
+    * literals prune directories at plan time, the residual
+    * `token IN (...)` pushes into the parquet reader. Returns
+    * (token, doc_id, tf, dl). */
+  def prunedBm25Tf(spark: SparkSession, path: String,
+                   terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(terms.nonEmpty, "prunedBm25Tf needs at least one term")
+    val parts = terms.distinct.map(tokenPartOf).distinct
+    spark.read.parquet(s"$path/tf")
+      .filter(col("tok_part").isin(parts: _*) &&
+        col("token").isin(terms.distinct: _*))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedIvfPq =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -32,6 +32,9 @@ class PlanLintSpec extends AnyFunSuite {
     // mixture denominator became a single-partition window — no cross
     // join left in that plan)
     "q28_bm25",
+    // q169 is q28's stored-index twin — the same 1-row stats broadcast,
+    // now read from the layout's stats table instead of aggregated live
+    "q169_bm25_stored",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",
@@ -329,6 +332,26 @@ class PlanLintSpec extends AnyFunSuite {
   // math over one corpus scan — map-only by construction
   assertShuffleBudget("q167_pdf_meta", 0)
   assertScanBudget("q167_pdf_meta", 1)
+
+  // stored BM25 probe: the pruned tf layout + the 1-row stats table
+  // (2 scans, neither corpus text); exchanges: the per-token df window
+  // + the per-doc score agg — the live q28 pays the same two over hits
+  // it had to build from a corpus scan
+  assertScanBudget("q169_bm25_stored", 2)
+  assertShuffleBudget("q169_bm25_stored", 2)
+  test("q169_bm25_stored prunes token directories " +
+    "(PartitionFilters on tok_part — probe IO tracks the terms' " +
+    "posting mass, never corpus text)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q169_bm25_stored")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("tok_part"),
+      s"tok_part did not prune at the partition level:\n$plan")
+  }
 
   // stored-index batch mining: the pruned codes scan + the bounded
   // query-batch scan, PLUS one DPP copy of the query side — Spark

@@ -317,6 +317,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(hits >= 6, s"stored arm recalled only $hits/30 exact negatives")
   }
 
+  test("bm25 stored layout: probing the materialized tf/stats index is " +
+    "bit-identical to the live form (q169 ≡ q28), and the layout " +
+    "carries dl so no doclen join exists at probe time") {
+    import graft.operators.Retrieval
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("join", "filter", "scan")
+    val live = Retrieval.bm25(docs, "doc_id", split(col("text"), " "), terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val path = Writers.ensureBm25Index(spark, dir)
+    val pruned = Writers.prunedBm25Tf(spark, path, terms)
+    val stored = Retrieval.bm25Stored(pruned,
+        spark.read.parquet(s"$path/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(live.nonEmpty && stored == live)
+    assert(pruned.columns.toSet == Set("token", "doc_id", "tf", "dl"))
+  }
+
   test("ensureModel: trains at most once per (corpus, params) and the " +
     "stored weight table round-trips exactly") {
     import org.apache.spark.sql.DataFrame
