@@ -175,6 +175,47 @@ object TextPack extends QueryPack {
         "doc_id", Bm25Terms)
     }),
 
+    // The hybrid retrieval stack SERVED ENTIRELY FROM STORED LAYOUTS —
+    // q136's composition (lexical arm + vector arm + RRF fuse) with
+    // both arms swapped to their layout legs: BM25 probes the
+    // token-partitioned tf index (q169), ANN probes the bucket-
+    // partitioned IVF×PQ index (q162, ADC-ascending in place of brute
+    // cosine — the compressed-serving trade), ranks fused 1/(60+r).
+    // This is the deployment shape of a production retrieval stack: a
+    // query touches two pruned directory sets and two bounded
+    // artifacts, never corpus text or raw embeddings. The oracle
+    // chains q28's BM25 replay, q156's routing/ADC replay cut at
+    // top-100, and q136's fuse arithmetic.
+    "q170_hybrid_stored" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Retrieval, Similarity}
+      val N = 100
+      val bmPath = graft.sources.Writers.ensureBm25Index(s, dir, "documents")
+      val lex = Retrieval.bm25Stored(
+          graft.sources.Writers.prunedBm25Tf(s, bmPath, Bm25Terms),
+          s.read.parquet(s"$bmPath/stats"), "doc_id", Bm25Terms)
+        .orderBy(col("bm25").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(N)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc_nulls_last,
+            col("doc_id").asc_nulls_first)).cast("long"))
+        .select(col("doc_id").as("id"), col("r_lex"))
+      val annPath = graft.sources.Writers.ensureIvfPqIndex(s, dir)
+      val vec = Similarity.ivfPqSearchStored(
+          s.read.parquet(s"$annPath/codes"),
+          s.read.parquet(s"$annPath/codebook"),
+          s.read.parquet(s"$annPath/centroids"),
+          "vec_id",
+          Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+            .select(col("embedding").as("qvec")),
+          "qvec", nprobe = 3, k = N)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("adist").asc_nulls_last,
+            col("vec_id").asc_nulls_first)).cast("long"))
+        .select(col("vec_id").as("id"), col("r_vec"))
+      Retrieval.rrfFuse(lex, vec, "id", "r_lex", "r_vec")
+    }),
+
     // L4: per-language length-band filter — drop the outlier tails,
     // keeping docs inside the [p10, p90] percent_rank band of their
     // language's length distribution. One window shuffle on lang; the
@@ -763,6 +804,103 @@ object TextPack extends QueryPack {
     * string literals inside bm25ChainSql's tf CTE — keep in sync). */
   private val Bm25Terms = Seq("join", "filter", "scan")
 
+  /** q170's oracle: the fully-stored hybrid stack replayed — q28's
+    * BM25 chain cut at top-100 (the q136 lexical arm), q156's
+    * exact-integer routing + ADC chain cut at top-100 ascending (the
+    * stored ANN arm — the layout is q162's fixed vec_id<8 centroid
+    * table, nprobe=3), and q136's CAST-pinned RRF fuse. Layout, not
+    * semantics, for both arms; the only semantic swap vs q136 is ANN's
+    * ADC ranking replacing brute cosine — replayed, not approximated. */
+  private lazy val hybridStoredSql: String =
+    s"""WITH $bm25ChainSql,
+       q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+             FROM embeddings WHERE vec_id = 1),
+       vq AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
+       vl AS (SELECT vec_id, unnest(qv) AS x,
+                     generate_subscripts(qv, 1) AS i FROM vq),
+       sl AS (SELECT cid, unnest(cq) AS y,
+                     generate_subscripts(cq, 1) AS i FROM seeds),
+       dist AS (SELECT vl.vec_id, sl.cid,
+                       CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id,
+                      CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
+               FROM dist GROUP BY 1),
+       ql AS (SELECT unnest(qq) AS x, generate_subscripts(qq, 1) AS i FROM q),
+       pd AS (SELECT sl.cid,
+                     CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+              FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1),
+       probed AS (SELECT cid FROM (
+                    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
+                    FROM pd) WHERE r <= 3),
+       mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       sub AS (SELECT vec_id, m,
+                      list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                     x -> CAST(x AS DOUBLE)) AS sub
+               FROM embeddings, mm),
+       stc AS (SELECT vec_id, m, sub,
+                      list_reverse_sort(list_transform(range(1, 5), i ->
+                        [abs(sub[i]),
+                         CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+               FROM sub),
+       codes AS (SELECT vec_id, m, sub,
+                        CASE WHEN len(sub) >= 4 THEN
+                          (CAST(srt[1][2] AS INT) + 4) * 9
+                            + (CAST(srt[2][2] AS INT) + 4) END AS code
+                 FROM stc),
+       pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                     unnest(sub) AS v
+              FROM codes WHERE code IS NOT NULL),
+       ac AS (SELECT m, code, pos, count(*) AS n,
+                     CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+              FROM pc GROUP BY 1, 2, 3),
+       cb AS (SELECT m, code,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cmean
+              FROM ac GROUP BY 1, 2),
+       qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+              FROM q, mm),
+       dt AS (SELECT cb.m, cb.code,
+                     round(list_dot_product(qs.qsub, qs.qsub)
+                           - CAST(2.0 AS DOUBLE)
+                             * list_dot_product(qs.qsub, cb.cmean)
+                           + list_dot_product(cb.cmean, cb.cmean), 8)
+                       + CAST(0.0 AS DOUBLE) AS d2
+              FROM cb JOIN qs ON qs.m = cb.m),
+       pop AS (SELECT c.vec_id, c.m, c.code
+               FROM codes c JOIN asg USING (vec_id)
+               WHERE asg.cluster IN (SELECT cid FROM probed)
+                 AND c.code IS NOT NULL),
+       tot AS (SELECT vec_id,
+                      CAST(CAST(sum(CAST(dt.d2 AS DECIMAL(28,8)))
+                           AS DECIMAL(28,8)) AS DOUBLE) AS adist
+               FROM pop JOIN dt USING (m, code) GROUP BY 1),
+       annk AS (SELECT vec_id, adist FROM tot
+                ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 100),
+       vecr AS (SELECT vec_id AS id,
+                       CAST(row_number() OVER (ORDER BY adist ASC NULLS LAST,
+                                               vec_id ASC) AS BIGINT) AS r_vec
+                FROM annk),
+       lex AS (SELECT doc_id, bm25 FROM bm
+               ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT 100),
+       lexr AS (SELECT doc_id AS id,
+                       CAST(row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+                                               doc_id ASC) AS BIGINT) AS r_lex
+                FROM lex)
+       SELECT coalesce(l.id, v.id) AS id, r_lex, r_vec,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                       CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec),
+                       CAST(0.0 AS DOUBLE)) AS rrf
+       FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id
+       ORDER BY ALL NULLS FIRST"""
+
   // q148/q149 collocation parameters: δ=2 discounts rare-pair flukes;
   // minCount 10 is the surfacing floor; 1.2 cuts the ~8% upper tail of
   // this corpus's score distribution (max 2.39 at sf0.01) into the
@@ -995,6 +1133,8 @@ object TextPack extends QueryPack {
       s"""WITH $bm25ChainSql
          SELECT doc_id, n_terms, bm25
          FROM bm ORDER BY ALL NULLS FIRST""",
+
+    "q170_hybrid_stored" -> hybridStoredSql,
 
     // both arms cut to their top-100 heads, ranked, full-outer fused:
     // rrf = 1/(60+r_lex) + 1/(60+r_vec), absent arm contributing 0

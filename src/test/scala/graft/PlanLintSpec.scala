@@ -35,6 +35,8 @@ class PlanLintSpec extends AnyFunSuite {
     // q169 is q28's stored-index twin — the same 1-row stats broadcast,
     // now read from the layout's stats table instead of aggregated live
     "q169_bm25_stored",
+    // q170's lexical arm embeds q169's 1-row stats broadcast
+    "q170_hybrid_stored",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",
@@ -339,6 +341,29 @@ class PlanLintSpec extends AnyFunSuite {
   // it had to build from a corpus scan
   assertScanBudget("q169_bm25_stored", 2)
   assertShuffleBudget("q169_bm25_stored", 2)
+  // hybrid stored stack: pruned tf + 1-row stats + pruned ANN codes —
+  // three layout scans, zero corpus-text/raw-embedding reads; both
+  // arms' directory pruning pinned below. Exchanges: the lexical arm's
+  // df window + score agg, each arm's ≤100-row global rank window, and
+  // the ≤200-row fuse join — every post-arm exchange carries cut rows
+  assertScanBudget("q170_hybrid_stored", 3)
+  assertShuffleBudget("q170_hybrid_stored", 5)
+  test("q170_hybrid_stored prunes BOTH layout families " +
+    "(PartitionFilters on tok_part AND bucket — a hybrid query touches " +
+    "two pruned directory sets, never corpus text or raw embeddings)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q170_hybrid_stored")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']')).mkString("|")
+    assert(pfs.contains("tok_part") && pfs.contains("bucket"),
+      s"expected both tok_part and bucket partition pruning:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "hybrid stored probe must not touch corpus text")
+  }
+
   test("q169_bm25_stored prunes token directories " +
     "(PartitionFilters on tok_part — probe IO tracks the terms' " +
     "posting mass, never corpus text)") {
