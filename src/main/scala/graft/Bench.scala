@@ -26,6 +26,12 @@ object Bench {
     // poison a query's reported time (observed: two identical runs 25%
     // apart on a shared host). Failed queries are listed explicitly — a
     // fast failure must not read as a fast query.
+    // Stored-layout queries (q165/q166/q168/q169/q170/q171/...): their
+    // ensure* artifacts build inside the FIRST declared execution per
+    // JVM (memoized after), so pass-1 timings carry the one-time
+    // train/build cost and the best-of-passes number measures the PROBE
+    // — which is the deployment claim. The build cost is reported
+    // separately (SCALE.md materialize rows), never hidden (VERDICT r16).
     val passCount = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Map[String, Double] =

@@ -105,8 +105,16 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25Stored needs at least one query term")
     require(queryTerms.distinct.size == queryTerms.size,
       "bm25 query terms must be distinct (duplicates double-count)")
+    // re-filter by the terms even though prunedBm25Tf already does:
+    // tokenPart only buckets into 256 md5-prefix directories, so a caller
+    // passing a partition-filtered-but-not-token-filtered read (or the
+    // raw tf layout) would otherwise count prefix-colliding tokens as
+    // matched hits — inflated n_terms, wrong df windows, silently wrong
+    // scores. On pruned input the predicate is the identical residual
+    // pushdown, a plan-level no-op (ADVICE r16).
     bm25Score(
-      tf.select(col(idCol), col("dl"), col("token"), col("tf")),
+      tf.filter(col("token").isin(queryTerms.distinct: _*))
+        .select(col(idCol), col("dl"), col("token"), col("tf")),
       stats, idCol, k1, b)
   }
 

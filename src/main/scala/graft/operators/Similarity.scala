@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Max distinct qids per [[routedNegativesStored]] call — bounds the
+    * per-query ADC literal when-chain codegen'd into one Janino method
+    * (ADVICE r16). A contrastive-mining pass over more queries chunks
+    * its batch and unions the per-chunk results. */
+  val MaxStoredMiningBatch = 64
+
   private def d(c: Column): Column = c.cast("double")
 
   /** Sequential-fold dot product of two float/double array columns. */
@@ -45,9 +51,14 @@ object Similarity {
     * pin against the oracle; for TRAINED centroids run [[kmeans]] or
     * route through [[ivfPqSearchTrained]]). PRECONDITION: the corpus
     * carries exactly the ids 0..k-1 among its rows — a non-dense or
-    * offset id space would silently shrink the seed set (ADVICE r15), so
-    * the realized seed count is asserted at construction (one bounded
-    * pushed-filter scan; the seeds are broadcast-small by contract).
+    * offset id space would silently shrink the seed set (ADVICE r15).
+    * The guard is LAZY (ADVICE r16: an eager countDistinct action at
+    * construction taxed every plan build that never evaluated): the
+    * seed side joins as a LEFT broadcast, each id's group counts the
+    * seed rows it actually saw, and a count ≠ k raises inside the same
+    * job the caller already runs — no extra scan, no construction-time
+    * action, and an empty seed set (fully offset ids) still fails
+    * loudly because the left join keeps every corpus row.
     * Distances are computed over 1e3-quantized
     * integer components so the argmin is exact in both engines (no
     * float-sum association drift), and (dist, seed) packs into ONE BIGINT
@@ -64,20 +75,26 @@ object Similarity {
     val vecs = df.select(col(idCol), quant(col(vecCol)).as("__qv"))
     val seeds = df.filter(col(idCol) < k)
       .select(col(idCol).as("__c"), quant(col(vecCol)).as("__qc"))
-    val nSeeds = seeds.select(countDistinct(col("__c"))).head().getLong(0)
-    require(nSeeds == k,
-      s"seedAssign seeds on ids 0..${k - 1} but the corpus realizes only " +
-        s"$nSeeds of them — a non-dense/offset id space would silently " +
-        s"shrink the cluster space; pass a 0-based dense-id corpus or use " +
-        s"kmeans/ivfPqSearchTrained for arbitrary centroid tables")
-    vecs.crossJoin(broadcast(seeds))
-      .select(col(idCol),
+    // "seeds realized ≠ k" raised lazily, per evaluated row group — the
+    // message mirrors the old construction-time require (spec-pinned)
+    val seedErr = concat(
+      lit(s"seedAssign seeds on ids 0..${k - 1} but the corpus realizes "),
+      col("__ns").cast("string"),
+      lit(" seed rows — a non-dense/offset/duplicated id space would " +
+        "silently shrink the cluster space; pass a 0-based dense-id " +
+        "corpus or use kmeans/ivfPqSearchTrained for arbitrary " +
+        "centroid tables"))
+    def guarded(c: Column): Column =
+      when(col("__ns") === k, c).otherwise(raise_error(seedErr))
+    vecs.join(broadcast(seeds), lit(true), "left")
+      .select(col(idCol), col("__c").as("__sc"),
         (aggregate(zip_with(col("__qv"), col("__qc"),
           (x, y) => (x - y) * (x - y)),
           lit(0L), (s, x) => s + x) * 8 + col("__c")).as("__p"))
-      .groupBy(idCol).agg(min("__p").as("__p"))
-      .select(col(idCol), (col("__p") % 8).as("cluster"),
-        expr("__p div 8").as("d_min"))
+      .groupBy(idCol).agg(min("__p").as("__p"),
+        count(col("__sc")).as("__ns"))
+      .select(col(idCol), guarded(col("__p") % 8).as("cluster"),
+        guarded(expr("__p div 8")).as("d_min"))
   }
 
   /** IVF-style coarse bucketing: composite key of the `keyDims` dominant
@@ -1162,6 +1179,18 @@ object Similarity {
       .select(col(qidCol).cast("long"), quantMilli(col(queryVecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // hard cap, not just a docstring bound (ADVICE r16): adistExpr below
+    // nests one when-branch per query, each embedding m dense literal
+    // arrays of (2p+1)² doubles — a few hundred qids would blow past
+    // Janino's 64 KB method limit and fail (or silently de-codegen) deep
+    // inside plan compilation with nothing pointing at the cause. Fail
+    // loudly here instead; larger batches chunk-and-union at the caller.
+    require(qrows.length <= MaxStoredMiningBatch,
+      s"routedNegativesStored mines a BOUNDED query batch — got " +
+        s"${qrows.length} distinct qids, max $MaxStoredMiningBatch " +
+        s"(the per-query ADC literal tables are codegen'd into one " +
+        s"method; oversized batches break Janino's 64 KB limit). " +
+        s"Chunk the query table and union the results.")
     if (qrows.isEmpty)
       return codes.filter(lit(false))
         .join(distinctQ, col(qidCol) === col(idCol))

@@ -1347,17 +1347,22 @@ object StreamingJobs {
                  outCol: String = "class"): Unit = {
     val spark = batch.sparkSession
     val weights = spark.read.parquet(modelPath)
-    graft.operators.QualityModel.predictClass(
+    // cache → count → write: the labeled-row counter comes from the
+    // SAME computed batch the epoch persists (one model pass, the write
+    // replays from cache) instead of a second full read of the parquet
+    // just written (ADVICE r16)
+    val labeled = graft.operators.QualityModel.predictClass(
         batch.select(col(idCol), tokensCol.as("__toks")),
         col("__toks"), weights, classes, buckets, outCol)
       .drop("__toks")
-      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
-    writeEpochMetrics(spark, outDir, epochId,
-      inputRows = batch.count(),
-      flagged = spark.read.parquet(s"$outDir/epoch=$epochId")
-        .filter(col(s"pred_$outCol").isNotNull).count(),
-      stateDir = outDir, // no state — latestVersion(outDir) is None -> 0
-      flaggedKind = "rows_labeled")
+      .cache()
+    try {
+      val flagged = labeled.filter(col(s"pred_$outCol").isNotNull).count()
+      labeled.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      writeEpochMetricsStateless(spark, outDir, epochId,
+        inputRows = batch.count(), flagged = flagged,
+        flaggedKind = "rows_labeled")
+    } finally labeled.unpersist()
   }
 
   /** Per-epoch sink observability (the reference's per-run delta-count
@@ -1381,10 +1386,29 @@ object StreamingJobs {
                                 inputRows: Long, flagged: Long,
                                 stateDir: String,
                                 flaggedKind: String = "flagged_pairs"): Unit = {
-    import spark.implicits._
     val stateRows = graft.sources.Writers.latestVersion(stateDir)
       .map(v => spark.read.parquet(s"$stateDir/v$v")
         .filter(col("__epoch") <= epochId).count()).getOrElse(0L)
+    emitEpochMetrics(spark, outDir, epochId, inputRows, flagged, stateRows,
+      flaggedKind)
+  }
+
+  /** [[writeEpochMetrics]] for a STATELESS sink (labelSink): states the
+    * 0-state fact directly instead of aliasing `outDir` as a state
+    * location and leaning on the v*-directory naming convention to read
+    * back empty (ADVICE r16). */
+  private def writeEpochMetricsStateless(
+      spark: org.apache.spark.sql.SparkSession, outDir: String,
+      epochId: Long, inputRows: Long, flagged: Long,
+      flaggedKind: String): Unit =
+    emitEpochMetrics(spark, outDir, epochId, inputRows, flagged,
+      stateRows = 0L, flaggedKind = flaggedKind)
+
+  private def emitEpochMetrics(spark: org.apache.spark.sql.SparkSession,
+                               outDir: String, epochId: Long,
+                               inputRows: Long, flagged: Long,
+                               stateRows: Long, flaggedKind: String): Unit = {
+    import spark.implicits._
     // `flagged_kind` names what `flagged` counts per sink — the paragraph
     // sink counts fully-emptied DOCS, not candidate pairs, and labeling
     // both "flagged pairs" misled anyone monitoring the sinks side by

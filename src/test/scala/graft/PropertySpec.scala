@@ -533,13 +533,24 @@ class PropertySpec extends AnyFunSuite {
     }
     // offset/non-dense id space: fewer than k of the ids 0..k-1 exist —
     // must fail loudly instead of silently shrinking the cluster space
-    // (ADVICE r15)
+    // (ADVICE r15). The guard is LAZY (ADVICE r16): construction runs no
+    // Spark action; the error raises when the result is evaluated.
     val offset = (10L to 15L).map(i => (i, Seq(0.1f, 0.2f, 0.3f, 0.4f)))
       .toDF("vec_id", "embedding")
-    val err = intercept[IllegalArgumentException] {
-      Similarity.seedAssign(offset, "vec_id", "embedding", 3)
+    val lazyResult = Similarity.seedAssign(offset, "vec_id", "embedding", 3)
+    val err = intercept[Exception] { lazyResult.collect() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(err).contains("0..2"),
+      s"expected the realized-seed guard to fire on evaluation: ${chain(err)}")
+    // partially-realized seed set (id 0 exists, 1..2 missing) must also
+    // fail on evaluation, not shrink to a 1-seed assignment
+    val partial = (Seq(0L) ++ (10L to 13L)).map(i =>
+      (i, Seq(0.1f, 0.2f, 0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val err2 = intercept[Exception] {
+      Similarity.seedAssign(partial, "vec_id", "embedding", 3).collect()
     }
-    assert(err.getMessage.contains("0..2"))
+    assert(chain(err2).contains("0..2"))
   }
 
   test("packedPdf fuzz: random bytes, random mutations of a valid PDF, " +
