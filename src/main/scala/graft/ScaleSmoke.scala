@@ -426,6 +426,46 @@ object ScaleSmoke {
         .filter(col("bm25").isNotNull).count()
     }
 
+    // q171's merged-vs-rebuilt A/B (VERDICT r16 #1): fold the 10% fresh
+    // slice into a pre-existing 90% index vs rebuilding the full index
+    // from scratch. The merge is a SEGMENT APPEND — fresh tf rows
+    // computed ∝ |fresh| and written as new files, nothing existing
+    // read — so its cost should track the fresh slice, near-flat per
+    // fresh byte as mult grows; the rebuild re-tokenizes, re-aggregates
+    // and rewrites the WHOLE corpus every batch. The guarded variant
+    // adds the new-doc-id semi-join over the touched directories (the
+    // only non-fresh-proportional cost; Delta.split-routed production
+    // ingest turns it off). Each merge pass gets an untimed fresh 90%
+    // base (append mutates its input layout).
+    if (stageActive("bm25-merge")) {
+      val docsAll = bigDocsOrdered.select(col("doc_id"), col("text"))
+      val baseSlice = docsAll.filter(col("doc_id") % 10 =!= 0)
+      val freshSlice = docsAll.filter(col("doc_id") % 10 === 0)
+      timeBest("bm25-merge-rebuild", passes = 2) {
+        graft.sources.Writers.writeBm25Index(
+          docsAll, s"$scratch/bm25_rebuild_x$mult")
+        spark.read.parquet(s"$scratch/bm25_rebuild_x$mult/stats")
+          .head().getLong(0)
+      }
+      Seq(false, true).foreach { guarded =>
+        val label =
+          if (guarded) "bm25-merge-append-guard" else "bm25-merge-append"
+        var best = Double.MaxValue
+        var n = 0L
+        (0 until 2).foreach { r =>
+          val p = s"$scratch/bm25_mb_${if (guarded) "g" else "u"}${r}_x$mult"
+          graft.sources.Writers.writeBm25Index(baseSlice, p) // untimed base
+          val t0 = System.nanoTime()
+          graft.sources.Writers.mergeBm25Index(spark, p, freshSlice,
+            checkNewDocIds = guarded)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          n = spark.read.parquet(s"$p/stats").head().getLong(0)
+        }
+        durations(label) = best
+        println(f"[scale] $label%-22s rows=$n%10d  $best%7.2f s (best of 2)")
+      }
+    }
+
     time("phrase-merge") {
       // q148+q149 at N×: collocation learning is two map+agg passes into
       // VOCAB-bounded count tables (vocabulary fixed as the corpus

@@ -59,13 +59,13 @@ object Retrieval {
     bm25Score(tf, st, idCol, k1, b)
   }
 
-  /** The BM25 rank stage shared by [[bm25]] and [[bm25Stored]]: takes
-    * the matched-hit table (idCol, dl, token, tf — one row per (doc,
-    * matched term)) and the 1-row (n_docs, avgdl) stats, computes df as
-    * a per-token count window over the hits (never a corpus re-scan)
-    * and the rounded idf/term-score/DECIMAL-sum chain. */
-  private def bm25Score(tf: DataFrame, st: DataFrame, idCol: String,
-                        k1: Double, b: Double): DataFrame = {
+  /** The per-(doc, matched term) scoring stage every BM25 form shares:
+    * takes the matched-hit table (idCol, dl, token, tf — one row per
+    * (doc, matched term)) and the 1-row (n_docs, avgdl) stats, computes
+    * df as a per-token count window over the hits (never a corpus
+    * re-scan) and appends the rounded idf/term-score column. */
+  private def bm25ScoredHits(tf: DataFrame, st: DataFrame,
+                             k1: Double, b: Double): DataFrame = {
     // one row per (doc, matched term) → the per-token window count IS
     // the distinct-doc df, computed without re-scanning the corpus
     val withDf = tf.withColumn("df", count(lit(1)).over(
@@ -80,12 +80,19 @@ object Retrieval {
     withDf
       .crossJoin(broadcast(st))
       .withColumn("term_score", termScore)
+  }
+
+  /** The BM25 rank stage shared by [[bm25]] and [[bm25Stored]]:
+    * [[bm25ScoredHits]] summed per document (DECIMAL sum — association
+    * order cannot matter). */
+  private def bm25Score(tf: DataFrame, st: DataFrame, idCol: String,
+                        k1: Double, b: Double): DataFrame =
+    bm25ScoredHits(tf, st, k1, b)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_terms"),
         round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)
           .as("bm25"))
-  }
 
   /** [[bm25]] against a STORED index (the Lucene deployment shape; the
     * q158/q162 layout discipline applied to the RANKED lexical tier):
@@ -156,18 +163,51 @@ object Retrieval {
       .join(broadcast(termSet), Seq("token"), "left_semi")
     val tf = hits.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
-    val idf = round(
-      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0)), 8)
-    val termScore = round(
-      idf * (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))),
-      6)
-    withDf
-      .crossJoin(broadcast(st))
-      .withColumn("term_score", termScore)
+    bm25ScoredHits(tf, st, k1, b)
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum(col("term_score").cast("decimal(28,6)")).cast("double"), 6)
+          .as("bm25"))
+  }
+
+  /** [[bm25Batch]] against a STORED index (VERDICT r16 #4 — q142
+    * answers a query TABLE against the live corpus, q169 answers ONE
+    * query against the stored layout; this is the batch deployment
+    * shape, the q168 move applied to the lexical tier): `queryTerms`
+    * is the bounded driver-known training batch (the q168 routing-batch
+    * contract — per-query term lists, each distinct), `tf` the pruned
+    * read of the UNION term set's directories
+    * ([[graft.sources.Writers.prunedBm25Tf]] over
+    * `queryTerms.flatMap(_._2).distinct`) — ONE pruned scan serves the
+    * whole batch; per-(doc, term) scores are computed once over the
+    * shared hit stream (a term's df/idf/term-score don't depend on
+    * which queries ask for it) and fanned out to queries through the
+    * broadcast (qid, token) table. Scores ≡ running [[bm25Stored]] per
+    * query at every rounding step; oracle shared with q142 (layout,
+    * not semantics). The term re-filter is [[bm25Stored]]'s misuse
+    * trap: on pruned input it is the identical residual pushdown. */
+  def bm25StoredBatch(tf: DataFrame, stats: DataFrame, idCol: String,
+                      queryTerms: Seq[(Long, Seq[String])],
+                      qidCol: String = "qid",
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25StoredBatch needs at least one query")
+    queryTerms.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.distinct.size == ts.size,
+        s"query $qid terms must be non-empty and distinct " +
+          "(duplicates double-count)") }
+    require(qidCol != idCol,
+      s"query id column must differ from corpus id column (both '$idCol')")
+    val allTerms = queryTerms.flatMap(_._2).distinct
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qterms = queryTerms.flatMap { case (q, ts) => ts.map((q, _)) }
+      .toDF(qidCol, "token")
+    bm25ScoredHits(
+        tf.filter(col("token").isin(allTerms: _*))
+          .select(col(idCol), col("dl"), col("token"), col("tf")),
+        stats, k1, b)
       .join(broadcast(qterms), Seq("token"))
       .groupBy(col(qidCol), col(idCol))
       .agg(

@@ -224,6 +224,50 @@ object TextPack extends QueryPack {
       Retrieval.rrfFuse(lex, vec, "id", "r_lex", "r_vec")
     }),
 
+    // The stored BM25 index built INCREMENTALLY (VERDICT r16 #1 — the
+    // one architectural gap left: every ensure* serving layout was
+    // rebuild-only, while the reference's whole raison d'être is the
+    // delta split, dags/scraping_etl.py:51-74): build the layout from
+    // the doc_id%3=0 slice, then fold the %3=1 and %3=2 slices in as
+    // two fresh-batch merges (Writers.mergeBm25Index — fresh tf rows ∝
+    // |fresh|, rewrite of ONLY the touched md5-prefix directories via
+    // dynamic partition overwrite, stats updated ADDITIVELY through
+    // the stored exact-DECIMAL sum_dl), then probe with q169's
+    // identical pruned read. Same oracle as q28/q169: the LIFECYCLE
+    // changes (build → merge → merge → probe), the scores must not —
+    // a dropped row, double-counted doc, or drifted avgdl breaks the
+    // hash. Merged ≡ rebuilt is additionally equality-pinned layout-
+    // wide in SourcesSpec; merge-vs-rebuild cost is ScaleSmoke's A/B.
+    "q171_bm25_index_merge" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25IndexMerged(s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
+    }),
+
+    // q142's STORED twin (VERDICT r16 #4 — the q168 move applied to the
+    // lexical tier): a whole TRAINING BATCH of queries answered from
+    // the stored BM25 layout in ONE pruned scan — the union of the
+    // batch's term directories lands as plan-time PartitionFilters
+    // literals (+ residual token-IN pushdown), per-(doc, term) scores
+    // are computed once over the shared hit stream (df/idf are corpus
+    // properties of the term, not of the asking query) and fan out to
+    // queries through the broadcast (qid, token) table. Probe IO
+    // tracks the UNION term set's posting mass — |Q| queries cost one
+    // scan, never |Q| scans and never corpus text. Same oracle as
+    // q142: layout, not semantics.
+    "q173_bm25_stored_batch" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25Index(s, dir, "documents")
+      Retrieval.bm25StoredBatch(
+        graft.sources.Writers.prunedBm25Tf(
+          s, path, BatchQueryTerms.flatMap(_._2).distinct),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", BatchQueryTerms)
+    }),
+
     // L4: per-language length-band filter — drop the outlier tails,
     // keeping docs inside the [p10, p90] percent_rank band of their
     // language's length distribution. One window shuffle on lang; the
@@ -1142,6 +1186,15 @@ object TextPack extends QueryPack {
          SELECT doc_id, n_terms, bm25
          FROM bm ORDER BY ALL NULLS FIRST""",
 
+    // IDENTICAL to q28's oracle again — the incremental build (slice →
+    // merge → merge) must land on the exact layout a from-scratch
+    // build writes; any merge defect (lost/duplicated tf rows, a
+    // non-additive avgdl) moves a score and breaks the hash
+    "q171_bm25_index_merge" ->
+      s"""WITH $bm25ChainSql
+         SELECT doc_id, n_terms, bm25
+         FROM bm ORDER BY ALL NULLS FIRST""",
+
     "q170_hybrid_stored" -> hybridStoredSql,
 
     // both arms cut to their top-100 heads, ranked, full-outer fused:
@@ -1655,6 +1708,11 @@ object TextPack extends QueryPack {
     // output, so q165 replays q160's re-train + score + argmax chain
     "q165_langid_stored" -> langidTrainedSql,
     "q142_bm25_batch" -> bm25BatchSql,
+
+    // IDENTICAL to q142's oracle — the stored layout changes where the
+    // batch probe's tf/dl/stats bytes come from, never what BM25
+    // scores; a pruning or fan-out defect breaks the per-(qid, doc) hash
+    "q173_bm25_stored_batch" -> bm25BatchSql,
 
     // replays both count tables and the 4-op IEEE ratio chain —
     // (c_ab−δ)/c_a · N/c_b in that exact order, every operand an exact

@@ -37,6 +37,12 @@ class PlanLintSpec extends AnyFunSuite {
     "q169_bm25_stored",
     // q170's lexical arm embeds q169's 1-row stats broadcast
     "q170_hybrid_stored",
+    // q171 probes the incrementally-merged layout with q169's exact
+    // plan — the same 1-row stats broadcast
+    "q171_bm25_index_merge",
+    // q173 crosses the same 1-row stats into the batch's shared pruned
+    // hit stream (q142's bounded shape over q169's layout)
+    "q173_bm25_stored_batch",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",
@@ -362,6 +368,52 @@ class PlanLintSpec extends AnyFunSuite {
       s"expected both tok_part and bucket partition pruning:\n$plan")
     assert(!plan.contains("documents.parquet"),
       "hybrid stored probe must not touch corpus text")
+  }
+
+  // merged-layout probe: the build→merge→merge lifecycle runs at
+  // construction; the DECLARED plan must be exactly q169's probe shape
+  // over the merged directories (pruned tf + 1-row stats, two hit-stream
+  // exchanges) — merging must never cost the probe anything
+  assertScanBudget("q171_bm25_index_merge", 2)
+  assertShuffleBudget("q171_bm25_index_merge", 2)
+  test("q171_bm25_index_merge prunes token directories of the MERGED " +
+    "layout (PartitionFilters on tok_part — directory pruning survives " +
+    "the incremental rewrite)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q171_bm25_index_merge")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("tok_part"),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "merged-layout probe must not touch corpus text")
+  }
+
+  // stored BATCH probe: ONE pruned tf scan serves the whole query batch
+  // (+ the 1-row stats) — never |Q| scans, never corpus text; exchanges:
+  // the shared per-token df window + the (qid, doc) score agg
+  assertScanBudget("q173_bm25_stored_batch", 2)
+  assertShuffleBudget("q173_bm25_stored_batch", 2)
+  test("q173_bm25_stored_batch prunes the UNION term set's directories " +
+    "(PartitionFilters on tok_part — batch probe IO tracks the union's " +
+    "posting mass in one scan)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q173_bm25_stored_batch")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("tok_part"),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "stored batch probe must not touch corpus text")
+    // exactly ONE tf-layout scan serves the whole batch
+    assert("FileScan parquet".r.findAllMatchIn(plan).size <= 2,
+      s"batch probe fanned out to per-query scans:\n$plan")
   }
 
   test("q169_bm25_stored prunes token directories " +

@@ -98,6 +98,54 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!batch.contains(3L))
   }
 
+  test("bm25StoredBatch: one pruned index scan scores every query like " +
+    "live bm25Batch AND like per-query bm25Stored") {
+    import graft.sources.Writers
+    val dir = "/root/testdata/sf0.001"
+    val corpus = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batchTerms = Seq(
+      (1L, Seq("join", "filter", "scan")),
+      (2L, Seq("hash", "batch")),
+      (3L, Seq("no_such_token_anywhere")))
+    val path = Writers.ensureBm25Index(spark, dir)
+    val union = batchTerms.flatMap(_._2).distinct
+    val stored = Retrieval.bm25StoredBatch(
+        Writers.prunedBm25Tf(spark, path, union),
+        spark.read.parquet(s"$path/stats"), "doc_id", batchTerms)
+      .select("qid", "doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val live = Retrieval.bm25Batch(corpus, "doc_id", split(col("text"), " "),
+        batchTerms.toDF("qid", "terms"), "qid", col("terms"))
+      .select("qid", "doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stored.nonEmpty && stored == live)
+    // per-query stored probes agree too (batch fan-out changes nothing)
+    for ((qid, terms) <- batchTerms.take(2)) {
+      val single = Retrieval.bm25Stored(
+          Writers.prunedBm25Tf(spark, path, terms),
+          spark.read.parquet(s"$path/stats"), "doc_id", terms)
+        .select("doc_id", "n_terms", "bm25")
+        .as[(Long, Long, Double)].collect()
+        .map { case (d, n, s) => (qid, d, n, s) }.toSet
+      assert(stored.filter(_._1 == qid) == single)
+    }
+    // misuse traps: duplicate terms within a query; qid colliding with
+    // the corpus id column
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25StoredBatch(
+        Writers.prunedBm25Tf(spark, path, union),
+        spark.read.parquet(s"$path/stats"), "doc_id",
+        Seq((1L, Seq("join", "join"))))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25StoredBatch(
+        Writers.prunedBm25Tf(spark, path, union),
+        spark.read.parquet(s"$path/stats"), "doc_id",
+        batchTerms, qidCol = "doc_id")
+    }
+  }
+
   test("mixtureWeights: sqrt-scaled weights, largest-remainder targets sum to budget") {
     // one row per (source, n_tok) pair: n_tok 9/16/25 → weights 3/12, 4/12, 5/12.
     // Exact shares 250 / 333.33 / 416.67 floor to 999: the one leftover

@@ -336,6 +336,85 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.columns.toSet == Set("token", "doc_id", "tf", "dl"))
   }
 
+  test("mergeBm25Index: slice-built + twice-merged layout equals the " +
+    "from-scratch build (tf rows, exact stats), rewrites ONLY the " +
+    "touched token directories, rejects non-new doc_ids, and treats an " +
+    "empty batch as a no-op") {
+    val docs = Seq(
+      (0L, "alpha beta beta"),
+      (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"),
+      (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val full = tmp("bm25full")
+    val inc = tmp("bm25inc")
+    Writers.writeBm25Index(docs, full)
+    Writers.writeBm25Index(docs.filter(col("doc_id") < 2), inc)
+
+    def partFiles(path: String): Map[String, Set[String]] = {
+      val tf = java.nio.file.Paths.get(s"$path/tf")
+      val dirs = java.nio.file.Files.list(tf).toArray.map(_.toString)
+        .filter(_.contains("tok_part="))
+      dirs.map { d =>
+        d.split("tok_part=").last ->
+          java.nio.file.Files.list(java.nio.file.Paths.get(d))
+            .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = partFiles(inc)
+    // merge the two fresh slices one after the other (merge-onto-merged)
+    Writers.mergeBm25Index(spark, inc, docs.filter(col("doc_id") === 2))
+    Writers.mergeBm25Index(spark, inc, docs.filter(col("doc_id") === 3))
+    val after = partFiles(inc)
+    // segment-append proof: EVERY pre-existing file survives untouched
+    // (the merge reads/rewrites nothing — cost strictly ∝ |fresh|), and
+    // prefixes none of the fresh tokens land in gain no files at all
+    assert(before.forall { case (p, files) => files.subsetOf(after(p)) },
+      "merge rewrote pre-existing index files — the append contract broke")
+    val freshPrefixes = Seq("alpha", "delta", "gamma", "epsilon", "zeta")
+      .map(Writers.tokenPartOf).toSet
+    val untouched = before.keySet.filterNot(freshPrefixes)
+    assert(untouched.forall(p => after(p) == before(p)),
+      s"untouched directories gained files: " +
+        untouched.filter(p => after(p) != before(p)))
+
+    def tfRows(path: String) = spark.read.parquet(s"$path/tf")
+      .select("token", "doc_id", "tf", "dl", "tok_part")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(tfRows(inc) == tfRows(full), "merged tf rows != rebuilt tf rows")
+    def stats(path: String) = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "avgdl", "sum_dl").head()
+    val (si, sf) = (stats(inc), stats(full))
+    assert(si.getLong(0) == sf.getLong(0))
+    assert(si.getDouble(1) == sf.getDouble(1), "additive avgdl drifted")
+    assert(si.getDecimal(2).compareTo(sf.getDecimal(2)) == 0)
+
+    // misuse trap: a doc_id already in the index fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Writers.mergeBm25Index(spark, inc, docs.filter(col("doc_id") === 0))
+    }
+    assert(ex.getMessage.contains("delta split"))
+    // empty fresh batch: layout byte-identical, stats unchanged
+    Writers.mergeBm25Index(spark, inc, docs.filter(col("doc_id") < 0))
+    assert(partFiles(inc) == after)
+    assert(stats(inc).getLong(0) == sf.getLong(0))
+  }
+
+  test("ensureBm25IndexMerged: the incrementally-built corpus layout " +
+    "probes bit-identical to the from-scratch ensureBm25Index layout") {
+    import graft.operators.Retrieval
+    val dir = "/root/testdata/sf0.001"
+    val terms = Seq("join", "filter", "scan")
+    def probe(path: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, path, terms),
+        spark.read.parquet(s"$path/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = probe(Writers.ensureBm25IndexMerged(spark, dir))
+    val rebuilt = probe(Writers.ensureBm25Index(spark, dir))
+    assert(merged.nonEmpty && merged == rebuilt)
+  }
+
   test("ensureModel: trains at most once per (corpus, params) and the " +
     "stored weight table round-trips exactly") {
     import org.apache.spark.sql.DataFrame
