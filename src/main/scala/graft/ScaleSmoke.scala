@@ -1159,6 +1159,53 @@ object ScaleSmoke {
         probeDims = math.min(4, vecDim / 4)).count()
     }
 
+    // q174's merged-vs-rebuilt A/B (the q171 lifecycle for the ANN leg):
+    // fold the 10% fresh vector slice into a pre-existing 90% index —
+    // one map-only encode against the FROZEN centroids + a bucket-
+    // directory append, cost ∝ |fresh| — vs rebuilding the whole layout
+    // (codebook re-training + full re-encode + full rewrite). The
+    // guarded variant adds the new-id semi-join over the fresh buckets'
+    // directories. Each merge pass gets an untimed fresh 90% base.
+    if (stageActive("ivfpq-merge")) {
+      val coarseM = vecBase.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val mSub = vecDim / 4
+      val pDims = math.min(4, vecDim / 4)
+      val vBase = bigVecs.filter(col("vec_id") % 10 =!= 0)
+      val vFresh = bigVecs.filter(col("vec_id") % 10 === 0)
+      def buildTo(p: String, vs: org.apache.spark.sql.DataFrame): Unit = {
+        val (codes, book) = operators.Similarity.ivfPqIndexTables(
+          vs, "vec_id", "embedding", coarseM, "cid", "cvec",
+          m = 4, subDim = mSub, probeDims = pDims)
+        codes.write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$p/codes")
+        book.write.mode("overwrite").parquet(s"$p/codebook")
+        coarseM.write.mode("overwrite").parquet(s"$p/centroids")
+      }
+      timeBest("ivfpq-merge-rebuild", passes = 2) {
+        val p = s"$scratch/ivfpq_rebuild_x$mult"
+        buildTo(p, bigVecs)
+        spark.read.parquet(s"$p/codes").count()
+      }
+      Seq(false, true).foreach { guarded =>
+        val label =
+          if (guarded) "ivfpq-merge-append-guard" else "ivfpq-merge-append"
+        var best = Double.MaxValue
+        var n = 0L
+        (0 until 2).foreach { r =>
+          val p = s"$scratch/ivfpq_mb_${if (guarded) "g" else "u"}${r}_x$mult"
+          buildTo(p, vBase) // untimed: the pre-existing index
+          val t0 = System.nanoTime()
+          graft.sources.Writers.mergeIvfPqIndex(spark, p, vFresh,
+            m = 4, subDim = mSub, probeDims = pDims, checkNewIds = guarded)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          n = spark.read.parquet(s"$p/codes").count()
+        }
+        durations(label) = best
+        println(f"[scale] $label%-22s rows=$n%10d  $best%7.2f s (best of 2)")
+      }
+    }
+
     timeBest("routed-negs-stored") {
       // q168 at N× — the stored twin of the routed-negatives stage
       // above, SAME 16-query batch: routing is driver-side integer

@@ -948,10 +948,29 @@ object Similarity {
       collectQuantCents(coarse, coarseIdCol, coarseVecCol),
       m, subDim, probeDims, passthrough)
 
-  private def ivfPqIndexTablesWith(vectors: DataFrame, idCol: String,
+  /** Code/bucket rows of `vectors` against a FIXED centroid table
+    * (cid, cvec) — the FAISS add() contract, exposed so fresh vectors
+    * can be folded into a STORED [[ivfPqIndexTables]] layout without
+    * touching the trained artifacts
+    * ([[graft.sources.Writers.mergeIvfPqIndex]]): a vector's PQ codes
+    * are an intrinsic function of the vector (sign/abs-rank structure,
+    * [[pqCodesWide]]) and its bucket is the exact-integer argmin
+    * against the frozen centroids — so encode(old) ∪ encode(fresh)
+    * IS the codes table a from-scratch build over old ∪ fresh writes
+    * (with the same frozen artifacts). One map-only pass, centroids
+    * collected at construction (bounded by the coarse k). */
+  def ivfPqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, m: Int = 4, subDim: Int = 16,
+                  probeDims: Int = 4,
+                  passthrough: Seq[String] = Nil): DataFrame =
+    ivfPqEncodeWith(vectors, idCol, vecCol,
+      collectQuantCents(centroids, "cid", "cvec"),
+      m, subDim, probeDims, passthrough)
+
+  private def ivfPqEncodeWith(vectors: DataFrame, idCol: String,
       vecCol: String, cents: Array[(Long, Array[Long])], m: Int,
       subDim: Int, probeDims: Int,
-      passthrough: Seq[String] = Nil): (DataFrame, DataFrame) = {
+      passthrough: Seq[String]): DataFrame = {
     val dim = cents.head._2.length
     val clean = vectors
       .filter(size(col(vecCol)) === dim &&
@@ -963,11 +982,19 @@ object Similarity {
           lit(0L), (s2, x) => s2 + x).as("d"),
         lit(cid).as("c"))
     }.toIndexedSeq: _*)).getField("c")
-    val codes = clean.select(col(idCol) +: passthrough.map(col) :+
+    clean.select(col(idCol) +: passthrough.map(col) :+
       array((0 until m).map(i =>
         ivfAssign(slice(col(vecCol), i * subDim + 1, subDim), probeDims)): _*)
         .as("codes") :+
       assignment.as("bucket"): _*)
+  }
+
+  private def ivfPqIndexTablesWith(vectors: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Long])], m: Int,
+      subDim: Int, probeDims: Int,
+      passthrough: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val codes = ivfPqEncodeWith(
+      vectors, idCol, vecCol, cents, m, subDim, probeDims, passthrough)
     val book = pqCodebook(pqCodes(vectors, idCol, vecCol, m, subDim, probeDims))
     (codes, book)
   }

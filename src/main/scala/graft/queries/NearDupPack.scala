@@ -343,6 +343,30 @@ object NearDupPack extends QueryPack {
         "qvec", nprobe = 3, k = 20)
     }),
 
+    // The stored IVF×PQ index built INCREMENTALLY (VERDICT r16 #1's ANN
+    // leg, the q171 lifecycle for vectors — the FAISS train → add →
+    // add deployment): codebook + centroid table trained/fixed on the
+    // vec_id%3≠2 slice ONLY (train-on-a-sample; the stored artifacts
+    // never move afterwards), that slice's codes built, then the %3=2
+    // slice folded in as a fresh-batch merge — encoded against the
+    // FROZEN artifacts in one map-only pass and APPENDED to its bucket
+    // directories, nothing existing read or rewritten
+    // (Writers.mergeIvfPqIndex). The probe is q162's exact stored
+    // plan. The oracle replays codebook training restricted to the
+    // slice and coding/routing over ALL vectors — a merge that
+    // re-trained, dropped, or double-coded anything breaks the hash.
+    "q174_ivfpq_index_merge" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndexMerged(s, dir)
+      Similarity.ivfPqSearchStored(
+        s.read.parquet(s"$path/codes"),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+    }),
+
     // L2 TRAINING itself, oracle-checked (VERDICT r15 #1 — kmeans was
     // the one load-bearing operator with spec-only coverage, yet its
     // output feeds every "trained" serving tier): Lloyd's at k=4 for 2
@@ -1635,6 +1659,103 @@ object NearDupPack extends QueryPack {
          ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
        ORDER BY ALL NULLS FIRST"""
 
+  /** q174's oracle: q156's routing/codebook/ADC replay with the TRAIN
+    * slice made explicit — the centroid table (seeds) and the codebook
+    * training population (pc) are restricted to the vec_id%3≠2 build
+    * slice exactly as ensureIvfPqIndexMerged freezes them, while
+    * assignment (asg), coding (codes) and the probed population (pop)
+    * run over ALL vectors — the merged layout's contract: frozen
+    * artifacts, everything coded. cb2 replays the build's
+    * origin-centroid fallback: code values the training slice never
+    * realized carry a zero centroid, so a fresh vector bearing one
+    * scores that subquantizer as round(‖q_m‖², 8) on both engines
+    * (sample-trained codebooks meet unseen codes — the defined,
+    * conservative contract instead of an undefined lookup). Any merge
+    * defect (a re-trained codebook, a dropped or double-added fresh
+    * vector, a bucket assigned against moved centroids) diverges. */
+  private val ivfPqMergedSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                         list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+                  FROM embeddings WHERE vec_id = 1),
+       vq AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq
+                 WHERE vec_id < 8 AND vec_id % 3 <> 2),
+       vl AS (SELECT vec_id, unnest(qv) AS x,
+                     generate_subscripts(qv, 1) AS i FROM vq),
+       sl AS (SELECT cid, unnest(cq) AS y,
+                     generate_subscripts(cq, 1) AS i FROM seeds),
+       dist AS (SELECT vl.vec_id, sl.cid,
+                       CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id,
+                      CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
+               FROM dist GROUP BY 1),
+       ql AS (SELECT unnest(qq) AS x, generate_subscripts(qq, 1) AS i FROM q),
+       pd AS (SELECT sl.cid,
+                     CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+              FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1),
+       probed AS (SELECT cid FROM (
+                    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
+                    FROM pd) WHERE r <= 3),
+       mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       sub AS (SELECT vec_id, m,
+                      list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                     x -> CAST(x AS DOUBLE)) AS sub
+               FROM embeddings, mm),
+       stc AS (SELECT vec_id, m, sub,
+                     list_reverse_sort(list_transform(range(1, 5), i ->
+                       [abs(sub[i]),
+                        CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+              FROM sub),
+       codes AS (SELECT vec_id, m, sub,
+                        CASE WHEN len(sub) >= 4 THEN
+                          (CAST(srt[1][2] AS INT) + 4) * 9
+                            + (CAST(srt[2][2] AS INT) + 4) END AS code
+                 FROM stc),
+       pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                     unnest(sub) AS v
+              FROM codes WHERE code IS NOT NULL AND vec_id % 3 <> 2),
+       ac AS (SELECT m, code, pos, count(*) AS n,
+                     CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+              FROM pc GROUP BY 1, 2, 3),
+       cb AS (SELECT m, code,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cmean
+              FROM ac GROUP BY 1, 2),
+       allmc AS (SELECT m, unnest(range(0, 81)) AS code FROM mm),
+       cb2 AS (SELECT m, code, cmean FROM cb
+               UNION ALL
+               SELECT a.m, a.code,
+                      list_transform(range(1, 17),
+                        x -> CAST(0.0 AS DOUBLE)) AS cmean
+               FROM allmc a LEFT JOIN cb ON a.m = cb.m AND a.code = cb.code
+               WHERE cb.code IS NULL),
+       qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+              FROM q, mm),
+       dt AS (SELECT cb2.m, cb2.code,
+                     round(list_dot_product(qs.qsub, qs.qsub)
+                           - CAST(2.0 AS DOUBLE)
+                             * list_dot_product(qs.qsub, cb2.cmean)
+                           + list_dot_product(cb2.cmean, cb2.cmean), 8)
+                       + CAST(0.0 AS DOUBLE) AS d2
+              FROM cb2 JOIN qs ON qs.m = cb2.m),
+       pop AS (SELECT c.vec_id, c.m, c.code
+               FROM codes c JOIN asg USING (vec_id)
+               WHERE asg.cluster IN (SELECT cid FROM probed)
+                 AND c.code IS NOT NULL),
+       tot AS (SELECT vec_id,
+                      CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                           AS DECIMAL(28,8)) AS DOUBLE) AS adist
+               FROM pop JOIN dt USING (m, code) GROUP BY 1)
+       SELECT * FROM (
+         SELECT vec_id, adist FROM tot
+         ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
+       ORDER BY ALL NULLS FIRST"""
+
   // q162 probes the STORED bucket-partitioned index q156 computes live
   // — layout, not semantics (the q158/q151 framing), so the oracle IS
   // q156's: identical routing, codebook, ADC ranking over base tables.
@@ -1642,5 +1763,6 @@ object NearDupPack extends QueryPack {
     oracleBase + (
       "q162_ivfpq_stored" -> oracleBase("q156_ivfpq_trained"),
       "q164_kmeans_train" -> kmeansTrainSql,
-      "q166_ivfpq_trained_stored" -> ivfPqTrainedStoredSql)
+      "q166_ivfpq_trained_stored" -> ivfPqTrainedStoredSql,
+      "q174_ivfpq_index_merge" -> ivfPqMergedSql)
 }

@@ -411,6 +411,114 @@ object Writers {
     })
   }
 
+  /** Fold a FRESH vector batch into a stored [[ensureIvfPqIndex]]-shape
+    * layout at cost ∝ |fresh| — the FAISS add() contract, and the
+    * [[mergeBm25Index]] discipline for the ANN leg: the codebook and
+    * centroid artifacts stay FROZEN (training is a sampled one-time
+    * step; re-training per ingest batch would shift every stored
+    * code's meaning), fresh vectors are encoded against them in one
+    * map-only pass ([[graft.operators.Similarity.ivfPqEncode]] — a
+    * vector's PQ codes are intrinsic, its bucket the exact-integer
+    * argmin against the frozen centroids) and APPENDED as new files in
+    * their bucket directories; nothing existing is read or rewritten.
+    * Merged ≡ from-scratch-with-the-same-frozen-artifacts is q174's
+    * oracle and SourcesSpec's equality pin. With `checkNewIds` (the
+    * default) a fresh id already coded fails loudly (cost: a semi-join
+    * over the fresh buckets' directories — NOT fresh-proportional;
+    * Delta-routed ingest passes false). `passthrough` must match the
+    * columns the layout was built with. */
+  def mergeIvfPqIndex(spark: SparkSession, path: String, fresh: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      m: Int = 4, subDim: Int = 16, probeDims: Int = 4,
+                      passthrough: Seq[String] = Nil,
+                      checkNewIds: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val freshCodes = graft.operators.Similarity.ivfPqEncode(
+      fresh, idCol, vecCol, spark.read.parquet(s"$path/centroids"),
+      m, subDim, probeDims, passthrough)
+    if (checkNewIds) {
+      val cached = freshCodes.cache()
+      try {
+        val buckets = cached.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0)) // bounded by the coarse k
+        require(spark.read.parquet(s"$path/codes")
+            .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+            .join(cached.select(col(idCol)).distinct(), Seq(idCol),
+              "left_semi").head(1).isEmpty,
+          "mergeIvfPqIndex: fresh batch contains ids already coded in " +
+            "the index — merge takes the delta split's NEW side; " +
+            "changed vectors need delete-then-compact, not a double add")
+        cached.write.partitionBy("bucket").mode("append")
+          .parquet(s"$path/codes")
+      } finally cached.unpersist()
+    } else freshCodes.write.partitionBy("bucket").mode("append")
+      .parquet(s"$path/codes")
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedIvfPqMerged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[ensureIvfPqIndex]] layout built INCREMENTALLY — q174's
+    * artifact: train the codebook and fix the centroid table on the
+    * vec_id%3≠2 slice ONLY (the FAISS train-on-a-sample contract —
+    * the stored artifacts then never move), build that slice's codes,
+    * and fold the %3=2 slice in as a fresh-batch [[mergeIvfPqIndex]].
+    * A probe of the merged layout must equal a probe of a from-scratch
+    * build that uses the SAME frozen artifacts — the oracle replays
+    * codebook training restricted to the slice, coding/routing over
+    * everything. Written AT MOST ONCE per (JVM, corpus dir, params). */
+  def ensureIvfPqIndexMerged(spark: SparkSession, dir: String,
+                             name: String = "embeddings", coarseK: Int = 8,
+                             m: Int = 4, subDim: Int = 16,
+                             probeDims: Int = 4): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-merged-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}_${coarseK}_${m}_${subDim}_$probeDims"
+    preparedIvfPqMerged.computeIfAbsent(path, { p =>
+      import org.apache.spark.sql.functions.{array_repeat, lit}
+      val vecs = graft.Tables.load(spark, dir, name)
+      val sliceA = vecs.filter(col("vec_id") % 3 =!= 2)
+      val coarse = sliceA.filter(col("vec_id") < coarseK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
+        sliceA, "vec_id", "embedding", coarse, "cid", "cvec",
+        m, subDim, probeDims)
+      codes.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$p/codes")
+      // ORIGIN-CENTROID FALLBACK: the intrinsic sign/abs-rank code of a
+      // FRESH vector can be one the training slice never realized — a
+      // sample-trained codebook then has no row for it and the ADC
+      // lookup would be undefined (pqAdcDense deliberately NaN-fails on
+      // impossible lookups). Pad the frozen codebook with every
+      // unrealized code value as a zero (origin) centroid — that
+      // subquantizer then contributes round(‖q_m‖², 8), the distance to
+      // an uninformative centroid: defined, conservative (unseen-code
+      // vectors rank behind well-coded ones near the query), and
+      // exactly replayable (the q174 oracle pads the same rows). The
+      // code space is bounded: (i1+4)·(2p+1) + (i2+4) over signed dim
+      // picks — padding the full (2p+1)² rectangle is harmless, extra
+      // rows are never looked up.
+      val radix = 2 * probeDims + 1
+      val pad0 = spark.range(m.toLong).select(col("id").as("m"))
+        .crossJoin(spark.range((radix * radix).toLong)
+          .select(col("id").as("code")))
+        .join(book.select(col("m"), col("code")), Seq("m", "code"),
+          "left_anti")
+        .select(col("m"), col("code"), lit(1L).as("n_vecs"),
+          array_repeat(lit(0L), subDim).as("centroid_msum"))
+      val pad = book.schema.fields.foldLeft(pad0)((d, f) =>
+        d.withColumn(f.name, col(f.name).cast(f.dataType)))
+        .select(book.columns.map(col).toIndexedSeq: _*)
+      book.unionByName(pad).write.mode("overwrite").parquet(s"$p/codebook")
+      coarse.write.mode("overwrite").parquet(s"$p/centroids")
+      mergeIvfPqIndex(spark, p, vecs.filter(col("vec_id") % 3 === 2),
+        m = m, subDim = subDim, probeDims = probeDims)
+      p
+    })
+  }
+
   // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedIvfPqTrained =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

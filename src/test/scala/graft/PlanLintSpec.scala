@@ -336,6 +336,28 @@ class PlanLintSpec extends AnyFunSuite {
       s"bucket did not prune at the partition level:\n$plan")
   }
 
+  // merged-ANN-layout probe: the build→merge lifecycle runs at
+  // construction; the DECLARED plan must be exactly q162's probe shape
+  // over the merged directories — ONE pruned codes scan, map-only ADC
+  // lookups, zero exchanges (merging must never cost the probe anything)
+  assertShuffleBudget("q174_ivfpq_index_merge", 0)
+  assertScanBudget("q174_ivfpq_index_merge", 1)
+  test("q174_ivfpq_index_merge prunes bucket directories of the MERGED " +
+    "layout (PartitionFilters on bucket — directory pruning survives " +
+    "the segment append)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q174_ivfpq_index_merge")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("bucket"),
+      s"bucket did not prune at the partition level:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      "merged-layout probe must not touch raw embeddings")
+  }
+
   // PDF meta: synthesis + xref walk + unpack are all row-local column
   // math over one corpus scan — map-only by construction
   assertShuffleBudget("q167_pdf_meta", 0)

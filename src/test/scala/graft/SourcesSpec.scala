@@ -415,6 +415,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged == rebuilt)
   }
 
+  test("mergeIvfPqIndex: merged codes equal a from-scratch encode against " +
+    "the frozen artifacts, the padded codebook covers the whole code " +
+    "space, and non-new ids are rejected") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val path = Writers.ensureIvfPqIndexMerged(spark, dir)
+    val stored = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "codes", "bucket")
+    val rebuilt = Similarity.ivfPqEncode(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      spark.read.parquet(s"$path/centroids"))
+      .select("vec_id", "codes", "bucket")
+    assert(stored.count() > 0 &&
+      stored.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(stored).isEmpty,
+      "merged codes table != frozen-artifact rebuild")
+    // origin-centroid fallback: every (m, code) slot of the (2p+1)^2
+    // rectangle is defined, so an unseen-code fresh vector can never
+    // hit an undefined ADC lookup
+    val cbPairs = spark.read.parquet(s"$path/codebook")
+      .select(col("m").cast("int"), col("code").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val rect = for (m <- 0 until 4; c <- 0 until 81) yield (m, c)
+    assert(rect.toSet.subsetOf(cbPairs), "codebook padding left holes")
+    val ex = intercept[IllegalArgumentException] {
+      Writers.mergeIvfPqIndex(spark, path,
+        Tables.load(spark, dir, "embeddings").filter(col("vec_id") === 1))
+    }
+    assert(ex.getMessage.contains("delta split"))
+  }
+
   test("ensureModel: trains at most once per (corpus, params) and the " +
     "stored weight table round-trips exactly") {
     import org.apache.spark.sql.DataFrame
