@@ -247,6 +247,87 @@ object TextPack extends QueryPack {
         "doc_id", Bm25Terms)
     }),
 
+    // The stored stack's QUALITY, oracle-checked (VERDICT r16 #2 —
+    // q170's ADC/compression recall trade was spec-pinned only at
+    // fixture scale; q163's rankEval graded only the live brute arms):
+    // grade the three stored systems (fused stack, lexical arm, ADC
+    // vector arm) against EXACT ground truth computed in the same
+    // query — the exact fused head = live-BM25 ranks (the stored lex
+    // ranks ARE exact, q169's bit-for-bit pin) ⊕ brute-cosine ranks,
+    // RRF-fused, cut at top-10. Per system at k=20: first relevant
+    // rank, relevant count, ground-truth size — exact BIGINTs (the
+    // q163 discipline). This is the eval a deployment runs to price
+    // its compression: the vec row isolates ADC recall, the fused row
+    // shows what fusion recovers. All rank windows run over bounded
+    // retrieval heads (the q170 invariant), and each bounded head is
+    // localCheckpoint'd at construction (the q92/q164 stance): every
+    // arm's layout/corpus scan executes exactly ONCE — the lazy form
+    // re-planned the lex probe four times and the brute corpus scan
+    // twice (Spark reuses no un-materialized subtree across branches).
+    "q172_stored_stack_eval" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Retrieval, Similarity}
+      val N = 100
+      val bmPath = graft.sources.Writers.ensureBm25Index(s, dir, "documents")
+      val lex = Retrieval.bm25Stored(
+          graft.sources.Writers.prunedBm25Tf(s, bmPath, Bm25Terms),
+          s.read.parquet(s"$bmPath/stats"), "doc_id", Bm25Terms)
+        .orderBy(col("bm25").desc_nulls_last, col("doc_id").asc_nulls_first)
+        .limit(N)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc_nulls_last,
+            col("doc_id").asc_nulls_first)).cast("long"))
+        .select(col("doc_id").as("id"), col("r_lex"))
+        .localCheckpoint()
+      val annPath = graft.sources.Writers.ensureIvfPqIndex(s, dir)
+      val vec = Similarity.ivfPqSearchStored(
+          s.read.parquet(s"$annPath/codes"),
+          s.read.parquet(s"$annPath/codebook"),
+          s.read.parquet(s"$annPath/centroids"),
+          "vec_id",
+          Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+            .select(col("embedding").as("qvec")),
+          "qvec", nprobe = 3, k = N)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("adist").asc_nulls_last,
+            col("vec_id").asc_nulls_first)).cast("long"))
+        .select(col("vec_id").as("id"), col("r_vec"))
+        .localCheckpoint()
+      val sfus = Retrieval.rrfFuse(lex, vec, "id", "r_lex", "r_vec")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc_nulls_last,
+            col("id").asc_nulls_first)).cast("long"))
+        .select(col("id"), col("rank"))
+      val ranked = sfus.withColumn("system", lit("fused"))
+        .unionByName(lex.select(col("id"), col("r_lex").as("rank"))
+          .withColumn("system", lit("lex")))
+        .unionByName(vec.select(col("id"), col("r_vec").as("rank"))
+          .withColumn("system", lit("vec")))
+      // exact ground truth: live-BM25 ranks (≡ lex) ⊕ brute cosine
+      val bvec = Similarity.cosineTopK(
+          Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+          Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+            .select(col("embedding").as("bqvec")),
+          "bqvec", k = N)
+        .withColumn("r_bvec", row_number().over(
+          Window.orderBy(col("score").desc_nulls_last,
+            col("vec_id").asc_nulls_first)).cast("long"))
+        .select(col("vec_id").as("id"), col("r_bvec"))
+      val xtop = Retrieval.rrfFuse(lex, bvec, "id", "r_lex", "r_bvec")
+        .orderBy(col("rrf").desc_nulls_last, col("id").asc_nulls_first)
+        .limit(10).select(col("id"))
+        .localCheckpoint()
+      // ground-truth size: a driver count of the 10-row checkpointed
+      // head (the q140 trained-artifact stance — not a 1-row cross join)
+      val nRel = xtop.count()
+      val ev = Retrieval.rankEval(
+        ranked.join(broadcast(xtop.withColumn("__rel", lit(1))),
+          Seq("id"), "left"),
+        "system", col("__rel").isNotNull, col("rank"), k = 20)
+      ev.select(col("system"), col("first_rel_rank"), col("n_rel_at_k"),
+        lit(nRel).as("n_rel_total"))
+    }),
+
     // q142's STORED twin (VERDICT r16 #4 — the q168 move applied to the
     // lexical tier): a whole TRAINING BATCH of queries answered from
     // the stored BM25 layout in ONE pruned scan — the union of the
@@ -856,16 +937,14 @@ object TextPack extends QueryPack {
     * string literals inside bm25ChainSql's tf CTE — keep in sync). */
   private val Bm25Terms = Seq("join", "filter", "scan")
 
-  /** q170's oracle: the fully-stored hybrid stack replayed — q28's
-    * BM25 chain cut at top-100 (the q136 lexical arm), q156's
-    * exact-integer routing + ADC chain cut at top-100 ascending (the
-    * stored ANN arm — the layout is q162's fixed vec_id<8 centroid
-    * table, nprobe=3), and q136's CAST-pinned RRF fuse. Layout, not
-    * semantics, for both arms; the only semantic swap vs q136 is ANN's
-    * ADC ranking replacing brute cosine — replayed, not approximated. */
-  private lazy val hybridStoredSql: String =
-    s"""WITH $bm25ChainSql,
-       q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+  /** The stored-hybrid-stack CTE chain shared by q170 (fuses and
+    * returns it) and q172 (grades it against exact ground truth):
+    * q156's exact-integer routing + ADC chain cut at top-100 ascending
+    * (the stored ANN arm — q162's fixed vec_id<8 centroid table,
+    * nprobe=3) ranked in `vecr`, and q28's BM25 chain (prepended by
+    * the caller via [[bm25ChainSql]]) cut at top-100 ranked in `lexr`. */
+  private lazy val hybridStoredChainSql: String =
+    s"""q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
                     list_transform(embedding,
                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
              FROM embeddings WHERE vec_id = 1),
@@ -944,7 +1023,16 @@ object TextPack extends QueryPack {
        lexr AS (SELECT doc_id AS id,
                        CAST(row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
                                                doc_id ASC) AS BIGINT) AS r_lex
-                FROM lex)
+                FROM lex)"""
+
+  /** q170's oracle: the fully-stored hybrid stack replayed — the
+    * [[hybridStoredChainSql]] arms under q136's CAST-pinned RRF fuse.
+    * Layout, not semantics, for both arms; the only semantic swap vs
+    * q136 is ANN's ADC ranking replacing brute cosine — replayed, not
+    * approximated. */
+  private lazy val hybridStoredSql: String =
+    s"""WITH $bm25ChainSql,
+       $hybridStoredChainSql
        SELECT coalesce(l.id, v.id) AS id, r_lex, r_vec,
               coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
                        CAST(0.0 AS DOUBLE)) +
@@ -952,6 +1040,61 @@ object TextPack extends QueryPack {
                        CAST(0.0 AS DOUBLE)) AS rrf
        FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id
        ORDER BY ALL NULLS FIRST"""
+
+  /** q172's oracle: the stored stack graded against EXACT ground truth
+    * in one statement. The stored side is [[hybridStoredChainSql]]
+    * verbatim (fused in `sfus`, per-arm ranks in `lexr`/`vecr`); the
+    * ground truth is the EXACT fused head — live-BM25 ranks (lexr IS
+    * exact: stored ≡ live bit-for-bit, the q169 pin) fused with
+    * brute-cosine ranks (q136's cos chain) and cut at top-10. Each
+    * stored system (fused / lex / vec) is rankEval'd at k=20: first
+    * relevant rank, relevant count, ground-truth size — exact BIGINTs
+    * (the q163 discipline; MRR/recall are one caller-side division). */
+  private lazy val storedStackEvalSql: String =
+    s"""WITH $bm25ChainSql,
+       $hybridStoredChainSql,
+       fused AS (SELECT coalesce(l.id, v.id) AS id, r_lex, r_vec,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                       CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec),
+                       CAST(0.0 AS DOUBLE)) AS rrf
+              FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id),
+       bq AS (SELECT embedding AS bqvec FROM embeddings WHERE vec_id = 1),
+       bcos AS (SELECT * FROM (
+                 SELECT vec_id,
+                        round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(bqvec AS DOUBLE[])) /
+                              (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                               sqrt(list_dot_product(CAST(bqvec AS DOUBLE[]), CAST(bqvec AS DOUBLE[])))), 6) AS score
+                 FROM embeddings, bq
+                 ORDER BY score DESC NULLS LAST, vec_id ASC LIMIT 100)),
+       bvecr AS (SELECT vec_id AS id,
+                        CAST(row_number() OVER (ORDER BY score DESC NULLS LAST,
+                                                vec_id ASC) AS BIGINT) AS r_bvec
+                 FROM bcos),
+       xfused AS (SELECT coalesce(l.id, v.id) AS id,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                       CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_bvec),
+                       CAST(0.0 AS DOUBLE)) AS xrrf
+              FROM lexr l FULL OUTER JOIN bvecr v ON l.id = v.id),
+       xtop AS (SELECT id FROM xfused
+                ORDER BY xrrf DESC NULLS LAST, id ASC LIMIT 10),
+       sfus AS (SELECT id,
+                       CAST(row_number() OVER (ORDER BY rrf DESC NULLS LAST,
+                                               id ASC) AS BIGINT) AS rank
+                FROM fused),
+       ranked AS (SELECT 'fused' AS system, id, rank FROM sfus
+                  UNION ALL SELECT 'lex', id, r_lex FROM lexr
+                  UNION ALL SELECT 'vec', id, r_vec FROM vecr)
+       SELECT system,
+              CAST(min(CASE WHEN xt.id IS NOT NULL THEN rank END) AS BIGINT)
+                AS first_rel_rank,
+              CAST(sum(CASE WHEN xt.id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rel_at_k,
+              CAST((SELECT count(*) FROM xtop) AS BIGINT) AS n_rel_total
+       FROM ranked r LEFT JOIN xtop xt ON r.id = xt.id
+       WHERE rank <= 20
+       GROUP BY 1 ORDER BY ALL NULLS FIRST"""
 
   // q148/q149 collocation parameters: δ=2 discounts rare-pair flukes;
   // minCount 10 is the surfacing floor; 1.2 cuts the ~8% upper tail of
@@ -1196,6 +1339,8 @@ object TextPack extends QueryPack {
          FROM bm ORDER BY ALL NULLS FIRST""",
 
     "q170_hybrid_stored" -> hybridStoredSql,
+
+    "q172_stored_stack_eval" -> storedStackEvalSql,
 
     // both arms cut to their top-100 heads, ranked, full-outer fused:
     // rrf = 1/(60+r_lex) + 1/(60+r_vec), absent arm contributing 0

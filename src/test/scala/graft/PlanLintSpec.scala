@@ -414,6 +414,24 @@ class PlanLintSpec extends AnyFunSuite {
       "merged-layout probe must not touch corpus text")
   }
 
+  // stored-stack eval: the arms are bounded heads localCheckpoint'd at
+  // construction (each layout/corpus scan runs exactly ONCE — the lazy
+  // form re-planned the lex probe 4x and the brute corpus scan 2x); the
+  // DECLARED plan is rank/union/eval algebra over ≤100-row checkpointed
+  // tables. Exchanges: the fused head's bounded rank window, the union
+  // spread, and the 3-group eval agg.
+  assertShuffleBudget("q172_stored_stack_eval", 3)
+  test("q172_stored_stack_eval declares NO file scan — every arm " +
+    "executes once at construction (the q164 checkpointed stance)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q172_stored_stack_eval")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    assert(!plan.contains("FileScan parquet"),
+      s"an arm leaked into the declared plan (duplicated scans):\n$plan")
+  }
+
   // stored BATCH probe: ONE pruned tf scan serves the whole query batch
   // (+ the 1-row stats) — never |Q| scans, never corpus text; exchanges:
   // the shared per-token df window + the (qid, doc) score agg
