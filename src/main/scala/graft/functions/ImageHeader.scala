@@ -666,17 +666,24 @@ object ImageHeader {
 
   // ---- PDF (classic cross-reference table) ----
 
-  /** -1 unless `b` is a classic-xref PDF whose page tree resolves; else
+  /** -1 unless `b` is a PDF whose page tree resolves; else
     * major<<40 | minor<<32 | pageCount. Walks the REAL document
     * structure (reference detail pages link `.pdf` documentos —
     * detail_parser.py:97-119 — so this is the one container the
     * reference pipeline actually stores): `%PDF-M.N` header version →
-    * tail `startxref` → cross-reference table (multi-subsection) →
-    * trailer `/Root` → catalog `/Pages` → page-tree `/Count`. Every
-    * hop is bounds-checked (the TIFF IFD discipline) with hard caps on
-    * subsection and entry counts; xref STREAMS (PDF 1.5 compressed
-    * xref) and any malformed byte return -1, never throw. Called from
-    * generated code — must stay a pure static-forwardable function. */
+    * tail `startxref` → cross-reference TABLE (classic,
+    * multi-subsection) or cross-reference STREAM (PDF ≥1.5's default:
+    * /Type/XRef dictionary, /W field widths, /Index subsections, raw
+    * or FlateDecoded data with PNG predictors 10–14) → trailer/dict
+    * `/Root` → catalog `/Pages` → page-tree `/Count`, resolving
+    * compressed (type-2) objects through their /Type/ObjStm container.
+    * Every hop is bounds-checked (the TIFF IFD discipline) with hard
+    * caps on subsection/entry counts and inflate output; incremental-
+    * update /Prev chains are not followed (the LAST startxref section
+    * must resolve the page tree — same single-section stance as the
+    * classic walker); any malformed byte returns -1, never throw.
+    * Called from generated code — must stay a pure static-forwardable
+    * function. */
   def packedPdf(b: Array[Byte]): Long = {
     if (b == null || b.length < 40 || !asciiAt(b, 0, "%PDF-")) return -1L
     val c = new PdfCur(b)
@@ -694,57 +701,352 @@ object ImageHeader {
     c.i = sxi + 9
     val xrefOff = c.uint(b.length - 4L)
     if (c.failed) return -1L
-    // classic xref table → (objNum → byte offset) for in-use entries
     c.i = xrefOff.toInt
-    if (!c.keyword("xref")) return -1L
     val offsets = new java.util.HashMap[Long, Long]()
-    var sections = 0
-    var done = false
-    while (!done) {
-      c.skipWs()
-      if (asciiAt(b, c.i, "trailer")) { c.i += 7; done = true }
-      else {
-        sections += 1
-        if (sections > 1000) return -1L
-        val start = c.uint(100000000L)
-        val cnt = c.uint(100000L)
-        if (c.failed) return -1L
-        var j = 0L
-        while (j < cnt) {
-          val off = c.uint(9999999999L)
-          c.uint(99999L) // generation — parsed, not used
-          c.skipWs()
-          if (c.failed || c.i >= b.length) return -1L
-          val t = b(c.i); c.i += 1
-          if (t == 'n') { if (off < b.length) offsets.put(start + j, off) }
-          else if (t != 'f') return -1L
-          j += 1
+    // objNum → container<<20 | indexInStream for compressed (type-2)
+    // entries — only an xref STREAM can mint these
+    val inStm = new java.util.HashMap[Long, Long]()
+    var rootN = -1L
+    if (c.keyword("xref")) {
+      // classic xref table → (objNum → byte offset) for in-use entries
+      var sections = 0
+      var done = false
+      while (!done) {
+        c.skipWs()
+        if (asciiAt(b, c.i, "trailer")) { c.i += 7; done = true }
+        else {
+          sections += 1
+          if (sections > 1000) return -1L
+          val start = c.uint(100000000L)
+          val cnt = c.uint(100000L)
+          if (c.failed) return -1L
+          var j = 0L
+          while (j < cnt) {
+            val off = c.uint(9999999999L)
+            c.uint(99999L) // generation — parsed, not used
+            c.skipWs()
+            if (c.failed || c.i >= b.length) return -1L
+            val t = b(c.i); c.i += 1
+            if (t == 'n') { if (off < b.length) offsets.put(start + j, off) }
+            else if (t != 'f') return -1L
+            j += 1
+          }
         }
       }
+      // trailer dict: /Root n g R
+      val ri = findAscii(b, c.i, math.min(b.length, c.i + 4096), "/Root")
+      if (ri < 0) return -1L
+      c.i = ri + 5
+      rootN = c.uint(100000000L)
+      if (c.failed) return -1L
+    } else {
+      // PDF 1.5+ cross-reference stream at the same offset
+      rootN = parseXrefStream(c, offsets, inStm)
+      if (c.failed || rootN < 0) return -1L
     }
-    // trailer dict: /Root n g R
-    val ri = findAscii(b, c.i, math.min(b.length, c.i + 4096), "/Root")
-    if (ri < 0) return -1L
-    c.i = ri + 5
-    val rootN = c.uint(100000000L)
-    if (c.failed) return -1L
-    // catalog: /Pages n g R
-    val cat = objBounds(c, offsets, rootN)
-    if (c.failed) return -1L
-    val pi = findAscii(b, (cat >>> 32).toInt, (cat & 0xffffffffL).toInt, "/Pages")
+    // catalog: /Pages n g R (the catalog may live compressed in an
+    // object stream under an xref-stream PDF)
+    val cat = objContent(c, offsets, inStm, rootN)
+    if (c.failed || cat == null) return -1L
+    val pi = findAscii(cat.arr, cat.from, cat.to, "/Pages")
     if (pi < 0) return -1L
-    c.i = pi + 6
-    val pagesN = c.uint(100000000L)
-    if (c.failed) return -1L
+    val cc = new PdfCur(cat.arr)
+    cc.i = pi + 6
+    val pagesN = cc.uint(100000000L)
+    if (cc.failed) return -1L
     // page-tree root: /Count N (authoritative total leaf count)
-    val pg = objBounds(c, offsets, pagesN)
-    if (c.failed) return -1L
-    val ci = findAscii(b, (pg >>> 32).toInt, (pg & 0xffffffffL).toInt, "/Count")
+    val pg = objContent(c, offsets, inStm, pagesN)
+    if (c.failed || pg == null) return -1L
+    val ci = findAscii(pg.arr, pg.from, pg.to, "/Count")
     if (ci < 0) return -1L
-    c.i = ci + 6
-    val pages = c.uint(0xffffffffL)
-    if (c.failed) return -1L
+    val pc = new PdfCur(pg.arr)
+    pc.i = ci + 6
+    val pages = pc.uint(0xffffffffL)
+    if (pc.failed) return -1L
     (major << 40) | (minor << 32) | pages
+  }
+
+  /** A resolved object's content window — possibly inside a DECODED
+    * object-stream buffer rather than the original payload. */
+  private final class ObjSlice(val arr: Array[Byte], val from: Int,
+                               val to: Int)
+
+  /** Big-endian unsigned field of `w` bytes (w ≤ 8 enforced upstream). */
+  private def beN(a: Array[Byte], off: Int, w: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < w) { v = (v << 8) | (a(off + k) & 0xffL); k += 1 }
+    v
+  }
+
+  /** Find `key` inside [from, to) of `a` and parse the unsigned decimal
+    * after it; -1 (no fail-latch) when the key is absent, latches the
+    * cursor's fail flag on a present-but-malformed value. */
+  private def dictUint(c: PdfCur, from: Int, to: Int, key: String,
+                       max: Long): Long = {
+    val ki = findAscii(c.b, from, to, key)
+    if (ki < 0) return -1L
+    c.i = ki + key.length
+    c.uint(max)
+  }
+
+  /** Parse the cross-reference STREAM object the cursor points at:
+    * fills `offsets` (type-1 entries) and `inStm` (type-2 compressed
+    * entries, packed container<<20 | index) and returns the dict's
+    * /Root object number. Latches the fail flag on any malformed
+    * structure. Supports raw and /FlateDecode data, PNG predictors
+    * 10–14 via /DecodeParms, explicit /Index subsections (default
+    * [0 /Size]), and /W widths up to 8 bytes per field. */
+  private def parseXrefStream(c: PdfCur,
+                              offsets: java.util.HashMap[Long, Long],
+                              inStm: java.util.HashMap[Long, Long]): Long = {
+    val b = c.b
+    c.uint(100000000L) // object number
+    c.uint(99999L) // generation
+    if (c.failed || !c.keyword("obj")) { c.fail(); return -1L }
+    val ds = c.i
+    val cap = math.min(b.length, ds + 65536)
+    val sk = findAscii(b, ds, cap, "stream")
+    if (sk < 0) { c.fail(); return -1L }
+    if (findAscii(b, ds, sk, "/XRef") < 0) { c.fail(); return -1L }
+    val size = dictUint(c, ds, sk, "/Size", 100000L)
+    if (c.failed || size < 0) { c.fail(); return -1L }
+    // /W [w0 w1 w2] — field byte widths (w0 = 0 means implicit type 1)
+    val wi = findAscii(b, ds, sk, "/W")
+    if (wi < 0) { c.fail(); return -1L }
+    c.i = wi + 2
+    c.skipWs()
+    if (c.i >= b.length || b(c.i) != '[') { c.fail(); return -1L }
+    c.i += 1
+    val w0 = c.uint(8L); val w1 = c.uint(8L); val w2 = c.uint(8L)
+    if (c.failed || w1 < 1) { c.fail(); return -1L }
+    val rowW = (w0 + w1 + w2).toInt
+    // /Index [s1 n1 s2 n2 ...] — optional, default [0 Size]
+    var index = List.empty[(Long, Long)]
+    val ii = findAscii(b, ds, sk, "/Index")
+    if (ii >= 0) {
+      c.i = ii + 6
+      c.skipWs()
+      if (c.i >= b.length || b(c.i) != '[') { c.fail(); return -1L }
+      c.i += 1
+      var pairs = 0
+      c.skipWs()
+      while (!c.failed && c.i < b.length && b(c.i) != ']') {
+        pairs += 1
+        if (pairs > 1000) { c.fail(); return -1L }
+        val s = c.uint(100000000L)
+        val n = c.uint(100000L)
+        if (c.failed) return -1L
+        index = (s, n) :: index
+        c.skipWs()
+      }
+      if (c.failed || c.i >= b.length) { c.fail(); return -1L }
+      c.i += 1 // ']'
+      index = index.reverse
+    } else index = List((0L, size))
+    if (index.map(_._2).sum > 100000L) { c.fail(); return -1L }
+    val rootN = dictUint(c, ds, sk, "/Root", 100000000L)
+    if (c.failed || rootN < 0) { c.fail(); return -1L }
+    val data = streamData(c, ds, sk, rowW)
+    if (c.failed || data == null) { c.fail(); return -1L }
+    // entries: fixed-width big-endian fields per /W
+    var pos = 0
+    index.foreach { case (start, cnt) =>
+      var j = 0L
+      while (j < cnt) {
+        if (pos + rowW > data.length) { c.fail(); return -1L }
+        val t = if (w0 == 0L) 1L else beN(data, pos, w0.toInt)
+        val f2 = beN(data, pos + w0.toInt, w1.toInt)
+        val f3 = beN(data, pos + w0.toInt + w1.toInt, w2.toInt)
+        if (t == 1L) { if (f2 < b.length) offsets.put(start + j, f2) }
+        else if (t == 2L) {
+          // container object number and in-stream index, packed; caps
+          // keep the pack unambiguous
+          if (f2 <= 0xFFFFFFFFFL && f3 <= 0xFFFFFL)
+            inStm.put(start + j, (f2 << 20) | f3)
+        } // type 0 (free) and unknown types: skipped per spec
+        pos += rowW
+        j += 1
+      }
+    }
+    rootN
+  }
+
+  /** Decode the stream data of the dict in [ds, sk): honors /Length,
+    * optional /Filter /FlateDecode, and /DecodeParms PNG predictors;
+    * `rowW` is the expected row width for predictor validation (pass 0
+    * to skip the /Columns check). Returns null (+fail) on anything
+    * malformed. */
+  private def streamData(c: PdfCur, ds: Int, sk: Int,
+                         rowW: Int): Array[Byte] = {
+    val b = c.b
+    val len = dictUint(c, ds, sk, "/Length", 1L << 24)
+    if (c.failed || len <= 0) { c.fail(); return null }
+    // data starts after "stream" + CRLF or LF
+    var di = sk + 6
+    if (di < b.length && b(di) == '\r') di += 1
+    if (di >= b.length || b(di) != '\n') { c.fail(); return null }
+    di += 1
+    if (di + len > b.length) { c.fail(); return null }
+    var hasFlate = false
+    val fi = findAscii(b, ds, sk, "/Filter")
+    if (fi >= 0) {
+      c.i = fi + 7
+      c.skipWs()
+      if (c.i < b.length && b(c.i) == '[') { c.i += 1; c.skipWs() }
+      if (!asciiAt(b, c.i, "/FlateDecode")) { c.fail(); return null }
+      hasFlate = true
+    }
+    var pred = 1L
+    var columns = 1L
+    val dpi = findAscii(b, ds, sk, "/DecodeParms")
+    if (dpi >= 0) {
+      val dpEnd = math.min(sk, dpi + 256)
+      val p = dictUint(c, dpi, dpEnd, "/Predictor", 15L)
+      if (c.failed) return null
+      if (p >= 0) pred = p
+      val col = dictUint(c, dpi, dpEnd, "/Columns", 1L << 16)
+      if (c.failed) return null
+      if (col >= 0) columns = col
+    }
+    val raw =
+      if (hasFlate) inflate(b, di, len.toInt, 1 << 22)
+      else java.util.Arrays.copyOfRange(b, di, di + len.toInt)
+    if (raw == null) { c.fail(); return null }
+    if (pred == 1L) raw
+    else if (pred >= 10L && pred <= 15L) {
+      if (rowW > 0 && columns != rowW) { c.fail(); return null }
+      val un = pngUnpredict(raw, columns.toInt)
+      if (un == null) { c.fail(); return null }
+      un
+    } else { c.fail(); null } // TIFF predictor 2: unsupported → NULL
+  }
+
+  /** zlib inflate of b[off, off+len) with a hard output cap; null on
+    * any error (never throws — the fuzz contract). */
+  private def inflate(b: Array[Byte], off: Int, len: Int,
+                      maxOut: Int): Array[Byte] = {
+    if (off < 0 || len <= 0 || off + len > b.length) return null
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 16))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) return null
+        } else {
+          out.write(buf, 0, n)
+          if (out.size > maxOut) return null
+        }
+      }
+      out.toByteArray
+    } catch {
+      case _: Throwable => null
+    } finally inf.end()
+  }
+
+  /** Reverse the PNG row predictors (types 0–4, 1 byte/pixel — the
+    * /Colors 1, /BitsPerComponent 8 case xref/object streams use):
+    * each row is one filter-type byte + `rowBytes` data bytes. Null on
+    * ragged input or an unknown filter type. */
+  private def pngUnpredict(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0) return null
+    val rows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](rows * rowBytes)
+    var r = 0
+    while (r < rows) {
+      val f = data(r * (rowBytes + 1)) & 0xff
+      if (f > 4) return null
+      var x = 0
+      while (x < rowBytes) {
+        val cur = data(r * (rowBytes + 1) + 1 + x) & 0xff
+        val left = if (x > 0) out(r * rowBytes + x - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (r > 0 && x > 0) out((r - 1) * rowBytes + x - 1) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out(r * rowBytes + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Resolve object `n` to its content window: directly via the offset
+    * map ([[objBounds]]), or — for type-2 entries — by decoding its
+    * /Type/ObjStm container (itself required direct) and slicing the
+    * object out of the decoded buffer via the N (objnum, offset)
+    * header pairs. Null (+fail) on any miss. */
+  private def objContent(c: PdfCur,
+                         offsets: java.util.HashMap[Long, Long],
+                         inStm: java.util.HashMap[Long, Long],
+                         n: Long): ObjSlice = {
+    if (offsets.containsKey(n)) {
+      val w = objBounds(c, offsets, n)
+      if (c.failed) return null
+      return new ObjSlice(c.b, (w >>> 32).toInt, (w & 0xffffffffL).toInt)
+    }
+    val packed = inStm.getOrDefault(n, -1L)
+    if (packed < 0) { c.fail(); return null }
+    val stmNum = packed >>> 20
+    val stmOff = offsets.getOrDefault(stmNum, -1L)
+    if (stmOff < 0 || stmOff >= c.b.length) { c.fail(); return null }
+    val b = c.b
+    c.i = stmOff.toInt
+    val num = c.uint(100000000L)
+    c.uint(99999L)
+    if (c.failed || num != stmNum || !c.keyword("obj")) { c.fail(); return null }
+    val ds = c.i
+    val cap = math.min(b.length, ds + 65536)
+    val sk = findAscii(b, ds, cap, "stream")
+    if (sk < 0 || findAscii(b, ds, sk, "/ObjStm") < 0) { c.fail(); return null }
+    val nObjs = dictUint(c, ds, sk, "/N", 100000L)
+    val first = dictUint(c, ds, sk, "/First", 1L << 22)
+    if (c.failed || nObjs <= 0 || first < 0) { c.fail(); return null }
+    val data = streamData(c, ds, sk, 0)
+    if (c.failed || data == null) { c.fail(); return null }
+    // header: N pairs of (objnum, offset-relative-to-First). Two passes
+    // so the bound does not trust the spec's ascending-offset ordering:
+    // pass 1 finds the target's offset, pass 2 the smallest offset
+    // strictly greater (the next object's start, wherever its pair sits).
+    def scanPairs(f: (Long, Long) => Unit): Boolean = {
+      val hc = new PdfCur(data)
+      var k = 0L
+      while (k < nObjs) {
+        val on = hc.uint(100000000L)
+        val off = hc.uint(1L << 22)
+        if (hc.failed) return false
+        f(on, off)
+        k += 1
+      }
+      true
+    }
+    var objOff = -1L
+    if (!scanPairs((on, off) => if (on == n) objOff = off)) {
+      c.fail(); return null
+    }
+    if (objOff < 0) { c.fail(); return null }
+    var nextOff = Long.MaxValue
+    scanPairs((_, off) =>
+      if (off > objOff && off < nextOff) nextOff = off)
+    val from = first + objOff
+    val to = if (nextOff == Long.MaxValue) data.length.toLong
+             else math.min(data.length.toLong, first + nextOff)
+    if (from < 0 || from >= data.length || to <= from) { c.fail(); return null }
+    new ObjSlice(data, from.toInt, to.toInt)
   }
 
   /** Resolve object `n` via the xref map: positions the cursor after

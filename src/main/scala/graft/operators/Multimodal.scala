@@ -182,15 +182,22 @@ object Multimodal {
     * [[synthesizeMedia]] discipline for the one container the reference
     * pipeline actually stores (detail pages harvest `.pdf` documentos:
     * reference detail_parser.py:97-119). Every payload is a COMPLETE
-    * classic-xref PDF built from column math: header version cycles
-    * 1.3–1.7 with doc_id, the page-tree /Count is the 6-digit-padded
-    * pages value, and because every variable field is fixed-width the
-    * object byte offsets are compile-time constants — so the embedded
-    * cross-reference table is byte-exact and a real xref walker
+    * PDF built from column math: header version cycles 1.3–1.7 with
+    * doc_id, the page-tree /Count is the 6-digit-padded pages value,
+    * and because every variable field is fixed-width the object byte
+    * offsets are compile-time constants — so the embedded
+    * cross-reference structure is byte-exact and a real xref walker
     * ([[graft.functions.ImageHeader.packedPdf]]) traverses
-    * header → startxref → xref → trailer /Root → catalog /Pages →
-    * /Count against genuine structure. Returns (pdf_id, payload,
-    * meta{version, pages}). */
+    * header → startxref → xref → /Root → catalog /Pages → /Count
+    * against genuine structure. EVEN doc_ids carry the classic xref
+    * TABLE era, ODD doc_ids the xref-STREAM era (PDF 1.5+'s default):
+    * a /Type/XRef stream of W[1 2 2] binary big-endian entries —
+    * constant offsets make the 25 entry bytes ONE constant hex
+    * literal, so both eras stay oracle-replayable from arithmetic
+    * alone. The compressed stream variants (FlateDecode, PNG
+    * predictors, ObjStm containers) are MultimodalSpec goldens —
+    * deflate bytes are not column-math-replayable by design. Returns
+    * (pdf_id, payload, meta{version, pages}). */
   def synthesizePdfs(docs: DataFrame): DataFrame = {
     val verDigit = (col("doc_id") % 5 + 3).cast("int") // versions 1.3..1.7
     val pages = (col("n_chars") % 900 + 1).cast("int")
@@ -206,11 +213,24 @@ object Multimodal {
     val tail = "xref\n0 4\n" + "0000000000 65535 f \n" +
       entry(off1) + entry(off2) + entry(off3) +
       "trailer<</Size 4/Root 1 0 R>>\nstartxref\n" + offX + "\n%%EOF"
+    val head = concat(lit("%PDF-1."), verDigit.cast("string"),
+      lit("\n" + o1 + o2a), lpad(pages.cast("string"), 6, "0"),
+      lit(o2b + o3))
+    val classic = concat(head, lit(tail)).cast("binary")
+    // xref-stream era: 5 entries × (1+2+2) bytes, type/offset16/gen16 —
+    // all offsets compile-time constants, so the binary block is one
+    // constant unhex literal (binary concat: 0xff can't ride a string)
+    val entriesHex = "000000ffff" +
+      f"01$off1%04x0000" + f"01$off2%04x0000" +
+      f"01$off3%04x0000" + f"01$offX%04x0000"
+    val streamDict = "4 0 obj<</Type/XRef/Size 5/W[1 2 2]" +
+      "/Root 1 0 R/Length 25>>stream\n"
+    val streamTail = "\nendstream\nendobj\nstartxref\n" + offX + "\n%%EOF"
+    val stream = concat(concat(head, lit(streamDict)).cast("binary"),
+      unhex(lit(entriesHex)), lit(streamTail).cast("binary"))
     docs.select(
       col("doc_id").as("pdf_id"),
-      concat(lit("%PDF-1."), verDigit.cast("string"), lit("\n" + o1 + o2a),
-        lpad(pages.cast("string"), 6, "0"), lit(o2b + o3 + tail))
-        .cast("binary").as("payload"),
+      when(col("doc_id") % 2 === 0, classic).otherwise(stream).as("payload"),
       struct(
         concat(lit("1."), verDigit.cast("string")).as("version"),
         pages.as("pages")).as("meta"))

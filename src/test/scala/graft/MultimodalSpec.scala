@@ -410,7 +410,7 @@ class MultimodalSpec extends AnyFunSuite {
         .replace("/Root 1", "/Root 9").getBytes("US-ASCII"), // dangling root
       new String(golden, "US-ASCII")
         .replace("xref\n0 4", "9 0 obj\n<</Type/XRef>>stream")
-        .getBytes("US-ASCII"),                 // xref STREAM, not a table
+        .getBytes("US-ASCII"),                 // xref stream missing /W//Size//Root//Length
       "not a pdf at all, though it does say startxref".getBytes("US-ASCII"),
       Array.empty[Byte])
     bad.foreach(b => assert(ImageHeader.packedPdf(b) == -1L,
@@ -436,6 +436,122 @@ class MultimodalSpec extends AnyFunSuite {
     rt.foreach { case (id, v, pg, ev, ep) =>
       assert(v == ev && pg == ep, s"pdf $id: parsed ($v, $pg) != meta ($ev, $ep)")
     }
+  }
+
+  test("packedPdf xref-STREAM fixtures: raw, FlateDecode, PNG Up " +
+    "predictor, /Index subsections, ObjStm-compressed catalog, and " +
+    "corrupt stream shapes") {
+    import graft.functions.ImageHeader
+    def deflate(a: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(a); d.finish()
+      val buf = new Array[Byte](a.length * 2 + 64)
+      val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    def ent(t: Int, f2: Int, f3: Int): Array[Byte] =
+      Array(t.toByte, (f2 >> 8).toByte, f2.toByte, (f3 >> 8).toByte, f3.toByte)
+    // PNG Up filter encode: each 5-byte row prefixed by filter type 2,
+    // data = raw - priorRow (mod 256)
+    def upEncode(rows: Array[Array[Byte]]): Array[Byte] =
+      rows.zipWithIndex.flatMap { case (r, i) =>
+        val prior = if (i == 0) new Array[Byte](r.length) else rows(i - 1)
+        2.toByte +: r.indices.map(x => (r(x) - prior(x)).toByte)
+      }
+    def xrefPdf(ver: String, pages: String, flate: Boolean,
+                predictor: Boolean, indexed: Boolean): Array[Byte] = {
+      val h = s"%PDF-$ver\n"
+      val o1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+      val o2 = s"2 0 obj<</Type/Pages/Kids[3 0 R]/Count $pages>>endobj\n"
+      val o3 = "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n"
+      val off1 = h.length; val off2 = off1 + o1.length
+      val off3 = off2 + o2.length; val offX = off3 + o3.length
+      val rows = Array(ent(0, 0, 0xffff), ent(1, off1, 0),
+        ent(1, off2, 0), ent(1, off3, 0), ent(1, offX, 0))
+      val payload =
+        if (predictor) upEncode(rows) else rows.flatten
+      val data = if (flate) deflate(payload) else payload
+      val parms =
+        if (predictor) "/DecodeParms<</Predictor 12/Columns 5>>" else ""
+      val filter = if (flate) "/Filter/FlateDecode" else ""
+      val idx = if (indexed) "/Index[0 3 3 2]" else ""
+      val dict = s"4 0 obj<</Type/XRef/Size 5/W[1 2 2]$idx$filter$parms" +
+        s"/Root 1 0 R/Length ${data.length}>>stream\n"
+      (h + o1 + o2 + o3 + dict).getBytes("US-ASCII") ++ data ++
+        s"\nendstream\nendobj\nstartxref\n$offX\n%%EOF".getBytes("US-ASCII")
+    }
+    def check(b: Array[Byte], maj: Long, min: Long, pages: Long): Unit = {
+      val p = ImageHeader.packedPdf(b)
+      assert(p >= 0, "stream walk failed")
+      assert((p >> 40) == maj && ((p >> 32) & 0xff) == min &&
+        (p & 0xffffffffL) == pages)
+    }
+    check(xrefPdf("1.5", "42", flate = false, predictor = false,
+      indexed = false), 1, 5, 42)
+    check(xrefPdf("1.7", "000900", flate = true, predictor = false,
+      indexed = false), 1, 7, 900)
+    // the real-world default: FlateDecode + PNG Up predictor
+    check(xrefPdf("2.0", "7", flate = true, predictor = true,
+      indexed = false), 2, 0, 7)
+    // explicit /Index subsections covering the same 5 objects
+    check(xrefPdf("1.6", "13", flate = true, predictor = true,
+      indexed = true), 1, 6, 13)
+
+    // catalog + page tree COMPRESSED in an object stream (type-2
+    // entries resolved through the /Type/ObjStm container)
+    def objStmPdf(pages: String, corruptObjStm: Boolean): Array[Byte] = {
+      val h = "%PDF-1.6\n"
+      val o3 = "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n"
+      val cat = "<</Type/Catalog/Pages 2 0 R>>"
+      val pg = s"<</Type/Pages/Kids[3 0 R]/Count $pages>>"
+      val header = s"1 0 2 ${cat.length} "
+      val stmPayload = (header + cat + pg).getBytes("US-ASCII")
+      val stmData = deflate(stmPayload)
+      val off3 = h.length
+      val offStm = off3 + o3.length
+      val tpe = if (corruptObjStm) "/Type/NotObjStm" else "/Type/ObjStm"
+      val stmDict = s"5 0 obj<<$tpe/N 2/First ${header.length}" +
+        s"/Filter/FlateDecode/Length ${stmData.length}>>stream\n"
+      val stmTail = "\nendstream\nendobj\n"
+      val offX = offStm + stmDict.length + stmData.length + stmTail.length
+      val rows = Array(
+        ent(0, 0, 0xffff),   // 0 free
+        ent(2, 5, 0),        // 1 = catalog, in stream 5 index 0
+        ent(2, 5, 1),        // 2 = pages, in stream 5 index 1
+        ent(1, off3, 0),     // 3 direct
+        ent(1, offX, 0),     // 4 = this xref stream
+        ent(1, offStm, 0))   // 5 = the ObjStm container
+      val data = rows.flatten
+      val dict = s"4 0 obj<</Type/XRef/Size 6/W[1 2 2]" +
+        s"/Root 1 0 R/Length ${data.length}>>stream\n"
+      (h + o3 + stmDict).getBytes("US-ASCII") ++ stmData ++
+        (stmTail + dict).getBytes("US-ASCII") ++ data ++
+        s"\nendstream\nendobj\nstartxref\n$offX\n%%EOF".getBytes("US-ASCII")
+    }
+    check(objStmPdf("314", corruptObjStm = false), 1, 6, 314)
+    assert(ImageHeader.packedPdf(
+      objStmPdf("314", corruptObjStm = true)) == -1L)
+
+    // corrupt stream shapes: every one must be -1, never a throw
+    val good = xrefPdf("1.5", "42", flate = true, predictor = true,
+      indexed = false)
+    def mutate(find: String, repl: String): Array[Byte] =
+      new String(good.map(_.toChar)).replace(find, repl)
+        .toCharArray.map(_.toByte)
+    val badOnes = Seq(
+      good.take(good.length - 30),               // stream cut mid-data
+      mutate("/W[1 2 2]", "/W[1 0 2]"),          // w1 = 0 (no offsets)
+      mutate("/Root 1 0 R", "/Base 1 0 R"),      // no /Root
+      mutate("/Type/XRef", "/Type/XLef"),        // not an xref stream
+      mutate("/Predictor 12", "/Predictor 2"),   // TIFF predictor: refuse
+      mutate("/FlateDecode", "/LZWDecodexx"),    // unsupported filter
+      {                                          // garbage deflate bytes
+        val g = good.clone()
+        val s = new String(good.map(_.toChar)).indexOf("stream\n") + 7
+        (0 until 8).foreach(k => g(s + k) = (0x55 + k).toByte)
+        g
+      })
+    badOnes.foreach(b => assert(ImageHeader.packedPdf(b) == -1L,
+      new String(b.take(80).map(_.toChar))))
   }
 
   test("packedMp4 golden and corrupt fixtures") {

@@ -619,5 +619,42 @@ class PropertySpec extends AnyFunSuite {
     // the golden doc itself still parses after all that
     val ok = ImageHeader.packedPdf(golden(123))
     assert(ok >= 0 && (ok & 0xffffffffL) == 123L)
+
+    // xref-STREAM era (the r17 walker extension): same mutation budget
+    // over a valid stream-era document — binary entries, inflate, and
+    // the ObjStm resolver must all stay bounds-checked under fire
+    def goldenStream(pages: Int): Array[Byte] = {
+      val h = "%PDF-1.6\n"
+      val o1 = "1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+      val o2 = s"2 0 obj<</Type/Pages/Kids[3 0 R]/Count $pages>>endobj\n"
+      val o3 = "3 0 obj<</Type/Page/Parent 2 0 R>>endobj\n"
+      val off1 = h.length; val off2 = off1 + o1.length
+      val off3 = off2 + o2.length; val offX = off3 + o3.length
+      def ent(t: Int, f2: Int, f3: Int) = Array(t.toByte,
+        (f2 >> 8).toByte, f2.toByte, (f3 >> 8).toByte, f3.toByte)
+      val data = Array(ent(0, 0, 0xffff), ent(1, off1, 0), ent(1, off2, 0),
+        ent(1, off3, 0), ent(1, offX, 0)).flatten
+      val dict = s"4 0 obj<</Type/XRef/Size 5/W[1 2 2]" +
+        s"/Root 1 0 R/Length ${data.length}>>stream\n"
+      (h + o1 + o2 + o3 + dict).getBytes("US-ASCII") ++ data ++
+        s"\nendstream\nendobj\nstartxref\n$offX\n%%EOF".getBytes("US-ASCII")
+    }
+    for (_ <- 1 to 250) {
+      val b = goldenStream(1 + rnd.nextInt(9999)).clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          (1 to 1 + rnd.nextInt(4)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = (rnd.nextInt(256) - 128).toByte }
+          checkPack(ImageHeader.packedPdf(b))
+        case 1 =>
+          checkPack(ImageHeader.packedPdf(b.take(rnd.nextInt(b.length))))
+        case 2 =>
+          val c = goldenStream(1 + rnd.nextInt(9999))
+          val cut = rnd.nextInt(b.length)
+          checkPack(ImageHeader.packedPdf(b.take(cut) ++ c.drop(cut)))
+      }
+    }
+    val ok2 = ImageHeader.packedPdf(goldenStream(321))
+    assert(ok2 >= 0 && (ok2 & 0xffffffffL) == 321L)
   }
 }
