@@ -845,32 +845,54 @@ object ScaleSmoke {
         query, "qvec", k = 10).count()
     }
 
-    time("bm25-batch-queries") {
-      // q142's scale axis is the QUERY COUNT, not the corpus (a
+    if (stageActive("bm25-batch")) {
+      // q142/q173's scale axis is the QUERY COUNT, not the corpus (a
       // training batch retrieves for many probes at once): corpus
       // FIXED (the natural sf documents), 8·mult queries of 3 terms
-      // drawn deterministically from the corpus vocabulary. The one-
-      // pass design means wall grows sub-linearly in queries — the
-      // corpus explode + semi-prune + tf/df aggregation are paid ONCE
-      // for the union term set (which grows slower than the query
-      // count: terms repeat across queries, as they do in real
-      // training batches), and only the final bounded (qid, token)
-      // fan-out join scales with mult. A per-query bm25 loop is the
-      // linear strawman this stage exists to dominate.
+      // drawn deterministically from the corpus vocabulary.
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
       val vocab = docs.select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc).limit(200)
         .select(col("token")).collect().map(_.getString(0))
-      val queries = spark.range(8L * mult).select(col("id").as("qid"),
-        array((0 until 3).map(j =>
-          element_at(typedLit(vocab.toSeq),
-            ((col("id") * 7 + j * 13) % vocab.length).cast("int") + 1)): _*)
-          .as("terms"))
-        .select(col("qid"), array_distinct(col("terms")).as("terms"))
-      operators.Retrieval.bm25Batch(docs, "doc_id", split(col("text"), " "),
-        queries, "qid", col("terms")).count()
+      time("bm25-batch-queries") {
+        // LIVE arm: the one-pass design means wall grows sub-linearly
+        // in queries — the corpus explode + semi-prune + tf/df
+        // aggregation are paid ONCE for the union term set (which
+        // grows slower than the query count: terms repeat across
+        // queries, as they do in real training batches), and only the
+        // final bounded (qid, token) fan-out join scales with mult. A
+        // per-query bm25 loop is the linear strawman this stage
+        // exists to dominate.
+        val queries = spark.range(8L * mult).select(col("id").as("qid"),
+          array((0 until 3).map(j =>
+            element_at(typedLit(vocab.toSeq),
+              ((col("id") * 7 + j * 13) % vocab.length).cast("int") + 1)): _*)
+            .as("terms"))
+          .select(col("qid"), array_distinct(col("terms")).as("terms"))
+        operators.Retrieval.bm25Batch(docs, "doc_id", split(col("text"), " "),
+          queries, "qid", col("terms")).count()
+      }
+      // STORED arm (q173): the SAME query batch answered from the
+      // stored index in ONE pruned scan — the live arm's two
+      // corpus-text scans and the union-set explode/semi-prune/tf
+      // aggregation are replaced by a directory-pruned read of the
+      // (token, doc_id, tf, dl) layout. Index built once (memoized
+      // ensureBm25Index over the same natural corpus; the cost is the
+      // bm25-stored-probe stage's build row).
+      val batchSeq: Seq[(Long, Seq[String])] = (0L until 8L * mult).map {
+        i => (i, (0 until 3).map(j =>
+          vocab(((i * 7 + j * 13) % vocab.length).toInt)).distinct.toSeq)
+      }
+      timeBest("bm25-batch-stored") {
+        val path = graft.sources.Writers.ensureBm25Index(spark, sfDir)
+        operators.Retrieval.bm25StoredBatch(
+          graft.sources.Writers.prunedBm25Tf(
+            spark, path, batchSeq.flatMap(_._2).distinct),
+          spark.read.parquet(s"$path/stats"),
+          "doc_id", batchSeq).count()
+      }
     }
 
     time("hist-quantiles") {

@@ -247,6 +247,41 @@ object TextPack extends QueryPack {
         "doc_id", Bm25Terms)
     }),
 
+    // The FULL layout lifecycle as one declared query: build(⅓) →
+    // merge(⅓) → merge(⅓) → COMPACT → probe. Compaction is the
+    // segment-maintenance op the append discipline implies (every
+    // merge adds files; Writers.compactPartitioned rewrites each
+    // md5-prefix directory's accumulated segments into ONE file,
+    // row-identical — the Lucene segment-merge analog). Same oracle
+    // as q28/q169/q171: maintenance must never move a score — a row
+    // dropped or duplicated during the rewrite breaks the hash.
+    // SourcesSpec pins the one-file-per-directory invariant.
+    "q175_bm25_index_compact" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25IndexCompacted(s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
+    }),
+
+    // The q171 lifecycle applied to the POSITIONAL postings leg (the
+    // last rebuild-only serving layout): build the q158 postings
+    // layout from the doc_id%3≠2 slice, fold the %3=2 slice in as a
+    // fresh-batch segment append (Writers.mergePostings — one map-only
+    // posexplode ∝ |fresh|, new files inside the touched md5-prefix
+    // directories, nothing existing read or rewritten, no stats to
+    // update), then run q158's exact pruned phrase probe. Same oracle
+    // as q151/q158: a posting lost or doubled by the merge changes a
+    // match count and breaks the hash.
+    "q176_postings_merge" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensurePostingsMerged(s, dir, "documents")
+      Retrieval.phraseSearch(
+        graft.sources.Writers.prunedPostings(s, path, PhraseFixture),
+        "doc_id", PhraseFixture)
+    }),
+
     // The stored stack's QUALITY, oracle-checked (VERDICT r16 #2 —
     // q170's ADC/compression recall trade was spec-pinned only at
     // fixture scale; q163's rankEval graded only the live brute arms):
@@ -1338,6 +1373,13 @@ object TextPack extends QueryPack {
          SELECT doc_id, n_terms, bm25
          FROM bm ORDER BY ALL NULLS FIRST""",
 
+    // IDENTICAL again — compaction is segment maintenance: a row
+    // dropped or duplicated by the directory rewrite moves a score
+    "q175_bm25_index_compact" ->
+      s"""WITH $bm25ChainSql
+         SELECT doc_id, n_terms, bm25
+         FROM bm ORDER BY ALL NULLS FIRST""",
+
     "q170_hybrid_stored" -> hybridStoredSql,
 
     "q172_stored_stack_eval" -> storedStackEvalSql,
@@ -1934,6 +1976,22 @@ object TextPack extends QueryPack {
     // the row-local phrase definition itself: every 1-based start s with
     // toks[s] = w0 AND toks[s+1] = w1; engine positions are 0-based
     "q151_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id,
+                      list_filter(range(1, len(toks)),
+                        s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts
+               FROM d)
+         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+         FROM m WHERE len(starts) > 0
+         ORDER BY ALL NULLS FIRST""",
+
+    // IDENTICAL to q151's oracle — the merged layout changes where the
+    // probe's bytes come from, never what the phrase matches; a posting
+    // lost or doubled by the segment append changes a match count
+    "q176_postings_merge" ->
       """WITH d AS (SELECT doc_id,
                            list_filter(str_split(text, ' '), t -> t <> '') AS toks
                     FROM documents),

@@ -146,13 +146,78 @@ object Writers {
       s"${ProcessHandle.current().pid()}/" +
       s"${name}_${SourceKeys.dirToken(dir)}"
     preparedPostings.computeIfAbsent(path, { p =>
-      graft.operators.Retrieval.invertedIndex(
-        graft.Tables.load(spark, dir, name)
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), t => t =!= "").as("toks")),
-        "doc_id", col("toks"))
-        .withColumn("tok_part", tokenPart(col("token")))
-        .write.partitionBy("tok_part").mode("overwrite").parquet(p)
+      writeClustered(
+        postingsRows(graft.Tables.load(spark, dir, name)), p,
+        "tok_part", "overwrite")
+      p
+    })
+  }
+
+  /** The (token, doc_id, pos, tok_part) rows of a postings layout for
+    * `docs` (doc_id, text) — q151's tokenization (split on space,
+    * empties dropped), one map-only posexplode. */
+  private def postingsRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, filter, split}
+    graft.operators.Retrieval.invertedIndex(
+      docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks")),
+      "doc_id", col("toks"))
+      .withColumn("tok_part", tokenPart(col("token")))
+  }
+
+  /** Fold a FRESH document batch into a stored [[ensurePostings]]
+    * layout — the [[mergeBm25Index]] segment-append discipline for the
+    * POSITIONAL postings leg: fresh (token, doc_id, pos) rows are one
+    * map-only posexplode ∝ |fresh|, appended as new files inside their
+    * md5-prefix directories; nothing existing is read or rewritten,
+    * and there is no stats table to update. Same new-doc-id guard
+    * contract as the BM25 merge (a changed document needs
+    * delete-then-compact, not a double posting list). */
+  def mergePostings(spark: SparkSession, path: String, fresh: DataFrame,
+                    checkNewDocIds: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val freshPost =
+      if (checkNewDocIds) postingsRows(fresh).cache()
+      else postingsRows(fresh)
+    try {
+      if (checkNewDocIds) {
+        val touched = freshPost.select(col("tok_part")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (touched.isEmpty) return // empty batch: layout unchanged
+        require(spark.read.parquet(path)
+            .filter(col("tok_part").isin(touched: _*))
+            .join(freshPost.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi").head(1).isEmpty,
+          "mergePostings: fresh batch contains doc_ids already in the " +
+            "index — merge takes the delta split's NEW side; changed " +
+            "docs need delete-then-compact, not a double posting list")
+      }
+      writeClustered(freshPost, path, "tok_part", "append")
+    } finally freshPost.unpersist()
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedPostingsMerged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[ensurePostings]] layout built INCREMENTALLY — q176's
+    * artifact (the q171 lifecycle for the positional leg): build from
+    * the doc_id%3≠2 slice, fold the %3=2 slice in as a fresh-batch
+    * [[mergePostings]]. A phrase probe of the merged layout must be
+    * bit-for-bit the from-scratch q158 probe — q176 shares q151's
+    * oracle. Written AT MOST ONCE per (JVM, corpus dir). */
+  def ensurePostingsMerged(spark: SparkSession, dir: String,
+                           name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postings-merged-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedPostingsMerged.computeIfAbsent(path, { p =>
+      val docs = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), col("text"))
+      writeClustered(postingsRows(docs.filter(col("doc_id") % 3 =!= 2)),
+        p, "tok_part", "overwrite")
+      mergePostings(spark, p, docs.filter(col("doc_id") % 3 === 2))
       p
     })
   }
@@ -187,19 +252,41 @@ object Writers {
         col("tok_part"))
   }
 
-  /** The tf write every BM25-layout pass shares: cluster rows by their
-    * partition key FIRST, so each writer task owns whole tok_part
-    * groups and each directory gains ONE file per pass instead of one
-    * per (task × directory) — without it a 32-task write of 256
-    * directories opens 8192 tiny files and the write (and every later
-    * scan) is file-count-bound, not byte-bound (measured: the 10%
-    * merge cost as much as the 100% rebuild). Parallelism caps at 256
-    * writer tasks; at a scale where one directory outgrows one task,
-    * add a salt column to the repartition — more files per directory,
-    * same layout contract. */
+  /** The write every partitioned-layout pass shares: cluster rows by
+    * their partition key FIRST, so each writer task owns whole
+    * partition groups and each directory gains ONE file per pass
+    * instead of one per (task × directory) — without it a 32-task
+    * write of 256 directories opens 8192 tiny files and the write
+    * (and every later scan) is file-count-bound, not byte-bound
+    * (measured: the 10% BM25 merge cost as much as the 100% rebuild).
+    * Parallelism caps at the partition-value count; at a scale where
+    * one directory outgrows one task, add a salt column to the
+    * repartition — more files per directory, same layout contract. */
+  private def writeClustered(df: DataFrame, path: String,
+                             partitionCol: String, mode: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.partitionBy(partitionCol).mode(mode).parquet(path)
+
   private def writeTf(tfRows: DataFrame, path: String, mode: String): Unit =
-    tfRows.repartition(org.apache.spark.sql.functions.col("tok_part"))
-      .write.partitionBy("tok_part").mode(mode).parquet(path)
+    writeClustered(tfRows, path, "tok_part", mode)
+
+  /** Segment-MAINTENANCE compaction of a partitioned layout: rewrite
+    * the accumulated append files into ONE file per directory —
+    * row-identical, a maintenance op, not a semantic one (the Lucene
+    * segment-merge analog; q175 oracle-checks exactly that). Cost ∝
+    * the whole layout — amortized over the many cheap appends it
+    * follows; run it on a cadence, not per batch. localCheckpoint
+    * truncates lineage so the overwrite cannot plan a read of the
+    * path it replaces; a production deployment stages into a fresh
+    * versioned directory and swaps (the mergeState commit protocol)
+    * instead of materializing through the block manager. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ck = spark.read.parquet(path)
+      .repartition(col(partitionCol)).localCheckpoint()
+    ck.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+  }
 
   /** One from-scratch BM25 layout write over `docs` (must carry doc_id,
     * text): `tf/` partitioned by [[tokenPart]], `stats/` the 1-row
@@ -367,6 +454,35 @@ object Writers {
       .filter(col("tok_part").isin(parts: _*) &&
         col("token").isin(terms.distinct: _*))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedBm25Compacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The FULL BM25-layout lifecycle as one artifact — q175's: build
+    * from the doc_id%3=0 slice, merge the other two slices as fresh
+    * batches (segments accumulate), then [[compactPartitioned]] the tf
+    * directories back to one file each. The compacted probe must be
+    * bit-for-bit the from-scratch probe — compaction is maintenance,
+    * never semantics (q175 shares q28's oracle; SourcesSpec pins the
+    * one-file-per-directory invariant and row identity). Written AT
+    * MOST ONCE per (JVM, corpus dir). */
+  def ensureBm25IndexCompacted(spark: SparkSession, dir: String,
+                               name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-bm25-compact-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedBm25Compacted.computeIfAbsent(path, { p =>
+      val docs = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), col("text"))
+      writeBm25Index(docs.filter(col("doc_id") % 3 === 0), p)
+      mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 1))
+      mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 2))
+      compactPartitioned(spark, s"$p/tf", "tok_part")
+      p
+    })
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions

@@ -43,6 +43,9 @@ class PlanLintSpec extends AnyFunSuite {
     // q173 crosses the same 1-row stats into the batch's shared pruned
     // hit stream (q142's bounded shape over q169's layout)
     "q173_bm25_stored_batch",
+    // q175 probes the compacted layout with q169's exact plan — the
+    // same 1-row stats broadcast
+    "q175_bm25_index_compact",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",
@@ -454,6 +457,43 @@ class PlanLintSpec extends AnyFunSuite {
     // exactly ONE tf-layout scan serves the whole batch
     assert("FileScan parquet".r.findAllMatchIn(plan).size <= 2,
       s"batch probe fanned out to per-query scans:\n$plan")
+  }
+
+  // compacted-layout probe: build→merge→merge→compact runs at
+  // construction; the DECLARED plan stays q169's probe shape exactly
+  assertScanBudget("q175_bm25_index_compact", 2)
+  assertShuffleBudget("q175_bm25_index_compact", 2)
+  test("q175_bm25_index_compact prunes token directories of the " +
+    "COMPACTED layout (PartitionFilters on tok_part — pruning survives " +
+    "the maintenance rewrite)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q175_bm25_index_compact")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("tok_part"),
+      s"tok_part did not prune at the partition level:\n$plan")
+  }
+
+  // merged-postings probe: q158's exact budget over the merged
+  // directories (pruned posting scan + the (id, start) and (id) aggs)
+  assertScanBudget("q176_postings_merge", 1)
+  assertShuffleBudget("q176_postings_merge", 2)
+  test("q176_postings_merge prunes token directories of the MERGED " +
+    "postings layout (PartitionFilters on tok_part)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q176_postings_merge")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(plan.contains("PartitionFilters: [") && pf.contains("tok_part"),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "merged-postings probe must not touch corpus text")
   }
 
   test("q169_bm25_stored prunes token directories " +

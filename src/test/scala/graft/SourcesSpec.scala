@@ -415,6 +415,73 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.nonEmpty && merged == rebuilt)
   }
 
+  test("compactPartitioned: accumulated segment files rewrite to ONE " +
+    "file per directory with the exact same rows, stats untouched") {
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val p = tmp("bm25compact")
+    Writers.writeBm25Index(docs.filter(col("doc_id") < 2), p)
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") === 2))
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") === 3))
+    def tfRows(path: String) = spark.read.parquet(s"$path/tf")
+      .select("token", "doc_id", "tf", "dl", "tok_part")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val statsBefore = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "avgdl").head()
+    val before = tfRows(p)
+    Writers.compactPartitioned(spark, s"$p/tf", "tok_part")
+    assert(tfRows(p) == before, "compaction changed the row set")
+    val statsAfter = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "avgdl").head()
+    assert(statsAfter.getLong(0) == statsBefore.getLong(0) &&
+      statsAfter.getDouble(1) == statsBefore.getDouble(1))
+    // the maintenance claim proper: one parquet file per directory
+    val tfDir = java.nio.file.Paths.get(s"$p/tf")
+    java.nio.file.Files.list(tfDir).toArray.map(_.toString)
+      .filter(_.contains("tok_part=")).foreach { d =>
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+          .toArray.map(_.toString).count(_.endsWith(".parquet"))
+        assert(files == 1, s"$d holds $files files after compaction")
+      }
+  }
+
+  test("mergePostings: merged postings equal the from-scratch layout, " +
+    "pre-existing files survive, non-new doc_ids are rejected") {
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    def postRows(path: String) = spark.read.parquet(path)
+      .select("token", "doc_id", "pos", "tok_part")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val full = tmp("postfull"); val inc = tmp("postinc")
+    import graft.operators.Retrieval
+    def build(path: String, d: org.apache.spark.sql.DataFrame): Unit =
+      Retrieval.invertedIndex(
+          d.select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks")),
+          "doc_id", col("toks"))
+        .withColumn("tok_part", Writers.tokenPart(col("token")))
+        .write.partitionBy("tok_part").mode("overwrite").parquet(path)
+    build(full, docs)
+    build(inc, docs.filter(col("doc_id") < 2))
+    def allFiles(path: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val before = allFiles(inc)
+    Writers.mergePostings(spark, inc, docs.filter(col("doc_id") >= 2))
+    assert(before.subsetOf(allFiles(inc)), "append rewrote existing files")
+    assert(postRows(inc) == postRows(full), "merged != rebuilt postings")
+    val ex = intercept[IllegalArgumentException] {
+      Writers.mergePostings(spark, inc, docs.filter(col("doc_id") === 1))
+    }
+    assert(ex.getMessage.contains("delta split"))
+  }
+
   test("mergeIvfPqIndex: merged codes equal a from-scratch encode against " +
     "the frozen artifacts, the padded codebook covers the whole code " +
     "space, and non-new ids are rejected") {
