@@ -466,6 +466,53 @@ object ScaleSmoke {
       }
     }
 
+    // q177/q179's delete-vs-rebuild A/B: tombstone the 10% slice OUT of
+    // a full index vs rebuilding the complement from scratch. The
+    // delete leg reads only the deleted ids' doclen directories,
+    // appends one tombstone segment and rewrites the 1-row stats — cost
+    // ∝ the deleted batch; the rebuild re-tokenizes and rewrites the
+    // whole complement every time. The probe arm prices the gen-aware
+    // visibility anti-join a tombstoned layout adds to q169's plan
+    // (vs bm25-stored-probe above), and the compact arm prices folding
+    // the tombstones back in (the maintenance amortizer, run on a
+    // cadence). Each delete pass gets an untimed fresh full base
+    // (tombstoning mutates its input layout).
+    if (stageActive("bm25-delete")) {
+      val docsAll = bigDocsOrdered.select(col("doc_id"), col("text"))
+      val delIds = docsAll.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"))
+      timeBest("bm25-delete-rebuild", passes = 2) {
+        graft.sources.Writers.writeBm25Index(
+          docsAll.filter(col("doc_id") % 10 =!= 0),
+          s"$scratch/bm25_delreb_x$mult")
+        spark.read.parquet(s"$scratch/bm25_delreb_x$mult/stats")
+          .head().getLong(0)
+      }
+      var best = Double.MaxValue
+      var deleted = 0L
+      val delPath = s"$scratch/bm25_del_x$mult"
+      (0 until 2).foreach { _ =>
+        graft.sources.Writers.writeBm25Index(docsAll, delPath) // untimed base
+        val t0 = System.nanoTime()
+        deleted = graft.sources.Writers.deleteFromBm25Index(
+          spark, delPath, delIds)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      durations("bm25-delete-tombstone") = best
+      println(f"[scale] bm25-delete-tombstone  rows=$deleted%10d  $best%7.2f s (best of 2)")
+      val terms = Seq("join", "filter", "scan")
+      timeBest("bm25-delete-probe") {
+        operators.Retrieval.bm25Stored(
+          graft.sources.Writers.prunedBm25Tf(spark, delPath, terms),
+          spark.read.parquet(s"$delPath/stats"), "doc_id", terms)
+          .filter(col("bm25").isNotNull).count()
+      }
+      time("bm25-delete-compact") {
+        graft.sources.Writers.compactBm25Index(spark, delPath)
+        spark.read.parquet(s"$delPath/tf").count()
+      }
+    }
+
     time("phrase-merge") {
       // q148+q149 at N×: collocation learning is two map+agg passes into
       // VOCAB-bounded count tables (vocabulary fixed as the corpus
@@ -1225,6 +1272,52 @@ object ScaleSmoke {
         }
         durations(label) = best
         println(f"[scale] $label%-22s rows=$n%10d  $best%7.2f s (best of 2)")
+      }
+    }
+
+    // q178's delete arms (FAISS remove_ids at N×): the tombstone append
+    // itself (∝ |deleted ids|, never the layout), the probe price of
+    // the visibility anti-join vs the tombstone-free ivfpq-stored-probe
+    // above, and the compaction that folds tombstones into the codes
+    // directories. Builds its own layout copy — the shared ivfIdxPath
+    // feeds the stored-probe/mining stages and must stay undeleted.
+    if (stageActive("ivfpq-delete")) {
+      val mSub = vecDim / 4
+      val pDims = math.min(4, vecDim / 4)
+      val delPath = s"$scratch/ivfpq_del_x$mult"
+      val coarseD = vecBase.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val delIds = bigVecs.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"))
+      var best = Double.MaxValue
+      (0 until 2).foreach { _ =>
+        val (codes, book) = operators.Similarity.ivfPqIndexTables(
+          bigVecs, "vec_id", "embedding", coarseD, "cid", "cvec",
+          m = 4, subDim = mSub, probeDims = pDims)
+        codes.write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$delPath/codes")
+        book.write.mode("overwrite").parquet(s"$delPath/codebook")
+        coarseD.write.mode("overwrite").parquet(s"$delPath/centroids")
+        graft.sources.Writers.clearTombstones(delPath) // rebuilt in place
+        val t0 = System.nanoTime()
+        graft.sources.Writers.deleteFromIvfPqIndex(spark, delPath, delIds)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      durations("ivfpq-delete-tombstone") = best
+      println(f"[scale] ivfpq-delete-tombstone  $best%7.2f s (best of 2)")
+      timeBest("ivfpq-delete-probe") {
+        val query = vecBase.filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec"))
+        operators.Similarity.ivfPqSearchStored(
+          graft.sources.Writers.liveCodes(spark, delPath),
+          spark.read.parquet(s"$delPath/codebook"),
+          spark.read.parquet(s"$delPath/centroids"),
+          "vec_id", query, "qvec", nprobe = 8, k = 10,
+          m = 4, subDim = mSub, probeDims = pDims).count()
+      }
+      time("ivfpq-delete-compact") {
+        graft.sources.Writers.compactIvfPqIndex(spark, delPath)
+        spark.read.parquet(s"$delPath/codes").count()
       }
     }
 

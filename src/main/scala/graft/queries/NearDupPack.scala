@@ -367,6 +367,31 @@ object NearDupPack extends QueryPack {
         "qvec", nprobe = 3, k = 20)
     }),
 
+    // FAISS remove_ids on the stored index — the DELETE leg of the ANN
+    // lifecycle (q174 adds, this removes; the q177 discipline for
+    // vectors): the vec_id%5=2 rows are tombstoned in one
+    // batch-proportional append (Writers.deleteFromIvfPqIndex) while
+    // the codebook and centroid artifacts stay FROZEN exactly as built
+    // (deletion never retrains — vec_id 2 stays a routing centroid
+    // even though its vector is no longer searchable). The probe is
+    // q162's stored plan over Writers.liveCodes — the broadcast
+    // tombstone anti-join under the same probed-bucket directory
+    // pruning (PlanLint pins PartitionFilters survive it). The oracle
+    // replays q156's full chain and drops deleted ids from the FINAL
+    // ranking only — survivors must keep their exact ADC distances and
+    // the head must back-fill from rank k+1.
+    "q178_ivfpq_index_delete" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndexDeleted(s, dir)
+      Similarity.ivfPqSearchStored(
+        graft.sources.Writers.liveCodes(s, path),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+    }),
+
     // L2 TRAINING itself, oracle-checked (VERDICT r15 #1 — kmeans was
     // the one load-bearing operator with spec-only coverage, yet its
     // output feeds every "trained" serving tier): Lloyd's at k=4 for 2
@@ -639,6 +664,88 @@ object NearDupPack extends QueryPack {
       Dedup.hammingPairs(hashed, "doc_id", "h", maxDist = 16)
     }),
   )
+
+  /** q156's full IVF×PQ replay (fixed low-id centroid seeds, exact
+    * BIGINT routing, integer-millionth codebook means, ADC ranking) as
+    * a reusable oracle: `finalWhere` filters the RANKED population just
+    * before the top-k cut — empty for q156/q162 (whole index), a
+    * survivors predicate for the delete leg (q178: training and
+    * artifacts replay over the FULL corpus exactly as frozen at build
+    * time; only searchable rows shrink — FAISS remove_ids semantics). */
+  private def ivfPqTrainedSql(finalWhere: String): String =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+                    FROM embeddings WHERE vec_id = 1),
+         vq AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
+         vl AS (SELECT vec_id, unnest(qv) AS x,
+                       generate_subscripts(qv, 1) AS i FROM vq),
+         sl AS (SELECT cid, unnest(cq) AS y,
+                       generate_subscripts(cq, 1) AS i FROM seeds),
+         dist AS (SELECT vl.vec_id, sl.cid,
+                         CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                  FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+         asg AS (SELECT vec_id,
+                        CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
+                 FROM dist GROUP BY 1),
+         ql AS (SELECT unnest(qq) AS x, generate_subscripts(qq, 1) AS i FROM q),
+         pd AS (SELECT sl.cid,
+                       CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+                FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1),
+         probed AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
+                      FROM pd) WHERE r <= 3),
+         mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         sub AS (SELECT vec_id, m,
+                        list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                       x -> CAST(x AS DOUBLE)) AS sub
+                 FROM embeddings, mm),
+         stc AS (SELECT vec_id, m, sub,
+                       list_reverse_sort(list_transform(range(1, 5), i ->
+                         [abs(sub[i]),
+                          CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+                FROM sub),
+         codes AS (SELECT vec_id, m, sub,
+                          CASE WHEN len(sub) >= 4 THEN
+                            (CAST(srt[1][2] AS INT) + 4) * 9
+                              + (CAST(srt[2][2] AS INT) + 4) END AS code
+                   FROM stc),
+         pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                       unnest(sub) AS v
+                FROM codes WHERE code IS NOT NULL),
+         ac AS (SELECT m, code, pos, count(*) AS n,
+                       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+                FROM pc GROUP BY 1, 2, 3),
+         cb AS (SELECT m, code,
+                       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                            ORDER BY pos) AS cmean
+                FROM ac GROUP BY 1, 2),
+         qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+                FROM q, mm),
+         dt AS (SELECT cb.m, cb.code,
+                       round(list_dot_product(qs.qsub, qs.qsub)
+                             - CAST(2.0 AS DOUBLE)
+                               * list_dot_product(qs.qsub, cb.cmean)
+                             + list_dot_product(cb.cmean, cb.cmean), 8)
+                         + CAST(0.0 AS DOUBLE) AS d2
+                FROM cb JOIN qs ON qs.m = cb.m),
+         pop AS (SELECT c.vec_id, c.m, c.code
+                 FROM codes c JOIN asg USING (vec_id)
+                 WHERE asg.cluster IN (SELECT cid FROM probed)
+                   AND c.code IS NOT NULL),
+         tot AS (SELECT vec_id,
+                        CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                             AS DECIMAL(28,8)) AS DOUBLE) AS adist
+                 FROM pop JOIN dt USING (m, code) GROUP BY 1)
+         SELECT * FROM (
+           SELECT vec_id, adist FROM tot
+           $finalWhere
+           ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
+         ORDER BY ALL NULLS FIRST"""
 
   private val oracleBase: Map[String, String] = Map(
     // Keep-first at paragraph grain: the window's (doc_id, pos) order is
@@ -1263,79 +1370,7 @@ object NearDupPack extends QueryPack {
     // restricted to the probed clusters — every routing artifact is
     // exact BIGINT arithmetic, so a divergence anywhere moves the
     // scanned population and breaks the hash
-    "q156_ivfpq_trained" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
-                           list_transform(embedding,
-                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
-                    FROM embeddings WHERE vec_id = 1),
-         vq AS (SELECT vec_id,
-                       list_transform(embedding,
-                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-                FROM embeddings),
-         seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
-         vl AS (SELECT vec_id, unnest(qv) AS x,
-                       generate_subscripts(qv, 1) AS i FROM vq),
-         sl AS (SELECT cid, unnest(cq) AS y,
-                       generate_subscripts(cq, 1) AS i FROM seeds),
-         dist AS (SELECT vl.vec_id, sl.cid,
-                         CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
-                  FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
-         asg AS (SELECT vec_id,
-                        CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
-                 FROM dist GROUP BY 1),
-         ql AS (SELECT unnest(qq) AS x, generate_subscripts(qq, 1) AS i FROM q),
-         pd AS (SELECT sl.cid,
-                       CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
-                FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1),
-         probed AS (SELECT cid FROM (
-                      SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
-                      FROM pd) WHERE r <= 3),
-         mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
-         sub AS (SELECT vec_id, m,
-                        list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
-                                       x -> CAST(x AS DOUBLE)) AS sub
-                 FROM embeddings, mm),
-         stc AS (SELECT vec_id, m, sub,
-                       list_reverse_sort(list_transform(range(1, 5), i ->
-                         [abs(sub[i]),
-                          CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
-                FROM sub),
-         codes AS (SELECT vec_id, m, sub,
-                          CASE WHEN len(sub) >= 4 THEN
-                            (CAST(srt[1][2] AS INT) + 4) * 9
-                              + (CAST(srt[2][2] AS INT) + 4) END AS code
-                   FROM stc),
-         pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
-                       unnest(sub) AS v
-                FROM codes WHERE code IS NOT NULL),
-         ac AS (SELECT m, code, pos, count(*) AS n,
-                       CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
-                FROM pc GROUP BY 1, 2, 3),
-         cb AS (SELECT m, code,
-                       list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
-                            ORDER BY pos) AS cmean
-                FROM ac GROUP BY 1, 2),
-         qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
-                FROM q, mm),
-         dt AS (SELECT cb.m, cb.code,
-                       round(list_dot_product(qs.qsub, qs.qsub)
-                             - CAST(2.0 AS DOUBLE)
-                               * list_dot_product(qs.qsub, cb.cmean)
-                             + list_dot_product(cb.cmean, cb.cmean), 8)
-                         + CAST(0.0 AS DOUBLE) AS d2
-                FROM cb JOIN qs ON qs.m = cb.m),
-         pop AS (SELECT c.vec_id, c.m, c.code
-                 FROM codes c JOIN asg USING (vec_id)
-                 WHERE asg.cluster IN (SELECT cid FROM probed)
-                   AND c.code IS NOT NULL),
-         tot AS (SELECT vec_id,
-                        CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
-                             AS DECIMAL(28,8)) AS DOUBLE) AS adist
-                 FROM pop JOIN dt USING (m, code) GROUP BY 1)
-         SELECT * FROM (
-           SELECT vec_id, adist FROM tot
-           ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
-         ORDER BY ALL NULLS FIRST""",
+    "q156_ivfpq_trained" -> ivfPqTrainedSql(""),
 
     // replays scale training (the 1-row global max(abs)), the clamped
     // floor(v*127/amax+0.5) signed codes, and the symmetric integer
@@ -1760,9 +1795,14 @@ object NearDupPack extends QueryPack {
   // — layout, not semantics (the q158/q151 framing), so the oracle IS
   // q156's: identical routing, codebook, ADC ranking over base tables.
   override val oracleSql: Map[String, String] =
-    oracleBase + (
+    oracleBase ++ Seq(
       "q162_ivfpq_stored" -> oracleBase("q156_ivfpq_trained"),
       "q164_kmeans_train" -> kmeansTrainSql,
       "q166_ivfpq_trained_stored" -> ivfPqTrainedStoredSql,
-      "q174_ivfpq_index_merge" -> ivfPqMergedSql)
+      "q174_ivfpq_index_merge" -> ivfPqMergedSql,
+      // q156's replay with deleted ids dropped from the FINAL ranking
+      // only — artifacts frozen at build over the full corpus, the
+      // searchable population shrunk, the head back-filled from k+1
+      "q178_ivfpq_index_delete" ->
+        ivfPqTrainedSql("WHERE vec_id % 5 <> 2"))
 }

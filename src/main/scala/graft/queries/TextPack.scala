@@ -282,6 +282,81 @@ object TextPack extends QueryPack {
         "doc_id", PhraseFixture)
     }),
 
+    // The delete leg applied to the POSITIONAL postings layout (q177's
+    // discipline for the q158/q176 leg): build incrementally (q176's
+    // slices), tombstone the doc_id%7=3 docs
+    // (Writers.deleteFromPostings — one appended id segment, no stats
+    // to touch), probe with q158's exact pruned plan plus the
+    // broadcast tombstone anti-join. The oracle is q151's phrase
+    // replay over the COMPLEMENT corpus: a deleted doc surviving in
+    // any posting directory, or a survivor losing a start position,
+    // breaks the hash.
+    "q181_postings_delete" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensurePostingsDeleted(s, dir, "documents")
+      Retrieval.phraseSearch(
+        graft.sources.Writers.prunedPostings(s, path, PhraseFixture),
+        "doc_id", PhraseFixture)
+    }),
+
+    // The DELETE leg of the layout lifecycle (the verb q171/q175 leave
+    // open — opt-outs, contamination takedowns, dedup evictions; at
+    // 100 TB a rebuild per delete batch is as unaffordable as one per
+    // ingest batch): build incrementally (q171's slices), then
+    // tombstone the doc_id%7=3 docs in ONE batch-proportional
+    // deleteFromBm25Index call — (doc_id, del_gen) rows appended, dl
+    // looked up from the id-pruned doclen leg, stats subtracted
+    // through the exact DECIMAL sum_dl. The probe is q169's plan plus
+    // the gen-aware tombstone anti-join BEFORE the df windows. The
+    // oracle is a FROM-SCRATCH BM25 replay over the complement corpus
+    // (doc_id % 7 <> 3): a surviving deleted row, an unsubtracted
+    // avgdl, or a df window that still counts a deleted doc breaks the
+    // hash.
+    "q177_bm25_index_delete" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25IndexDeleted(s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
+    }),
+
+    // q177's layout after compactBm25Index folds the tombstones into
+    // the physical layout (live rows rewritten one-file-per-directory,
+    // deletes/ dropped): the probe must STILL equal the complement
+    // rebuild (same oracle as q177) while planning q169's exact
+    // tombstone-free shape — PlanLint pins the scan count back at 2,
+    // so "compaction removes the per-probe tombstone join" is a
+    // checked claim, not a comment.
+    "q179_bm25_delete_compact" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25IndexDeleteCompacted(
+        s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
+    }),
+
+    // UPDATE = delete + re-merge on the serving layout — the
+    // reference's `ON CONFLICT (pk) DO UPDATE` (src/storage.py:41-53)
+    // realized on the index itself, which is what the generation
+    // stamps exist for: build over the full corpus, tombstone the
+    // doc_id%5=4 docs, merge their CHANGED versions (text + " fresh
+    // join") back in as a fresh batch stamped PAST the tombstone
+    // (gen > del_gen — the anti-join keeps the new rows, kills the
+    // old). Both steps ∝ the changed batch. The oracle is a
+    // from-scratch BM25 replay over the UPDATED corpus: seeing both
+    // versions, neither version, or stale stats breaks the hash.
+    "q180_bm25_index_update" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25IndexUpdated(s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
+        s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
+    }),
+
     // The stored stack's QUALITY, oracle-checked (VERDICT r16 #2 —
     // q170's ADC/compression recall trade was spec-pinned only at
     // fixture scale; q163's rankEval graded only the live brute arms):
@@ -1206,10 +1281,14 @@ object TextPack extends QueryPack {
     * `bm(doc_id, n_terms, bm25)` — shared with q136's lexical arm.
     * Engine-parity notes live on the q28 entry: idf's ln rounded to 8
     * before use, per-term scores rounded to 6 and DECIMAL-summed,
-    * 2.2 = k1+1 pre-computed. */
-  private lazy val bm25ChainSql: String =
-    """tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
-       dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+    * 2.2 = k1+1 pre-computed. `src` is the corpus expression — the
+    * lifecycle oracles (q177/q179: complement after delete; q180:
+    * updated text after delete + re-merge) replay the SAME chain over
+    * a from-scratch filtered/rewritten corpus, because that is exactly
+    * what the incremental layout must be indistinguishable from. */
+  private def bm25ChainSqlOver(src: String): String =
+    s"""tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM $src),
+       dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM $src),
        st  AS (SELECT count(*) AS n_docs,
                       round(CAST(CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS avgdl
                FROM dl),
@@ -1225,6 +1304,17 @@ object TextPack extends QueryPack {
        bm  AS (SELECT doc_id, count(*) AS n_terms,
                       round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
                FROM sc GROUP BY 1)"""
+
+  private lazy val bm25ChainSql: String = bm25ChainSqlOver("documents")
+
+  /** q177/q179's from-scratch ground truth: the q28 chain over the
+    * complement corpus — what the tombstoned (q177) and
+    * delete-compacted (q179) layouts must be indistinguishable from. */
+  private lazy val bm25DeletedSql: String =
+    s"""WITH ${bm25ChainSqlOver(
+         "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3) AS docs")}
+       SELECT doc_id, n_terms, bm25
+       FROM bm ORDER BY ALL NULLS FIRST"""
 
   /** q142's oracle: the q28 rounding chain over the UNION term set,
     * per-(doc, term) scores fanned out to queries through the generated
@@ -1377,6 +1467,28 @@ object TextPack extends QueryPack {
     // dropped or duplicated by the directory rewrite moves a score
     "q175_bm25_index_compact" ->
       s"""WITH $bm25ChainSql
+         SELECT doc_id, n_terms, bm25
+         FROM bm ORDER BY ALL NULLS FIRST""",
+
+    // NOT q28's oracle: the ground truth is a from-scratch build over
+    // the COMPLEMENT corpus — the tombstoned layout must be
+    // indistinguishable from never having indexed the deleted docs
+    // (visibility, df windows, n_docs, avgdl — all of it)
+    "q177_bm25_index_delete" -> bm25DeletedSql,
+
+    // q177's oracle again — folding tombstones into the physical
+    // layout must not move a score (and PlanLint separately pins that
+    // the tombstone scan is GONE from the compacted probe's plan)
+    "q179_bm25_delete_compact" -> bm25DeletedSql,
+
+    // from-scratch replay over the UPDATED corpus: every %5=4 doc
+    // scored with its new text exactly once — both versions visible,
+    // neither visible, or stale length stats all break the hash
+    "q180_bm25_index_update" ->
+      s"""WITH ${bm25ChainSqlOver(
+           "(SELECT doc_id, CASE WHEN doc_id % 5 = 4 " +
+             "THEN text || ' fresh join' ELSE text END AS text " +
+             "FROM documents) AS docs")}
          SELECT doc_id, n_terms, bm25
          FROM bm ORDER BY ALL NULLS FIRST""",
 
@@ -1995,6 +2107,22 @@ object TextPack extends QueryPack {
       """WITH d AS (SELECT doc_id,
                            list_filter(str_split(text, ' '), t -> t <> '') AS toks
                     FROM documents),
+         m AS (SELECT doc_id,
+                      list_filter(range(1, len(toks)),
+                        s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts
+               FROM d)
+         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+         FROM m WHERE len(starts) > 0
+         ORDER BY ALL NULLS FIRST""",
+
+    // q151's phrase replay over the COMPLEMENT corpus — the tombstoned
+    // postings layout must be indistinguishable from never having
+    // indexed the deleted docs
+    "q181_postings_delete" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents WHERE doc_id % 7 <> 3),
          m AS (SELECT doc_id,
                       list_filter(range(1, len(toks)),
                         s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts

@@ -128,6 +128,15 @@ object Writers {
     f"${d(0) & 0xff}%02x".take(2)
   }
 
+  /** Doc-id partition key of the BM25 layout's doclen leg — [[tokenPart]]
+    * over the id's decimal string: 256 bounded directories at any corpus
+    * size, so delete/merge existence checks prune to the touched ids'
+    * directories instead of scanning a corpus-sized table. */
+  def idPart(id: Column): Column = tokenPart(id.cast("string"))
+
+  /** Driver-side twin of [[idPart]] (the [[tokenPartOf]] contract). */
+  def idPartOf(id: Long): String = tokenPartOf(id.toString)
+
   /** Token-partitioned positional postings of corpus table `name` —
     * the STORED inverted index the lexical retrieval tier probes
     * (VERDICT r14 #5: the q151 pruned-vs-flat A/B lived only in
@@ -222,6 +231,81 @@ object Writers {
     })
   }
 
+  /** The tombstone table of a postings layout, when any delete ever
+    * ran — one doc_id per row, append-only, deduplicated at write time.
+    * No generation column, deliberately ([[deleteFromIvfPqIndex]]'s
+    * stance): positions are immutable payloads; a CHANGED document
+    * routes delete → [[compactPostings]] → re-merge, and the merge
+    * guard correctly rejects a re-add while dead rows still stand. */
+  def postingsDeletes(spark: SparkSession, path: String): Option[DataFrame] = {
+    // underscore-prefixed: the postings DATA lives at the layout root
+    // (tok_part=* directories), and Spark's file index ignores _-hidden
+    // siblings — a visible `deletes/` subdir would break the root
+    // read's partition discovery
+    val d = Paths.get(s"$path/_deletes")
+    if (Files.isDirectory(d)) Some(spark.read.parquet(s"$path/_deletes"))
+    else None
+  }
+
+  /** Delete documents from a stored [[ensurePostings]] layout at cost
+    * ∝ |ids| — the [[deleteFromBm25Index]] verb for the positional leg,
+    * minus the stats arithmetic (a postings layout keeps none): append
+    * the ids to the tombstone table; every [[prunedPostings]] probe
+    * anti-joins them before the phrase algebra. Idempotent. */
+  def deleteFromPostings(spark: SparkSession, path: String,
+                         ids: DataFrame,
+                         idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cand = ids.select(col(idCol).as("doc_id")).distinct()
+    val fresh = postingsDeletes(spark, path).fold(cand)(old =>
+      cand.join(old, Seq("doc_id"), "left_anti"))
+    fresh.coalesce(1) // one tombstone segment per delete batch
+      .write.mode("append").parquet(s"$path/_deletes")
+  }
+
+  /** Fold postings tombstones into the physical layout (one file per
+    * md5-prefix directory — the [[compactBm25Index]] protocol) and drop
+    * the tombstone table. Visibility identical before and after;
+    * post-compaction probes plan no tombstone scan, and a previously
+    * deleted doc_id becomes mergeable again. */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val rows = spark.read.parquet(path)
+    val live = postingsDeletes(spark, path).fold(rows)(d =>
+        rows.join(broadcast(d), Seq("doc_id"), "left_anti"))
+      .repartition(col("tok_part")).localCheckpoint()
+    live.write.partitionBy("tok_part").mode("overwrite").parquet(path)
+    removeDir(s"$path/_deletes")
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedPostingsDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q177 lifecycle applied to the POSITIONAL postings leg — q181's
+    * artifact: the q176 incremental build (slice → merge), then the
+    * doc_id%7=3 docs tombstoned. A phrase probe must equal one over a
+    * from-scratch layout of the complement corpus (q181's oracle is
+    * q151's filtered to `doc_id % 7 <> 3`). Written AT MOST ONCE per
+    * (JVM, corpus dir). */
+  def ensurePostingsDeleted(spark: SparkSession, dir: String,
+                            name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-postings-deleted-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedPostingsDeleted.computeIfAbsent(path, { p =>
+      val docs = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), col("text"))
+      writeClustered(postingsRows(docs.filter(col("doc_id") % 3 =!= 2)),
+        p, "tok_part", "overwrite")
+      mergePostings(spark, p, docs.filter(col("doc_id") % 3 === 2))
+      deleteFromPostings(spark, p,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      p
+    })
+  }
+
   // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedBm25 =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -289,24 +373,87 @@ object Writers {
   }
 
   /** One from-scratch BM25 layout write over `docs` (must carry doc_id,
-    * text): `tf/` partitioned by [[tokenPart]], `stats/` the 1-row
-    * (n_docs, avgdl, sum_dl) table. `avgdl` is EXACTLY
-    * `Retrieval.bm25`'s arithmetic (decimal sum, round-6 division);
-    * `sum_dl` keeps the un-divided exact DECIMAL length sum alongside it
-    * so [[mergeBm25Index]] can update the stats ADDITIVELY and land
-    * bit-for-bit on the avgdl a from-scratch build over the grown corpus
-    * computes (decimal sums are exact — association order cannot
-    * matter). */
+    * text): `tf/` partitioned by [[tokenPart]], `doclen/` the one-row-
+    * per-doc (doc_id, dl) table partitioned by [[idPart]] (the Lucene
+    * norms-file analog — it makes delete/merge existence checks and the
+    * delete-side dl lookup prune to the touched ids' directories), and
+    * `stats/` the 1-row (n_docs, avgdl, sum_dl, next_gen) table. `avgdl`
+    * is EXACTLY `Retrieval.bm25`'s arithmetic (decimal sum, round-6
+    * division); `sum_dl` keeps the un-divided exact DECIMAL length sum
+    * alongside it so [[mergeBm25Index]]/[[deleteFromBm25Index]] can
+    * update the stats ADDITIVELY/SUBTRACTIVELY and land bit-for-bit on
+    * the avgdl a from-scratch build over the changed corpus computes
+    * (decimal sums are exact — association order cannot matter).
+    *
+    * Every stored row carries a GENERATION stamp (`gen`, here 0) and
+    * `stats.next_gen` is the monotone counter the next merge/delete
+    * draws from — the discipline that makes UPDATE = delete + re-merge
+    * batch-proportional: a tombstone (doc_id, del_gen) kills only rows
+    * with `gen < del_gen`, so a document re-added after its deletion is
+    * visible again without any corpus-sized rewrite (q180). */
   def writeBm25Index(docs: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
+    // a from-scratch build over a previously-deleted-from path must not
+    // inherit stale tombstones (gen restarts at 0, which every old
+    // del_gen would kill)
+    removeDir(s"$path/deletes")
     bm25Base(docs).agg(
         count(lit(1)).as("n_docs"),
         round(sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)")
           .cast("double") / count(lit(1)), 6).as("avgdl"),
         sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)")
           .as("sum_dl"))
+      .withColumn("next_gen", lit(1L))
       .write.mode("overwrite").parquet(s"$path/stats")
-    writeTf(bm25TfRows(docs), s"$path/tf", "overwrite")
+    writeTf(bm25TfRows(docs).withColumn("gen", lit(0L)),
+      s"$path/tf", "overwrite")
+    writeClustered(
+      bm25Base(docs).select(col("doc_id"), col("dl"))
+        .withColumn("gen", lit(0L))
+        .withColumn("doc_part", idPart(col("doc_id"))),
+      s"$path/doclen", "doc_part", "overwrite")
+  }
+
+  /** The tombstone table of a BM25 layout, when any delete ever ran —
+    * (doc_id, del_gen) rows, append-only segments. A stored row
+    * (doc_id, gen) is LIVE iff no tombstone with `gen < del_gen`
+    * matches it. Bounded between compactions ([[compactBm25Index]]
+    * folds tombstones into the physical layout), so probes broadcast
+    * it. */
+  def bm25Deletes(spark: SparkSession, path: String): Option[DataFrame] = {
+    val d = Paths.get(s"$path/deletes")
+    if (Files.isDirectory(d)) Some(spark.read.parquet(s"$path/deletes"))
+    else None
+  }
+
+  /** Gen-aware tombstone visibility: drop `rows` (must carry doc_id,
+    * gen) killed by a tombstone — broadcast anti-join on the doc id
+    * with the generation residual, so a re-added doc (gen > every
+    * del_gen for its id) survives. Identity when no delete ever ran —
+    * layouts without tombstones plan exactly as before. */
+  private def visibleRows(rows: DataFrame,
+                          deletes: Option[DataFrame]): DataFrame =
+    deletes.fold(rows) { del =>
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val t = del.select(col("doc_id").as("__del_id"),
+        col("del_gen").as("__del_gen"))
+      rows.join(broadcast(t),
+        rows("doc_id") === t("__del_id") && rows("gen") < t("__del_gen"),
+        "left_anti")
+    }
+
+  /** LIVE rows of the layout's doclen leg, pruned to the given
+    * [[idPart]] directories — the existence/dl lookup both merge's
+    * misuse guard and delete's stats subtraction run, at cost ∝ the
+    * touched ids' directories (narrow two-long rows), never the tf
+    * table. */
+  private def liveDoclen(spark: SparkSession, path: String,
+                         parts: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    visibleRows(
+      spark.read.parquet(s"$path/doclen")
+        .filter(col("doc_part").isin(parts: _*)),
+      bm25Deletes(spark, path))
   }
 
   /** Token-partitioned STORED BM25 index of corpus table `name` — the
@@ -354,63 +501,188 @@ object Writers {
     *     DECIMAL `sum_dl`, landing bit-for-bit on the avgdl a
     *     from-scratch build over old ∪ fresh computes.
     * Probe-equals-rebuild is q171's oracle and SourcesSpec's equality
-    * pin. With `checkNewDocIds` (the default) a fresh doc_id already
-    * present in the index fails loudly — a CHANGED document needs
-    * delete-then-compact, not a silent double-count; the guard
-    * semi-joins the touched directories (cost ∝ their size, NOT
-    * ∝ |fresh|), so an ingest that already routed through Delta.split
-    * may pass false and keep the merge strictly fresh-proportional.
-    * Many merges accumulate small files; periodic compaction (rewrite
-    * a directory's files into one) is standard segment maintenance and
-    * changes no row. On a real deployment the same operator targets a
-    * table format's MERGE INTO; over immutable parquet the
-    * partitioned append IS the commit protocol. */
+    * pin. With `checkNewDocIds` (the default) a fresh doc_id LIVE in
+    * the index fails loudly — a CHANGED document needs
+    * [[deleteFromBm25Index]] first, then a re-merge (q180's update
+    * lifecycle), not a silent double-count; the guard semi-joins the
+    * fresh ids' doclen directories (narrow two-long rows, pruned by
+    * [[idPart]] — NOT the tf table), so an ingest that already routed
+    * through Delta.split may pass false and keep the merge strictly
+    * fresh-proportional. Fresh rows are stamped `gen = stats.next_gen`,
+    * so they survive any earlier tombstone for the same id. Many merges
+    * accumulate small files; periodic compaction (rewrite a directory's
+    * files into one) is standard segment maintenance and changes no
+    * row. On a real deployment the same operator targets a table
+    * format's MERGE INTO; over immutable parquet the partitioned append
+    * IS the commit protocol. */
   def mergeBm25Index(spark: SparkSession, path: String, fresh: DataFrame,
                      checkNewDocIds: Boolean = true): Unit = {
     import org.apache.spark.sql.functions._
     val statsSchema = spark.read.parquet(s"$path/stats").schema
-    require(statsSchema.fieldNames.contains("sum_dl"),
+    require(statsSchema.fieldNames.contains("sum_dl") &&
+        statsSchema.fieldNames.contains("next_gen"),
       "mergeBm25Index needs a merge-capable layout: stats/ lacks the " +
-        "exact sum_dl column (rebuild the index with this version's " +
-        "writeBm25Index before merging)")
-    val freshStat = bm25Base(fresh).agg(
-      count(lit(1)).as("n"),
-      sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)").as("s"))
-      .head()
-    if (freshStat.getLong(0) == 0L) return // empty batch: layout unchanged
-    // cache only when the guard re-reads the fresh rows (twice before
-    // the write); the unguarded production path streams them straight
-    // into the append — one fresh-sized job, no materialization
-    val freshTf =
-      if (checkNewDocIds) bm25TfRows(fresh).cache() else bm25TfRows(fresh)
-    try {
-      if (checkNewDocIds) {
-        val touched = freshTf.select(col("tok_part")).distinct()
-          .collect().map(_.getString(0)).toSeq // bounded: ≤256 prefixes
-        // misuse trap: a fresh doc_id already present would silently
-        // double-count its tokens in every df window downstream
-        require(spark.read.parquet(s"$path/tf")
-            .filter(col("tok_part").isin(touched: _*))
-            .join(freshTf.select(col("doc_id")).distinct(),
-              Seq("doc_id"), "left_semi").head(1).isEmpty,
-          "mergeBm25Index: fresh batch contains doc_ids already in the " +
-            "index — merge takes the delta split's NEW side; changed " +
-            "docs need delete-then-compact, not an in-place double-count")
-      }
-      writeTf(freshTf, s"$path/tf", "append")
-    } finally freshTf.unpersist()
+        "exact sum_dl / next_gen columns (rebuild the index with this " +
+        "version's writeBm25Index before merging)")
     val old = spark.read.parquet(s"$path/stats")
-      .select(col("n_docs"), col("sum_dl")).head()
-    val n = old.getLong(0) + freshStat.getLong(0)
-    val s = old.getDecimal(1).add(freshStat.getDecimal(1)) // exact
-    // collected to the driver first: a 1-row overwrite cannot plan a
-    // read of the path it replaces
-    spark.range(1).select(
-        lit(n).as("n_docs"),
-        round(lit(s).cast("decimal(28,6)").cast("double") / lit(n), 6)
-          .as("avgdl"),
-        lit(s).cast("decimal(28,6)").as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .select(col("n_docs"), col("sum_dl"), col("next_gen")).head()
+    val g = old.getLong(2)
+    // the fresh doclen rows drive everything batch-sized: the stats
+    // delta, the guard's existence probe, and the doclen append — cache
+    // once, ∝ |fresh| narrow rows
+    val freshLen = bm25Base(fresh).select(col("doc_id"), col("dl"))
+      .withColumn("gen", lit(g))
+      .withColumn("doc_part", idPart(col("doc_id")))
+      .cache()
+    try {
+      val freshStat = freshLen.agg(
+        count(lit(1)).as("n"),
+        sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)").as("s"))
+        .head()
+      if (freshStat.getLong(0) == 0L) return // empty batch: no-op
+      // n_docs = 0 ⇒ nothing can be LIVE (and the empty doclen leg has
+      // no readable schema) — the bootstrap-from-empty merge skips the
+      // guard, not the contract
+      if (checkNewDocIds && old.getLong(0) > 0L) {
+        val parts = freshLen.select(col("doc_part")).distinct()
+          .collect().map(_.getString(0)).toSeq // bounded: ≤256 prefixes
+        // misuse trap: a fresh doc_id still LIVE would silently
+        // double-count its tokens in every df window downstream
+        require(liveDoclen(spark, path, parts)
+            .join(freshLen.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi").head(1).isEmpty,
+          "mergeBm25Index: fresh batch contains doc_ids LIVE in the " +
+            "index — merge takes the delta split's NEW side; changed " +
+            "docs need deleteFromBm25Index first, not an in-place " +
+            "double-count")
+      }
+      writeTf(bm25TfRows(fresh).withColumn("gen", lit(g)),
+        s"$path/tf", "append")
+      writeClustered(freshLen, s"$path/doclen", "doc_part", "append")
+      val n = old.getLong(0) + freshStat.getLong(0)
+      // an EMPTY layout (writeBm25Index over zero docs — the streaming
+      // bootstrap) stores NULL sum_dl; additively that is zero
+      val oldSum = if (old.isNullAt(1)) java.math.BigDecimal.ZERO
+                   else old.getDecimal(1)
+      val s = oldSum.add(freshStat.getDecimal(1)) // exact
+      // collected to the driver first: a 1-row overwrite cannot plan a
+      // read of the path it replaces
+      spark.range(1).select(
+          lit(n).as("n_docs"),
+          round(lit(s).cast("decimal(28,6)").cast("double") / lit(n), 6)
+            .as("avgdl"),
+          lit(s).cast("decimal(28,6)").as("sum_dl"),
+          lit(g + 1L).as("next_gen"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    } finally freshLen.unpersist()
+  }
+
+  /** Delete documents from a stored [[ensureBm25Index]] layout at cost
+    * ∝ |deletes| — the Lucene `.del`-file analog, and the lifecycle
+    * verb [[mergeBm25Index]]'s add leaves open (opt-outs, contamination
+    * takedowns, dedup evictions; at 100 TB a rebuild per delete batch
+    * is as unaffordable as one per ingest batch). Returns the number of
+    * documents actually deleted.
+    *
+    * Mechanics, all batch-proportional:
+    *  1. candidate ids prune the doclen leg to their [[idPart]]
+    *     directories; only ids LIVE there count (absent or already-
+    *     tombstoned ids are SKIPPED — delete is idempotent, never a
+    *     double-subtract);
+    *  2. tombstones (doc_id, del_gen = stats.next_gen) APPEND to
+    *     `deletes/` — nothing corpus-sized is read or rewritten; every
+    *     probe anti-joins them gen-aware ([[prunedBm25Tf]]), so df
+    *     windows, n_terms and scores see only survivors;
+    *  3. stats update SUBTRACTIVELY through the exact DECIMAL sum_dl
+    *     with the deleted docs' dl from the pruned doclen read —
+    *     landing bit-for-bit on the avgdl a from-scratch build over
+    *     the complement computes (q177's oracle).
+    * Deleting the LAST document is refused (an empty index has no
+    * avgdl — rebuild instead). [[compactBm25Index]] later folds
+    * tombstones into the physical layout; between compactions the
+    * tombstone table is the bounded broadcast side of every probe. */
+  def deleteFromBm25Index(spark: SparkSession, path: String,
+                          deletes: DataFrame,
+                          idCol: String = "doc_id"): Long = {
+    import org.apache.spark.sql.functions._
+    val old = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("sum_dl"), col("next_gen")).head()
+    if (old.getLong(0) == 0L) return 0L // empty index: nothing to delete
+    val g = old.getLong(2)
+    val cand = deletes.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("doc_part", idPart(col("doc_id")))
+      .cache()
+    try {
+      val parts = cand.select(col("doc_part")).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded: ≤256 prefixes
+      if (parts.isEmpty) return 0L
+      val present = liveDoclen(spark, path, parts)
+        .join(cand.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .cache()
+      try {
+        val st = present.agg(
+          count(lit(1)).as("n"),
+          sum(col("dl").cast("decimal(28,6)")).cast("decimal(28,6)").as("s"))
+          .head()
+        val cnt = st.getLong(0)
+        if (cnt == 0L) return 0L
+        val n = old.getLong(0) - cnt
+        require(n > 0,
+          "deleteFromBm25Index would empty the index — an empty layout " +
+            "has no avgdl; rebuild instead of deleting every document")
+        present.select(col("doc_id"), lit(g).as("del_gen"))
+          .coalesce(1) // one tombstone segment per delete batch
+          .write.mode("append").parquet(s"$path/deletes")
+        val s = old.getDecimal(1).subtract(st.getDecimal(1)) // exact
+        spark.range(1).select(
+            lit(n).as("n_docs"),
+            round(lit(s).cast("decimal(28,6)").cast("double") / lit(n), 6)
+              .as("avgdl"),
+            lit(s).cast("decimal(28,6)").as("sum_dl"),
+            lit(g + 1L).as("next_gen"))
+          .write.mode("overwrite").parquet(s"$path/stats")
+        cnt
+      } finally present.unpersist()
+    } finally cand.unpersist()
+  }
+
+  /** Fold accumulated tombstones INTO the physical layout and compact
+    * segments: rewrite tf/ and doclen/ keeping only LIVE rows (one
+    * file per directory — [[compactPartitioned]]'s write protocol),
+    * then drop the tombstone table. Row VISIBILITY is identical before
+    * and after (q179 shares q177's oracle) and probes of the compacted
+    * layout plan NO tombstone scan — q169's exact shape. Cost ∝ the
+    * layout, amortized over the many batch-proportional deletes it
+    * follows — run on a cadence, not per batch. */
+  def compactBm25Index(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val del = bm25Deletes(spark, path)
+    val tf = visibleRows(spark.read.parquet(s"$path/tf"), del)
+      .repartition(col("tok_part")).localCheckpoint()
+    tf.write.partitionBy("tok_part").mode("overwrite").parquet(s"$path/tf")
+    val dlr = visibleRows(spark.read.parquet(s"$path/doclen"), del)
+      .repartition(col("doc_part")).localCheckpoint()
+    dlr.write.partitionBy("doc_part").mode("overwrite")
+      .parquet(s"$path/doclen")
+    removeDir(s"$path/deletes")
+  }
+
+  /** Drop a layout's tombstone table WITHOUT rewriting data — the
+    * fresh-overwrite companion: a layout rebuilt in place must never
+    * inherit stale tombstones ([[writeBm25Index]] calls this
+    * internally; manual codes/ overwrites call it explicitly). */
+  def clearTombstones(path: String): Unit = removeDir(s"$path/deletes")
+
+  /** Recursive local-filesystem directory removal (deepest-first) —
+    * the tombstone-table drop after a compaction folded it in. */
+  private def removeDir(path: String): Unit = {
+    val d = Paths.get(path)
+    if (Files.isDirectory(d)) {
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions
@@ -443,16 +715,23 @@ object Writers {
   /** Probe-side read of an [[ensureBm25Index]] tf layout — the
     * [[prunedPostings]] contract: driver-computed [[tokenPartOf]]
     * literals prune directories at plan time, the residual
-    * `token IN (...)` pushes into the parquet reader. Returns
-    * (token, doc_id, tf, dl). */
+    * `token IN (...)` pushes into the parquet reader. When the layout
+    * carries tombstones ([[deleteFromBm25Index]]) the pruned hits are
+    * additionally filtered through the gen-aware broadcast anti-join —
+    * deleted docs vanish from the hit stream BEFORE the df windows, so
+    * stored scoring over the survivors replays a complement rebuild
+    * bit-for-bit (q177); tombstone-free layouts plan exactly as before.
+    * Returns (token, doc_id, tf, dl). */
   def prunedBm25Tf(spark: SparkSession, path: String,
                    terms: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(terms.nonEmpty, "prunedBm25Tf needs at least one term")
     val parts = terms.distinct.map(tokenPartOf).distinct
-    spark.read.parquet(s"$path/tf")
-      .filter(col("tok_part").isin(parts: _*) &&
-        col("token").isin(terms.distinct: _*))
+    visibleRows(
+        spark.read.parquet(s"$path/tf")
+          .filter(col("tok_part").isin(parts: _*) &&
+            col("token").isin(terms.distinct: _*)),
+        bm25Deletes(spark, path))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
   }
 
@@ -481,6 +760,98 @@ object Writers {
       mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 1))
       mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 2))
       compactPartitioned(spark, s"$p/tf", "tok_part")
+      p
+    })
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedBm25Deleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DELETE leg of the lifecycle as one artifact — q177's: the
+    * q171 incremental build (slice → merge → merge), then the doc_id%7=3
+    * docs deleted as one [[deleteFromBm25Index]] tombstone batch. A
+    * probe of this layout must equal a from-scratch build over the
+    * COMPLEMENT corpus (q177's oracle replays BM25 over
+    * `doc_id % 7 <> 3`) — the tombstone visibility join, the subtracted
+    * stats, and the survivor-only df windows all have to land exactly.
+    * Written AT MOST ONCE per (JVM, corpus dir). */
+  def ensureBm25IndexDeleted(spark: SparkSession, dir: String,
+                             name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-bm25-deleted-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedBm25Deleted.computeIfAbsent(path, { p =>
+      val docs = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), col("text"))
+      writeBm25Index(docs.filter(col("doc_id") % 3 === 0), p)
+      mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 1))
+      mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 2))
+      deleteFromBm25Index(spark, p,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      p
+    })
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedBm25DeleteCompacted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[ensureBm25IndexDeleted]] followed by [[compactBm25Index]] —
+    * q179's artifact: tombstones folded into the physical layout, the
+    * tombstone table dropped. The probe must STILL equal the complement
+    * rebuild (q179 shares q177's oracle) while planning q169's exact
+    * tombstone-free shape (PlanLint pins the scan count back at 2).
+    * Written AT MOST ONCE per (JVM, corpus dir). */
+  def ensureBm25IndexDeleteCompacted(spark: SparkSession, dir: String,
+                                     name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-bm25-delcomp-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedBm25DeleteCompacted.computeIfAbsent(path, { p =>
+      val docs = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), col("text"))
+      writeBm25Index(docs.filter(col("doc_id") % 3 === 0), p)
+      mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 1))
+      mergeBm25Index(spark, p, docs.filter(col("doc_id") % 3 === 2))
+      deleteFromBm25Index(spark, p,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      compactBm25Index(spark, p)
+      p
+    })
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedBm25Updated =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** UPDATE = delete + re-merge on the serving layout — q180's
+    * artifact, the reference's `ON CONFLICT (pk) DO UPDATE`
+    * (src/storage.py:41-53) realized on the index itself: build over
+    * the full corpus, tombstone the doc_id%5=4 docs, then merge their
+    * CHANGED versions (text + " fresh join") back in as a fresh batch.
+    * The generation discipline carries it: the re-added rows are
+    * stamped past the tombstone (`gen > del_gen`), so probes see
+    * exactly one — the new — version of every updated doc, and both
+    * steps stay ∝ the changed batch. A probe must equal a from-scratch
+    * build over the UPDATED corpus (q180's oracle). Written AT MOST
+    * ONCE per (JVM, corpus dir). */
+  def ensureBm25IndexUpdated(spark: SparkSession, dir: String,
+                             name: String = "documents"): String = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-bm25-updated-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}"
+    preparedBm25Updated.computeIfAbsent(path, { p =>
+      val docs = graft.Tables.load(spark, dir, name)
+        .select(col("doc_id"), col("text"))
+      writeBm25Index(docs, p)
+      val changed = docs.filter(col("doc_id") % 5 === 4)
+      deleteFromBm25Index(spark, p, changed.select(col("doc_id")))
+      mergeBm25Index(spark, p, changed.select(col("doc_id"),
+        concat(col("text"), lit(" fresh join")).as("text")))
       p
     })
   }
@@ -635,6 +1006,101 @@ object Writers {
     })
   }
 
+  /** The tombstone table of an IVF×PQ layout, when any delete ever ran
+    * — one id per row, append-only, deduplicated at write time. */
+  def ivfDeletes(spark: SparkSession, path: String): Option[DataFrame] = {
+    val d = Paths.get(s"$path/deletes")
+    if (Files.isDirectory(d)) Some(spark.read.parquet(s"$path/deletes"))
+    else None
+  }
+
+  /** FAISS `remove_ids` for the stored IVF×PQ layout, at cost
+    * ∝ |ids|: append the ids to the layout's tombstone table; probes
+    * read codes through [[liveCodes]], which anti-joins the broadcast
+    * tombstones after directory pruning. No stats to update and no
+    * generation needed — ADC ranks rows independently, so a plain id
+    * tombstone is complete. Idempotent (ids are deduplicated against
+    * the existing table; absent ids are harmless no-ops in the
+    * anti-join). Re-adding a deleted id needs [[compactIvfPqIndex]]
+    * first — the codes layout has no generation column, deliberately:
+    * vectors are immutable payloads, not upserted documents. */
+  def deleteFromIvfPqIndex(spark: SparkSession, path: String,
+                           ids: DataFrame,
+                           idCol: String = "vec_id"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cand = ids.select(col(idCol)).distinct()
+    val fresh = ivfDeletes(spark, path).fold(cand)(old =>
+      cand.join(old, Seq(idCol), "left_anti"))
+    fresh.coalesce(1) // one tombstone segment per delete batch
+      .write.mode("append").parquet(s"$path/deletes")
+  }
+
+  /** Probe-side codes view of a stored IVF×PQ layout: the codes table
+    * with tombstoned rows dropped (broadcast anti-join — bounded
+    * between compactions), identity when no delete ever ran. The
+    * probed-bucket partition filter applied downstream
+    * (ivfPqSearchStored) pushes through the anti-join's left side, so
+    * directory pruning survives deletion (PlanLint pins q178). */
+  def liveCodes(spark: SparkSession, path: String,
+                idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val codes = spark.read.parquet(s"$path/codes")
+    ivfDeletes(spark, path).fold(codes)(d =>
+      codes.join(broadcast(d), Seq(idCol), "left_anti"))
+  }
+
+  /** Fold IVF×PQ tombstones into the physical codes layout (one file
+    * per bucket directory — the [[compactBm25Index]] protocol) and
+    * drop the tombstone table. Visibility identical before and after;
+    * post-compaction probes plan no tombstone scan. */
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+                        idCol: String = "vec_id"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val live = liveCodes(spark, path, idCol)
+      .repartition(col("bucket")).localCheckpoint()
+    live.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/codes")
+    removeDir(s"$path/deletes")
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedIvfPqDeleted =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[ensureIvfPqIndex]]'s build followed by one
+    * [[deleteFromIvfPqIndex]] tombstone batch (vec_id%5=2) — q178's
+    * artifact, the FAISS remove_ids lifecycle: the codebook and
+    * centroid artifacts stay FROZEN exactly as built over the full
+    * corpus (deletion never retrains — FAISS semantics; vec_id 2 stays
+    * a centroid even though its vector is no longer searchable), only
+    * the searchable row set shrinks. The oracle replays the full q156
+    * chain and drops deleted ids from the FINAL ranking only. Written
+    * AT MOST ONCE per (JVM, corpus dir, params). */
+  def ensureIvfPqIndexDeleted(spark: SparkSession, dir: String,
+                              name: String = "embeddings", coarseK: Int = 8,
+                              m: Int = 4, subDim: Int = 16,
+                              probeDims: Int = 4): String = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-deleted-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}_${coarseK}_${m}_${subDim}_$probeDims"
+    preparedIvfPqDeleted.computeIfAbsent(path, { p =>
+      val vecs = graft.Tables.load(spark, dir, name)
+      val coarse = vecs.filter(col("vec_id") < coarseK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
+        vecs, "vec_id", "embedding", coarse, "cid", "cvec",
+        m, subDim, probeDims, passthrough = Seq("label"))
+      codes.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$p/codes")
+      book.write.mode("overwrite").parquet(s"$p/codebook")
+      coarse.write.mode("overwrite").parquet(s"$p/centroids")
+      deleteFromIvfPqIndex(spark, p,
+        vecs.filter(col("vec_id") % 5 === 2).select(col("vec_id")))
+      p
+    })
+  }
+
   // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedIvfPqTrained =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -714,12 +1180,17 @@ object Writers {
     * [[graft.operators.Retrieval.invertedIndex]]'s schema. */
   def prunedPostings(spark: SparkSession, path: String,
                      tokens: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     require(tokens.nonEmpty, "prunedPostings needs at least one token")
     val parts = tokens.distinct.map(tokenPartOf).distinct
-    spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(col("tok_part").isin(parts: _*) &&
         col("token").isin(tokens.distinct: _*))
+    // tombstone visibility ([[deleteFromPostings]]): deleted docs
+    // vanish from the posting stream before the phrase algebra;
+    // tombstone-free layouts plan exactly as before
+    postingsDeletes(spark, path).fold(pruned)(d =>
+        pruned.join(broadcast(d), Seq("doc_id"), "left_anti"))
       .select(col("token"), col("doc_id"), col("pos"))
   }
 

@@ -1365,6 +1365,75 @@ object StreamingJobs {
     } finally labeled.unpersist()
   }
 
+  /** Streaming MAINTENANCE of the stored BM25 SERVING layout — the CDC
+    * deployment loop, closing the lifecycle ring: the batch path builds
+    * / merges / deletes / updates the layout (q169/q171/q177/q180), and
+    * this sink drives those same verbs from a change stream. Each epoch
+    * carries (op, doc_id, text) rows with op ∈ add | update | delete
+    * (the reference's upsert stream made explicit,
+    * dags/scraping_etl.py:51-74), routed at cost ∝ the epoch:
+    *  1. EVERY referenced doc that is currently live is tombstoned
+    *     ([[graft.sources.Writers.deleteFromBm25Index]] — deletes
+    *     proper, the delete half of updates, and no-ops for brand-new
+    *     ids; idempotent);
+    *  2. add/update rows merge their content back in, stamped past the
+    *     tombstone ([[graft.sources.Writers.mergeBm25Index]] — the q180
+    *     generation discipline; at the layout level add and update are
+    *     both upserts, the op tag's delete/non-delete split is what
+    *     routes).
+    * Each epoch writes the probe query's post-CDC scores to
+    * `outDir/epoch=N` — StreamingSpec pins every horizon ≡ a
+    * from-scratch build over the post-CDC corpus. The layout must
+    * exist before the first epoch; `writeBm25Index` over ZERO docs is
+    * the supported empty bootstrap.
+    *
+    * Replay note (foreachBatch is at-least-once): a COMPLETED epoch
+    * re-delivered replays to identical visible content — the re-delete
+    * tombstones the epoch's own merged rows, the re-merge re-adds the
+    * same content one generation later, and the stats subtract/add the
+    * same exact decimals (content-idempotent, spec-pinned). A crash
+    * INSIDE mergeBm25Index's multi-file commit (tf appended,
+    * doclen/stats not yet) is a torn write this local-parquet protocol
+    * does not heal — the production target is a table format whose
+    * MERGE INTO commits an epoch atomically (the Writers.mergeState
+    * framing: operator semantics here, commit protocol there). */
+  def bm25MaintenanceSink(ops: DataFrame, indexPath: String, outDir: String,
+                          probeTerms: Seq[String]): DataStreamWriter[Row] =
+    ops.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        bm25MaintenanceBatch(batch, epochId, indexPath, outDir, probeTerms)
+      }
+
+  /** One epoch of [[bm25MaintenanceSink]], exposed for replay testing. */
+  def bm25MaintenanceBatch(batch: DataFrame, epochId: Long,
+                           indexPath: String, outDir: String,
+                           probeTerms: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.select(col("op"), col("doc_id"), col("text")).cache()
+    try {
+      val bad = cached
+        .filter(!col("op").isin("add", "update", "delete")).count()
+      require(bad == 0L,
+        s"bm25MaintenanceSink: $bad rows with unknown op in epoch " +
+          s"$epochId — ops must be add | update | delete")
+      graft.sources.Writers.deleteFromBm25Index(spark, indexPath,
+        cached.select(col("doc_id")))
+      graft.sources.Writers.mergeBm25Index(spark, indexPath,
+        cached.filter(col("op") =!= "delete")
+          .select(col("doc_id"), col("text")))
+      graft.operators.Retrieval.bm25Stored(
+          graft.sources.Writers.prunedBm25Tf(spark, indexPath, probeTerms),
+          spark.read.parquet(s"$indexPath/stats"), "doc_id", probeTerms)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      writeEpochMetricsStateless(spark, outDir, epochId,
+        inputRows = cached.count(),
+        flagged = cached.filter(col("op") === "delete").count(),
+        flaggedKind = "docs_deleted")
+    } finally cached.unpersist()
+  }
+
   /** Per-epoch sink observability (the reference's per-run delta-count
     * logging, dags/scraping_etl.py:71, generalized): each incremental
     * sink epoch writes ONE counter row under `outDir/_metrics/epoch=N`

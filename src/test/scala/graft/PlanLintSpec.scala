@@ -46,6 +46,11 @@ class PlanLintSpec extends AnyFunSuite {
     // q175 probes the compacted layout with q169's exact plan — the
     // same 1-row stats broadcast
     "q175_bm25_index_compact",
+    // q177/q179/q180 probe the deleted/compacted/updated layouts with
+    // q169's plan — the same 1-row stats broadcast
+    "q177_bm25_index_delete",
+    "q179_bm25_delete_compact",
+    "q180_bm25_index_update",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",
@@ -494,6 +499,115 @@ class PlanLintSpec extends AnyFunSuite {
       s"tok_part did not prune at the partition level:\n$plan")
     assert(!plan.contains("documents.parquet"),
       "merged-postings probe must not touch corpus text")
+  }
+
+  // tombstoned-layout probe (the DELETE leg): q169's shape plus the
+  // gen-aware tombstone anti-join — scans: pruned tf + the bounded
+  // tombstone table + the 1-row stats; the tombstone join must be a
+  // BROADCAST hash anti (equi on doc_id with the gen residual), never
+  // a shuffled join, and never a nested loop
+  assertScanBudget("q177_bm25_index_delete", 3)
+  assertShuffleBudget("q177_bm25_index_delete", 2)
+  test("q177_bm25_index_delete prunes token directories of the " +
+    "TOMBSTONED layout and drops deleted docs via a broadcast hash " +
+    "anti-join before the df windows") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q177_bm25_index_delete")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("tok_part")),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "tombstoned probe must not touch corpus text")
+  }
+
+  // delete-compacted probe: the tombstones are FOLDED AWAY — the
+  // declared plan must be exactly q169's tombstone-free shape (2
+  // scans, no anti-join), so "compaction removes the per-probe
+  // tombstone join" is a lint-checked claim, not a comment
+  assertScanBudget("q179_bm25_delete_compact", 2)
+  assertShuffleBudget("q179_bm25_delete_compact", 2)
+  test("q179_bm25_delete_compact plans NO tombstone join (compaction " +
+    "folded the deletes in) and still prunes token directories") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q179_bm25_delete_compact")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("tok_part")),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"compacted probe still plans a tombstone anti-join:\n$plan")
+  }
+
+  // updated-layout probe (UPDATE = delete + re-merge): q177's exact
+  // budget — the update lifecycle must cost the probe nothing beyond
+  // the tombstone join the delete already priced
+  assertScanBudget("q180_bm25_index_update", 3)
+  assertShuffleBudget("q180_bm25_index_update", 2)
+  test("q180_bm25_index_update prunes token directories of the UPDATED " +
+    "layout under the gen-aware tombstone anti-join") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q180_bm25_index_update")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("tok_part")),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
+  }
+
+  // tombstoned POSTINGS probe: q158's budget + the tombstone scan; the
+  // visibility join must be a broadcast hash anti on doc_id, under the
+  // same tok_part directory pruning
+  assertScanBudget("q181_postings_delete", 2)
+  assertShuffleBudget("q181_postings_delete", 2)
+  test("q181_postings_delete prunes token directories under the " +
+    "tombstone anti-join (pruning survives deletion on the postings leg)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q181_postings_delete")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("tok_part")),
+      s"tok_part did not prune at the partition level:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "tombstoned postings probe must not touch corpus text")
+  }
+
+  // tombstoned ANN probe (FAISS remove_ids): the pruned codes scan +
+  // the bounded tombstone scan, still ZERO exchanges — the probed-
+  // bucket filter must push through the anti-join's left side so
+  // coarse routing keeps pruning DIRECTORIES after a delete
+  assertScanBudget("q178_ivfpq_index_delete", 2)
+  assertShuffleBudget("q178_ivfpq_index_delete", 0)
+  test("q178_ivfpq_index_delete keeps bucket PartitionFilters under " +
+    "the tombstone anti-join (pruning survives deletion)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q178_ivfpq_index_delete")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("bucket")),
+      s"bucket did not prune at the partition level:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
   }
 
   test("q169_bm25_stored prunes token directories " +

@@ -536,6 +536,212 @@ class SourcesSpec extends AnyFunSuite {
     assert(p3 != p1 && spark.read.parquet(p3).count() == 64)
   }
 
+  test("deleteFromBm25Index: tombstoned probe equals a from-scratch build " +
+    "over the complement (rows AND stats), delete is idempotent, absent " +
+    "ids are no-ops, and emptying the index is refused") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val del = tmp("bm25del")
+    val comp = tmp("bm25delcomp")
+    Writers.writeBm25Index(docs, del)
+    Writers.writeBm25Index(docs.filter(col("doc_id") =!= 1), comp)
+    assert(Writers.deleteFromBm25Index(spark, del,
+      Seq(1L).toDF("doc_id")) == 1L)
+    val terms = Seq("alpha", "beta", "gamma")
+    def probe(path: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, path, terms),
+        spark.read.parquet(s"$path/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(del).nonEmpty && probe(del) == probe(comp),
+      "tombstoned probe != complement rebuild")
+    def stats(path: String) = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "avgdl", "sum_dl").head()
+    val (sd, sc) = (stats(del), stats(comp))
+    assert(sd.getLong(0) == sc.getLong(0))
+    assert(sd.getDouble(1) == sc.getDouble(1), "subtractive avgdl drifted")
+    assert(sd.getDecimal(2).compareTo(sc.getDecimal(2)) == 0)
+    // idempotence: a re-delete plus an absent id subtract nothing,
+    // tombstone nothing, and leave the probe untouched
+    assert(Writers.deleteFromBm25Index(spark, del,
+      Seq(1L, 99L).toDF("doc_id")) == 0L)
+    assert(stats(del).getLong(0) == sc.getLong(0) &&
+      stats(del).getDouble(1) == sc.getDouble(1))
+    assert(probe(del) == probe(comp))
+    // the last documents cannot be deleted away (no avgdl on empty)
+    val ex = intercept[IllegalArgumentException] {
+      Writers.deleteFromBm25Index(spark, del,
+        Seq(0L, 2L, 3L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+
+  test("update lifecycle: delete + re-merge replaces a changed document " +
+    "(generation stamps beat the tombstone), equals a from-scratch build " +
+    "over the updated corpus, and re-merging a LIVE doc fails loudly") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val upd = tmp("bm25upd")
+    Writers.writeBm25Index(docs, upd)
+    // a LIVE doc cannot be re-merged — update goes through delete first
+    val ex = intercept[IllegalArgumentException] {
+      Writers.mergeBm25Index(spark, upd,
+        Seq((1L, "beta gamma alpha")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("LIVE"))
+    assert(Writers.deleteFromBm25Index(spark, upd,
+      Seq(1L).toDF("doc_id")) == 1L)
+    Writers.mergeBm25Index(spark, upd,
+      Seq((1L, "beta gamma alpha alpha")).toDF("doc_id", "text"))
+    val fresh = tmp("bm25updfresh")
+    Writers.writeBm25Index(Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma alpha alpha"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text"), fresh)
+    val terms = Seq("alpha", "beta", "gamma")
+    def probe(path: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, path, terms),
+        spark.read.parquet(s"$path/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(upd).nonEmpty && probe(upd) == probe(fresh),
+      "updated layout != from-scratch build over the updated corpus")
+    // exactly ONE visible version of the updated doc, with the NEW dl
+    val hits = Writers.prunedBm25Tf(spark, upd, Seq("beta"))
+      .filter(col("doc_id") === 1).collect()
+    assert(hits.length == 1 && hits.head.getAs[Long]("dl") == 4L)
+  }
+
+  test("compactBm25Index: folds tombstones into the physical layout — " +
+    "visibility identical, dead rows gone from tf AND doclen, deletes/ " +
+    "dropped, one file per directory in both partitioned legs") {
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val p = tmp("bm25dc")
+    Writers.writeBm25Index(docs.filter(col("doc_id") < 2), p)
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") === 2))
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") === 3))
+    Writers.deleteFromBm25Index(spark, p, Seq(2L).toDF("doc_id"))
+    val terms = Seq("alpha", "beta", "gamma", "delta")
+    def visible() = Writers.prunedBm25Tf(spark, p, terms).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val before = visible()
+    assert(before.nonEmpty && !before.exists(_._2 == 2L))
+    Writers.compactBm25Index(spark, p)
+    assert(visible() == before, "compaction changed row visibility")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$p/deletes")),
+      "tombstone table survived its own compaction")
+    assert(spark.read.parquet(s"$p/tf")
+      .filter(col("doc_id") === 2).count() == 0)
+    assert(spark.read.parquet(s"$p/doclen")
+      .filter(col("doc_id") === 2).count() == 0)
+    for (leg <- Seq("tf", "doclen")) {
+      Files.list(java.nio.file.Paths.get(s"$p/$leg")).toArray
+        .map(_.toString).filter(_.contains("=")).foreach { d =>
+          val n = Files.list(java.nio.file.Paths.get(d))
+            .toArray.map(_.toString).count(_.endsWith(".parquet"))
+          assert(n == 1, s"$d holds $n files after compaction")
+        }
+    }
+  }
+
+  test("deleteFromPostings: tombstoned phrase probe equals the live form " +
+    "over the complement corpus, re-delete is a no-op, and " +
+    "compactPostings folds tombstones into the layout") {
+    import graft.operators.Retrieval
+    val dir = "/root/testdata/sf0.001"
+    val phrase = Seq("fast", "table")
+    val path = Writers.ensurePostingsDeleted(spark, dir)
+    def probe(p: String) = Retrieval.phraseSearch(
+        Writers.prunedPostings(spark, p, phrase), "doc_id", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val live = Retrieval.phraseSearch(
+        Retrieval.invertedIndex(docs, "doc_id", col("toks")),
+        "doc_id", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(path).nonEmpty && probe(path) == live)
+    // idempotent: re-deleting the same ids appends no tombstone rows
+    val ids = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val n = spark.read.parquet(s"$path/_deletes").count()
+    Writers.deleteFromPostings(spark, path, ids)
+    assert(spark.read.parquet(s"$path/_deletes").count() == n)
+    // compaction on a COPY (the shared artifact keeps its tombstones
+    // for q181's PlanLint pins): physical drop, probe unchanged
+    val copy = tmp("postdelcopy")
+    val allDocs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    Retrieval.invertedIndex(allDocs, "doc_id", col("toks"))
+      .withColumn("tok_part", Writers.tokenPart(col("token")))
+      .repartition(col("tok_part"))
+      .write.partitionBy("tok_part").mode("overwrite").parquet(copy)
+    Writers.deleteFromPostings(spark, copy, ids)
+    val before = probe(copy)
+    Writers.compactPostings(spark, copy)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$copy/_deletes")))
+    assert(spark.read.parquet(copy)
+      .filter(col("doc_id") % 7 === 3).count() == 0)
+    assert(probe(copy) == before && before == live)
+  }
+
+  test("ivfpq delete: tombstoned ids vanish from the stored probe, " +
+    "delete is idempotent, and compaction folds tombstones into the " +
+    "codes layout without moving a result") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    // private copy — the shared ensureIvfPqIndexDeleted artifact must
+    // keep its tombstone table for q178's PlanLint pins
+    val p = tmp("ivfdel")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    codes.write.partitionBy("bucket").mode("overwrite").parquet(s"$p/codes")
+    book.write.mode("overwrite").parquet(s"$p/codebook")
+    coarse.write.mode("overwrite").parquet(s"$p/centroids")
+    val q = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"))
+    def probe() = Similarity.ivfPqSearchStored(
+        Writers.liveCodes(spark, p),
+        spark.read.parquet(s"$p/codebook"),
+        spark.read.parquet(s"$p/centroids"),
+        "vec_id", q, "qvec", nprobe = 3, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val full = probe()
+    Writers.deleteFromIvfPqIndex(spark, p,
+      vecs.filter(col("vec_id") % 5 === 2).select(col("vec_id")))
+    val after = probe()
+    assert(after.nonEmpty && after.forall { case (id, _) => id % 5 != 2 })
+    assert(after != full, "the fixture head held no %5=2 id — weak fixture")
+    // survivors keep their exact ADC distance (back-fill only)
+    val fullMap = full.toMap
+    assert(after.forall { case (id, d) =>
+      !fullMap.contains(id) || fullMap(id) == d })
+    // idempotent: re-deleting adds no tombstone rows
+    val nTomb = spark.read.parquet(s"$p/deletes").count()
+    Writers.deleteFromIvfPqIndex(spark, p,
+      vecs.filter(col("vec_id") % 5 === 2).select(col("vec_id")))
+    assert(spark.read.parquet(s"$p/deletes").count() == nTomb)
+    Writers.compactIvfPqIndex(spark, p)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$p/deletes")))
+    assert(spark.read.parquet(s"$p/codes")
+      .filter(col("vec_id") % 5 === 2).count() == 0)
+    assert(probe() == after, "compaction moved a stored-probe result")
+  }
+
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
     val raw = ConfigLoader.storageTable(storageYaml, "raw")
     val sql = JdbcUpsert.Postgres.upsertSql(raw)

@@ -1584,4 +1584,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(agg._2 >= 1L, m.collect().mkString("; "))
     } finally q.stop()
   }
+
+  test("bm25MaintenanceBatch: CDC epochs (add/update/delete) drive the " +
+    "SERVING layout — every horizon equals a from-scratch build over " +
+    "the post-CDC corpus, replay of the last epoch is content-" +
+    "idempotent, unknown ops fail loudly") {
+    import graft.operators.Retrieval
+    import graft.sources.Writers
+    val idx = java.nio.file.Files.createTempDirectory("bm25cdc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bm25cdcout").toString
+    val terms = Seq("alpha", "beta", "gamma")
+    // the supported empty bootstrap: a zero-doc build, epochs take over
+    Writers.writeBm25Index(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), idx)
+    def run(e: Long, ops: Seq[(String, Long, String)]): Unit =
+      StreamingJobs.bm25MaintenanceBatch(
+        ops.toDF("op", "doc_id", "text"), e, idx, outDir, terms)
+    def emitted(e: Long): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$outDir/epoch=$e")
+        .select(col("doc_id"), col("n_terms"), col("bm25"))
+        .as[(Long, Long, Double)].collect().toSet
+    def fromScratch(docs: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+      val p = java.nio.file.Files.createTempDirectory("bm25cdcref").toString
+      Writers.writeBm25Index(docs.toDF("doc_id", "text"), p)
+      Retrieval.bm25Stored(Writers.prunedBm25Tf(spark, p, terms),
+          spark.read.parquet(s"$p/stats"), "doc_id", terms)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val t0 = "alpha beta beta"; val t1 = "beta gamma"
+    val t2 = "alpha gamma gamma"; val t3 = "delta epsilon"
+    val t1b = "gamma gamma alpha"; val t4 = "beta beta beta alpha"
+    val t0b = "alpha alpha"
+    run(0, Seq(("add", 0L, t0), ("add", 1L, t1), ("add", 2L, t2),
+      ("add", 3L, t3)))
+    assert(emitted(0) == fromScratch(Seq(0L -> t0, 1L -> t1, 2L -> t2,
+      3L -> t3)))
+    run(1, Seq(("update", 1L, t1b), ("delete", 2L, null),
+      ("add", 4L, t4)))
+    assert(emitted(1) == fromScratch(Seq(0L -> t0, 1L -> t1b, 3L -> t3,
+      4L -> t4)))
+    val e2 = Seq(("delete", 4L, null: String), ("update", 0L, t0b))
+    run(2, e2)
+    val horizon2 = fromScratch(Seq(0L -> t0b, 1L -> t1b, 3L -> t3))
+    assert(emitted(2) == horizon2)
+    // at-least-once replay of the LAST epoch: the re-delete tombstones
+    // the epoch's own merged rows, the re-merge re-adds the same
+    // content one generation later — visible content identical
+    run(2, e2)
+    assert(emitted(2) == horizon2)
+    // the layout itself (not just the emitted probe) matches a rebuild
+    assert(Retrieval.bm25Stored(Writers.prunedBm25Tf(spark, idx, terms),
+        spark.read.parquet(s"$idx/stats"), "doc_id", terms)
+      .as[(Long, Long, Double)].collect().toSet == horizon2)
+    // metrics sidecar: epoch 1 deleted exactly one doc
+    val m = spark.read.parquet(s"$outDir/_metrics/epoch=1").collect().head
+    assert(m.getAs[Long]("input_rows") == 3 &&
+      m.getAs[Long]("flagged") == 1 &&
+      m.getAs[String]("flagged_kind") == "docs_deleted")
+    // unknown ops fail loudly, layout untouched
+    val ex = intercept[IllegalArgumentException] {
+      run(3, Seq(("upsert", 5L, "alpha")))
+    }
+    assert(ex.getMessage.contains("unknown op"))
+  }
 }
