@@ -285,6 +285,21 @@ object Retrieval {
         (coalesce(lit(1.0) / (lit(c) + col(rankA)), lit(0.0)) +
           coalesce(lit(1.0) / (lit(c) + col(rankB)), lit(0.0))).as("rrf"))
 
+  /** [[rrfFuse]] for a BATCH of queries: the full-outer join keys on
+    * (qidCol, idCol), so each query's two ranked heads fuse
+    * independently in one pass — everything downstream of the bounded
+    * per-query arms runs on ≤ 2·|Q|·N rows. Same parity contract as
+    * [[rrfFuse]] (exact integer ranks, two correctly-rounded IEEE
+    * divisions in fixed order). Output: (qidCol, idCol, rankA, rankB,
+    * rrf). */
+  def rrfFuseKeyed(a: DataFrame, b: DataFrame, qidCol: String,
+                   idCol: String, rankA: String, rankB: String,
+                   c: Double = 60.0): DataFrame =
+    a.join(b, Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol), col(rankA), col(rankB),
+        (coalesce(lit(1.0) / (lit(c) + col(rankA)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col(rankB)), lit(0.0))).as("rrf"))
+
   /** Retrieval-quality evaluation over a ranked candidate table — the
     * metric primitive the retrieval tier is tuned against (recall@k /
     * MRR inputs): per query, the rank of the FIRST relevant hit (NULL

@@ -1230,26 +1230,8 @@ object Similarity {
       probedIds(v, cents, nprobe).map(b => (q, b))
     }
     val unionBuckets = probePairs.map(_._2).distinct
-    // per-query ADC tables: book ⋈ broadcast query subvectors (the
-    // pqAdcTable arithmetic, qid-keyed), collected — ≤ |Q|·m·(2p+1)²
-    val qsubs = distinctQ.select(col(qidCol).cast("long").as("__qid"),
-      posexplode(array((0 until m).map(i =>
-        slice(col(queryVecCol), i * subDim + 1, subDim)): _*))
-        .as(Seq("m", "qsub")))
-    val radix = 2 * probeDims + 1
-    val denseByQ: Map[Long, Array[Array[Double]]] =
-      qrows.map { case (q, _) =>
-        q -> Array.fill(m, radix * radix)(Double.NaN)
-      }.toMap
-    centroidMeans(book).join(broadcast(qsubs), Seq("m"))
-      .select(col("__qid"), col("m"), col("code"),
-        (round(
-          dot(col("qsub"), col("qsub"))
-            - lit(2.0) * dot(col("qsub"), col("centroid"))
-            + dot(col("centroid"), col("centroid")), 8) + lit(0.0)).as("d2"))
-      .collect()
-      .foreach(r => denseByQ(r.getLong(0))(r.getInt(1))(r.getInt(2)) =
-        r.getDouble(3))
+    val denseByQ = denseAdcByQid(distinctQ, book, qidCol, queryVecCol,
+      qrows.map(_._1).toSeq, m, subDim, probeDims)
     val adistExpr = qrows.foldRight(lit(null).cast("double")) {
       case ((q, _), acc) =>
         when(col(qidCol).cast("long") === q, adcDist(denseByQ(q)))
@@ -1273,5 +1255,113 @@ object Similarity {
           .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)))
       .filter(col("__rk") <= k)
       .select(col(qidCol), col(idCol), col(labelCol), col("adist"))
+  }
+
+  /** Per-query dense ADC tables for a BOUNDED query batch: book ⋈
+    * broadcast query subvectors (the pqAdcTable arithmetic, qid-keyed),
+    * collected once — ≤ |Q|·m·(2p+1)² rows, the pqAdcDense contract.
+    * Shared by [[routedNegativesStored]] and
+    * [[ivfPqSearchStoredBatch]]. */
+  private def denseAdcByQid(distinctQ: DataFrame, book: DataFrame,
+                            qidCol: String, queryVecCol: String,
+                            qids: Seq[Long], m: Int, subDim: Int,
+                            probeDims: Int): Map[Long, Array[Array[Double]]] = {
+    val qsubs = distinctQ.select(col(qidCol).cast("long").as("__qid"),
+      posexplode(array((0 until m).map(i =>
+        slice(col(queryVecCol), i * subDim + 1, subDim)): _*))
+        .as(Seq("m", "qsub")))
+    val radix = 2 * probeDims + 1
+    val denseByQ: Map[Long, Array[Array[Double]]] =
+      qids.map(q => q -> Array.fill(m, radix * radix)(Double.NaN)).toMap
+    centroidMeans(book).join(broadcast(qsubs), Seq("m"))
+      .select(col("__qid"), col("m"), col("code"),
+        (round(
+          dot(col("qsub"), col("qsub"))
+            - lit(2.0) * dot(col("qsub"), col("centroid"))
+            + dot(col("centroid"), col("centroid")), 8) + lit(0.0)).as("d2"))
+      .collect()
+      .foreach(r => denseByQ(r.getLong(0))(r.getInt(1))(r.getInt(2)) =
+        r.getDouble(3))
+    denseByQ
+  }
+
+  /** Per-query ANN top-k against a STORED [[ivfPqIndexTables]] layout
+    * for a BOUNDED query batch — [[ivfPqSearchStored]]'s q162 serving
+    * shape generalized to a query TABLE (the q168/q173 batch move
+    * applied to ranked ANN serving, and [[routedNegativesStored]] minus
+    * the mining-specific label/self disqualification): the retrieval
+    * half of a training-batch pipeline's vector tier.
+    *
+    * Scale shape (q168's): duplicate/NULL qids collapse, quantized
+    * query vectors are collected once (bounded batch — the
+    * MaxStoredMiningBatch codegen cap applies identically), routing is
+    * driver-side exact integer argsort, and the distinct probed-bucket
+    * union is ≤ the centroid count regardless of |Q| — so the codes
+    * scan carries plan-time PartitionFilters literals and ONE pruned
+    * pass serves the whole batch; per-qid ADC CASE lookups, one
+    * qid-keyed rank window (WindowGroupLimit cuts before the
+    * exchange). Returns (qidCol BIGINT, idCol, adist) — per-query ADC
+    * ascending top-k, ids ascending on ties; qids must be integral. */
+  def ivfPqSearchStoredBatch(codes: DataFrame, book: DataFrame,
+                             centroids: DataFrame, idCol: String,
+                             queries: DataFrame, qidCol: String,
+                             queryVecCol: String, nprobe: Int, k: Int,
+                             m: Int = 4, subDim: Int = 16,
+                             probeDims: Int = 4): DataFrame = {
+    require(nprobe >= 1 && k >= 1,
+      s"need nprobe >= 1 and k >= 1 (got nprobe=$nprobe k=$k)")
+    require(qidCol != idCol,
+      s"query id column must differ from the stored-index id column " +
+        s"(both '$idCol') — alias one side")
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = collectQuantCents(centroids, "cid", "cvec")
+    val distinctQ = queries
+      .select(col(qidCol), col(queryVecCol))
+      .filter(col(qidCol).isNotNull)
+      .withColumn("__qrn", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col(queryVecCol).asc_nulls_last)))
+      .filter(col("__qrn") === 1)
+      .select(col(qidCol), col(queryVecCol))
+    val qrows = distinctQ
+      .select(col(qidCol).cast("long"), quantMilli(col(queryVecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // same Janino-method-size cap as the mining form: one when-branch
+    // of m dense literal arrays per query
+    require(qrows.length <= MaxStoredMiningBatch,
+      s"ivfPqSearchStoredBatch serves a BOUNDED query batch — got " +
+        s"${qrows.length} distinct qids, max $MaxStoredMiningBatch " +
+        s"(per-query ADC literal tables are codegen'd into one method). " +
+        s"Chunk the query table and union the results.")
+    if (qrows.isEmpty)
+      return codes.limit(0)
+        .select(lit(0L).as(qidCol), col(idCol), lit(0.0).as("adist"))
+    qrows.foreach { case (q, v) => require(v.length == cents.head._2.length,
+      s"query $q dimension ${v.length} != centroid dimension " +
+        s"${cents.head._2.length}") }
+    val probePairs = qrows.toSeq.flatMap { case (q, v) =>
+      probedIds(v, cents, nprobe).map(b => (q, b))
+    }
+    val unionBuckets = probePairs.map(_._2).distinct
+    val denseByQ = denseAdcByQid(distinctQ, book, qidCol, queryVecCol,
+      qrows.map(_._1).toSeq, m, subDim, probeDims)
+    val adistExpr = qrows.foldRight(lit(null).cast("double")) {
+      case ((q, _), acc) =>
+        when(col(qidCol).cast("long") === q, adcDist(denseByQ(q)))
+          .otherwise(acc)
+    }
+    codes
+      .filter(col("bucket").isin(unionBuckets: _*))
+      .join(broadcast(probePairs.toDF(qidCol, "bucket")), Seq("bucket"))
+      .filter(adcAnyCode(m))
+      .select(col(qidCol), col(idCol), adistExpr.as("adist"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("adist").asc_nulls_last, col(idCol).asc_nulls_first)))
+      .filter(col("__rk") <= k)
+      .select(col(qidCol), col(idCol), col("adist"))
   }
 }

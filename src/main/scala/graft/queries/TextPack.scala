@@ -299,6 +299,54 @@ object TextPack extends QueryPack {
         "doc_id", PhraseFixture)
     }),
 
+    // The stored hybrid stack for a QUERY BATCH — the training-batch
+    // retrieval deployment shape, composing the round's batch legs:
+    // q173's stored lexical batch (ONE pruned scan of the union term
+    // set's directories serves every query) ⊕ the new
+    // ivfPqSearchStoredBatch (ONE pruned scan of the union
+    // probed-bucket directories — q168's routing shape minus mining's
+    // label logic), each cut to a per-qid top-50 head, fused per
+    // (qid, id) with q136's RRF arithmetic. q170 answers ONE query
+    // from the stored layouts; this answers a BATCH with the same two
+    // scans — per-query cost is marginal, which is the whole point of
+    // the layout investment. Every rank window is PARTITIONED by qid
+    // (bounded per-group heads, never a global sort). The oracle
+    // replays both arms per qid and the fuse.
+    "q182_hybrid_stored_batch" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Retrieval, Similarity}
+      val N = 50
+      val bmPath = graft.sources.Writers.ensureBm25Index(s, dir, "documents")
+      val lex = Retrieval.bm25StoredBatch(
+          graft.sources.Writers.prunedBm25Tf(
+            s, bmPath, BatchQueryTerms.flatMap(_._2).distinct),
+          s.read.parquet(s"$bmPath/stats"), "doc_id", BatchQueryTerms)
+        .withColumn("__rr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("bm25").desc_nulls_last,
+              col("doc_id").asc_nulls_first)))
+        .filter(col("__rr") <= N)
+        .select(col("qid"), col("doc_id").as("id"),
+          col("__rr").cast("long").as("r_lex"))
+      val annPath = graft.sources.Writers.ensureIvfPqIndex(s, dir)
+      val vec = Similarity.ivfPqSearchStoredBatch(
+          s.read.parquet(s"$annPath/codes"),
+          s.read.parquet(s"$annPath/codebook"),
+          s.read.parquet(s"$annPath/centroids"),
+          "vec_id",
+          Q.t(s, dir, "embeddings")
+            .filter(col("vec_id").isin(1L, 2L, 3L))
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", nprobe = 3, k = N)
+        .withColumn("__rr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("adist").asc_nulls_last,
+              col("vec_id").asc_nulls_first)))
+        .select(col("qid"), col("vec_id").as("id"),
+          col("__rr").cast("long").as("r_vec"))
+      Retrieval.rrfFuseKeyed(lex, vec, "qid", "id", "r_lex", "r_vec")
+    }),
+
     // The DELETE leg of the layout lifecycle (the verb q171/q175 leave
     // open — opt-outs, contamination takedowns, dedup evictions; at
     // 100 TB a rebuild per delete batch is as unaffordable as one per
@@ -1316,17 +1364,19 @@ object TextPack extends QueryPack {
        SELECT doc_id, n_terms, bm25
        FROM bm ORDER BY ALL NULLS FIRST"""
 
-  /** q142's oracle: the q28 rounding chain over the UNION term set,
-    * per-(doc, term) scores fanned out to queries through the generated
-    * (qid, token) VALUES table — generated from [[BatchQueryTerms]] so
-    * the fixture can't drift from the Spark builder. */
-  private lazy val bm25BatchSql: String = {
+  /** The q142 batch-BM25 CTE chain ending in
+    * `bmq(qid, doc_id, n_terms, bm25)` — the q28 rounding chain over
+    * the UNION term set, per-(doc, term) scores fanned out to queries
+    * through the generated (qid, token) VALUES table (generated from
+    * [[BatchQueryTerms]] so the fixture can't drift from the Spark
+    * builder). Shared by q142/q173's oracle and q182's lexical arm. */
+  private lazy val bm25BatchChainSql: String = {
     val qtRows = BatchQueryTerms.flatMap { case (qid, terms) =>
       terms.map(t => s"(CAST($qid AS BIGINT), '$t')")
     }.mkString(", ")
     val termSet = BatchQueryTerms.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
-    s"""WITH qt(qid, token) AS (VALUES $qtRows),
+    s"""qt(qid, token) AS (VALUES $qtRows),
        tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
        dl  AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents),
        st  AS (SELECT count(*) AS n_docs,
@@ -1340,12 +1390,126 @@ object TextPack extends QueryPack {
                       round(round(ln((CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 8)
                         * (t.tf * CAST(2.2 AS DOUBLE))
                         / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * d.dl) / s.avgdl)), 6) AS term_score
-               FROM tf t JOIN dfc USING (token) JOIN dl d USING (doc_id) CROSS JOIN st s)
-       SELECT qt.qid, sc.doc_id, count(*) AS n_terms,
-              round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
-       FROM sc JOIN qt USING (token)
-       GROUP BY 1, 2 ORDER BY ALL NULLS FIRST"""
+               FROM tf t JOIN dfc USING (token) JOIN dl d USING (doc_id) CROSS JOIN st s),
+       bmq AS (SELECT qt.qid, sc.doc_id, count(*) AS n_terms,
+                      round(CAST(sum(CAST(term_score AS DECIMAL(28,6))) AS DOUBLE), 6) AS bm25
+               FROM sc JOIN qt USING (token)
+               GROUP BY 1, 2)"""
   }
+
+  /** q142's oracle: the batch chain's `bmq` table, totally ordered. */
+  private lazy val bm25BatchSql: String =
+    s"""WITH $bm25BatchChainSql
+       SELECT qid, doc_id, n_terms, bm25
+       FROM bmq ORDER BY ALL NULLS FIRST"""
+
+  /** q182's oracle: the stored hybrid stack for a QUERY BATCH — per
+    * qid, the [[bm25BatchChainSql]] lexical head (top-50,
+    * bm25-desc/id-asc) fused with the ADC ANN head (top-50,
+    * adist-asc/id-asc) under q136's CAST-pinned RRF arithmetic. The
+    * ANN chain is [[hybridStoredChainSql]]'s replay with every
+    * query-dependent CTE carrying qid (routing, ADC tables, scan
+    * population and ranks all PARTITION BY qid); the corpus-side CTEs
+    * (assignment, codebook) are query-independent and appear once —
+    * exactly the sharing the Spark plan's single pruned scan claims.
+    * Query vectors are embeddings 1/2/3 keyed to [[BatchQueryTerms]]'s
+    * qids. */
+  private lazy val hybridStoredBatchSql: String =
+    s"""WITH $bm25BatchChainSql,
+       lexr AS (SELECT qid, doc_id AS id, CAST(rr AS BIGINT) AS r_lex FROM (
+                  SELECT qid, doc_id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY bm25 DESC NULLS LAST, doc_id ASC) AS rr
+                  FROM bmq) WHERE rr <= 50),
+       qb(qid) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+                          (CAST(3 AS BIGINT))),
+       q AS (SELECT qid, CAST(embedding AS DOUBLE[]) AS qvec,
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+             FROM embeddings JOIN qb ON vec_id = qid),
+       vq AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
+       vl AS (SELECT vec_id, unnest(qv) AS x,
+                     generate_subscripts(qv, 1) AS i FROM vq),
+       sl AS (SELECT cid, unnest(cq) AS y,
+                     generate_subscripts(cq, 1) AS i FROM seeds),
+       dist AS (SELECT vl.vec_id, sl.cid,
+                       CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id,
+                      CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
+               FROM dist GROUP BY 1),
+       ql AS (SELECT qid, unnest(qq) AS x,
+                     generate_subscripts(qq, 1) AS i FROM q),
+       pd AS (SELECT ql.qid, sl.cid,
+                     CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+              FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1, 2),
+       probed AS (SELECT qid, cid FROM (
+                    SELECT qid, cid,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY d2 ASC, cid ASC) AS r
+                    FROM pd) WHERE r <= 3),
+       mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       sub AS (SELECT vec_id, m,
+                      list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                     x -> CAST(x AS DOUBLE)) AS sub
+               FROM embeddings, mm),
+       stc AS (SELECT vec_id, m, sub,
+                      list_reverse_sort(list_transform(range(1, 5), i ->
+                        [abs(sub[i]),
+                         CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+               FROM sub),
+       codes AS (SELECT vec_id, m, sub,
+                        CASE WHEN len(sub) >= 4 THEN
+                          (CAST(srt[1][2] AS INT) + 4) * 9
+                            + (CAST(srt[2][2] AS INT) + 4) END AS code
+                 FROM stc),
+       pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                     unnest(sub) AS v
+              FROM codes WHERE code IS NOT NULL),
+       ac AS (SELECT m, code, pos, count(*) AS n,
+                     CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+              FROM pc GROUP BY 1, 2, 3),
+       cb AS (SELECT m, code,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cmean
+              FROM ac GROUP BY 1, 2),
+       qs AS (SELECT qid, m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+              FROM q, mm),
+       dt AS (SELECT qs.qid, cb.m, cb.code,
+                     round(list_dot_product(qs.qsub, qs.qsub)
+                           - CAST(2.0 AS DOUBLE)
+                             * list_dot_product(qs.qsub, cb.cmean)
+                           + list_dot_product(cb.cmean, cb.cmean), 8)
+                       + CAST(0.0 AS DOUBLE) AS d2
+              FROM cb JOIN qs ON qs.m = cb.m),
+       pop AS (SELECT p.qid, c.vec_id, c.m, c.code
+               FROM codes c JOIN asg USING (vec_id)
+                 JOIN probed p ON asg.cluster = p.cid
+               WHERE c.code IS NOT NULL),
+       tot AS (SELECT pop.qid, pop.vec_id,
+                      CAST(CAST(sum(CAST(dt.d2 AS DECIMAL(28,8)))
+                           AS DECIMAL(28,8)) AS DOUBLE) AS adist
+               FROM pop JOIN dt ON dt.qid = pop.qid AND dt.m = pop.m
+                 AND dt.code = pop.code
+               GROUP BY 1, 2),
+       vecr AS (SELECT qid, vec_id AS id, CAST(rr AS BIGINT) AS r_vec FROM (
+                  SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY adist ASC NULLS LAST, vec_id ASC) AS rr
+                  FROM tot) WHERE rr <= 50)
+       SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
+              r_lex, r_vec,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                       CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec),
+                       CAST(0.0 AS DOUBLE)) AS rrf
+       FROM lexr l FULL OUTER JOIN vecr v
+         ON l.qid = v.qid AND l.id = v.id
+       ORDER BY ALL NULLS FIRST"""
 
   // lazy: referenced by bpeTrainSql above during object init (a plain
   // later-declared val would still be null there — the compressionFilter
@@ -1495,6 +1659,11 @@ object TextPack extends QueryPack {
     "q170_hybrid_stored" -> hybridStoredSql,
 
     "q172_stored_stack_eval" -> storedStackEvalSql,
+
+    // per-qid replay of both stored arms and the fuse — a query leaking
+    // into another's head, a shared-scan row misattributed, or a rank
+    // window crossing qids all break the hash
+    "q182_hybrid_stored_batch" -> hybridStoredBatchSql,
 
     // both arms cut to their top-100 heads, ranked, full-outer fused:
     // rrf = 1/(60+r_lex) + 1/(60+r_vec), absent arm contributing 0

@@ -51,6 +51,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q177_bm25_index_delete",
     "q179_bm25_delete_compact",
     "q180_bm25_index_update",
+    // q182's lexical arm is q173's — the same 1-row stats broadcast
+    // crossed into the batch's shared pruned hit stream
+    "q182_hybrid_stored_batch",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",
@@ -565,6 +568,33 @@ class PlanLintSpec extends AnyFunSuite {
       s"tok_part did not prune at the partition level:\n$plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
+  }
+
+  // batch hybrid: TWO pruned layout scans (union-term tf + union-bucket
+  // codes) + the 1-row stats serve the WHOLE query batch — never |Q|
+  // scans, never corpus text or raw embeddings. Exchanges: the shared
+  // token-df window, the (qid, doc) score agg, the two per-qid rank
+  // windows (WindowGroupLimit cuts first); the full-outer fuse reuses
+  // the qid prefix partitioning (requireAllClusterKeysForCoPartition
+  // = false — the bucketed-join conf, banked here too).
+  assertScanBudget("q182_hybrid_stored_batch", 3)
+  assertShuffleBudget("q182_hybrid_stored_batch", 4)
+  test("q182_hybrid_stored_batch prunes BOTH layout directory sets " +
+    "(PartitionFilters on tok_part AND bucket) and fuses without a " +
+    "nested loop") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q182_hybrid_stored_batch")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("tok_part")) &&
+      pfs.exists(_.contains("bucket")),
+      s"batch hybrid lost a directory-pruned arm:\n$plan")
+    assert(!plan.contains("documents.parquet") &&
+      !plan.contains("embeddings.parquet"),
+      "batch hybrid probe must not touch corpus text or raw embeddings")
   }
 
   // tombstoned POSTINGS probe: q158's budget + the tombstone scan; the

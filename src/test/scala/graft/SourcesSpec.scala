@@ -652,6 +652,48 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqSearchStoredBatch: the one-scan batch equals a per-query " +
+    "ivfPqSearchStored loop at every rank, collapses duplicate qids, " +
+    "and rejects oversized batches") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val path = Writers.ensureIvfPqIndex(spark, dir)
+    val codes = spark.read.parquet(s"$path/codes")
+    val book = spark.read.parquet(s"$path/codebook")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfPqSearchStoredBatch(
+        codes, book, cents, "vec_id", queries, "qid", "qvec",
+        nprobe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val perQuery = Seq(1L, 2L, 3L).flatMap { q =>
+      Similarity.ivfPqSearchStored(codes, book, cents, "vec_id",
+          vecs.filter(col("vec_id") === q)
+            .select(col("embedding").as("qvec")),
+          "qvec", nprobe = 3, k = 10)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch.nonEmpty && batch == perQuery,
+      "batch probe != per-query stored probe")
+    // duplicate qids collapse to one ranking (the q168/q142 rule)
+    val dup = Similarity.ivfPqSearchStoredBatch(
+        codes, book, cents, "vec_id",
+        queries.unionByName(queries.filter(col("qid") === 1)),
+        "qid", "qvec", nprobe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dup == batch)
+    // the Janino codegen cap fails loudly, like the mining form
+    val big = vecs.limit(300)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchStoredBatch(codes, book, cents, "vec_id",
+        big, "qid", "qvec", nprobe = 3, k = 10)
+    }
+    assert(ex.getMessage.contains("BOUNDED"))
+  }
+
   test("deleteFromPostings: tombstoned phrase probe equals the live form " +
     "over the complement corpus, re-delete is a no-op, and " +
     "compactPostings folds tombstones into the layout") {
