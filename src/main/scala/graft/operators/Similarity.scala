@@ -46,6 +46,28 @@ object Similarity {
       .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first)
       .limit(k)
 
+  /** [[cosineTopK]] for a BOUNDED query batch: one corpus scan crossed
+    * with the broadcast (qid, vec) batch, round-`scale` cosine, per-qid
+    * rank cut (WindowGroupLimit) — the exact ground-truth arm of batch
+    * retrieval evals (q183) and the brute baseline every batch ANN tier
+    * is graded against. Returns (qidCol, idCol, score, rank), per-query
+    * descending top-k, ids ascending on ties. */
+  def cosineTopKBatch(vectors: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String,
+                      queryVecCol: String, k: Int,
+                      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vectors
+      .crossJoin(broadcast(queries.select(col(qidCol), col(queryVecCol))))
+      .select(col(qidCol), col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), scale).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("score").desc_nulls_last, col(idCol).asc_nulls_first))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact-integer nearest-seed assignment — every vector to its closest
     * of the seed vectors with ids `0..k-1` (the fixed-seed rule q23/q156
     * pin against the oracle; for TRAINED centroids run [[kmeans]] or

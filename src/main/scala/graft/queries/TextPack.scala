@@ -347,6 +347,95 @@ object TextPack extends QueryPack {
       Retrieval.rrfFuseKeyed(lex, vec, "qid", "id", "r_lex", "r_vec")
     }),
 
+    // The batch stack's QUALITY, oracle-checked — q172's grading
+    // applied to q182 (the deployment's actual batch shape): the three
+    // stored systems (per-qid fused / lex / ADC-vec) graded against
+    // per-qid EXACT ground truth computed in the same query — live-BM25
+    // ranks (the stored lex IS exact, q169's pin) fused with per-qid
+    // brute-cosine ranks (one corpus scan crossed with the 3-query
+    // broadcast — Similarity.cosineTopKBatch), cut at top-10 per qid.
+    // rankEval at k=20 per (qid, system) — exact BIGINTs, 9 rows. Every
+    // bounded head is localCheckpoint'd at construction (the q172
+    // stance: each arm's layout/corpus scan executes exactly once);
+    // every rank window is qid-partitioned.
+    "q183_batch_stack_eval" -> ((s, dir) => Q.ordered {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Retrieval, Similarity}
+      val N = 50
+      val bmPath = graft.sources.Writers.ensureBm25Index(s, dir, "documents")
+      val lex = Retrieval.bm25StoredBatch(
+          graft.sources.Writers.prunedBm25Tf(
+            s, bmPath, BatchQueryTerms.flatMap(_._2).distinct),
+          s.read.parquet(s"$bmPath/stats"), "doc_id", BatchQueryTerms)
+        .withColumn("__rr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("bm25").desc_nulls_last,
+              col("doc_id").asc_nulls_first)))
+        .filter(col("__rr") <= N)
+        .select(col("qid"), col("doc_id").as("id"),
+          col("__rr").cast("long").as("r_lex"))
+        .localCheckpoint()
+      val annPath = graft.sources.Writers.ensureIvfPqIndex(s, dir)
+      val vec = Similarity.ivfPqSearchStoredBatch(
+          s.read.parquet(s"$annPath/codes"),
+          s.read.parquet(s"$annPath/codebook"),
+          s.read.parquet(s"$annPath/centroids"),
+          "vec_id",
+          Q.t(s, dir, "embeddings")
+            .filter(col("vec_id").isin(1L, 2L, 3L))
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", nprobe = 3, k = N)
+        .withColumn("__rr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("adist").asc_nulls_last,
+              col("vec_id").asc_nulls_first)))
+        .select(col("qid"), col("vec_id").as("id"),
+          col("__rr").cast("long").as("r_vec"))
+        .localCheckpoint()
+      val sfus = Retrieval.rrfFuseKeyed(lex, vec, "qid", "id",
+          "r_lex", "r_vec")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc_nulls_last,
+              col("id").asc_nulls_first)).cast("long"))
+        .select(col("qid"), col("id"), col("rank"))
+      val ranked = sfus.withColumn("system", lit("fused"))
+        .unionByName(lex.select(col("qid"), col("id"),
+          col("r_lex").as("rank")).withColumn("system", lit("lex")))
+        .unionByName(vec.select(col("qid"), col("id"),
+          col("r_vec").as("rank")).withColumn("system", lit("vec")))
+      // per-qid exact ground truth: live-BM25 ranks (≡ lex) ⊕ per-qid
+      // brute cosine, fused, top-10 per qid
+      val bvec = Similarity.cosineTopKBatch(
+          Q.t(s, dir, "embeddings"), "vec_id", "embedding",
+          Q.t(s, dir, "embeddings").filter(col("vec_id").isin(1L, 2L, 3L))
+            .select(col("vec_id").cast("long").as("qid"),
+              col("embedding").as("bqvec")),
+          "qid", "bqvec", k = N)
+        .select(col("qid"), col("vec_id").as("id"),
+          col("rank").as("r_bvec"))
+        .localCheckpoint()
+      val xtop = Retrieval.rrfFuseKeyed(lex, bvec, "qid", "id",
+          "r_lex", "r_bvec")
+        .withColumn("__xr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc_nulls_last,
+              col("id").asc_nulls_first)))
+        .filter(col("__xr") <= 10)
+        .select(col("qid"), col("id"))
+        .localCheckpoint()
+      val xcnt = xtop.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_rel_total"))
+      val ev = Retrieval.rankEval(
+        ranked.join(broadcast(xtop.withColumn("__rel", lit(1))),
+          Seq("qid", "id"), "left"),
+        "qid", col("__rel").isNotNull, col("rank"), k = 20,
+        carry = Seq("system"))
+      ev.join(broadcast(xcnt), Seq("qid"))
+        .select(col("qid"), col("system"), col("first_rel_rank"),
+          col("n_rel_at_k"), col("n_rel_total").cast("long"))
+    }),
+
     // The DELETE leg of the layout lifecycle (the verb q171/q175 leave
     // open — opt-outs, contamination takedowns, dedup evictions; at
     // 100 TB a rebuild per delete batch is as unaffordable as one per
@@ -1415,7 +1504,22 @@ object TextPack extends QueryPack {
     * Query vectors are embeddings 1/2/3 keyed to [[BatchQueryTerms]]'s
     * qids. */
   private lazy val hybridStoredBatchSql: String =
-    s"""WITH $bm25BatchChainSql,
+    s"""WITH $hybridStoredBatchChainSql
+       SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
+              r_lex, r_vec,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                       CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec),
+                       CAST(0.0 AS DOUBLE)) AS rrf
+       FROM lexr l FULL OUTER JOIN vecr v
+         ON l.qid = v.qid AND l.id = v.id
+       ORDER BY ALL NULLS FIRST"""
+
+  /** The qid-keyed batch arms as a reusable chain ending in
+    * `lexr(qid, id, r_lex)` / `vecr(qid, id, r_vec)` — shared by
+    * q182's fuse and q183's eval. */
+  private lazy val hybridStoredBatchChainSql: String =
+    s"""$bm25BatchChainSql,
        lexr AS (SELECT qid, doc_id AS id, CAST(rr AS BIGINT) AS r_lex FROM (
                   SELECT qid, doc_id,
                          row_number() OVER (PARTITION BY qid
@@ -1500,16 +1604,67 @@ object TextPack extends QueryPack {
                   SELECT qid, vec_id,
                          row_number() OVER (PARTITION BY qid
                            ORDER BY adist ASC NULLS LAST, vec_id ASC) AS rr
-                  FROM tot) WHERE rr <= 50)
-       SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
-              r_lex, r_vec,
+                  FROM tot) WHERE rr <= 50)"""
+
+  /** q183's oracle: the BATCH stack graded against per-qid EXACT ground
+    * truth — q172's grading generalized with every rank window
+    * PARTITION BY qid. Ground truth per qid = live-BM25 ranks (lexr IS
+    * exact, the q169 pin) fused with per-qid brute-cosine ranks, cut at
+    * top-10; each stored system (fused / lex / vec) rankEval'd at k=20
+    * per qid — exact BIGINTs. */
+  private lazy val batchStackEvalSql: String =
+    s"""WITH $hybridStoredBatchChainSql,
+       fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+                        coalesce(l.id, v.id) AS id, r_lex, r_vec,
               coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
                        CAST(0.0 AS DOUBLE)) +
               coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_vec),
                        CAST(0.0 AS DOUBLE)) AS rrf
-       FROM lexr l FULL OUTER JOIN vecr v
-         ON l.qid = v.qid AND l.id = v.id
-       ORDER BY ALL NULLS FIRST"""
+              FROM lexr l FULL OUTER JOIN vecr v
+                ON l.qid = v.qid AND l.id = v.id),
+       bsc AS (SELECT q.qid, e.vec_id,
+                      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec)
+                            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(e.embedding AS DOUBLE[])))
+                               * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+               FROM embeddings e, q),
+       bvecr AS (SELECT qid, vec_id AS id, CAST(rr AS BIGINT) AS r_bvec FROM (
+                   SELECT qid, vec_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC NULLS LAST, vec_id ASC) AS rr
+                   FROM bsc) WHERE rr <= 50),
+       xfused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+                         coalesce(l.id, v.id) AS id,
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex),
+                       CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_bvec),
+                       CAST(0.0 AS DOUBLE)) AS xrrf
+              FROM lexr l FULL OUTER JOIN bvecr v
+                ON l.qid = v.qid AND l.id = v.id),
+       xtop AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (PARTITION BY qid
+                    ORDER BY xrrf DESC NULLS LAST, id ASC) AS xr
+                  FROM xfused) WHERE xr <= 10),
+       xcnt AS (SELECT qid, count(*) AS n FROM xtop GROUP BY 1),
+       sfus AS (SELECT qid, id,
+                       CAST(row_number() OVER (PARTITION BY qid
+                         ORDER BY rrf DESC NULLS LAST, id ASC) AS BIGINT)
+                         AS rank
+                FROM fused),
+       ranked AS (SELECT 'fused' AS system, qid, id, rank FROM sfus
+                  UNION ALL SELECT 'lex', qid, id, r_lex FROM lexr
+                  UNION ALL SELECT 'vec', qid, id, r_vec FROM vecr)
+       SELECT r.qid, r.system,
+              CAST(min(CASE WHEN xt.id IS NOT NULL THEN r.rank END)
+                AS BIGINT) AS first_rel_rank,
+              CAST(sum(CASE WHEN xt.id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rel_at_k,
+              CAST(max(xc.n) AS BIGINT) AS n_rel_total
+       FROM ranked r
+       LEFT JOIN xtop xt ON r.qid = xt.qid AND r.id = xt.id
+       JOIN xcnt xc ON xc.qid = r.qid
+       WHERE r.rank <= 20
+       GROUP BY 1, 2 ORDER BY ALL NULLS FIRST"""
 
   // lazy: referenced by bpeTrainSql above during object init (a plain
   // later-declared val would still be null there — the compressionFilter
@@ -1664,6 +1819,10 @@ object TextPack extends QueryPack {
     // into another's head, a shared-scan row misattributed, or a rank
     // window crossing qids all break the hash
     "q182_hybrid_stored_batch" -> hybridStoredBatchSql,
+
+    // the batch arms replayed per qid, graded against per-qid exact
+    // ground truth — 9 exact-BIGINT rows (3 qids × 3 systems)
+    "q183_batch_stack_eval" -> batchStackEvalSql,
 
     // both arms cut to their top-100 heads, ranked, full-outer fused:
     // rrf = 1/(60+r_lex) + 1/(60+r_vec), absent arm contributing 0

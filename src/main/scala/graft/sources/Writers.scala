@@ -667,6 +667,75 @@ object Writers {
     removeDir(s"$path/deletes")
   }
 
+  /** Health snapshot of a stored BM25 layout — the operational surface
+    * every real index exposes (Lucene's SegmentInfos): live docs (from
+    * the exact stats), total doclen rows (one per merged doc VERSION —
+    * parquet footer metadata, no payload scan), their difference =
+    * dead rows awaiting compaction, tombstone count, the generation
+    * counter, and the worst per-directory segment-file count of the tf
+    * leg (driver-side listing). Everything is metadata-priced; nothing
+    * corpus-sized runs. */
+  final case class Bm25IndexInfo(liveDocs: Long, doclenRows: Long,
+                                 deadDocs: Long, tombstoneRows: Long,
+                                 nextGen: Long, tfDirs: Int,
+                                 maxTfFilesPerDir: Int) {
+    /** Fraction of doclen rows that are dead versions — the compaction
+      * trigger metric. 0 on a freshly built or just-compacted layout. */
+    def deadFraction: Double =
+      if (doclenRows == 0L) 0.0 else deadDocs.toDouble / doclenRows
+  }
+
+  /** Compute [[Bm25IndexInfo]] for the layout at `path`. */
+  def describeBm25Index(spark: SparkSession, path: String): Bm25IndexInfo = {
+    import org.apache.spark.sql.functions.col
+    val st = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("next_gen")).head()
+    val live = st.getLong(0)
+    val doclenRows =
+      if (live == 0L) 0L else spark.read.parquet(s"$path/doclen").count()
+    val tomb = bm25Deletes(spark, path).map(_.count()).getOrElse(0L)
+    val tfRoot = Paths.get(s"$path/tf")
+    var dirs = 0
+    var maxFiles = 0
+    if (Files.isDirectory(tfRoot)) {
+      val it = Files.list(tfRoot)
+      try it.iterator().forEachRemaining { d =>
+        if (Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith("tok_part=")) {
+          dirs += 1
+          val fl = Files.list(d)
+          try {
+            var n = 0
+            fl.iterator().forEachRemaining { f =>
+              if (f.getFileName.toString.endsWith(".parquet")) n += 1
+            }
+            maxFiles = math.max(maxFiles, n)
+          } finally fl.close()
+        }
+      } finally it.close()
+    }
+    Bm25IndexInfo(live, doclenRows, doclenRows - live, tomb,
+      st.getLong(1), dirs, maxFiles)
+  }
+
+  /** Policy-driven maintenance — the Lucene merge-policy analog: run
+    * [[compactBm25Index]] iff the layout has accumulated enough debt
+    * to amortize the rewrite — dead-version fraction above
+    * `maxDeadFraction` OR any tf directory holding more than
+    * `maxFilesPerDir` append segments. Returns true iff a compaction
+    * ran. The decision reads only metadata ([[describeBm25Index]]), so
+    * calling this after every merge/delete batch is cheap; the rewrite
+    * itself stays ∝ the layout and fires on the policy's cadence. */
+  def maintainBm25Index(spark: SparkSession, path: String,
+                        maxDeadFraction: Double = 0.2,
+                        maxFilesPerDir: Int = 8): Boolean = {
+    val info = describeBm25Index(spark, path)
+    val due = info.deadFraction > maxDeadFraction ||
+      info.maxTfFilesPerDir > maxFilesPerDir
+    if (due) compactBm25Index(spark, path)
+    due
+  }
+
   /** Drop a layout's tombstone table WITHOUT rewriting data — the
     * fresh-overwrite companion: a layout rebuilt in place must never
     * inherit stale tombstones ([[writeBm25Index]] calls this

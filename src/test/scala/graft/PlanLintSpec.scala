@@ -597,6 +597,24 @@ class PlanLintSpec extends AnyFunSuite {
       "batch hybrid probe must not touch corpus text or raw embeddings")
   }
 
+  // batch-stack eval: every arm is a bounded per-qid head
+  // localCheckpoint'd at construction (the q172 stance); the declared
+  // plan is rank/union/eval algebra over those checkpointed tables —
+  // exchanges: the two fuse joins' qid-prefix co-partitioning, the
+  // per-qid fused rank window, the union spread, the (qid, system)
+  // eval agg
+  assertShuffleBudget("q183_batch_stack_eval", 5)
+  test("q183_batch_stack_eval declares NO file scan — every arm " +
+    "executes once at construction (the q172 checkpointed stance)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q183_batch_stack_eval")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    assert(!plan.contains("FileScan parquet"),
+      s"an arm leaked into the declared plan (duplicated scans):\n$plan")
+  }
+
   // tombstoned POSTINGS probe: q158's budget + the tombstone scan; the
   // visibility join must be a broadcast hash anti on doc_id, under the
   // same tok_part directory pruning

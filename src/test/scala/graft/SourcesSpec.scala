@@ -652,6 +652,45 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("describeBm25Index / maintainBm25Index: metadata-priced health " +
+    "stats drive policy compaction — segment-count and dead-fraction " +
+    "triggers fire, healthy layouts are no-ops") {
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta delta gamma"), (3L, "epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val p = tmp("bm25maint")
+    Writers.writeBm25Index(docs.filter(col("doc_id") < 2), p)
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") === 2))
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") === 3))
+    val i0 = Writers.describeBm25Index(spark, p)
+    assert(i0.liveDocs == 4 && i0.doclenRows == 4 && i0.deadDocs == 0 &&
+      i0.tombstoneRows == 0 && i0.nextGen == 3 && i0.deadFraction == 0.0)
+    assert(i0.maxTfFilesPerDir >= 2,
+      "two merges should have accumulated append segments")
+    // healthy fraction + generous file cap: no-op
+    assert(!Writers.maintainBm25Index(spark, p, maxDeadFraction = 0.2,
+      maxFilesPerDir = 8))
+    // segment-count trigger alone fires and folds segments to 1/dir
+    assert(Writers.maintainBm25Index(spark, p, maxDeadFraction = 1.1,
+      maxFilesPerDir = 1))
+    assert(Writers.describeBm25Index(spark, p).maxTfFilesPerDir == 1)
+    assert(!Writers.maintainBm25Index(spark, p, maxDeadFraction = 1.1,
+      maxFilesPerDir = 1))
+    // dead-version debt accumulates through deletes...
+    Writers.deleteFromBm25Index(spark, p, Seq(2L, 3L).toDF("doc_id"))
+    val i1 = Writers.describeBm25Index(spark, p)
+    assert(i1.liveDocs == 2 && i1.doclenRows == 4 && i1.deadDocs == 2 &&
+      i1.tombstoneRows == 2 && i1.deadFraction == 0.5)
+    // ...below the threshold it stays a no-op...
+    assert(!Writers.maintainBm25Index(spark, p, maxDeadFraction = 0.6))
+    // ...above it the compaction fires and clears the debt
+    assert(Writers.maintainBm25Index(spark, p, maxDeadFraction = 0.2))
+    val i2 = Writers.describeBm25Index(spark, p)
+    assert(i2.liveDocs == 2 && i2.doclenRows == 2 && i2.deadDocs == 0 &&
+      i2.tombstoneRows == 0 && i2.maxTfFilesPerDir == 1)
+  }
+
   test("ivfPqSearchStoredBatch: the one-scan batch equals a per-query " +
     "ivfPqSearchStored loop at every rank, collapses duplicate qids, " +
     "and rejects oversized batches") {
