@@ -1386,4 +1386,50 @@ object Similarity {
       .filter(col("__rk") <= k)
       .select(col(qidCol), col(idCol), col("adist"))
   }
+
+  /** Hard cap on one [[ivfPqSearchStoredBatchChunked]] call's TOTAL
+    * distinct qids — the wrapper still collects the qid list and plans
+    * one pruned scan per chunk on the driver, so "a query batch" must
+    * stay a driver-priced object; a corpus-sized query side is a JOIN
+    * ([[pqAdcRank]]'s table form), not a batch. */
+  val MaxChunkedBatch = 4096
+
+  /** [[ivfPqSearchStoredBatch]] for query batches ABOVE the
+    * MaxStoredMiningBatch codegen cap (VERDICT r17 #4-wrong): splits
+    * the distinct qids into chunks of `chunkSize`, serves each chunk
+    * through the batch form (one pruned scan per chunk — union bucket
+    * PartitionFilters, per-qid ADC literals within the Janino bound)
+    * and unions the per-chunk top-k heads; the per-(qid, chunk) results
+    * are independent, so the union IS the unchunked answer. Keeps the
+    * Janino method-size cap an implementation detail instead of caller
+    * boilerplate. `chunkSize` is parameterized (≤ MaxStoredMiningBatch)
+    * so specs can pin chunked ≡ unchunked with small chunks; callers
+    * use the default. */
+  def ivfPqSearchStoredBatchChunked(codes: DataFrame, book: DataFrame,
+                                    centroids: DataFrame, idCol: String,
+                                    queries: DataFrame, qidCol: String,
+                                    queryVecCol: String, nprobe: Int, k: Int,
+                                    m: Int = 4, subDim: Int = 16,
+                                    probeDims: Int = 4,
+                                    chunkSize: Int = MaxStoredMiningBatch): DataFrame = {
+    require(chunkSize >= 1 && chunkSize <= MaxStoredMiningBatch,
+      s"chunkSize must be in [1, $MaxStoredMiningBatch] (got $chunkSize)")
+    val qids = queries.select(col(qidCol).cast("long"))
+      .filter(col(qidCol).isNotNull).distinct()
+      .orderBy(col(qidCol).asc)
+      .collect().map(_.getLong(0))
+    require(qids.length <= MaxChunkedBatch,
+      s"ivfPqSearchStoredBatchChunked serves a driver-priced batch — " +
+        s"got ${qids.length} distinct qids, max $MaxChunkedBatch; a " +
+        "corpus-sized query side needs the join form, not a batch")
+    if (qids.length <= chunkSize)
+      return ivfPqSearchStoredBatch(codes, book, centroids, idCol,
+        queries, qidCol, queryVecCol, nprobe, k, m, subDim, probeDims)
+    qids.grouped(chunkSize).map { chunk =>
+      ivfPqSearchStoredBatch(codes, book, centroids, idCol,
+        queries.filter(col(qidCol).cast("long")
+          .isin(chunk.toIndexedSeq: _*)),
+        qidCol, queryVecCol, nprobe, k, m, subDim, probeDims)
+    }.reduce(_.unionByName(_))
+  }
 }

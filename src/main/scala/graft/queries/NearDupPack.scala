@@ -392,6 +392,34 @@ object NearDupPack extends QueryPack {
         "qvec", nprobe = 3, k = 20)
     }),
 
+    // UPDATE on the vector serving layout — the q180 generation
+    // discipline for embeddings (VERDICT r17 #4, the verb×layout
+    // matrix's last hole; the reference's ON CONFLICT DO UPDATE,
+    // src/storage.py:41-53): the vec_id%5=4 vectors are REPLACED by
+    // their reversed versions via Writers.updateIvfPqIndex — one
+    // batch-proportional tombstone append (del_gen) + one map-only
+    // re-encode against the FROZEN padded codebook/centroids, the
+    // re-added codes stamped PAST the tombstone. The probe is q178's
+    // exact stored plan (pruned buckets + gen-aware broadcast
+    // anti-join). The oracle replays a from-scratch encode of the
+    // UPDATED corpus against artifacts frozen over the ORIGINAL corpus
+    // — routing/codebook training on original embeddings (vec_id 4
+    // stays a centroid on its OLD vector — FAISS semantics), coding
+    // and the probed population on the updated ones; a stale version
+    // leaking through the anti-join, a double-visible id, a re-trained
+    // artifact, or an unseen-code NaN all break the hash.
+    "q184_ivfpq_index_update" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndexUpdated(s, dir)
+      Similarity.ivfPqSearchStored(
+        graft.sources.Writers.liveCodes(s, path),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+    }),
+
     // L2 TRAINING itself, oracle-checked (VERDICT r15 #1 — kmeans was
     // the one load-bearing operator with spec-only coverage, yet its
     // output feeds every "trained" serving tier): Lloyd's at k=4 for 2
@@ -1791,6 +1819,126 @@ object NearDupPack extends QueryPack {
          ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
        ORDER BY ALL NULLS FIRST"""
 
+  /** q184's oracle: a from-scratch IVF×PQ encode of the UPDATED corpus
+    * against artifacts FROZEN over the original one. `eff` is the
+    * post-update corpus (vec_id%5=4 vectors replaced by their reversed
+    * versions — an exact float re-ordering, so every downstream
+    * rounding chain replays bit-for-bit on both engines). The centroid
+    * seeds and the codebook training population (vqo → seeds, subT →
+    * cb) read ORIGINAL embeddings — update never retrains (vec_id 4
+    * keeps routing on its OLD vector); assignment (vqe → asg), coding
+    * (subE → codesE) and the probed population read the EFFECTIVE
+    * corpus — exactly what the layout serves after tombstone + re-merge.
+    * cb2 pads the codebook with origin centroids (the q174 fallback —
+    * a reversed vector can realize a code the original corpus never
+    * did). A stale version surviving the gen anti-join, a lost update,
+    * or a double-visible id moves the ranked set and breaks the hash. */
+  private val ivfPqUpdatedSql: String =
+    """WITH eff AS (SELECT vec_id,
+                         CASE WHEN vec_id % 5 = 4
+                              THEN list_transform(range(1, len(embedding) + 1),
+                                     i -> embedding[len(embedding) + 1 - i])
+                              ELSE embedding END AS embedding
+                  FROM embeddings),
+       q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+             FROM embeddings WHERE vec_id = 1),
+       vqo AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+       seeds AS (SELECT vec_id AS cid, qv AS cq FROM vqo WHERE vec_id < 8),
+       vqe AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM eff),
+       vl AS (SELECT vec_id, unnest(qv) AS x,
+                     generate_subscripts(qv, 1) AS i FROM vqe),
+       sl AS (SELECT cid, unnest(cq) AS y,
+                     generate_subscripts(cq, 1) AS i FROM seeds),
+       dist AS (SELECT vl.vec_id, sl.cid,
+                       CAST(sum((vl.x - sl.y) * (vl.x - sl.y)) AS BIGINT) AS d2
+                FROM vl JOIN sl ON vl.i = sl.i GROUP BY 1, 2),
+       asg AS (SELECT vec_id,
+                      CAST(min(d2 * 8 + cid) % 8 AS BIGINT) AS cluster
+               FROM dist GROUP BY 1),
+       ql AS (SELECT unnest(qq) AS x, generate_subscripts(qq, 1) AS i FROM q),
+       pd AS (SELECT sl.cid,
+                     CAST(sum((ql.x - sl.y) * (ql.x - sl.y)) AS BIGINT) AS d2
+              FROM ql JOIN sl ON ql.i = sl.i GROUP BY 1),
+       probed AS (SELECT cid FROM (
+                    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS r
+                    FROM pd) WHERE r <= 3),
+       mm AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       subT AS (SELECT vec_id, m,
+                       list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                      x -> CAST(x AS DOUBLE)) AS sub
+                FROM embeddings, mm),
+       stcT AS (SELECT vec_id, m, sub,
+                      list_reverse_sort(list_transform(range(1, 5), i ->
+                        [abs(sub[i]),
+                         CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+               FROM subT),
+       codesT AS (SELECT vec_id, m, sub,
+                         CASE WHEN len(sub) >= 4 THEN
+                           (CAST(srt[1][2] AS INT) + 4) * 9
+                             + (CAST(srt[2][2] AS INT) + 4) END AS code
+                  FROM stcT),
+       pc AS (SELECT m, code, unnest(range(1, len(sub) + 1)) AS pos,
+                     unnest(sub) AS v
+              FROM codesT WHERE code IS NOT NULL),
+       ac AS (SELECT m, code, pos, count(*) AS n,
+                     CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s
+              FROM pc GROUP BY 1, 2, 3),
+       cb AS (SELECT m, code,
+                     list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                          ORDER BY pos) AS cmean
+              FROM ac GROUP BY 1, 2),
+       allmc AS (SELECT m, unnest(range(0, 81)) AS code FROM mm),
+       cb2 AS (SELECT m, code, cmean FROM cb
+               UNION ALL
+               SELECT a.m, a.code,
+                      list_transform(range(1, 17),
+                        x -> CAST(0.0 AS DOUBLE)) AS cmean
+               FROM allmc a LEFT JOIN cb ON a.m = cb.m AND a.code = cb.code
+               WHERE cb.code IS NULL),
+       qs AS (SELECT m, list_slice(qvec, m*16 + 1, m*16 + 16) AS qsub
+              FROM q, mm),
+       dt AS (SELECT cb2.m, cb2.code,
+                     round(list_dot_product(qs.qsub, qs.qsub)
+                           - CAST(2.0 AS DOUBLE)
+                             * list_dot_product(qs.qsub, cb2.cmean)
+                           + list_dot_product(cb2.cmean, cb2.cmean), 8)
+                       + CAST(0.0 AS DOUBLE) AS d2
+              FROM cb2 JOIN qs ON qs.m = cb2.m),
+       subE AS (SELECT vec_id, m,
+                       list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
+                                      x -> CAST(x AS DOUBLE)) AS sub
+                FROM eff, mm),
+       stcE AS (SELECT vec_id, m, sub,
+                      list_reverse_sort(list_transform(range(1, 5), i ->
+                        [abs(sub[i]),
+                         CAST(i AS DOUBLE) * CAST(sign(sub[i]) AS DOUBLE)])) AS srt
+               FROM subE),
+       codesE AS (SELECT vec_id, m, sub,
+                         CASE WHEN len(sub) >= 4 THEN
+                           (CAST(srt[1][2] AS INT) + 4) * 9
+                             + (CAST(srt[2][2] AS INT) + 4) END AS code
+                  FROM stcE),
+       pop AS (SELECT c.vec_id, c.m, c.code
+               FROM codesE c JOIN asg USING (vec_id)
+               WHERE asg.cluster IN (SELECT cid FROM probed)
+                 AND c.code IS NOT NULL),
+       tot AS (SELECT vec_id,
+                      CAST(CAST(sum(CAST(d2 AS DECIMAL(28,8)))
+                           AS DECIMAL(28,8)) AS DOUBLE) AS adist
+               FROM pop JOIN dt USING (m, code) GROUP BY 1)
+       SELECT * FROM (
+         SELECT vec_id, adist FROM tot
+         ORDER BY adist ASC NULLS LAST, vec_id ASC LIMIT 20)
+       ORDER BY ALL NULLS FIRST"""
+
   // q162 probes the STORED bucket-partitioned index q156 computes live
   // — layout, not semantics (the q158/q151 framing), so the oracle IS
   // q156's: identical routing, codebook, ADC ranking over base tables.
@@ -1804,5 +1952,6 @@ object NearDupPack extends QueryPack {
       // only — artifacts frozen at build over the full corpus, the
       // searchable population shrunk, the head back-filled from k+1
       "q178_ivfpq_index_delete" ->
-        ivfPqTrainedSql("WHERE vec_id % 5 <> 2"))
+        ivfPqTrainedSql("WHERE vec_id % 5 <> 2"),
+      "q184_ivfpq_index_update" -> ivfPqUpdatedSql)
 }

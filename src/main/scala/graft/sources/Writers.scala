@@ -256,11 +256,21 @@ object Writers {
                          ids: DataFrame,
                          idCol: String = "doc_id"): Unit = {
     import org.apache.spark.sql.functions.col
-    val cand = ids.select(col(idCol).as("doc_id")).distinct()
-    val fresh = postingsDeletes(spark, path).fold(cand)(old =>
-      cand.join(old, Seq("doc_id"), "left_anti"))
-    fresh.coalesce(1) // one tombstone segment per delete batch
-      .write.mode("append").parquet(s"$path/_deletes")
+    val cand = ids.select(col(idCol).as("doc_id")).distinct().cache()
+    try {
+      val existing = postingsDeletes(spark, path)
+      val fresh = existing.fold(cand)(old =>
+        cand.join(old, Seq("doc_id"), "left_anti"))
+      // same bound as the BM25 leg: the tombstone table is every
+      // probe's broadcast anti-join side and this write's single task
+      val total = existing.map(_.count()).getOrElse(0L) + cand.count()
+      require(total <= MaxTombstoneRows,
+        s"deleteFromPostings: $total tombstone rows would exceed " +
+          s"MaxTombstoneRows=$MaxTombstoneRows — run compactPostings " +
+          "(or maintainPostings) first")
+      fresh.coalesce(1) // one tombstone segment per delete batch
+        .write.mode("append").parquet(s"$path/_deletes")
+    } finally cand.unpersist()
   }
 
   /** Fold postings tombstones into the physical layout (one file per
@@ -270,12 +280,87 @@ object Writers {
     * deleted doc_id becomes mergeable again. */
   def compactPostings(spark: SparkSession, path: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // staged-sibling rewrite (the swapInStaged protocol inlined: the
+    // tombstone sidecar lives INSIDE the layout root being swapped, so
+    // the rename carries it and the drop lands on the new root)
+    val staged = path + ".staged"
+    val old = path + ".old"
+    removeDir(staged); removeDir(old)
     val rows = spark.read.parquet(path)
-    val live = postingsDeletes(spark, path).fold(rows)(d =>
+    postingsDeletes(spark, path).fold(rows)(d =>
         rows.join(broadcast(d), Seq("doc_id"), "left_anti"))
-      .repartition(col("tok_part")).localCheckpoint()
-    live.write.partitionBy("tok_part").mode("overwrite").parquet(path)
-    removeDir(s"$path/_deletes")
+      .repartition(col("tok_part"))
+      .write.partitionBy("tok_part").mode("overwrite").parquet(staged)
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(staged), Paths.get(path))
+    // the tombstone sidecar rode the old root out — the fresh root is
+    // compacted AND tombstone-free in one swap
+    removeDir(old)
+  }
+
+  /** Health snapshot of a stored postings layout — [[describeBm25Index]]
+    * for the positional leg. This layout keeps no per-doc stats table,
+    * so the policy metrics are the two costs a probe and a write
+    * actually pay: the tombstone cardinality (every probe broadcasts
+    * the tombstone table into its anti-join) and the worst
+    * per-directory segment-file count (every probe opens that many
+    * footers per pruned directory). Everything is metadata-priced —
+    * parquet footer row counts and a driver directory listing; nothing
+    * corpus-sized runs. */
+  final case class PostingsIndexInfo(postingRows: Long, tombstoneRows: Long,
+                                     dirs: Int, maxFilesPerDir: Int)
+
+  /** Compute [[PostingsIndexInfo]] for the layout at `path`. */
+  def describePostings(spark: SparkSession, path: String): PostingsIndexInfo = {
+    val rows = spark.read.parquet(path).count() // parquet footer metadata
+    val tomb = postingsDeletes(spark, path).map(_.count()).getOrElse(0L)
+    val (dirs, maxFiles) = partDirStats(path, "tok_part=")
+    PostingsIndexInfo(rows, tomb, dirs, maxFiles)
+  }
+
+  /** Policy-driven maintenance of a postings layout — the
+    * [[maintainBm25Index]] analog: [[compactPostings]] fires iff the
+    * accumulated tombstones exceed `maxTombstones` (each one is a
+    * broadcast-anti-join row on EVERY probe — this leg has no dead-row
+    * metadata, so the probe toll itself is the trigger metric) OR any
+    * directory holds more than `maxFilesPerDir` append segments.
+    * Returns true iff a compaction ran; the decision reads only
+    * metadata, so call it after every merge/delete batch. */
+  def maintainPostings(spark: SparkSession, path: String,
+                       maxTombstones: Long = 1024L,
+                       maxFilesPerDir: Int = 8): Boolean = {
+    val info = describePostings(spark, path)
+    val due = info.tombstoneRows > maxTombstones ||
+      info.maxFilesPerDir > maxFilesPerDir
+    if (due) compactPostings(spark, path)
+    due
+  }
+
+  /** Driver-side (directory count, worst per-directory parquet-file
+    * count) of a partitioned layout — the segment-count metric every
+    * describe/maintain policy shares. */
+  private def partDirStats(root: String, prefix: String): (Int, Int) = {
+    val r = Paths.get(root)
+    var dirs = 0
+    var maxFiles = 0
+    if (Files.isDirectory(r)) {
+      val it = Files.list(r)
+      try it.iterator().forEachRemaining { d =>
+        if (Files.isDirectory(d) &&
+            d.getFileName.toString.startsWith(prefix)) {
+          dirs += 1
+          val fl = Files.list(d)
+          try {
+            var n = 0
+            fl.iterator().forEachRemaining { f =>
+              if (f.getFileName.toString.endsWith(".parquet")) n += 1
+            }
+            maxFiles = math.max(maxFiles, n)
+          } finally fl.close()
+        }
+      } finally it.close()
+    }
+    (dirs, maxFiles)
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions
@@ -354,22 +439,45 @@ object Writers {
   private def writeTf(tfRows: DataFrame, path: String, mode: String): Unit =
     writeClustered(tfRows, path, "tok_part", mode)
 
+  /** Stage-and-swap rewrite of one layout leg — the mergeState commit
+    * protocol applied to compaction (ADVICE r17): `write` produces the
+    * replacement into a `.staged` sibling (so the plan can STREAM from
+    * the directory it replaces — no block-manager materialization of
+    * the whole leg, which at 100 TB is the difference between a
+    * streaming rewrite and an executor-memory copy), then two renames
+    * swap it in. A crash before the first rename leaves the old leg
+    * fully intact; the unswapped `.staged`/`.old` residue is cleared by
+    * the next attempt. The swap window itself is two directory renames
+    * — not atomic as a pair, but no state in it is ever half-written;
+    * a production deployment flips a layout-version pointer instead
+    * (the documented table-format target). */
+  private def swapInStaged(target: String)(write: String => Unit): Unit = {
+    val staged = target + ".staged"
+    val old = target + ".old"
+    removeDir(staged); removeDir(old)
+    write(staged)
+    val t = Paths.get(target)
+    if (Files.isDirectory(t)) Files.move(t, Paths.get(old))
+    Files.move(Paths.get(staged), t)
+    removeDir(old)
+  }
+
   /** Segment-MAINTENANCE compaction of a partitioned layout: rewrite
     * the accumulated append files into ONE file per directory —
     * row-identical, a maintenance op, not a semantic one (the Lucene
     * segment-merge analog; q175 oracle-checks exactly that). Cost ∝
     * the whole layout — amortized over the many cheap appends it
-    * follows; run it on a cadence, not per batch. localCheckpoint
-    * truncates lineage so the overwrite cannot plan a read of the
-    * path it replaces; a production deployment stages into a fresh
-    * versioned directory and swaps (the mergeState commit protocol)
-    * instead of materializing through the block manager. */
+    * follows; run it on a cadence, not per batch. The rewrite streams
+    * through [[swapInStaged]]: read the live leg, write the compacted
+    * copy into a staged sibling, swap by rename — crash-safe up to the
+    * rename pair, never a read-what-you-overwrite plan. */
   def compactPartitioned(spark: SparkSession, path: String,
                          partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val ck = spark.read.parquet(path)
-      .repartition(col(partitionCol)).localCheckpoint()
-    ck.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+    swapInStaged(path) { staged =>
+      spark.read.parquet(path).repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).mode("overwrite").parquet(staged)
+    }
   }
 
   /** One from-scratch BM25 layout write over `docs` (must carry doc_id,
@@ -413,6 +521,17 @@ object Writers {
         .withColumn("doc_part", idPart(col("doc_id"))),
       s"$path/doclen", "doc_part", "overwrite")
   }
+
+  /** Hard cap on a layout's ACCUMULATED tombstone rows (across all
+    * delete batches since the last compaction) — the MaxStoredMiningBatch
+    * discipline applied to the delete verb: every probe BROADCASTS the
+    * tombstone table into its anti-join and every delete batch writes it
+    * through one task (`coalesce(1)`), so "bounded between compactions"
+    * must be enforced, not assumed (VERDICT r17). At the cap (~16 MB of
+    * (id, gen) rows) both shapes are still comfortably cheap; a
+    * takedown bigger than this routes through compaction — which is
+    * corpus-proportional anyway at that fraction. */
+  val MaxTombstoneRows: Long = 1L << 20
 
   /** The tombstone table of a BM25 layout, when any delete ever ran —
     * (doc_id, del_gen) rows, append-only segments. A stored row
@@ -597,13 +716,26 @@ object Writers {
     *     with the deleted docs' dl from the pruned doclen read —
     *     landing bit-for-bit on the avgdl a from-scratch build over
     *     the complement computes (q177's oracle).
-    * Deleting the LAST document is refused (an empty index has no
-    * avgdl — rebuild instead). [[compactBm25Index]] later folds
-    * tombstones into the physical layout; between compactions the
-    * tombstone table is the bounded broadcast side of every probe. */
+    * Deleting the LAST document is refused by default (an empty-stats
+    * layout — n_docs 0, NULL avgdl — is a foot-gun for a manual caller
+    * who expects scores next probe); `allowEmpty = true` permits it and
+    * writes exactly the [[writeBm25Index]]-over-zero-docs bootstrap
+    * stats shape, so a layout may TRANSIT through empty — the CDC
+    * maintenance loop needs that when one epoch replaces the entire
+    * live set (delete-all then merge-all; ADVICE r17). The two stances
+    * are one: empty is a valid layout STATE (bootstrap, mid-epoch), it
+    * is just never the silent RESULT of a plain delete call.
+    * [[compactBm25Index]] later folds tombstones into the physical
+    * layout; between compactions the tombstone table is the bounded
+    * broadcast side of every probe — [[MaxTombstoneRows]] enforces that
+    * bound (the MaxStoredMiningBatch discipline: the broadcast
+    * anti-join and the one-file tombstone write are SIZED assumptions,
+    * not hopes — a 100M-doc takedown must route through compaction, not
+    * through a broadcast). */
   def deleteFromBm25Index(spark: SparkSession, path: String,
                           deletes: DataFrame,
-                          idCol: String = "doc_id"): Long = {
+                          idCol: String = "doc_id",
+                          allowEmpty: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     val old = spark.read.parquet(s"$path/stats")
       .select(col("n_docs"), col("sum_dl"), col("next_gen")).head()
@@ -627,20 +759,38 @@ object Writers {
         val cnt = st.getLong(0)
         if (cnt == 0L) return 0L
         val n = old.getLong(0) - cnt
-        require(n > 0,
-          "deleteFromBm25Index would empty the index — an empty layout " +
-            "has no avgdl; rebuild instead of deleting every document")
+        require(n > 0 || allowEmpty,
+          "deleteFromBm25Index would empty the index — an empty-stats " +
+            "layout is never the silent result of a plain delete; pass " +
+            "allowEmpty = true (the CDC maintenance stance) or rebuild")
+        // the tombstone table is every probe's BROADCAST side and this
+        // write's single task — enforce the bound those shapes assume
+        val existing = bm25Deletes(spark, path).map(_.count()).getOrElse(0L)
+        require(existing + cnt <= MaxTombstoneRows,
+          s"deleteFromBm25Index: ${existing + cnt} tombstone rows would " +
+            s"exceed MaxTombstoneRows=$MaxTombstoneRows — the tombstone " +
+            "table is broadcast into every probe; run compactBm25Index " +
+            "(or maintainBm25Index) to fold tombstones in, then delete")
         present.select(col("doc_id"), lit(g).as("del_gen"))
           .coalesce(1) // one tombstone segment per delete batch
           .write.mode("append").parquet(s"$path/deletes")
+        // n = 0 (allowEmpty): the writeBm25Index-over-zero-docs stats
+        // shape exactly — NULL avgdl/sum_dl, so a later merge's additive
+        // path (which treats NULL sum_dl as zero) bootstraps cleanly
         val s = old.getDecimal(1).subtract(st.getDecimal(1)) // exact
-        spark.range(1).select(
+        val stats =
+          if (n == 0L) spark.range(1).select(
+            lit(0L).as("n_docs"),
+            lit(null).cast("double").as("avgdl"),
+            lit(null).cast("decimal(28,6)").as("sum_dl"),
+            lit(g + 1L).as("next_gen"))
+          else spark.range(1).select(
             lit(n).as("n_docs"),
             round(lit(s).cast("decimal(28,6)").cast("double") / lit(n), 6)
               .as("avgdl"),
             lit(s).cast("decimal(28,6)").as("sum_dl"),
             lit(g + 1L).as("next_gen"))
-          .write.mode("overwrite").parquet(s"$path/stats")
+        stats.write.mode("overwrite").parquet(s"$path/stats")
         cnt
       } finally present.unpersist()
     } finally cand.unpersist()
@@ -653,17 +803,26 @@ object Writers {
     * and after (q179 shares q177's oracle) and probes of the compacted
     * layout plan NO tombstone scan — q169's exact shape. Cost ∝ the
     * layout, amortized over the many batch-proportional deletes it
-    * follows — run on a cadence, not per batch. */
+    * follows — run on a cadence, not per batch. Each leg rewrites
+    * through [[swapInStaged]] (stream from the live leg into a staged
+    * sibling, swap by rename) — a crash mid-rewrite leaves the old leg
+    * intact; only the tf-swapped/doclen-not-yet window remains the
+    * documented multi-leg torn-write seam (both legs stay
+    * row-consistent individually, and the tombstone table is dropped
+    * LAST, so a torn state still reads with correct visibility). */
   def compactBm25Index(spark: SparkSession, path: String): Unit = {
     import org.apache.spark.sql.functions.col
     val del = bm25Deletes(spark, path)
-    val tf = visibleRows(spark.read.parquet(s"$path/tf"), del)
-      .repartition(col("tok_part")).localCheckpoint()
-    tf.write.partitionBy("tok_part").mode("overwrite").parquet(s"$path/tf")
-    val dlr = visibleRows(spark.read.parquet(s"$path/doclen"), del)
-      .repartition(col("doc_part")).localCheckpoint()
-    dlr.write.partitionBy("doc_part").mode("overwrite")
-      .parquet(s"$path/doclen")
+    swapInStaged(s"$path/tf") { staged =>
+      visibleRows(spark.read.parquet(s"$path/tf"), del)
+        .repartition(col("tok_part"))
+        .write.partitionBy("tok_part").mode("overwrite").parquet(staged)
+    }
+    swapInStaged(s"$path/doclen") { staged =>
+      visibleRows(spark.read.parquet(s"$path/doclen"), del)
+        .repartition(col("doc_part"))
+        .write.partitionBy("doc_part").mode("overwrite").parquet(staged)
+    }
     removeDir(s"$path/deletes")
   }
 
@@ -694,26 +853,7 @@ object Writers {
     val doclenRows =
       if (live == 0L) 0L else spark.read.parquet(s"$path/doclen").count()
     val tomb = bm25Deletes(spark, path).map(_.count()).getOrElse(0L)
-    val tfRoot = Paths.get(s"$path/tf")
-    var dirs = 0
-    var maxFiles = 0
-    if (Files.isDirectory(tfRoot)) {
-      val it = Files.list(tfRoot)
-      try it.iterator().forEachRemaining { d =>
-        if (Files.isDirectory(d) &&
-            d.getFileName.toString.startsWith("tok_part=")) {
-          dirs += 1
-          val fl = Files.list(d)
-          try {
-            var n = 0
-            fl.iterator().forEachRemaining { f =>
-              if (f.getFileName.toString.endsWith(".parquet")) n += 1
-            }
-            maxFiles = math.max(maxFiles, n)
-          } finally fl.close()
-        }
-      } finally it.close()
-    }
+    val (dirs, maxFiles) = partDirStats(s"$path/tf", "tok_part=")
     Bm25IndexInfo(live, doclenRows, doclenRows - live, tomb,
       st.getLong(1), dirs, maxFiles)
   }
@@ -925,6 +1065,96 @@ object Writers {
     })
   }
 
+  // ---- IVF×PQ layout generation discipline -------------------------
+  // The q180 generation stamps applied to the vector leg (VERDICT r17
+  // #4): every stored codes row carries `gen`, the layout's 1-row
+  // `gen/` sidecar carries (next_gen, last_merge_gen), and a tombstone
+  // (vec_id, del_gen) kills only rows with gen < del_gen — so UPDATE =
+  // delete + re-merge is batch-proportional on vectors exactly as on
+  // documents: the re-encoded row lands one generation PAST its
+  // tombstone and is visible again without any corpus-sized rewrite.
+  // `last_merge_gen` exists so delete stays row-idempotent: a tombstone
+  // with del_gen > last_merge_gen is FULLY KILLING (no row of that id
+  // can carry a gen ≥ it — gens are only handed out by merges), so
+  // re-deleting an id behind one is a no-op append-wise; a tombstone at
+  // or below last_merge_gen may have been out-merged and a re-delete
+  // must stamp a fresh one. Layouts written by hand (dev harnesses)
+  // without the sidecar read as (next_gen 1, last_merge_gen 0) and
+  // gen-less codes read as gen 0 — the plain-id delete semantics they
+  // always had; update requires a gen-capable layout and says so.
+
+  /** (next_gen, last_merge_gen) of an IVF×PQ layout — (1, 0) when the
+    * sidecar does not exist (gen-less dev layouts; first op creates it). */
+  private def ivfGenInfo(spark: SparkSession, path: String): (Long, Long) = {
+    val d = Paths.get(s"$path/gen")
+    if (Files.isDirectory(d)) {
+      val r = spark.read.parquet(s"$path/gen")
+        .select(org.apache.spark.sql.functions.col("next_gen"),
+          org.apache.spark.sql.functions.col("last_merge_gen")).head()
+      (r.getLong(0), r.getLong(1))
+    } else (1L, 0L)
+  }
+
+  private def writeIvfGen(spark: SparkSession, path: String,
+                          nextGen: Long, lastMergeGen: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit(nextGen).as("next_gen"),
+        lit(lastMergeGen).as("last_merge_gen"))
+      .write.mode("overwrite").parquet(s"$path/gen")
+  }
+
+  /** Whether a layout leg holds any readable parquet file — the
+    * empty-bootstrap discriminator (a `partitionBy` write of zero rows
+    * produces a schemaless directory that `spark.read.parquet` cannot
+    * open). */
+  def hasParquetFiles(path: String): Boolean = {
+    val d = Paths.get(path)
+    if (!Files.isDirectory(d)) return false
+    val walk = Files.walk(d)
+    try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+    finally walk.close()
+  }
+
+  /** From-scratch write of a gen-capable codes leg: rows stamped gen 0,
+    * sidecar (next_gen 1, last_merge_gen 0), stale tombstones cleared —
+    * the [[writeBm25Index]] stance for the vector leg. */
+  def writeIvfCodes(spark: SparkSession, codes: DataFrame,
+                    path: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    removeDir(s"$path/deletes")
+    codes.withColumn("gen", lit(0L))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/codes")
+    writeIvfGen(spark, path, nextGen = 1L, lastMergeGen = 0L)
+  }
+
+  /** Pad a PQ codebook with ORIGIN-CENTROID rows over the whole
+    * (2p+1)² code rectangle: the intrinsic sign/abs-rank code of a
+    * vector coded LATER (merge, update) can be one the training
+    * population never realized — a sample-trained codebook then has no
+    * row for it and the ADC lookup would be undefined (pqAdcDense
+    * deliberately NaN-fails on impossible lookups). An unrealized code
+    * carries a zero centroid, so that subquantizer scores
+    * round(‖q_m‖², 8) — defined, conservative (unseen-code vectors rank
+    * behind well-coded ones near the query), and exactly replayable by
+    * the oracle (q174/q184 pad the same rows). Extra rows are never
+    * looked up by build-time codes. */
+  def padIvfPqCodebook(spark: SparkSession, book: DataFrame,
+                       m: Int, subDim: Int, probeDims: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array_repeat, col, lit}
+    val radix = 2 * probeDims + 1
+    val pad0 = spark.range(m.toLong).select(col("id").as("m"))
+      .crossJoin(spark.range((radix * radix).toLong)
+        .select(col("id").as("code")))
+      .join(book.select(col("m"), col("code")), Seq("m", "code"),
+        "left_anti")
+      .select(col("m"), col("code"), lit(1L).as("n_vecs"),
+        array_repeat(lit(0L), subDim).as("centroid_msum"))
+    val pad = book.schema.fields.foldLeft(pad0)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(f.dataType)))
+      .select(book.columns.map(col).toIndexedSeq: _*)
+    book.unionByName(pad)
+  }
+
   // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedIvfPq =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -959,8 +1189,7 @@ object Writers {
       val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
         vecs, "vec_id", "embedding", coarse, "cid", "cvec",
         m, subDim, probeDims, passthrough = Seq("label"))
-      codes.write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$p/codes")
+      writeIvfCodes(spark, codes, p)
       book.write.mode("overwrite").parquet(s"$p/codebook")
       coarse.write.mode("overwrite").parquet(s"$p/centroids")
       p
@@ -979,36 +1208,59 @@ object Writers {
     * their bucket directories; nothing existing is read or rewritten.
     * Merged ≡ from-scratch-with-the-same-frozen-artifacts is q174's
     * oracle and SourcesSpec's equality pin. With `checkNewIds` (the
-    * default) a fresh id already coded fails loudly (cost: a semi-join
+    * default) a fresh id already LIVE fails loudly (cost: a semi-join
     * over the fresh buckets' directories — NOT fresh-proportional;
-    * Delta-routed ingest passes false). `passthrough` must match the
-    * columns the layout was built with. */
+    * Delta-routed ingest passes false); the check is gen-aware, so the
+    * re-add half of [[updateIvfPqIndex]] passes it (the old version is
+    * tombstoned, not live). Fresh rows are stamped `gen = next_gen` on
+    * gen-capable layouts — they survive any earlier tombstone for the
+    * same id (the q180 discipline); on a gen-less dev layout the append
+    * follows the stored schema unchanged. `passthrough` must match the
+    * columns the layout was built with. An empty codes leg (the
+    * streaming bootstrap) skips the guard — nothing can be live. */
   def mergeIvfPqIndex(spark: SparkSession, path: String, fresh: DataFrame,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       m: Int = 4, subDim: Int = 16, probeDims: Int = 4,
                       passthrough: Seq[String] = Nil,
                       checkNewIds: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.col
-    val freshCodes = graft.operators.Similarity.ivfPqEncode(
+    import org.apache.spark.sql.functions.{col, lit}
+    val bootstrap = !hasParquetFiles(s"$path/codes")
+    val genCapable = bootstrap ||
+      spark.read.parquet(s"$path/codes").columns.contains("gen")
+    val (g, _) = ivfGenInfo(spark, path)
+    val encoded = graft.operators.Similarity.ivfPqEncode(
       fresh, idCol, vecCol, spark.read.parquet(s"$path/centroids"),
       m, subDim, probeDims, passthrough)
-    if (checkNewIds) {
+    val freshCodes =
+      if (genCapable) encoded.withColumn("gen", lit(g)) else encoded
+    if (!genCapable) ivfDeletes(spark, path).foreach { del =>
+      // a gen-less row cannot be stamped past a tombstone — a re-add of
+      // a deleted id would append an invisible row; fail loudly (the
+      // pre-gen stance: compact first)
+      require(del.join(freshCodes.select(col(idCol)).distinct(),
+          Seq(idCol), "left_semi").head(1).isEmpty,
+        "mergeIvfPqIndex: gen-less layout has tombstones for ids in " +
+          "this batch — compactIvfPqIndex first, or rebuild the layout " +
+          "gen-capable (writeIvfCodes) to use update semantics")
+    }
+    if (checkNewIds && !bootstrap) {
       val cached = freshCodes.cache()
       try {
         val buckets = cached.select(col("bucket")).distinct()
           .collect().map(_.getLong(0)) // bounded by the coarse k
-        require(spark.read.parquet(s"$path/codes")
+        require(liveCodes(spark, path, idCol)
             .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
             .join(cached.select(col(idCol)).distinct(), Seq(idCol),
               "left_semi").head(1).isEmpty,
-          "mergeIvfPqIndex: fresh batch contains ids already coded in " +
-            "the index — merge takes the delta split's NEW side; " +
-            "changed vectors need delete-then-compact, not a double add")
+          "mergeIvfPqIndex: fresh batch contains ids LIVE in the index " +
+            "— merge takes the delta split's NEW side; changed vectors " +
+            "need updateIvfPqIndex (or delete first), not a double add")
         cached.write.partitionBy("bucket").mode("append")
           .parquet(s"$path/codes")
       } finally cached.unpersist()
     } else freshCodes.write.partitionBy("bucket").mode("append")
       .parquet(s"$path/codes")
+    writeIvfGen(spark, path, nextGen = g + 1L, lastMergeGen = g)
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions
@@ -1033,7 +1285,6 @@ object Writers {
       s"${ProcessHandle.current().pid()}/" +
       s"${name}_${SourceKeys.dirToken(dir)}_${coarseK}_${m}_${subDim}_$probeDims"
     preparedIvfPqMerged.computeIfAbsent(path, { p =>
-      import org.apache.spark.sql.functions.{array_repeat, lit}
       val vecs = graft.Tables.load(spark, dir, name)
       val sliceA = vecs.filter(col("vec_id") % 3 =!= 2)
       val coarse = sliceA.filter(col("vec_id") < coarseK)
@@ -1041,33 +1292,13 @@ object Writers {
       val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
         sliceA, "vec_id", "embedding", coarse, "cid", "cvec",
         m, subDim, probeDims)
-      codes.write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$p/codes")
-      // ORIGIN-CENTROID FALLBACK: the intrinsic sign/abs-rank code of a
-      // FRESH vector can be one the training slice never realized — a
-      // sample-trained codebook then has no row for it and the ADC
-      // lookup would be undefined (pqAdcDense deliberately NaN-fails on
-      // impossible lookups). Pad the frozen codebook with every
-      // unrealized code value as a zero (origin) centroid — that
-      // subquantizer then contributes round(‖q_m‖², 8), the distance to
-      // an uninformative centroid: defined, conservative (unseen-code
-      // vectors rank behind well-coded ones near the query), and
-      // exactly replayable (the q174 oracle pads the same rows). The
-      // code space is bounded: (i1+4)·(2p+1) + (i2+4) over signed dim
-      // picks — padding the full (2p+1)² rectangle is harmless, extra
-      // rows are never looked up.
-      val radix = 2 * probeDims + 1
-      val pad0 = spark.range(m.toLong).select(col("id").as("m"))
-        .crossJoin(spark.range((radix * radix).toLong)
-          .select(col("id").as("code")))
-        .join(book.select(col("m"), col("code")), Seq("m", "code"),
-          "left_anti")
-        .select(col("m"), col("code"), lit(1L).as("n_vecs"),
-          array_repeat(lit(0L), subDim).as("centroid_msum"))
-      val pad = book.schema.fields.foldLeft(pad0)((d, f) =>
-        d.withColumn(f.name, col(f.name).cast(f.dataType)))
-        .select(book.columns.map(col).toIndexedSeq: _*)
-      book.unionByName(pad).write.mode("overwrite").parquet(s"$p/codebook")
+      writeIvfCodes(spark, codes, p)
+      // ORIGIN-CENTROID FALLBACK ([[padIvfPqCodebook]]): a FRESH vector
+      // can realize a code the training slice never did — pad the
+      // frozen codebook so the ADC lookup stays defined and the q174
+      // oracle can replay the same rows.
+      padIvfPqCodebook(spark, book, m, subDim, probeDims)
+        .write.mode("overwrite").parquet(s"$p/codebook")
       coarse.write.mode("overwrite").parquet(s"$p/centroids")
       mergeIvfPqIndex(spark, p, vecs.filter(col("vec_id") % 3 === 2),
         m = m, subDim = subDim, probeDims = probeDims)
@@ -1084,52 +1315,107 @@ object Writers {
   }
 
   /** FAISS `remove_ids` for the stored IVF×PQ layout, at cost
-    * ∝ |ids|: append the ids to the layout's tombstone table; probes
-    * read codes through [[liveCodes]], which anti-joins the broadcast
-    * tombstones after directory pruning. No stats to update and no
-    * generation needed — ADC ranks rows independently, so a plain id
-    * tombstone is complete. Idempotent (ids are deduplicated against
-    * the existing table; absent ids are harmless no-ops in the
-    * anti-join). Re-adding a deleted id needs [[compactIvfPqIndex]]
-    * first — the codes layout has no generation column, deliberately:
-    * vectors are immutable payloads, not upserted documents. */
+    * ∝ |ids|: append (id, del_gen = next_gen) tombstones; probes read
+    * codes through [[liveCodes]], which anti-joins the broadcast
+    * tombstones gen-aware after directory pruning — a tombstone kills
+    * only rows with `gen < del_gen`, so [[updateIvfPqIndex]]'s re-add
+    * (stamped PAST the tombstone by the merge) is visible again without
+    * any rewrite. Row-idempotent: candidate ids already behind a FULLY
+    * KILLING tombstone (del_gen > last_merge_gen — no merge since could
+    * have re-added them) are skipped; absent ids are harmless no-ops in
+    * the anti-join. [[MaxTombstoneRows]] bounds the accumulated table —
+    * every probe broadcasts it ([[deleteFromBm25Index]]'s contract). */
   def deleteFromIvfPqIndex(spark: SparkSession, path: String,
                            ids: DataFrame,
                            idCol: String = "vec_id"): Unit = {
-    import org.apache.spark.sql.functions.col
-    val cand = ids.select(col(idCol)).distinct()
-    val fresh = ivfDeletes(spark, path).fold(cand)(old =>
-      cand.join(old, Seq(idCol), "left_anti"))
-    fresh.coalesce(1) // one tombstone segment per delete batch
-      .write.mode("append").parquet(s"$path/deletes")
+    import org.apache.spark.sql.functions.{col, lit}
+    val (g, lastMerge) = ivfGenInfo(spark, path)
+    val cand = ids.select(col(idCol)).distinct().cache()
+    try {
+      val existing = ivfDeletes(spark, path)
+      val fresh = existing.fold(cand)(old =>
+        cand.join(old.filter(col("del_gen") > lastMerge).select(col(idCol)),
+          Seq(idCol), "left_anti"))
+      val freshCnt = fresh.count()
+      if (freshCnt == 0L) return // all candidates already fully killed
+      val total = existing.map(_.count()).getOrElse(0L) + freshCnt
+      require(total <= MaxTombstoneRows,
+        s"deleteFromIvfPqIndex: $total tombstone rows would exceed " +
+          s"MaxTombstoneRows=$MaxTombstoneRows — run compactIvfPqIndex " +
+          "(or maintainIvfPqIndex) first")
+      fresh.select(col(idCol), lit(g).as("del_gen"))
+        .coalesce(1) // one tombstone segment per delete batch
+        .write.mode("append").parquet(s"$path/deletes")
+      writeIvfGen(spark, path, nextGen = g + 1L, lastMergeGen = lastMerge)
+    } finally cand.unpersist()
   }
 
   /** Probe-side codes view of a stored IVF×PQ layout: the codes table
-    * with tombstoned rows dropped (broadcast anti-join — bounded
-    * between compactions), identity when no delete ever ran. The
-    * probed-bucket partition filter applied downstream
-    * (ivfPqSearchStored) pushes through the anti-join's left side, so
-    * directory pruning survives deletion (PlanLint pins q178). */
+    * with tombstoned rows dropped (gen-aware broadcast anti-join —
+    * bounded between compactions), identity when no delete ever ran.
+    * Gen-less dev layouts read as gen 0, so a plain tombstone kills
+    * every version — their historical semantics. The probed-bucket
+    * partition filter applied downstream (ivfPqSearchStored) pushes
+    * through the anti-join's left side, so directory pruning survives
+    * deletion (PlanLint pins q178). */
   def liveCodes(spark: SparkSession, path: String,
                 idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val codes = spark.read.parquet(s"$path/codes")
-    ivfDeletes(spark, path).fold(codes)(d =>
-      codes.join(broadcast(d), Seq(idCol), "left_anti"))
+    ivfDeletes(spark, path).fold(codes) { d =>
+      val rows = if (codes.columns.contains("gen")) codes
+                 else codes.withColumn("gen", lit(0L))
+      val t = d.select(col(idCol).as("__del_id"),
+        col("del_gen").as("__del_gen"))
+      rows.join(broadcast(t),
+        rows(idCol) === t("__del_id") && rows("gen") < t("__del_gen"),
+        "left_anti")
+    }
   }
 
   /** Fold IVF×PQ tombstones into the physical codes layout (one file
-    * per bucket directory — the [[compactBm25Index]] protocol) and
-    * drop the tombstone table. Visibility identical before and after;
-    * post-compaction probes plan no tombstone scan. */
+    * per bucket directory — the [[compactBm25Index]] staged-swap
+    * protocol) and drop the tombstone table. Visibility identical
+    * before and after; post-compaction probes plan no tombstone scan.
+    * The gen sidecar is KEPT — generations stay monotone across
+    * compactions, so replayed CDC epochs never collide. */
   def compactIvfPqIndex(spark: SparkSession, path: String,
                         idCol: String = "vec_id"): Unit = {
     import org.apache.spark.sql.functions.col
-    val live = liveCodes(spark, path, idCol)
-      .repartition(col("bucket")).localCheckpoint()
-    live.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/codes")
+    swapInStaged(s"$path/codes") { staged =>
+      liveCodes(spark, path, idCol).repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    }
     removeDir(s"$path/deletes")
+  }
+
+  /** UPDATE on the stored IVF×PQ layout — the reference's `ON CONFLICT
+    * DO UPDATE` (src/storage.py:41-53) on the vector leg, q180's
+    * generation discipline for vectors (VERDICT r17 #4): tombstone the
+    * changed ids ([[deleteFromIvfPqIndex]]), then re-encode the changed
+    * vectors against the FROZEN codebook/centroids and append them
+    * stamped past the tombstone ([[mergeIvfPqIndex]]). Both steps ∝
+    * the changed batch; probes see exactly one — the new — version of
+    * every updated vector (q184's oracle replays a from-scratch encode
+    * over the updated corpus with the same frozen artifacts). Requires
+    * a gen-capable layout ([[writeIvfCodes]] and the ensure* builders
+    * write one) — without per-row gens a re-add cannot outlive its
+    * tombstone. NOTE the codebook must cover the codes the changed
+    * vectors realize ([[padIvfPqCodebook]] at build time guarantees
+    * that for ANY future vector). */
+  def updateIvfPqIndex(spark: SparkSession, path: String, changed: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       m: Int = 4, subDim: Int = 16, probeDims: Int = 4,
+                       passthrough: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(!hasParquetFiles(s"$path/codes") ||
+        spark.read.parquet(s"$path/codes").columns.contains("gen"),
+      "updateIvfPqIndex needs a gen-capable layout (per-row gen stamps " +
+        "— rebuild with writeIvfCodes / the ensure* builders); a " +
+        "gen-less layout routes changes as delete -> compact -> merge")
+    deleteFromIvfPqIndex(spark, path, changed.select(col(idCol)), idCol)
+    mergeIvfPqIndex(spark, path, changed, idCol, vecCol, m, subDim,
+      probeDims, passthrough)
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions
@@ -1160,14 +1446,105 @@ object Writers {
       val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
         vecs, "vec_id", "embedding", coarse, "cid", "cvec",
         m, subDim, probeDims, passthrough = Seq("label"))
-      codes.write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$p/codes")
+      writeIvfCodes(spark, codes, p)
       book.write.mode("overwrite").parquet(s"$p/codebook")
       coarse.write.mode("overwrite").parquet(s"$p/centroids")
       deleteFromIvfPqIndex(spark, p,
         vecs.filter(col("vec_id") % 5 === 2).select(col("vec_id")))
       p
     })
+  }
+
+  // computeIfAbsent map, same race rationale as preparedPartitions
+  private val preparedIvfPqUpdated =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** UPDATE = delete + re-merge on the VECTOR serving layout — q184's
+    * artifact, [[ensureBm25IndexUpdated]]'s stance for embeddings
+    * (VERDICT r17 #4, the verb×layout matrix's last hole): build the
+    * full gen-capable layout with a PADDED codebook (an updated vector
+    * may realize codes the build corpus never did — the q174 fallback),
+    * then [[updateIvfPqIndex]] the vec_id%5=4 vectors with their
+    * CHANGED versions — `reverse(embedding)` (exact float re-ordering:
+    * both engines replay it bit-for-bit; the vector analog of q180's
+    * `text + " fresh join"`). The codebook and centroids stay FROZEN as
+    * built over the ORIGINAL corpus (vec_id 4 < coarseK keeps routing
+    * on its OLD vector — FAISS semantics, q178's "deleted centroid"
+    * stance applied to update). A probe must equal a from-scratch
+    * encode of the UPDATED corpus against the same frozen artifacts
+    * (q184's oracle). Written AT MOST ONCE per (JVM, corpus dir,
+    * params). */
+  def ensureIvfPqIndexUpdated(spark: SparkSession, dir: String,
+                              name: String = "embeddings", coarseK: Int = 8,
+                              m: Int = 4, subDim: Int = 16,
+                              probeDims: Int = 4): String = {
+    import org.apache.spark.sql.functions.{col, reverse}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-updated-" +
+      s"${ProcessHandle.current().pid()}/" +
+      s"${name}_${SourceKeys.dirToken(dir)}_${coarseK}_${m}_${subDim}_$probeDims"
+    preparedIvfPqUpdated.computeIfAbsent(path, { p =>
+      val vecs = graft.Tables.load(spark, dir, name)
+      val coarse = vecs.filter(col("vec_id") < coarseK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val (codes, book) = graft.operators.Similarity.ivfPqIndexTables(
+        vecs, "vec_id", "embedding", coarse, "cid", "cvec",
+        m, subDim, probeDims)
+      writeIvfCodes(spark, codes, p)
+      padIvfPqCodebook(spark, book, m, subDim, probeDims)
+        .write.mode("overwrite").parquet(s"$p/codebook")
+      coarse.write.mode("overwrite").parquet(s"$p/centroids")
+      updateIvfPqIndex(spark, p,
+        vecs.filter(col("vec_id") % 5 === 4)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        m = m, subDim = subDim, probeDims = probeDims)
+      p
+    })
+  }
+
+  /** Health snapshot of a stored IVF×PQ layout — [[describeBm25Index]]
+    * for the vector leg: total stored code-row versions (parquet footer
+    * counts), tombstone rows, the generation counters, and the worst
+    * per-bucket segment-file count. `tombstoneFraction` approximates
+    * the dead-row fraction (each tombstone kills the versions behind
+    * it — exactly one in the common single-version case) and, more to
+    * the point, prices what every probe actually pays: the broadcast
+    * anti-join's build side. Everything is metadata-priced. */
+  final case class IvfPqIndexInfo(codesRows: Long, tombstoneRows: Long,
+                                  nextGen: Long, lastMergeGen: Long,
+                                  bucketDirs: Int, maxFilesPerDir: Int) {
+    def tombstoneFraction: Double =
+      if (codesRows == 0L) 0.0 else tombstoneRows.toDouble / codesRows
+  }
+
+  /** Compute [[IvfPqIndexInfo]] for the layout at `path`. */
+  def describeIvfPqIndex(spark: SparkSession,
+                         path: String): IvfPqIndexInfo = {
+    val rows =
+      if (hasParquetFiles(s"$path/codes"))
+        spark.read.parquet(s"$path/codes").count() // footer metadata
+      else 0L
+    val tomb = ivfDeletes(spark, path).map(_.count()).getOrElse(0L)
+    val (nextGen, lastMerge) = ivfGenInfo(spark, path)
+    val (dirs, maxFiles) = partDirStats(s"$path/codes", "bucket=")
+    IvfPqIndexInfo(rows, tomb, nextGen, lastMerge, dirs, maxFiles)
+  }
+
+  /** Policy-driven maintenance of an IVF×PQ layout — the
+    * [[maintainBm25Index]] analog: [[compactIvfPqIndex]] fires iff the
+    * tombstone fraction exceeds `maxTombstoneFraction` (every tombstone
+    * is a broadcast-anti-join row on every probe AND a dead stored
+    * version awaiting fold-in) OR any bucket directory holds more than
+    * `maxFilesPerDir` append segments. Returns true iff a compaction
+    * ran; the decision reads only metadata. */
+  def maintainIvfPqIndex(spark: SparkSession, path: String,
+                         idCol: String = "vec_id",
+                         maxTombstoneFraction: Double = 0.2,
+                         maxFilesPerDir: Int = 8): Boolean = {
+    val info = describeIvfPqIndex(spark, path)
+    val due = info.tombstoneFraction > maxTombstoneFraction ||
+      info.maxFilesPerDir > maxFilesPerDir
+    if (due) compactIvfPqIndex(spark, path, idCol)
+    due
   }
 
   // computeIfAbsent map, same race rationale as preparedPartitions
@@ -1206,8 +1583,7 @@ object Writers {
       val (codes, book) = Similarity.ivfPqIndexTables(
         vecs, "vec_id", "embedding", coarse, "cid", "cvec",
         m, subDim, probeDims)
-      codes.write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$p/codes")
+      writeIvfCodes(spark, codes, p)
       book.write.mode("overwrite").parquet(s"$p/codebook")
       coarse.write.mode("overwrite").parquet(s"$p/centroids")
       p

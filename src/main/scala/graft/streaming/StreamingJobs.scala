@@ -1417,8 +1417,13 @@ object StreamingJobs {
       require(bad == 0L,
         s"bm25MaintenanceSink: $bad rows with unknown op in epoch " +
           s"$epochId — ops must be add | update | delete")
+      // allowEmpty: an epoch whose ops cover the ENTIRE live set (a
+      // full refresh) transits the layout through empty between the
+      // delete and the merge — a valid CDC state, never a dead end
+      // (the merge's additive stats bootstrap from the empty shape;
+      // ADVICE r17)
       graft.sources.Writers.deleteFromBm25Index(spark, indexPath,
-        cached.select(col("doc_id")))
+        cached.select(col("doc_id")), allowEmpty = true)
       graft.sources.Writers.mergeBm25Index(spark, indexPath,
         cached.filter(col("op") =!= "delete")
           .select(col("doc_id"), col("text")))
@@ -1431,6 +1436,87 @@ object StreamingJobs {
         inputRows = cached.count(),
         flagged = cached.filter(col("op") === "delete").count(),
         flaggedKind = "docs_deleted")
+    } finally cached.unpersist()
+  }
+
+  /** Streaming MAINTENANCE of the stored IVF×PQ SERVING layout — the
+    * [[bm25MaintenanceSink]] contract on the VECTOR leg (VERDICT r17
+    * #6, closing the verb×layout×stream matrix): each epoch carries
+    * (op, vec_id, embedding) rows with op ∈ add | update | delete,
+    * routed at cost ∝ the epoch against FROZEN codebook/centroid
+    * artifacts (the FAISS train-before-stream contract — the layout's
+    * codebook and centroids must exist before the first epoch; the
+    * codes leg may start EMPTY, the supported bootstrap):
+    *  1. every referenced id is tombstoned
+    *     ([[graft.sources.Writers.deleteFromIvfPqIndex]] — deletes
+    *     proper, the delete half of updates, and kill-nothing stamps
+    *     for brand-new ids, which the vector leg cannot distinguish
+    *     cheaply: codes are bucket-partitioned, there is no id-pruned
+    *     leg to probe — the tombstone is harmless and compacted away);
+    *  2. add/update rows re-encode against the frozen artifacts and
+    *     merge in stamped past their tombstones
+    *     ([[graft.sources.Writers.mergeIvfPqIndex]] — the q184
+    *     generation discipline).
+    * Each epoch writes the probe's post-CDC ANN top-k to
+    * `outDir/epoch=N` — StreamingSpec pins every horizon ≡ a
+    * from-scratch encode over the post-CDC corpus with the same frozen
+    * artifacts, last-epoch replay content-idempotence, and the
+    * empty-codes bootstrap. Same at-least-once/torn-write caveat as
+    * the BM25 sink (production: table-format MERGE INTO). */
+  def ivfPqMaintenanceSink(ops: DataFrame, indexPath: String, outDir: String,
+                           probeVec: Seq[Double], nprobe: Int = 3,
+                           k: Int = 20, m: Int = 4, subDim: Int = 16,
+                           probeDims: Int = 4): DataStreamWriter[Row] =
+    ops.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ivfPqMaintenanceBatch(batch, epochId, indexPath, outDir, probeVec,
+          nprobe, k, m, subDim, probeDims)
+      }
+
+  /** One epoch of [[ivfPqMaintenanceSink]], exposed for replay testing. */
+  def ivfPqMaintenanceBatch(batch: DataFrame, epochId: Long,
+                            indexPath: String, outDir: String,
+                            probeVec: Seq[Double], nprobe: Int = 3,
+                            k: Int = 20, m: Int = 4, subDim: Int = 16,
+                            probeDims: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.select(col("op"), col("vec_id"), col("embedding"))
+      .cache()
+    try {
+      val bad = cached
+        .filter(!col("op").isin("add", "update", "delete")).count()
+      require(bad == 0L,
+        s"ivfPqMaintenanceSink: $bad rows with unknown op in epoch " +
+          s"$epochId — ops must be add | update | delete")
+      graft.sources.Writers.deleteFromIvfPqIndex(spark, indexPath,
+        cached.select(col("vec_id")))
+      val upserts = cached.filter(col("op") =!= "delete")
+        .select(col("vec_id"), col("embedding"))
+      // an all-delete epoch merges nothing — skip the verb rather than
+      // advance the generation counter for an empty batch (keeps
+      // re-delete row-idempotence intact across such epochs)
+      if (upserts.limit(1).count() > 0)
+        graft.sources.Writers.mergeIvfPqIndex(spark, indexPath, upserts,
+          m = m, subDim = subDim, probeDims = probeDims)
+      val probed =
+        if (graft.sources.Writers.hasParquetFiles(s"$indexPath/codes")) {
+          val query = spark.range(1).select(
+            array(probeVec.map(v => lit(v.toFloat)): _*).as("qvec"))
+          graft.operators.Similarity.ivfPqSearchStored(
+            graft.sources.Writers.liveCodes(spark, indexPath),
+            spark.read.parquet(s"$indexPath/codebook"),
+            spark.read.parquet(s"$indexPath/centroids"),
+            "vec_id", query, "qvec", nprobe, k, m, subDim, probeDims)
+        } else // all-delete epoch emptied the layout: schema-stable empty
+          spark.range(0).select(col("id").as("vec_id"),
+            lit(0.0).as("adist"))
+      probed.coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      writeEpochMetricsStateless(spark, outDir, epochId,
+        inputRows = cached.count(),
+        flagged = cached.filter(col("op") === "delete").count(),
+        flaggedKind = "vecs_deleted")
     } finally cached.unpersist()
   }
 

@@ -658,6 +658,28 @@ class PlanLintSpec extends AnyFunSuite {
       s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
   }
 
+  // updated ANN probe (q180's generation discipline on vectors): q178's
+  // exact tombstoned shape — pruned codes scan + bounded tombstone
+  // scan, zero exchanges, the gen residual riding the same broadcast
+  // anti-join; bucket PartitionFilters must survive both the anti-join
+  // AND the update lifecycle's appended bucket files
+  assertScanBudget("q184_ivfpq_index_update", 2)
+  assertShuffleBudget("q184_ivfpq_index_update", 0)
+  test("q184_ivfpq_index_update keeps bucket PartitionFilters under " +
+    "the gen-aware tombstone anti-join (pruning survives update)") {
+    System.setProperty(graft.queries.Q.NoOrderProp, "true")
+    val plan =
+      try SparkEntry.queries("q184_ivfpq_index_update")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      finally System.clearProperty(graft.queries.Q.NoOrderProp)
+    val pfs = plan.split("PartitionFilters: ").drop(1)
+      .map(_.takeWhile(_ != ']'))
+    assert(pfs.exists(_.contains("bucket")),
+      s"bucket did not prune at the partition level:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone visibility is not a broadcast hash anti-join:\n$plan")
+  }
+
   test("q169_bm25_stored prunes token directories " +
     "(PartitionFilters on tok_part — probe IO tracks the terms' " +
     "posting mass, never corpus text)") {

@@ -731,6 +731,33 @@ class SourcesSpec extends AnyFunSuite {
         big, "qid", "qvec", nprobe = 3, k = 10)
     }
     assert(ex.getMessage.contains("BOUNDED"))
+    // the chunked wrapper serves batches ABOVE the codegen cap: with
+    // chunkSize=2 the 3-qid batch splits into 2 chunks whose union must
+    // BE the unchunked answer (per-qid results are chunk-independent)
+    val chunked = Similarity.ivfPqSearchStoredBatchChunked(
+        codes, book, cents, "vec_id", queries, "qid", "qvec",
+        nprobe = 3, k = 10, chunkSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chunked == batch, "chunked != unchunked batch")
+    // an over-cap batch that the raw form rejects is served chunked —
+    // every distinct qid comes back with its head
+    val big2 = vecs.limit(Similarity.MaxStoredMiningBatch + 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val bigChunked = Similarity.ivfPqSearchStoredBatchChunked(
+        codes, book, cents, "vec_id", big2, "qid", "qvec",
+        nprobe = 3, k = 10)
+    assert(bigChunked.select(col("qid")).distinct().count() ==
+      big2.select(col("qid")).distinct().count())
+    // ...but the driver-priced ceiling still holds
+    val exBig = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchStoredBatchChunked(codes, book, cents,
+        "vec_id",
+        spark.range(Similarity.MaxChunkedBatch + 1)
+          .select(col("id").as("qid"),
+            lit(null).cast("array<float>").as("qvec")),
+        "qid", "qvec", nprobe = 3, k = 10)
+    }
+    assert(exBig.getMessage.contains("driver-priced"))
   }
 
   test("deleteFromPostings: tombstoned phrase probe equals the live form " +
@@ -821,6 +848,190 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$p/codes")
       .filter(col("vec_id") % 5 === 2).count() == 0)
     assert(probe() == after, "compaction moved a stored-probe result")
+  }
+
+  test("updateIvfPqIndex: the probe serves exactly one — the new — " +
+    "version of every updated vector (visible codes equal a " +
+    "from-scratch encode of the UPDATED corpus against the frozen " +
+    "artifacts), a later delete kills the updated version, and " +
+    "gen-less layouts are refused") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val p = tmp("ivfupd")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    Writers.writeIvfCodes(spark, codes, p)
+    Writers.padIvfPqCodebook(spark, book, 4, 16, 4)
+      .write.mode("overwrite").parquet(s"$p/codebook")
+    coarse.write.mode("overwrite").parquet(s"$p/centroids")
+    val changed = vecs.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    Writers.updateIvfPqIndex(spark, p, changed)
+    val visible = Writers.liveCodes(spark, p)
+      .select("vec_id", "codes", "bucket")
+    val updatedCorpus = vecs.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("embedding")).unionByName(changed)
+    val expected = Similarity.ivfPqEncode(
+      updatedCorpus, "vec_id", "embedding",
+      spark.read.parquet(s"$p/centroids"))
+      .select("vec_id", "codes", "bucket")
+    assert(visible.count() == vecs.count(),
+      "update changed the visible cardinality")
+    assert(visible.exceptAll(expected).isEmpty &&
+      expected.exceptAll(visible).isEmpty,
+      "visible codes != frozen-artifact encode of the updated corpus")
+    // exactly ONE visible version per updated id (the gen anti-join
+    // must kill the build-time version)
+    assert(visible.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).isEmpty,
+      "an updated id is visible more than once")
+    // a delete AFTER the update must kill the NEW version too (the
+    // re-delete appends a fresh tombstone past the merged gen)
+    Writers.deleteFromIvfPqIndex(spark, p, Seq(4L).toDF("vec_id"))
+    assert(Writers.liveCodes(spark, p)
+      .filter(col("vec_id") === 4).isEmpty,
+      "delete-after-update left the updated version visible")
+    // gen-less layouts cannot express update — refused loudly
+    val pLegacy = tmp("ivfupdlegacy")
+    codes.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$pLegacy/codes")
+    coarse.write.mode("overwrite").parquet(s"$pLegacy/centroids")
+    val ex = intercept[IllegalArgumentException] {
+      Writers.updateIvfPqIndex(spark, pLegacy, changed)
+    }
+    assert(ex.getMessage.contains("gen-capable"))
+  }
+
+  test("describePostings / maintainPostings: metadata-priced policy — " +
+    "segment-count and tombstone triggers fire, healthy layouts are " +
+    "no-ops, compaction clears the debt") {
+    import graft.operators.Retrieval
+    val dir = "/root/testdata/sf0.001"
+    val p = tmp("postmaint")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    def postRows(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.invertedIndex(
+        d.select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks")),
+        "doc_id", col("toks"))
+        .withColumn("tok_part", Writers.tokenPart(col("token")))
+    postRows(docs.filter(col("doc_id") % 3 =!= 2))
+      .repartition(col("tok_part"))
+      .write.partitionBy("tok_part").mode("overwrite").parquet(p)
+    Writers.mergePostings(spark, p, docs.filter(col("doc_id") % 3 === 2))
+    val i0 = Writers.describePostings(spark, p)
+    assert(i0.postingRows > 0 && i0.tombstoneRows == 0 && i0.dirs > 0)
+    assert(i0.maxFilesPerDir >= 2,
+      "the merge should have appended a segment file")
+    assert(!Writers.maintainPostings(spark, p, maxTombstones = 1024,
+      maxFilesPerDir = 8))
+    // segment-count trigger fires and folds to one file per directory
+    assert(Writers.maintainPostings(spark, p, maxFilesPerDir = 1))
+    val i1 = Writers.describePostings(spark, p)
+    assert(i1.maxFilesPerDir == 1 && i1.postingRows == i0.postingRows,
+      "compaction must be row-identical")
+    // tombstone trigger: > maxTombstones fires, == stays a no-op
+    Writers.deleteFromPostings(spark, p,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    val nT = Writers.describePostings(spark, p).tombstoneRows
+    assert(nT > 0)
+    assert(!Writers.maintainPostings(spark, p, maxTombstones = nT))
+    assert(Writers.maintainPostings(spark, p, maxTombstones = nT - 1))
+    val i2 = Writers.describePostings(spark, p)
+    assert(i2.tombstoneRows == 0 && i2.postingRows < i1.postingRows)
+    // the accumulated-tombstone bound is enforced, not assumed
+    val ex = intercept[IllegalArgumentException] {
+      Writers.deleteFromPostings(spark, p,
+        spark.range(Writers.MaxTombstoneRows + 1)
+          .select(col("id").as("doc_id")))
+    }
+    assert(ex.getMessage.contains("MaxTombstoneRows"))
+  }
+
+  test("describeIvfPqIndex / maintainIvfPqIndex: metadata-priced policy " +
+    "— tombstone-fraction and segment-count triggers fire, compaction " +
+    "clears the debt, the tombstone bound is enforced") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val p = tmp("ivfmaint")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      vecs.filter(col("vec_id") % 3 =!= 2), "vec_id", "embedding",
+      coarse, "cid", "cvec", 4, 16, 4)
+    Writers.writeIvfCodes(spark, codes, p)
+    Writers.padIvfPqCodebook(spark, book, 4, 16, 4)
+      .write.mode("overwrite").parquet(s"$p/codebook")
+    coarse.write.mode("overwrite").parquet(s"$p/centroids")
+    Writers.mergeIvfPqIndex(spark, p,
+      vecs.filter(col("vec_id") % 3 === 2))
+    val i0 = Writers.describeIvfPqIndex(spark, p)
+    assert(i0.codesRows == vecs.count() && i0.tombstoneRows == 0 &&
+      i0.tombstoneFraction == 0.0 && i0.lastMergeGen == 1 &&
+      i0.nextGen == 2)
+    assert(i0.maxFilesPerDir >= 2,
+      "the merge should have appended a segment file")
+    assert(!Writers.maintainIvfPqIndex(spark, p, maxFilesPerDir = 8))
+    assert(Writers.maintainIvfPqIndex(spark, p, maxFilesPerDir = 1))
+    assert(Writers.describeIvfPqIndex(spark, p).maxFilesPerDir == 1)
+    // tombstone-fraction trigger
+    Writers.deleteFromIvfPqIndex(spark, p,
+      vecs.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+    val i1 = Writers.describeIvfPqIndex(spark, p)
+    assert(i1.tombstoneRows > 0 && i1.tombstoneFraction > 0.2)
+    assert(!Writers.maintainIvfPqIndex(spark, p,
+      maxTombstoneFraction = 0.9))
+    assert(Writers.maintainIvfPqIndex(spark, p,
+      maxTombstoneFraction = 0.2))
+    val i2 = Writers.describeIvfPqIndex(spark, p)
+    assert(i2.tombstoneRows == 0 && i2.codesRows < i1.codesRows &&
+      i2.nextGen == i1.nextGen,
+      "compaction must fold tombstones and keep the gen counter")
+    val ex = intercept[IllegalArgumentException] {
+      Writers.deleteFromIvfPqIndex(spark, p,
+        spark.range(Writers.MaxTombstoneRows + 1)
+          .select(col("id").as("vec_id")))
+    }
+    assert(ex.getMessage.contains("MaxTombstoneRows"))
+  }
+
+  test("deleteFromBm25Index allowEmpty: a layout may TRANSIT through " +
+    "empty (the bootstrap stats shape) and a merge re-populates it; " +
+    "the default still refuses to empty") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+    ).toDF("doc_id", "text")
+    val p = tmp("bm25empty")
+    Writers.writeBm25Index(docs, p)
+    val ex = intercept[IllegalArgumentException] {
+      Writers.deleteFromBm25Index(spark, p, docs.select(col("doc_id")))
+    }
+    assert(ex.getMessage.contains("allowEmpty"))
+    assert(Writers.deleteFromBm25Index(spark, p, docs.select(col("doc_id")),
+      allowEmpty = true) == 2L)
+    val st = spark.read.parquet(s"$p/stats").head()
+    assert(st.getAs[Long]("n_docs") == 0L && st.isNullAt(
+      st.fieldIndex("avgdl")) && st.isNullAt(st.fieldIndex("sum_dl")),
+      "emptied stats must match the zero-doc bootstrap shape")
+    // the additive merge bootstraps straight out of the emptied state
+    Writers.mergeBm25Index(spark, p, Seq((9L, "alpha beta")).toDF(
+      "doc_id", "text"))
+    val terms = Seq("alpha", "beta")
+    val ref = tmp("bm25emptyref")
+    Writers.writeBm25Index(Seq((9L, "alpha beta")).toDF("doc_id", "text"),
+      ref)
+    def probe(path: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, path, terms),
+        spark.read.parquet(s"$path/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(p) == probe(ref) && probe(p).nonEmpty,
+      "merge over the emptied layout != fresh build over the new corpus")
   }
 
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {

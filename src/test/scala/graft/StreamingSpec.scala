@@ -1647,4 +1647,112 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("unknown op"))
   }
+
+  test("bm25MaintenanceBatch: a full-refresh epoch (ops cover the whole " +
+    "live set) transits the layout through empty and repopulates it") {
+    import graft.operators.Retrieval
+    import graft.sources.Writers
+    val idx = java.nio.file.Files.createTempDirectory("bm25cdcfull").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bm25cdcfullout").toString
+    val terms = Seq("alpha", "beta")
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha beta", 1L -> "beta beta").toDF("doc_id", "text"), idx)
+    // epoch 0 updates EVERY live doc — the delete half empties the
+    // index mid-epoch (allowEmpty), the merge half rebuilds it
+    StreamingJobs.bm25MaintenanceBatch(
+      Seq(("update", 0L, "alpha alpha"), ("update", 1L, "beta alpha"))
+        .toDF("op", "doc_id", "text"), 0, idx, outDir, terms)
+    val ref = java.nio.file.Files.createTempDirectory("bm25cdcfullref").toString
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha alpha", 1L -> "beta alpha").toDF("doc_id", "text"),
+      ref)
+    def probe(p: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, p, terms),
+        spark.read.parquet(s"$p/stats"), "doc_id", terms)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe(idx).nonEmpty && probe(idx) == probe(ref),
+      "full-refresh epoch != from-scratch build over the refreshed corpus")
+  }
+
+  test("ivfPqMaintenanceBatch: CDC epochs (add/update/delete) drive the " +
+    "VECTOR serving layout — every horizon equals a from-scratch encode " +
+    "over the post-CDC corpus against the FROZEN artifacts, replay of " +
+    "the last epoch is content-idempotent, the codes leg bootstraps " +
+    "from empty, unknown ops fail loudly") {
+    import graft.operators.Similarity
+    import graft.sources.Writers
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivfcdc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ivfcdcout").toString
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // FAISS train-before-stream: frozen artifacts exist, codes leg EMPTY
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (_, book) = Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    Writers.padIvfPqCodebook(spark, book, 4, 16, 4)
+      .write.mode("overwrite").parquet(s"$idx/codebook")
+    coarse.write.mode("overwrite").parquet(s"$idx/centroids")
+    val probeVec = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    def run(e: Long, ops: org.apache.spark.sql.DataFrame): Unit =
+      StreamingJobs.ivfPqMaintenanceBatch(ops, e, idx, outDir, probeVec)
+    def emitted(e: Long): Set[(Long, Double)] =
+      spark.read.parquet(s"$outDir/epoch=$e")
+        .select(col("vec_id"), col("adist"))
+        .as[(Long, Double)].collect().toSet
+    def fromScratch(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      Similarity.ivfPqSearchStored(
+        Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+          spark.read.parquet(s"$idx/centroids")),
+        spark.read.parquet(s"$idx/codebook"),
+        spark.read.parquet(s"$idx/centroids"),
+        "vec_id",
+        vecs.filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+        .as[(Long, Double)].collect().toSet
+    // epoch 0 bootstraps the empty codes leg with the %3=0 slice
+    val slice0 = vecs.filter(col("vec_id") % 3 === 0)
+    run(0, slice0.select(lit("add").as("op"), col("vec_id"),
+      col("embedding")))
+    assert(emitted(0).nonEmpty && emitted(0) == fromScratch(slice0))
+    // epoch 1: add the %3=1 slice, update the ODD half of slice 0 to
+    // REVERSED vectors, delete slice 0's %9=0 ids (even — disjoint
+    // from the updates: an id carrying both ops in one epoch is a
+    // producer bug the contract does not order)
+    val adds = vecs.filter(col("vec_id") % 3 === 1)
+      .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+    val updates = vecs.filter(col("vec_id") % 3 === 0 &&
+        col("vec_id") % 2 === 1)
+      .select(lit("update").as("op"), col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val dels = vecs.filter(col("vec_id") % 9 === 0 &&
+        col("vec_id") % 2 === 0)
+      .select(lit("delete").as("op"), col("vec_id"),
+        col("embedding"))
+    val e1 = adds.unionByName(updates).unionByName(dels)
+    run(1, e1)
+    val horizon1 = fromScratch(
+      vecs.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0 &&
+          col("vec_id") % 9 =!= 0)
+        .unionByName(vecs.filter(col("vec_id") % 3 === 1))
+        .unionByName(vecs.filter(col("vec_id") % 3 === 0 &&
+            col("vec_id") % 2 === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"))))
+    assert(emitted(1) == horizon1)
+    // at-least-once replay of the LAST epoch: content-idempotent
+    run(1, e1)
+    assert(emitted(1) == horizon1)
+    // metrics sidecar names the vector-leg counter
+    val m = spark.read.parquet(s"$outDir/_metrics/epoch=1").collect().head
+    assert(m.getAs[String]("flagged_kind") == "vecs_deleted")
+    // unknown ops fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      run(2, vecs.limit(1).select(lit("upsert").as("op"), col("vec_id"),
+        col("embedding")))
+    }
+    assert(ex.getMessage.contains("unknown op"))
+  }
 }
