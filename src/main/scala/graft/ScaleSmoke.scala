@@ -513,6 +513,63 @@ object ScaleSmoke {
       }
     }
 
+    // q180's update-vs-rebuild A/B: REPLACE the 10% changed slice in a
+    // full index (tombstone + re-merge stamped past the tombstones —
+    // both halves ∝ the changed batch) vs rebuilding the UPDATED corpus
+    // from scratch. The describe arm prices the maintenance-policy
+    // decision (maintainBm25Index's input) — parquet footer counts +
+    // a driver listing, which must stay near-flat as the corpus grows.
+    // Each update pass gets an untimed fresh full base.
+    if (stageActive("bm25-update")) {
+      val docsAll = bigDocsOrdered.select(col("doc_id"), col("text"))
+      val changed = docsAll.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" fresh join")).as("text"))
+      timeBest("bm25-update-rebuild", passes = 2) {
+        graft.sources.Writers.writeBm25Index(
+          docsAll.filter(col("doc_id") % 10 =!= 0).unionByName(changed),
+          s"$scratch/bm25_updreb_x$mult")
+        spark.read.parquet(s"$scratch/bm25_updreb_x$mult/stats")
+          .head().getLong(0)
+      }
+      var best = Double.MaxValue
+      val updPath = s"$scratch/bm25_upd_x$mult"
+      (0 until 2).foreach { _ =>
+        graft.sources.Writers.writeBm25Index(docsAll, updPath) // untimed base
+        val t0 = System.nanoTime()
+        graft.sources.Writers.deleteFromBm25Index(spark, updPath,
+          changed.select(col("doc_id")))
+        graft.sources.Writers.mergeBm25Index(spark, updPath, changed,
+          checkNewDocIds = false) // Delta-routed framing; guard priced above
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      durations("bm25-update-inplace") = best
+      println(f"[scale] bm25-update-inplace   $best%7.2f s (best of 2)")
+      // the 1% batch arm: an update batch is normally SMALL relative to
+      // the corpus — in-place cost ∝ batch shrinks with it while the
+      // rebuild arm stays corpus-proportional (the 10% arm above sits
+      // near the fixed per-job overhead floor at this toy corpus size,
+      // where chaining two verbs' jobs ≈ one rebuild's shuffles)
+      val changedSmall = docsAll.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" fresh join")).as("text"))
+      var bestS = Double.MaxValue
+      (0 until 2).foreach { _ =>
+        graft.sources.Writers.writeBm25Index(docsAll, updPath) // untimed base
+        val t0 = System.nanoTime()
+        graft.sources.Writers.deleteFromBm25Index(spark, updPath,
+          changedSmall.select(col("doc_id")))
+        graft.sources.Writers.mergeBm25Index(spark, updPath, changedSmall,
+          checkNewDocIds = false)
+        bestS = math.min(bestS, (System.nanoTime() - t0) / 1e9)
+      }
+      durations("bm25-update-small") = bestS
+      println(f"[scale] bm25-update-small    $bestS%7.2f s (best of 2)")
+      time("bm25-describe") {
+        graft.sources.Writers.describeBm25Index(spark, updPath).doclenRows
+      }
+    }
+
     time("phrase-merge") {
       // q148+q149 at N×: collocation learning is two map+agg passes into
       // VOCAB-bounded count tables (vocabulary fixed as the corpus
@@ -1318,6 +1375,55 @@ object ScaleSmoke {
       time("ivfpq-delete-compact") {
         graft.sources.Writers.compactIvfPqIndex(spark, delPath)
         spark.read.parquet(s"$delPath/codes").count()
+      }
+    }
+
+    // q184's update-vs-rebuild A/B on the VECTOR leg: replace the 10%
+    // changed vectors (reversed — new buckets, new codes) via
+    // tombstone + frozen-codebook re-encode vs re-coding and rewriting
+    // the whole updated corpus. The update arm's cost ∝ the changed
+    // batch (one map-only encode + bucket-directory appends + a
+    // one-task tombstone write); the rebuild re-encodes everything.
+    // Each pass gets an untimed fresh gen-capable padded base.
+    if (stageActive("ivfpq-update")) {
+      val mSub = vecDim / 4
+      val pDims = math.min(4, vecDim / 4)
+      val coarseU = vecBase.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val changed = bigVecs.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      timeBest("ivfpq-update-rebuild", passes = 2) {
+        val upd = bigVecs.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding")).unionByName(changed)
+        val (codes, book) = operators.Similarity.ivfPqIndexTables(
+          upd, "vec_id", "embedding", coarseU, "cid", "cvec",
+          m = 4, subDim = mSub, probeDims = pDims)
+        graft.sources.Writers.writeIvfCodes(spark, codes,
+          s"$scratch/ivfpq_updreb_x$mult")
+        book.write.mode("overwrite")
+          .parquet(s"$scratch/ivfpq_updreb_x$mult/codebook")
+        spark.read.parquet(s"$scratch/ivfpq_updreb_x$mult/codes").count()
+      }
+      var best = Double.MaxValue
+      val updPath = s"$scratch/ivfpq_upd_x$mult"
+      (0 until 2).foreach { _ =>
+        val (codes, book) = operators.Similarity.ivfPqIndexTables(
+          bigVecs.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", coarseU, "cid", "cvec",
+          m = 4, subDim = mSub, probeDims = pDims)
+        graft.sources.Writers.writeIvfCodes(spark, codes, updPath)
+        graft.sources.Writers.padIvfPqCodebook(spark, book, 4, mSub, pDims)
+          .write.mode("overwrite").parquet(s"$updPath/codebook")
+        coarseU.write.mode("overwrite").parquet(s"$updPath/centroids")
+        val t0 = System.nanoTime()
+        graft.sources.Writers.updateIvfPqIndex(spark, updPath, changed,
+          m = 4, subDim = mSub, probeDims = pDims)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      durations("ivfpq-update-inplace") = best
+      println(f"[scale] ivfpq-update-inplace  $best%7.2f s (best of 2)")
+      time("ivfpq-describe") {
+        graft.sources.Writers.describeIvfPqIndex(spark, updPath).codesRows
       }
     }
 

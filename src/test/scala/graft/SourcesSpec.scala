@@ -1034,6 +1034,107 @@ class SourcesSpec extends AnyFunSuite {
       "merge over the emptied layout != fresh build over the new corpus")
   }
 
+  test("read-time atomic commit (BM25): a torn merge or delete — " +
+    "appends landed, the final stats write did not — is INVISIBLE " +
+    "(the layout reads as its pre-verb state), vacuum collects the " +
+    "torn segments, and the retried verb lands exactly once") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (0L, "alpha beta beta"), (1L, "beta gamma"),
+      (2L, "alpha delta gamma"), (3L, "alpha epsilon"),
+    ).toDF("doc_id", "text")
+    val p = tmp("bm25torn")
+    Writers.writeBm25Index(docs.filter(col("doc_id") < 2), p)
+    val terms = Seq("alpha", "beta", "gamma")
+    def probe() = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, p, terms),
+        spark.read.parquet(s"$p/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    val oldStats = spark.read.parquet(s"$p/stats").collect().head
+    def restoreStats(): Unit =
+      spark.range(1).select(
+          lit(oldStats.getAs[Long]("n_docs")).as("n_docs"),
+          lit(oldStats.getAs[Double]("avgdl")).as("avgdl"),
+          lit(oldStats.getAs[java.math.BigDecimal]("sum_dl"))
+            .cast("decimal(28,6)").as("sum_dl"),
+          lit(oldStats.getAs[Long]("next_gen")).as("next_gen"))
+        .write.mode("overwrite").parquet(s"$p/stats")
+    // TORN MERGE: run the verb fully, then roll the stats file back —
+    // byte-identical to a crash after the appends, before the commit
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") >= 2))
+    restoreStats()
+    assert(probe() == before,
+      "a torn merge's appended segments leaked into the probe")
+    // vacuum collects the torn tf+doclen segments; probe still intact
+    val removed = Writers.vacuumBm25Index(spark, p)
+    assert(removed >= 2, s"expected torn tf+doclen files, removed=$removed")
+    assert(probe() == before)
+    // the RETRY lands exactly once and equals a from-scratch build
+    Writers.mergeBm25Index(spark, p, docs.filter(col("doc_id") >= 2))
+    val ref = tmp("bm25tornref")
+    Writers.writeBm25Index(docs, ref)
+    def probeRef() = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, ref, terms),
+        spark.read.parquet(s"$ref/stats"), "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe() == probeRef(),
+      "retried merge after vacuum != from-scratch build")
+    // TORN DELETE: tombstones appended, stats rolled back — inactive
+    val full = probe()
+    val preDelStats = spark.read.parquet(s"$p/stats").collect().head
+    Writers.deleteFromBm25Index(spark, p, Seq(1L).toDF("doc_id"))
+    spark.range(1).select(
+        lit(preDelStats.getAs[Long]("n_docs")).as("n_docs"),
+        lit(preDelStats.getAs[Double]("avgdl")).as("avgdl"),
+        lit(preDelStats.getAs[java.math.BigDecimal]("sum_dl"))
+          .cast("decimal(28,6)").as("sum_dl"),
+        lit(preDelStats.getAs[Long]("next_gen")).as("next_gen"))
+      .write.mode("overwrite").parquet(s"$p/stats")
+    assert(probe() == full,
+      "a torn delete's uncommitted tombstones killed rows")
+    // delete retries WITHOUT vacuum (duplicate tombstones are harmless
+    // in the anti-join; the stats subtraction recomputes from live rows)
+    assert(Writers.deleteFromBm25Index(spark, p, Seq(1L).toDF("doc_id")) == 1L)
+    assert(probe().nonEmpty && probe().forall(_._1 != 1L))
+  }
+
+  test("read-time atomic commit (IVF-PQ): a torn merge — codes appended, " +
+    "the gen sidecar flip did not land — is invisible through " +
+    "liveCodes, vacuum collects it, the retry lands exactly once") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val p = tmp("ivftorn")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val sliceA = vecs.filter(col("vec_id") % 3 =!= 2)
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      sliceA, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    Writers.writeIvfCodes(spark, codes, p)
+    Writers.padIvfPqCodebook(spark, book, 4, 16, 4)
+      .write.mode("overwrite").parquet(s"$p/codebook")
+    coarse.write.mode("overwrite").parquet(s"$p/centroids")
+    def visible() = Writers.liveCodes(spark, p)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val before = visible()
+    // torn merge: verb fully run, sidecar rolled back
+    Writers.mergeIvfPqIndex(spark, p, vecs.filter(col("vec_id") % 3 === 2))
+    spark.range(1).select(lit(1L).as("next_gen"),
+        lit(0L).as("last_merge_gen"))
+      .write.mode("overwrite").parquet(s"$p/gen")
+    assert(visible() == before,
+      "a torn merge's appended codes leaked into liveCodes")
+    assert(Writers.vacuumIvfPqIndex(spark, p) >= 1)
+    assert(visible() == before)
+    // retry lands once: visible set = whole corpus, each id exactly once
+    Writers.mergeIvfPqIndex(spark, p, vecs.filter(col("vec_id") % 3 === 2))
+    val after = Writers.liveCodes(spark, p)
+    assert(after.count() == vecs.count() &&
+      after.groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty,
+      "retried merge after vacuum dropped or doubled a vector")
+  }
+
   test("jdbc upsert: postgres dialect renders the reference's ON CONFLICT form") {
     val raw = ConfigLoader.storageTable(storageYaml, "raw")
     val sql = JdbcUpsert.Postgres.upsertSql(raw)
