@@ -157,9 +157,7 @@ object Writers {
       s"${ProcessHandle.current().pid()}/" +
       s"${name}_${SourceKeys.dirToken(dir)}"
     preparedPostings.computeIfAbsent(path, { p =>
-      writeClustered(
-        postingsRows(graft.Tables.load(spark, dir, name)), p,
-        "tok_part", "overwrite")
+      writePostings(spark, graft.Tables.load(spark, dir, name), p)
       p
     })
   }
@@ -176,27 +174,73 @@ object Writers {
       .withColumn("tok_part", tokenPart(col("token")))
   }
 
+  /** From-scratch write of a COMMIT-CAPABLE postings layout: rows
+    * stamped gen 0, the `_gen` 1-row sidecar (underscore-hidden from
+    * the root read, like `_deletes`) holding next_gen — the
+    * [[writeBm25Index]] stance for the positional leg, enabling the
+    * read-time atomic merge commit ([[visibleRows]]' protocol) and
+    * [[vacuumPostings]]. */
+  def writePostings(spark: SparkSession, docs: DataFrame,
+                    path: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    removeDir(s"$path/_deletes")
+    writeClustered(postingsRows(docs).withColumn("gen", lit(0L)),
+      path, "tok_part", "overwrite")
+    writePostingsGen(spark, path, 1L)
+  }
+
+  private def writePostingsGen(spark: SparkSession, path: String,
+                               nextGen: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit(nextGen).as("next_gen"))
+      .write.mode("overwrite").parquet(s"$path/_gen")
+  }
+
+  /** committed next_gen of a postings layout, when the `_gen` sidecar
+    * exists ([[writePostings]]-built layouts) — None on legacy
+    * gen-less roots, which read with their historical
+    * everything-visible semantics. Signature-cached like
+    * [[bm25CommittedGen]]. */
+  private def postingsCommittedGen(spark: SparkSession,
+                                   path: String): Option[Long] = {
+    if (!Files.isDirectory(Paths.get(s"$path/_gen"))) return None
+    Some(cachedGenRead(s"post:$path", s"$path/_gen") {
+      import org.apache.spark.sql.functions.col
+      (spark.read.parquet(s"$path/_gen").select(col("next_gen")).head()
+        .getLong(0), 0L)
+    }._1)
+  }
+
   /** Fold a FRESH document batch into a stored [[ensurePostings]]
     * layout — the [[mergeBm25Index]] segment-append discipline for the
     * POSITIONAL postings leg: fresh (token, doc_id, pos) rows are one
     * map-only posexplode ∝ |fresh|, appended as new files inside their
-    * md5-prefix directories; nothing existing is read or rewritten,
-    * and there is no stats table to update. Same new-doc-id guard
-    * contract as the BM25 merge (a changed document needs
-    * delete-then-compact, not a double posting list). */
+    * md5-prefix directories; nothing existing is read or rewritten.
+    * On a commit-capable layout ([[writePostings]]) the fresh rows are
+    * stamped `gen = next_gen` and the sidecar flip lands LAST — the
+    * commit point: a crash mid-append leaves the probe reading the
+    * pre-merge layout, and [[vacuumPostings]] collects the torn files
+    * before a retry. Same new-doc-id guard contract as the BM25 merge
+    * (gen-aware on capable layouts, so a torn batch cannot trip the
+    * guard on its own retry); legacy gen-less roots append unchanged. */
   def mergePostings(spark: SparkSession, path: String, fresh: DataFrame,
                     checkNewDocIds: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.col
-    val freshPost =
-      if (checkNewDocIds) postingsRows(fresh).cache()
-      else postingsRows(fresh)
+    import org.apache.spark.sql.functions.{col, lit}
+    val committed = postingsCommittedGen(spark, path)
+    val rows0 = postingsRows(fresh)
+    val stamped = committed.fold(rows0)(g =>
+      rows0.withColumn("gen", lit(g)))
+    val freshPost = if (checkNewDocIds) stamped.cache() else stamped
     try {
       if (checkNewDocIds) {
         val touched = freshPost.select(col("tok_part")).distinct()
           .collect().map(_.getString(0)).toSeq
         if (touched.isEmpty) return // empty batch: layout unchanged
-        require(spark.read.parquet(path)
-            .filter(col("tok_part").isin(touched: _*))
+        val existing0 = spark.read.parquet(path)
+          .filter(col("tok_part").isin(touched: _*))
+        val existing = committed.fold(existing0)(g =>
+          existing0.filter(col("gen") < lit(g)))
+        require(existing
             .join(freshPost.select(col("doc_id")).distinct(),
               Seq("doc_id"), "left_semi").head(1).isEmpty,
           "mergePostings: fresh batch contains doc_ids already in the " +
@@ -204,8 +248,16 @@ object Writers {
             "docs need delete-then-compact, not a double posting list")
       }
       writeClustered(freshPost, path, "tok_part", "append")
+      committed.foreach(g => writePostingsGen(spark, path, g + 1L))
     } finally freshPost.unpersist()
   }
+
+  /** [[vacuumBm25Index]] for a commit-capable postings layout: drop
+    * root files whose rows are all uncommitted (a crashed merge's
+    * appended segments). No-op on legacy gen-less roots. */
+  def vacuumPostings(spark: SparkSession, path: String): Long =
+    postingsCommittedGen(spark, path).fold(0L)(g =>
+      vacuumLeg(spark, path, "gen", g))
 
   // computeIfAbsent map, same race rationale as preparedPartitions
   private val preparedPostingsMerged =
@@ -226,8 +278,7 @@ object Writers {
     preparedPostingsMerged.computeIfAbsent(path, { p =>
       val docs = graft.Tables.load(spark, dir, name)
         .select(col("doc_id"), col("text"))
-      writeClustered(postingsRows(docs.filter(col("doc_id") % 3 =!= 2)),
-        p, "tok_part", "overwrite")
+      writePostings(spark, docs.filter(col("doc_id") % 3 =!= 2), p)
       mergePostings(spark, p, docs.filter(col("doc_id") % 3 === 2))
       p
     })
@@ -281,14 +332,18 @@ object Writers {
     * post-compaction probes plan no tombstone scan, and a previously
     * deleted doc_id becomes mergeable again. */
   def compactPostings(spark: SparkSession, path: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     // staged-sibling rewrite (the swapInStaged protocol inlined: the
     // tombstone sidecar lives INSIDE the layout root being swapped, so
     // the rename carries it and the drop lands on the new root)
+    val committed = postingsCommittedGen(spark, path)
     val staged = path + ".staged"
     val old = path + ".old"
     removeDir(staged); removeDir(old)
-    val rows = spark.read.parquet(path)
+    val rows0 = spark.read.parquet(path)
+    // fold through commit visibility: torn segments never compact into
+    // liveness (the BM25 compaction stance)
+    val rows = committed.fold(rows0)(g => rows0.filter(col("gen") < lit(g)))
     postingsDeletes(spark, path).fold(rows)(d =>
         rows.join(broadcast(d), Seq("doc_id"), "left_anti"))
       .repartition(col("tok_part"))
@@ -296,8 +351,11 @@ object Writers {
     Files.move(Paths.get(path), Paths.get(old))
     Files.move(Paths.get(staged), Paths.get(path))
     // the tombstone sidecar rode the old root out — the fresh root is
-    // compacted AND tombstone-free in one swap
+    // compacted AND tombstone-free in one swap; the gen sidecar is
+    // re-established at its PRESERVED counter (generations stay
+    // monotone across compactions)
     removeDir(old)
+    committed.foreach(g => writePostingsGen(spark, path, g))
   }
 
   /** Health snapshot of a stored postings layout — [[describeBm25Index]]
@@ -384,8 +442,7 @@ object Writers {
     preparedPostingsDeleted.computeIfAbsent(path, { p =>
       val docs = graft.Tables.load(spark, dir, name)
         .select(col("doc_id"), col("text"))
-      writeClustered(postingsRows(docs.filter(col("doc_id") % 3 =!= 2)),
-        p, "tok_part", "overwrite")
+      writePostings(spark, docs.filter(col("doc_id") % 3 =!= 2), p)
       mergePostings(spark, p, docs.filter(col("doc_id") % 3 === 2))
       deleteFromPostings(spark, p,
         docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
@@ -1772,10 +1829,15 @@ object Writers {
                      tokens: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(tokens.nonEmpty, "prunedPostings needs at least one token")
+    import org.apache.spark.sql.functions.lit
     val parts = tokens.distinct.map(tokenPartOf).distinct
-    val pruned = spark.read.parquet(path)
+    val pruned0 = spark.read.parquet(path)
       .filter(col("tok_part").isin(parts: _*) &&
         col("token").isin(tokens.distinct: _*))
+    // commit visibility on capable layouts ([[writePostings]]): a torn
+    // merge's appended rows stay invisible until the sidecar flip
+    val pruned = postingsCommittedGen(spark, path).fold(pruned0)(g =>
+      pruned0.filter(col("gen") < lit(g)))
     // tombstone visibility ([[deleteFromPostings]]): deleted docs
     // vanish from the posting stream before the phrase algebra;
     // tombstone-free layouts plan exactly as before

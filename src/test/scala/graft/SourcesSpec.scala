@@ -1099,6 +1099,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(probe().nonEmpty && probe().forall(_._1 != 1L))
   }
 
+  test("read-time atomic commit (postings): a torn merge — posting " +
+    "segments appended, the _gen sidecar flip did not land — is " +
+    "invisible to the phrase probe, vacuum collects it, the retry " +
+    "lands exactly once; legacy gen-less roots are untouched") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "gamma beta alpha"),
+    ).toDF("doc_id", "text")
+    val p = tmp("posttorn")
+    Writers.writePostings(spark, docs.filter(col("doc_id") < 2), p)
+    val phrase = Seq("beta", "gamma")
+    def probe() = Retrieval.phraseSearch(
+        Writers.prunedPostings(spark, p, phrase), "doc_id", phrase)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val before = probe()
+    assert(before == Set(0L, 1L))
+    // torn merge: verb fully run, sidecar rolled back
+    Writers.mergePostings(spark, p, docs.filter(col("doc_id") >= 2))
+    spark.range(1).select(lit(1L).as("next_gen"))
+      .write.mode("overwrite").parquet(s"$p/_gen")
+    assert(probe() == before,
+      "a torn postings merge leaked into the phrase probe")
+    assert(Writers.vacuumPostings(spark, p) >= 1)
+    assert(probe() == before)
+    // retry lands exactly once (doc 3 has no adjacent "beta gamma")
+    Writers.mergePostings(spark, p, docs.filter(col("doc_id") >= 2))
+    assert(probe() == Set(0L, 1L, 2L))
+    // each VISIBLE posting appears exactly once (no doubled lists)
+    val perDoc = Writers.prunedPostings(spark, p, Seq("beta"))
+      .groupBy(col("doc_id"), col("pos")).count()
+      .filter(col("count") > 1)
+    assert(perDoc.isEmpty, "retried merge doubled a posting")
+    // compaction preserves the gen counter and visibility
+    Writers.compactPostings(spark, p)
+    assert(probe() == Set(0L, 1L, 2L))
+  }
+
   test("read-time atomic commit (IVF-PQ): a torn merge — codes appended, " +
     "the gen sidecar flip did not land — is invisible through " +
     "liveCodes, vacuum collects it, the retry lands exactly once") {
