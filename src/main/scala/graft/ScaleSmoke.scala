@@ -537,10 +537,11 @@ object ScaleSmoke {
       (0 until 2).foreach { _ =>
         graft.sources.Writers.writeBm25Index(docsAll, updPath) // untimed base
         val t0 = System.nanoTime()
-        graft.sources.Writers.deleteFromBm25Index(spark, updPath,
-          changed.select(col("doc_id")))
-        graft.sources.Writers.mergeBm25Index(spark, updPath, changed,
-          checkNewDocIds = false) // Delta-routed framing; guard priced above
+        // the FUSED one-flip verb (r19): one stats read, one tombstone
+        // probe on the pruned doclen leg, one commit flip — vs the
+        // chained delete+merge's doubled fixed job overhead (r18's
+        // measured ~3 s floor at local[32])
+        graft.sources.Writers.updateBm25Index(spark, updPath, changed)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       durations("bm25-update-inplace") = best
@@ -557,10 +558,7 @@ object ScaleSmoke {
       (0 until 2).foreach { _ =>
         graft.sources.Writers.writeBm25Index(docsAll, updPath) // untimed base
         val t0 = System.nanoTime()
-        graft.sources.Writers.deleteFromBm25Index(spark, updPath,
-          changedSmall.select(col("doc_id")))
-        graft.sources.Writers.mergeBm25Index(spark, updPath, changedSmall,
-          checkNewDocIds = false)
+        graft.sources.Writers.updateBm25Index(spark, updPath, changedSmall)
         bestS = math.min(bestS, (System.nanoTime() - t0) / 1e9)
       }
       durations("bm25-update-small") = bestS

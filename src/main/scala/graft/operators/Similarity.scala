@@ -1414,8 +1414,12 @@ object Similarity {
                                     chunkSize: Int = MaxStoredMiningBatch): DataFrame = {
     require(chunkSize >= 1 && chunkSize <= MaxStoredMiningBatch,
       s"chunkSize must be in [1, $MaxStoredMiningBatch] (got $chunkSize)")
-    val qids = queries.select(col(qidCol).cast("long"))
-      .filter(col(qidCol).isNotNull).distinct()
+    // NULL qids are dropped ONCE, up front, and the same filtered frame
+    // feeds both paths — the fast path must not forward rows the
+    // chunked path's isin filter would drop (chunked ≡ unchunked at the
+    // chunk-size boundary; ADVICE r18)
+    val nonNullQ = queries.filter(col(qidCol).isNotNull)
+    val qids = nonNullQ.select(col(qidCol).cast("long")).distinct()
       .orderBy(col(qidCol).asc)
       .collect().map(_.getLong(0))
     require(qids.length <= MaxChunkedBatch,
@@ -1424,10 +1428,10 @@ object Similarity {
         "corpus-sized query side needs the join form, not a batch")
     if (qids.length <= chunkSize)
       return ivfPqSearchStoredBatch(codes, book, centroids, idCol,
-        queries, qidCol, queryVecCol, nprobe, k, m, subDim, probeDims)
+        nonNullQ, qidCol, queryVecCol, nprobe, k, m, subDim, probeDims)
     qids.grouped(chunkSize).map { chunk =>
       ivfPqSearchStoredBatch(codes, book, centroids, idCol,
-        queries.filter(col(qidCol).cast("long")
+        nonNullQ.filter(col(qidCol).cast("long")
           .isin(chunk.toIndexedSeq: _*)),
         qidCol, queryVecCol, nprobe, k, m, subDim, probeDims)
     }.reduce(_.unionByName(_))

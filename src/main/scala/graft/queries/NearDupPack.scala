@@ -420,6 +420,61 @@ object NearDupPack extends QueryPack {
         "qvec", nprobe = 3, k = 20)
     }),
 
+    // SNAPSHOT (AS-OF) read of the MUTATED serving layout — the
+    // reproducible-training-data verb (VERDICT r18 #1): q184's layout
+    // has lived build(gen 0) → tombstone(del_gen 1) → re-merge(gen 2),
+    // and THIS query probes it AS OF generation 1 — row visibility
+    // `gen < 1`, tombstone activity `del_gen < 1` — which must read as
+    // exactly the pre-update layout: the gen columns already hold the
+    // full history, so time travel is two residual filters on the
+    // probe's existing pruned scan, no extra state. The oracle is
+    // q156's replay over the ORIGINAL corpus (the pre-verb world) —
+    // the update leaking through the horizon, a tombstone active too
+    // early, or the padded codebook shifting a build-time ADC value
+    // all break the hash. History horizon: valid back to the last
+    // compaction (compaction folds physically — Writers.liveCodes'
+    // contract; SourcesSpec pins the truncation).
+    "q185_ivfpq_index_asof" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndexUpdated(s, dir)
+      Similarity.ivfPqSearchStored(
+        graft.sources.Writers.liveCodes(s, path, asOfGen = Some(1L)),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+    }),
+
+    // REINDEX — the trained-artifact refresh with atomic cutover
+    // (VERDICT r18 #4, the FAISS retrain-rebuild the incremental verbs
+    // defer): q184's drift fixture (build over the original corpus,
+    // update vec_id%5=4 to reversed vectors AGAINST the stale frozen
+    // artifacts), then Writers.reindexIvfPqIndex over the UPDATED
+    // corpus — PQ codebook re-trained on the updated distribution,
+    // centroids re-derived from the updated vectors (vec_id 4 now
+    // routes on its NEW vector — exactly the refresh q184's frozen
+    // stance defers), codes rebuilt, and the complete replacement root
+    // swapped in atomically (visibility flips last; generations stay
+    // monotone). The oracle is the full q156 trained chain with the
+    // corpus swapped to the updated view — training, routing, coding
+    // and the probed population ALL on post-drift vectors; a stale
+    // artifact surviving the cutover, a half-swapped leg (old codes
+    // under a new codebook), or a non-retrained centroid breaks the
+    // hash. SourcesSpec prices the point of the verb: recall@20 lost
+    // to drift under the frozen artifacts, recovered after reindex.
+    "q188_ivfpq_reindex" -> ((s, dir) => Q.ordered {
+      val path = graft.sources.Writers.ensureIvfPqIndexReindexed(s, dir)
+      Similarity.ivfPqSearchStored(
+        graft.sources.Writers.liveCodes(s, path),
+        s.read.parquet(s"$path/codebook"),
+        s.read.parquet(s"$path/centroids"),
+        "vec_id",
+        Q.t(s, dir, "embeddings").filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+    }),
+
     // L2 TRAINING itself, oracle-checked (VERDICT r15 #1 — kmeans was
     // the one load-bearing operator with spec-only coverage, yet its
     // output feeds every "trained" serving tier): Lloyd's at k=4 for 2
@@ -700,15 +755,16 @@ object NearDupPack extends QueryPack {
     * survivors predicate for the delete leg (q178: training and
     * artifacts replay over the FULL corpus exactly as frozen at build
     * time; only searchable rows shrink — FAISS remove_ids semantics). */
-  private def ivfPqTrainedSql(finalWhere: String): String =
+  private def ivfPqTrainedSql(finalWhere: String,
+                              corpus: String = "embeddings"): String =
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
                            list_transform(embedding,
                              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
-                    FROM embeddings WHERE vec_id = 1),
+                    FROM $corpus WHERE vec_id = 1),
          vq AS (SELECT vec_id,
                        list_transform(embedding,
                          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-                FROM embeddings),
+                FROM $corpus),
          seeds AS (SELECT vec_id AS cid, qv AS cq FROM vq WHERE vec_id < 8),
          vl AS (SELECT vec_id, unnest(qv) AS x,
                        generate_subscripts(qv, 1) AS i FROM vq),
@@ -731,7 +787,7 @@ object NearDupPack extends QueryPack {
          sub AS (SELECT vec_id, m,
                         list_transform(list_slice(embedding, m*16 + 1, m*16 + 16),
                                        x -> CAST(x AS DOUBLE)) AS sub
-                 FROM embeddings, mm),
+                 FROM $corpus, mm),
          stc AS (SELECT vec_id, m, sub,
                        list_reverse_sort(list_transform(range(1, 5), i ->
                          [abs(sub[i]),
@@ -1953,5 +2009,21 @@ object NearDupPack extends QueryPack {
       // searchable population shrunk, the head back-filled from k+1
       "q178_ivfpq_index_delete" ->
         ivfPqTrainedSql("WHERE vec_id % 5 <> 2"),
-      "q184_ivfpq_index_update" -> ivfPqUpdatedSql)
+      "q184_ivfpq_index_update" -> ivfPqUpdatedSql,
+      // the AS-OF probe at the pre-update generation must be the
+      // pre-update world: q156's replay over the ORIGINAL corpus,
+      // verbatim — the layout has since been mutated (q184), the
+      // snapshot read unsees it
+      "q185_ivfpq_index_asof" -> oracleBase("q156_ivfpq_trained"),
+      // the reindexed layout must equal a from-scratch TRAINED build
+      // over the updated corpus: the q156 chain, corpus swapped — every
+      // stage (seeds, assignment, codebook, coding, probe population)
+      // reads the post-drift vectors
+      "q188_ivfpq_reindex" -> ivfPqTrainedSql("",
+        """(SELECT vec_id,
+              CASE WHEN vec_id % 5 = 4
+                   THEN list_transform(range(1, len(embedding) + 1),
+                          i -> embedding[len(embedding) + 1 - i])
+                   ELSE embedding END AS embedding
+            FROM embeddings) AS embeddings"""))
 }

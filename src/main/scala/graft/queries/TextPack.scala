@@ -299,6 +299,26 @@ object TextPack extends QueryPack {
         "doc_id", PhraseFixture)
     }),
 
+    // SNAPSHOT (AS-OF) read of the MERGED postings layout — the third
+    // leg of the q185/q186 reproducible-snapshot verb (VERDICT r18
+    // #1): q176's layout was built from the doc_id%3≠2 slice (gen 0)
+    // and merged the %3=2 slice in (gen 1); this phrase probe reads it
+    // AS OF generation 1 — `gen < 1` — which must be the PRE-MERGE
+    // build exactly. The oracle is q151's phrase replay restricted to
+    // the %3≠2 slice: a merged posting leaking through the horizon
+    // adds a doc or a start position and breaks the hash. This leg's
+    // tombstones are id-only by design (positions immutable, changed
+    // docs route delete→compact→re-merge), so deletes apply at every
+    // horizon — documented in Writers.prunedPostings.
+    "q187_postings_index_asof" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensurePostingsMerged(s, dir, "documents")
+      Retrieval.phraseSearch(
+        graft.sources.Writers.prunedPostings(s, path, PhraseFixture,
+          asOfGen = Some(1L)),
+        "doc_id", PhraseFixture)
+    }),
+
     // The stored hybrid stack for a QUERY BATCH — the training-batch
     // retrieval deployment shape, composing the round's batch legs:
     // q173's stored lexical batch (ONE pruned scan of the union term
@@ -491,6 +511,29 @@ object TextPack extends QueryPack {
       Retrieval.bm25Stored(
         graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms),
         s.read.parquet(s"$path/stats"),
+        "doc_id", Bm25Terms)
+    }),
+
+    // SNAPSHOT (AS-OF) read of the UPDATED lexical layout — q185's
+    // reproducible-training-data verb on the BM25 leg (VERDICT r18
+    // #1): q180's layout lived build(gen 0) → tombstone(del_gen 1) →
+    // re-merge(gen 2); this probe reads it AS OF generation 1 — tf
+    // visibility `gen < 1`, tombstone activity `del_gen < 1` — AND
+    // replays the G-horizon stats: the layout stores only the CURRENT
+    // 1-row stats, so Writers.bm25StatsAsOf recomputes (n_docs, avgdl,
+    // sum_dl) from the doclen leg's visible rows at G — exact, because
+    // decimal sums are association-free (the additive-chain invariant
+    // the merge/delete verbs already rest on). The oracle is q28's
+    // replay over the ORIGINAL corpus: the updated text leaking
+    // through the horizon, a too-early tombstone, or stats drifting
+    // from the G-horizon values all break the hash.
+    "q186_bm25_index_asof" -> ((s, dir) => Q.ordered {
+      import graft.operators.Retrieval
+      val path = graft.sources.Writers.ensureBm25IndexUpdated(s, dir, "documents")
+      Retrieval.bm25Stored(
+        graft.sources.Writers.prunedBm25Tf(s, path, Bm25Terms,
+          asOfGen = Some(1L)),
+        graft.sources.Writers.bm25StatsAsOf(s, path, asOfGen = 1L),
         "doc_id", Bm25Terms)
     }),
 
@@ -1811,6 +1854,16 @@ object TextPack extends QueryPack {
          SELECT doc_id, n_terms, bm25
          FROM bm ORDER BY ALL NULLS FIRST""",
 
+    // the AS-OF probe at the pre-update generation must be the
+    // pre-update world: q28's replay over the ORIGINAL corpus — the
+    // layout has since been updated (q180), the snapshot read unsees
+    // both the tombstones and the re-merged versions, and the
+    // recomputed G-horizon stats land on the original avgdl
+    "q186_bm25_index_asof" ->
+      s"""WITH $bm25ChainSql
+         SELECT doc_id, n_terms, bm25
+         FROM bm ORDER BY ALL NULLS FIRST""",
+
     "q170_hybrid_stored" -> hybridStoredSql,
 
     "q172_stored_stack_eval" -> storedStackEvalSql,
@@ -2435,6 +2488,22 @@ object TextPack extends QueryPack {
       """WITH d AS (SELECT doc_id,
                            list_filter(str_split(text, ' '), t -> t <> '') AS toks
                     FROM documents),
+         m AS (SELECT doc_id,
+                      list_filter(range(1, len(toks)),
+                        s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts
+               FROM d)
+         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+         FROM m WHERE len(starts) > 0
+         ORDER BY ALL NULLS FIRST""",
+
+    // the AS-OF phrase probe at the pre-merge generation must be the
+    // pre-merge world: q151's replay over the BUILD slice only — the
+    // %3=2 postings merged since stay invisible behind the horizon
+    "q187_postings_index_asof" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(str_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents WHERE doc_id % 3 <> 2),
          m AS (SELECT doc_id,
                       list_filter(range(1, len(toks)),
                         s -> toks[s] = 'fast' AND toks[s + 1] = 'table') AS starts

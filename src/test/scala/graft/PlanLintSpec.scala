@@ -54,6 +54,10 @@ class PlanLintSpec extends AnyFunSuite {
     // q182's lexical arm is q173's — the same 1-row stats broadcast
     // crossed into the batch's shared pruned hit stream
     "q182_hybrid_stored_batch",
+    // q186 probes the updated layout AS OF the pre-update generation
+    // with q169's plan — the same 1-row stats broadcast, the stats row
+    // here the 1-row bm25StatsAsOf aggregate instead of the stored leg
+    "q186_bm25_index_asof",
     // q23 broadcasts the k=4 seed-vector table — the k-means assignment
     // step's corpus × broadcast-k shape (bounded by k, never by data)
     "q23_kmeans_assign",

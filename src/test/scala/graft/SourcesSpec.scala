@@ -739,6 +739,22 @@ class SourcesSpec extends AnyFunSuite {
         nprobe = 3, k = 10, chunkSize = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(chunked == batch, "chunked != unchunked batch")
+    // NULL qids drop identically on BOTH the fast (<= chunkSize) path
+    // and the chunked path — chunked ≡ unchunked at the chunk-size
+    // boundary even for batches containing null qids (ADVICE r18)
+    val withNull = queries.unionByName(
+      spark.range(1).select(lit(null).cast("long").as("qid"),
+        lit(null).cast("array<float>").as("qvec")))
+    val nullFast = Similarity.ivfPqSearchStoredBatchChunked(
+        codes, book, cents, "vec_id", withNull, "qid", "qvec",
+        nprobe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nullChunked = Similarity.ivfPqSearchStoredBatchChunked(
+        codes, book, cents, "vec_id", withNull, "qid", "qvec",
+        nprobe = 3, k = 10, chunkSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nullFast == batch && nullChunked == batch,
+      "a null qid row moved a chunked/fast-path batch answer")
     // an over-cap batch that the raw form rejects is served chunked —
     // every distinct qid comes back with its head
     val big2 = vecs.limit(Similarity.MaxStoredMiningBatch + 6)
@@ -848,6 +864,360 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$p/codes")
       .filter(col("vec_id") % 5 === 2).count() == 0)
     assert(probe() == after, "compaction moved a stored-probe result")
+  }
+
+  test("updateBm25Index: the fused one-flip verb lands the exact state " +
+    "of the chained delete+merge, subsumes the add case (a changed doc " +
+    "that is NEW just merges), and counts only replaced docs") {
+    import graft.operators.Retrieval
+    val terms = Seq("alpha", "beta", "gamma")
+    val docs = Seq(0L -> "alpha beta beta", 1L -> "beta gamma",
+      2L -> "alpha gamma gamma")
+    val changed = Seq(1L -> "gamma gamma alpha", 3L -> "beta beta alpha")
+    def probe(p: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, p, terms),
+        spark.read.parquet(s"$p/stats"), "doc_id", terms)
+      .as[(Long, Long, Double)].collect().toSet
+    // fused verb: doc 1 replaced (counted), doc 3 brand-new (pure add)
+    val pF = tmp("bm25updfused")
+    Writers.writeBm25Index(docs.toDF("doc_id", "text"), pF)
+    assert(Writers.updateBm25Index(spark, pF,
+      changed.toDF("doc_id", "text")) == 1L)
+    // chained form: delete the live half, merge everything back
+    val pC = tmp("bm25updchain")
+    Writers.writeBm25Index(docs.toDF("doc_id", "text"), pC)
+    Writers.deleteFromBm25Index(spark, pC, Seq(1L).toDF("doc_id"))
+    Writers.mergeBm25Index(spark, pC, changed.toDF("doc_id", "text"))
+    assert(probe(pF).nonEmpty && probe(pF) == probe(pC),
+      "fused update != chained delete+merge")
+    // and both equal the from-scratch build over the updated corpus
+    val pR = tmp("bm25updref")
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha beta beta", 1L -> "gamma gamma alpha",
+        2L -> "alpha gamma gamma", 3L -> "beta beta alpha")
+        .toDF("doc_id", "text"), pR)
+    assert(probe(pF) == probe(pR), "fused update != rebuild")
+    // stats row identical too (exact decimals, one-flip counter at +2)
+    val stF = spark.read.parquet(s"$pF/stats")
+      .select(col("n_docs"), col("avgdl"), col("sum_dl")).head()
+    val stR = spark.read.parquet(s"$pR/stats")
+      .select(col("n_docs"), col("avgdl"), col("sum_dl")).head()
+    assert(stF == stR)
+    assert(spark.read.parquet(s"$pF/stats")
+      .select(col("next_gen")).head().getLong(0) == 3L,
+      "the fused verb must advance the counter by exactly 2 in 1 flip")
+    // empty batch: no-op, no flip
+    assert(Writers.updateBm25Index(spark, pF,
+      Seq.empty[(Long, String)].toDF("doc_id", "text")) == 0L)
+    assert(spark.read.parquet(s"$pF/stats")
+      .select(col("next_gen")).head().getLong(0) == 3L)
+  }
+
+  test("reindexIvfPqIndex: atomic cutover to re-trained artifacts — the " +
+    "drift fixture loses recall@20 under the frozen artifacts and the " +
+    "reindexed layout recovers it; generations stay monotone and the " +
+    "old root is gone") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val p = tmp("ivfreidx")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse0 = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse0, "cid", "cvec", 4, 16, 4)
+    Writers.writeIvfCodes(spark, codes, p)
+    Writers.padIvfPqCodebook(spark, book, 4, 16, 4)
+      .write.mode("overwrite").parquet(s"$p/codebook")
+    coarse0.write.mode("overwrite").parquet(s"$p/centroids")
+    // drift: 20% of vectors change drastically; frozen artifacts encode
+    val updated = vecs.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(vecs.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    Writers.updateIvfPqIndex(spark, p,
+      vecs.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    // exact ground truth on the UPDATED corpus: brute squared-L2 top-20
+    // for query vec 1 (the metric ADC approximates)
+    val qv = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val gt = updated.select(col("vec_id"),
+        aggregate(zip_with(col("embedding"),
+            array(qv.map(lit): _*).cast("array<double>"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, z) => acc + z).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(20)
+      .select(col("vec_id")).as[Long].collect().toSet
+    def annTop20(): Set[Long] = Similarity.ivfPqSearchStored(
+        Writers.liveCodes(spark, p),
+        spark.read.parquet(s"$p/codebook"),
+        spark.read.parquet(s"$p/centroids"),
+        "vec_id",
+        vecs.filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec")),
+        "qvec", nprobe = 3, k = 20)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val recallBefore = (annTop20() & gt).size
+    val genBefore = spark.read.parquet(s"$p/gen")
+      .select(col("next_gen")).head().getLong(0)
+    Writers.reindexIvfPqIndex(spark, p, updated,
+      updated.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val recallAfter = (annTop20() & gt).size
+    assert(recallAfter > recallBefore,
+      s"reindex must recover drift-lost recall: before=$recallBefore " +
+        s"after=$recallAfter of ${gt.size}")
+    // monotone generations across the cutover, tombstones folded, no
+    // stray roots
+    assert(spark.read.parquet(s"$p/gen")
+      .select(col("next_gen")).head().getLong(0) == genBefore + 1)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$p/deletes")))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(p + ".old")) &&
+      !Files.isDirectory(java.nio.file.Paths.get(p + ".staged")))
+    assert(!Writers.writerLockHeld(p))
+  }
+
+  test("single-writer enforcement: an interleaved second writer fails " +
+    "loudly BEFORE appending anything, describe reports the stale lock, " +
+    "maintain vacuums it policy-driven, and the retried verb lands " +
+    "exactly once — all three serving legs") {
+    import graft.operators.Retrieval
+    // ---- BM25 leg (full scenario) ----
+    val p = tmp("bm25lock")
+    val terms = Seq("alpha", "beta")
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha beta", 1L -> "beta beta").toDF("doc_id", "text"), p)
+    def probe() = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, p, terms),
+        spark.read.parquet(s"$p/stats"), "doc_id", terms)
+      .as[(Long, Long, Double)].collect().toSet
+    // writer A "in flight": its lock is held (simulated holder)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "_writer.lock"), "pid=interleaved")
+    val fresh = Seq(2L -> "alpha alpha").toDF("doc_id", "text")
+    // writer B loses at verb START — nothing appended, stats untouched
+    val tfFiles = spark.read.parquet(s"$p/tf").inputFiles.toSet
+    val ex = intercept[IllegalStateException] {
+      Writers.mergeBm25Index(spark, p, fresh)
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    assert(spark.read.parquet(s"$p/tf").inputFiles.toSet == tfFiles,
+      "the refused writer appended files")
+    val exD = intercept[IllegalStateException] {
+      Writers.deleteFromBm25Index(spark, p, Seq(0L).toDF("doc_id"))
+    }
+    assert(exD.getMessage.contains("single-writer"))
+    // describe reports the torn state syscall-priced; maintain recovers
+    assert(Writers.describeBm25Index(spark, p).staleWriter)
+    assert(Writers.maintainBm25Index(spark, p),
+      "maintain must report that recovery ran")
+    assert(!Writers.describeBm25Index(spark, p).staleWriter,
+      "maintain left the stale lock in place")
+    // the vacuumed retry lands exactly once
+    Writers.mergeBm25Index(spark, p, fresh)
+    val ref = tmp("bm25lockref")
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha beta", 1L -> "beta beta", 2L -> "alpha alpha")
+        .toDF("doc_id", "text"), ref)
+    assert(probe() == Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, ref, terms),
+        spark.read.parquet(s"$ref/stats"), "doc_id", terms)
+      .as[(Long, Long, Double)].collect().toSet,
+      "the retried merge did not land exactly once")
+
+    // ---- IVF + postings legs: refusal + vacuum release ----
+    val dir = "/root/testdata/sf0.001"
+    val pv = tmp("ivflock")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, _) = graft.operators.Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    Writers.writeIvfCodes(spark, codes, pv)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(pv, "_writer.lock"), "pid=interleaved")
+    val exV = intercept[IllegalStateException] {
+      Writers.deleteFromIvfPqIndex(spark, pv, Seq(1L).toDF("vec_id"))
+    }
+    assert(exV.getMessage.contains("single-writer"))
+    assert(Writers.describeIvfPqIndex(spark, pv).staleWriter)
+    Writers.vacuumIvfPqIndex(spark, pv)
+    assert(!Writers.writerLockHeld(pv))
+    Writers.deleteFromIvfPqIndex(spark, pv, Seq(1L).toDF("vec_id"))
+    assert(Writers.liveCodes(spark, pv).filter(col("vec_id") === 1).isEmpty)
+
+    val pp = tmp("postlock")
+    val docs = Seq(0L -> "x y", 1L -> "y z").toDF("doc_id", "text")
+    Writers.writePostings(spark, docs, pp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(pp, "_writer.lock"), "pid=interleaved")
+    val exP = intercept[IllegalStateException] {
+      Writers.mergePostings(spark, pp, Seq(2L -> "x z").toDF("doc_id", "text"))
+    }
+    assert(exP.getMessage.contains("single-writer"))
+    assert(Writers.describePostings(spark, pp).staleWriter)
+    assert(Writers.maintainPostings(spark, pp)) // vacuums the lock
+    assert(!Writers.writerLockHeld(pp))
+    Writers.mergePostings(spark, pp, Seq(2L -> "x z").toDF("doc_id", "text"))
+    assert(spark.read.parquet(pp)
+      .filter(col("doc_id") === 2).count() == 2) // "x z" -> two postings
+  }
+
+  test("AS-OF snapshot reads: a probe at the pre-verb generation equals " +
+    "the pre-verb layout on all three serving legs, above-committed " +
+    "horizons clamp to the present, stats replay the horizon exactly, " +
+    "and compaction truncates the history") {
+    import graft.operators.{Retrieval, Similarity}
+    val dir = "/root/testdata/sf0.001"
+
+    // ---- BM25 leg (tf visibility + recomputed G-horizon stats) ----
+    val p = tmp("bm25asof")
+    val terms = Seq("alpha", "beta", "gamma")
+    val docs0 = Seq(0L -> "alpha beta beta", 1L -> "beta gamma",
+      2L -> "alpha gamma gamma")
+    Writers.writeBm25Index(docs0.toDF("doc_id", "text"), p)
+    def bmProbe(tf: org.apache.spark.sql.DataFrame,
+                st: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25Stored(tf, st, "doc_id", terms)
+        .as[(Long, Long, Double)].collect().toSet
+    val pre = bmProbe(Writers.prunedBm25Tf(spark, p, terms),
+      spark.read.parquet(s"$p/stats"))
+    // the recomputed G-horizon stats land bit-for-bit on the stored row
+    val stStored = spark.read.parquet(s"$p/stats")
+      .select(col("n_docs"), col("avgdl"), col("sum_dl")).head()
+    val stAsOf = Writers.bm25StatsAsOf(spark, p, 1L)
+      .select(col("n_docs"), col("avgdl"), col("sum_dl")).head()
+    assert(stStored == stAsOf,
+      s"bm25StatsAsOf drifted from the stored stats: $stStored vs $stAsOf")
+    // UPDATE doc 1 (delete + re-merge) — the layout moves on
+    Writers.deleteFromBm25Index(spark, p, Seq(1L).toDF("doc_id"))
+    Writers.mergeBm25Index(spark, p,
+      Seq(1L -> "alpha alpha").toDF("doc_id", "text"))
+    val post = bmProbe(Writers.prunedBm25Tf(spark, p, terms),
+      spark.read.parquet(s"$p/stats"))
+    assert(post != pre, "weak fixture: the update moved no score")
+    // AS OF the pre-update generation == the pre-update probe
+    assert(bmProbe(Writers.prunedBm25Tf(spark, p, terms, Some(1L)),
+      Writers.bm25StatsAsOf(spark, p, 1L)) == pre,
+      "BM25 AS-OF pre-verb != pre-verb layout")
+    // a horizon above the committed counter clamps to the present
+    assert(bmProbe(Writers.prunedBm25Tf(spark, p, terms, Some(99L)),
+      Writers.bm25StatsAsOf(spark, p, 99L)) == post)
+    // HISTORY HORIZON: compaction folds physically — the pre-verb
+    // snapshot is gone (doc 1's old version folded away; the horizon
+    // now reads the compacted survivors ∩ gen < G)
+    Writers.compactBm25Index(spark, p)
+    val truncated = bmProbe(Writers.prunedBm25Tf(spark, p, terms, Some(1L)),
+      Writers.bm25StatsAsOf(spark, p, 1L))
+    assert(truncated != pre,
+      "compaction should truncate AS-OF history, not preserve it")
+
+    // ---- IVF×PQ leg ----
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val pv = tmp("ivfasof")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    Writers.writeIvfCodes(spark, codes, pv)
+    Writers.padIvfPqCodebook(spark, book, 4, 16, 4)
+      .write.mode("overwrite").parquet(s"$pv/codebook")
+    coarse.write.mode("overwrite").parquet(s"$pv/centroids")
+    val q = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"))
+    def ivfProbe(asOf: Option[Long]) = Similarity.ivfPqSearchStored(
+        Writers.liveCodes(spark, pv, asOfGen = asOf),
+        spark.read.parquet(s"$pv/codebook"),
+        spark.read.parquet(s"$pv/centroids"),
+        "vec_id", q, "qvec", nprobe = 3, k = 20)
+      .as[(Long, Double)].collect().toSet
+    val ivfPre = ivfProbe(None)
+    Writers.updateIvfPqIndex(spark, pv,
+      vecs.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val ivfPost = ivfProbe(None)
+    assert(ivfPost != ivfPre, "weak fixture: the update moved no rank")
+    assert(ivfProbe(Some(1L)) == ivfPre,
+      "IVF AS-OF pre-verb != pre-verb layout")
+    assert(ivfProbe(Some(99L)) == ivfPost, "above-committed must clamp")
+
+    // ---- postings leg (merge visibility) ----
+    val pp = Writers.ensurePostingsMerged(spark, dir, "documents")
+    val phrase = Seq("fast", "table")
+    def phraseProbe(asOf: Option[Long]) = Retrieval.phraseSearch(
+        Writers.prunedPostings(spark, pp, phrase, asOf),
+        "doc_id", phrase)
+      .as[(Long, Long, Long)].collect().toSet
+    val slice = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 =!= 2)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val sliceProbe = Retrieval.phraseSearch(
+        Retrieval.invertedIndex(slice, "doc_id", col("toks")),
+        "doc_id", phrase)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(phraseProbe(Some(1L)) == sliceProbe,
+      "postings AS-OF pre-merge != pre-merge build")
+    assert(phraseProbe(Some(99L)) == phraseProbe(None))
+    assert(phraseProbe(None) != sliceProbe,
+      "weak fixture: the merge added no match")
+    // AS-OF needs generation history — legacy layouts are refused
+    val legacy = tmp("postasoflegacy")
+    Retrieval.invertedIndex(slice, "doc_id", col("toks"))
+      .withColumn("tok_part", Writers.tokenPart(col("token")))
+      .repartition(col("tok_part"))
+      .write.partitionBy("tok_part").mode("overwrite").parquet(legacy)
+    val ex = intercept[IllegalArgumentException] {
+      Writers.prunedPostings(spark, legacy, phrase, Some(1L))
+    }
+    assert(ex.getMessage.contains("commit-capable"))
+  }
+
+  test("ivfpq legacy id-only deletes leg: probes keep the historical " +
+    "kill-all semantics instead of resolving a missing del_gen column, " +
+    "re-deletes stay id-only (no schema mix), vacuum skips the leg, " +
+    "and compaction folds the tombstones") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val p = tmp("ivflegacydel")
+    val vecs = Tables.load(spark, dir, "embeddings")
+    val coarse = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val (codes, book) = Similarity.ivfPqIndexTables(
+      vecs, "vec_id", "embedding", coarse, "cid", "cvec", 4, 16, 4)
+    // gen-less dev layout + a deletes/ leg in the PRE-GEN id-only
+    // format (a layout persisted before the generation discipline)
+    codes.write.partitionBy("bucket").mode("overwrite").parquet(s"$p/codes")
+    book.write.mode("overwrite").parquet(s"$p/codebook")
+    coarse.write.mode("overwrite").parquet(s"$p/centroids")
+    vecs.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/deletes")
+    // probe: no AnalysisException, kill-all anti-join (ADVICE r18)
+    val visible = Writers.liveCodes(spark, p)
+    assert(visible.filter(col("vec_id") % 5 === 2).isEmpty,
+      "a legacy tombstone failed to kill its row")
+    assert(visible.count() ==
+      vecs.filter(col("vec_id") % 5 =!= 2).count())
+    // a NEW delete on the legacy leg appends id-only rows — the leg's
+    // schema never mixes, and the dedup treats every existing
+    // tombstone as fully killing
+    val nTomb = spark.read.parquet(s"$p/deletes").count()
+    Writers.deleteFromIvfPqIndex(spark, p,
+      vecs.filter(col("vec_id") % 5 === 2 || col("vec_id") === 3L)
+        .select(col("vec_id")))
+    val del = spark.read.parquet(s"$p/deletes")
+    assert(!del.columns.contains("del_gen"),
+      "a legacy id-only deletes leg grew a del_gen column (schema mix)")
+    assert(del.count() == nTomb + 1, "legacy dedup missed or doubled")
+    assert(Writers.liveCodes(spark, p)
+      .filter(col("vec_id") === 3L).isEmpty)
+    // vacuum has nothing to collect on an id-only leg (all committed)
+    assert(Writers.vacuumIvfPqIndex(spark, p) == 0L)
+    // compaction folds the legacy tombstones like any others
+    val before = Writers.liveCodes(spark, p).count()
+    Writers.compactIvfPqIndex(spark, p)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$p/deletes")))
+    assert(spark.read.parquet(s"$p/codes").count() == before)
   }
 
   test("updateIvfPqIndex: the probe serves exactly one — the new — " +

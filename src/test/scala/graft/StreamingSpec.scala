@@ -1636,6 +1636,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(Retrieval.bm25Stored(Writers.prunedBm25Tf(spark, idx, terms),
         spark.read.parquet(s"$idx/stats"), "doc_id", terms)
       .as[(Long, Long, Double)].collect().toSet == horizon2)
+    // SELF-HEALING pin (ADVICE r18): each epoch ends with the policy
+    // check, so the layout's debt metrics sit inside the policy's
+    // thresholds after every epoch — a long-running stream can never
+    // march into the MaxTombstoneRows hard cap and wedge
+    val info = Writers.describeBm25Index(spark, idx)
+    assert(info.deadFraction <= 0.2 && info.maxTfFilesPerDir <= 8 &&
+      info.tombstoneRows <= Writers.MaxTombstoneRows / 2,
+      s"post-epoch layout debt outside the maintenance policy: $info")
     // metrics sidecar: epoch 1 deleted exactly one doc
     val m = spark.read.parquet(s"$outDir/_metrics/epoch=1").collect().head
     assert(m.getAs[Long]("input_rows") == 3 &&
@@ -1646,6 +1654,46 @@ class StreamingSpec extends AnyFunSuite {
       run(3, Seq(("upsert", 5L, "alpha")))
     }
     assert(ex.getMessage.contains("unknown op"))
+  }
+
+  test("bm25MaintenanceBatch: a crash INSIDE a verb (torn uncommitted " +
+    "segment + abandoned writer lock) self-heals at the next epoch — " +
+    "vacuumed, replayed, landed exactly once") {
+    import graft.operators.Retrieval
+    import graft.sources.Writers
+    val idx = java.nio.file.Files.createTempDirectory("bm25crash").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bm25crashout").toString
+    val terms = Seq("alpha", "beta")
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha beta", 1L -> "beta beta").toDF("doc_id", "text"), idx)
+    // simulate epoch 0 crashing INSIDE mergeBm25Index: its tf rows for
+    // doc 2 appended at the CURRENT generation (uncommitted — the stats
+    // flip never landed) and the writer lock abandoned
+    val g = spark.read.parquet(s"$idx/stats")
+      .select(col("next_gen")).head().getLong(0)
+    Seq(("alpha", 2L, 1L, 1L, g))
+      .toDF("token", "doc_id", "tf", "dl", "gen")
+      .withColumn("tok_part", Writers.tokenPart(col("token")))
+      .write.partitionBy("tok_part").mode("append").parquet(s"$idx/tf")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx, "_writer.lock"), "pid=crashed")
+    // the torn row is invisible NOW (read-time commit), and the epoch
+    // replay self-heals: lock detected -> vacuum -> verbs run -> the
+    // epoch's content lands exactly once
+    StreamingJobs.bm25MaintenanceBatch(
+      Seq(("add", 2L, "alpha alpha")).toDF("op", "doc_id", "text"),
+      0, idx, outDir, terms)
+    assert(!Writers.writerLockHeld(idx), "the stale lock survived")
+    val ref = java.nio.file.Files.createTempDirectory("bm25crashref").toString
+    Writers.writeBm25Index(
+      Seq(0L -> "alpha beta", 1L -> "beta beta", 2L -> "alpha alpha")
+        .toDF("doc_id", "text"), ref)
+    def probe(p: String) = Retrieval.bm25Stored(
+        Writers.prunedBm25Tf(spark, p, terms),
+        spark.read.parquet(s"$p/stats"), "doc_id", terms)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe(idx) == probe(ref),
+      "the self-healed replay did not land exactly once")
   }
 
   test("bm25MaintenanceBatch: a full-refresh epoch (ops cover the whole " +
@@ -1745,6 +1793,13 @@ class StreamingSpec extends AnyFunSuite {
     // at-least-once replay of the LAST epoch: content-idempotent
     run(1, e1)
     assert(emitted(1) == horizon1)
+    // SELF-HEALING pin (ADVICE r18): the epoch-end policy check keeps
+    // the layout's debt inside the maintenance thresholds — the stream
+    // never accumulates toward the MaxTombstoneRows hard cap
+    val dinfo = Writers.describeIvfPqIndex(spark, idx)
+    assert(dinfo.tombstoneFraction <= 0.2 && dinfo.maxFilesPerDir <= 8 &&
+      dinfo.tombstoneRows <= Writers.MaxTombstoneRows / 2,
+      s"post-epoch layout debt outside the maintenance policy: $dinfo")
     // metrics sidecar names the vector-leg counter
     val m = spark.read.parquet(s"$outDir/_metrics/epoch=1").collect().head
     assert(m.getAs[String]("flagged_kind") == "vecs_deleted")
