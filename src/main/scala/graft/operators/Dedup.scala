@@ -48,18 +48,13 @@ object Dedup {
     * q71-tfidf pattern), not a driver-side action. */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: Column,
                    tau: Double, maxDfFrac: Double = 1.0): DataFrame = {
-    val raw = tokens(df, idCol, tokensCol)
-    val tok = if (maxDfFrac >= 1.0) raw else {
-      // countDistinct excludes a NULL id; callers pass a corpus PK, which
-      // is non-null by contract (blank/NULL keys are dropped at C1 before
-      // any dedup runs), so the df threshold denominator is exact.
-      val total = raw.agg(countDistinct(col(idCol)).cast("double").as("__total"))
-      val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-        .crossJoin(broadcast(total))
-        .filter(col("__df") <= col("__total") * maxDfFrac)
-        .select("token")
-      raw.join(kept, Seq("token"))
-    }
+    val tok = cappedTokens(df, idCol, tokensCol, maxDfFrac)
+    // A window-count variant (sizes riding the token stream as a
+    // doc-keyed window) was measured in r19 and REJECTED: it inserts an
+    // id-keyed exchange of the full token stream ahead of the join's
+    // token-keyed exchange — two full-stream shuffles instead of one,
+    // and q92's pair stage regressed 2.65 → 3.13 s. The sizes aggregate
+    // + join-back onto the (small) pair table stands.
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = tok.select(col(idCol).as("id_a"), col("token"))
     val b = tok.select(col(idCol).as("id_b"), col("token"))
@@ -72,6 +67,29 @@ object Dedup {
         col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Shared df-cap prefilter of the distinct (id, token) stream: tokens
+    * with document frequency above `maxDfFrac × |docs|` are dropped (the
+    * stop-token blow-up guard of [[jaccardPairs]]/[[containmentPairs]]).
+    * The df table stays a groupBy (map-side partial aggregation — a
+    * corpus-wide stop token must NOT pivot into one window partition
+    * before the cap drops it) and the corpus count stays a broadcast
+    * 1-row aggregate, never a driver action. */
+  private def cappedTokens(df: DataFrame, idCol: String, tokensCol: Column,
+                           maxDfFrac: Double): DataFrame = {
+    val raw = tokens(df, idCol, tokensCol)
+    if (maxDfFrac >= 1.0) raw else {
+      // countDistinct excludes a NULL id; callers pass a corpus PK, which
+      // is non-null by contract (blank/NULL keys are dropped at C1 before
+      // any dedup runs), so the df threshold denominator is exact.
+      val total = raw.agg(countDistinct(col(idCol)).cast("double").as("__total"))
+      val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(total))
+        .filter(col("__df") <= col("__total") * maxDfFrac)
+        .select("token")
+      raw.join(kept, Seq("token"))
+    }
   }
 
   /** ASYMMETRIC near-dup: shingle CONTAINMENT pairs — the quote/extract
@@ -89,15 +107,10 @@ object Dedup {
     * column and duplicates within a doc are collapsed here. */
   def containmentPairs(df: DataFrame, idCol: String, tokensCol: Column,
                        tau: Double, maxDfFrac: Double = 1.0): DataFrame = {
-    val raw = tokens(df, idCol, tokensCol)
-    val tok = if (maxDfFrac >= 1.0) raw else {
-      val total = raw.agg(countDistinct(col(idCol)).cast("double").as("__total"))
-      val kept = raw.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-        .crossJoin(broadcast(total))
-        .filter(col("__df") <= col("__total") * maxDfFrac)
-        .select("token")
-      raw.join(kept, Seq("token"))
-    }
+    // same shape as [[jaccardPairs]] (see there, incl. the rejected
+    // window-count variant): sizes aggregate + join-back onto the small
+    // pair table.
+    val tok = cappedTokens(df, idCol, tokensCol, maxDfFrac)
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = tok.select(col(idCol).as("id_a"), col("token"))
     val b = tok.select(col(idCol).as("id_b"), col("token"))
@@ -236,19 +249,30 @@ object Dedup {
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     gramsCol: Column, minFrac: Double,
                     maxDfFrac: Double = 0.5): DataFrame = {
+    // r19 restructure (same rows out, §2.3/§2.4 of the optimization
+    // guide): the TEST gram set is the small side by the operator's own
+    // contract (a held-out eval set probing a 100 TB train corpus), so it
+    // is BROADCAST into the train gram stream — the train corpus is never
+    // shuffled by gram for the probe (the old sort-merge join shuffled
+    // every train gram occurrence). Train-side df only matters for grams
+    // that are IN the test set (the cap drops test grams that are train
+    // boilerplate; df(g) is unchanged by the semi-filter), so the df
+    // aggregation runs over the matched stream, not the full corpus.
+    // `n_grams` rides the explode (the array size is row-local) instead
+    // of a separate spine aggregate joined back.
     val tg = train.select(col(idCol), array_distinct(gramsCol).as("__gs"))
-    val trainG = tg.select(col(idCol), explode(col("__gs")).as("__g"))
+    val trainG = tg.select(col(idCol),
+      size(col("__gs")).cast("long").as("n_grams"),
+      explode(col("__gs")).as("__g"))
     val testG = test.select(explode(array_distinct(gramsCol)).as("__g")).distinct()
     val nTrain = tg.agg(count(lit(1)).cast("double").as("__n"))
-    val dfTab = trainG.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val kept = testG.join(dfTab, Seq("__g"))
+    val hit = trainG.join(broadcast(testG), Seq("__g"))
+    val kept = hit.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(nTrain))
       .filter(col("__df") <= col("__n") * maxDfFrac)
       .select("__g")
-    val sizes = tg.select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
-    trainG.join(kept, Seq("__g"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-      .join(sizes, Seq(idCol))
+    hit.join(broadcast(kept), Seq("__g"))
+      .groupBy(col(idCol), col("n_grams")).agg(count(lit(1)).as("n_overlap"))
       .withColumn("frac", round(col("n_overlap") / col("n_grams"), 6))
       .filter(col("frac") >= minFrac)
       .select(col(idCol), col("n_overlap"), col("n_grams"), col("frac"))
@@ -286,7 +310,21 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("__s"), col(bCol).as("__d"))
       .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__d")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("__lab"))
+    // r19: the loop propagates labels over PAIR-CONNECTED nodes only — a
+    // singleton's label is its own id at every round (it has no in-edges
+    // and the jump finds nothing), yet the old full-universe label table
+    // dragged |V| rows through three joins per round. Near-dup pair
+    // graphs are sparse by construction (that is what dedup candidates
+    // ARE), so the active set is tiny next to the corpus: at 100 TB the
+    // per-round shuffles shrink from corpus-sized to duplicate-sized.
+    // The semi-join keeps the label universe ⊆ `nodes` (edge endpoints
+    // outside the node universe must stay ignored, exactly as the old
+    // inner-join-on-labels shape ignored them); singletons re-attach in
+    // one final left join, coalescing to their own id.
+    val activeIds = nodes.select(col(idCol).as("__id"))
+      .join(edges.select(col("__s").as("__id")).distinct(),
+        Seq("__id"), "left_semi")
+    var labels = activeIds.select(col("__id"), col("__id").as("__lab"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -315,46 +353,59 @@ object Dedup {
       labels = next.select(col("__id"), col("__lab"))
       iter += 1
     }
-    labels.select(col("__id").as(idCol), col("__lab").as("cluster"),
-      (col("__id") === col("__lab")).as("is_rep"))
+    val lab = coalesce(col("__lab"), col(idCol))
+    nodes.select(col(idCol))
+      .join(labels.select(col("__id").as(idCol), col("__lab")),
+        Seq(idCol), "left")
+      .select(col(idCol), lab.as("cluster"),
+        (col(idCol) === lab).as("is_rep"))
   }
 
-  /** Shared single-scan paragraph stream (r12 rewrite of the q106/q114
-    * double-subtree shape, VERDICT r11 #6): `n_paras` rides ALONGSIDE the
-    * posexplode instead of a second spine scan of the input, and doc
-    * TOTALITY comes from flags instead of a spine left-join — every doc
-    * keeps at least its `__pos = 0` row (a doc with zero non-blank
-    * paragraphs contributes exactly that one `__live = false` placeholder,
-    * which reassembles to an empty doc). Placeholder rows get a per-doc
-    * sentinel hash (`~id` — disjoint from 32-hex md5) so they can never
-    * pile into one corpus-wide null-hash window partition at scale. */
-  private def paragraphRows(docs: DataFrame, idCol: String, textCol: String,
-                            sep: String): DataFrame =
+  /** Live-paragraph METADATA stream: (id, __pos, __h) for each non-blank
+    * paragraph — the paragraph text itself stays out of the stream (r19,
+    * guide §8 "decide with small rows, move big rows once"): the keep
+    * decision needs only the hash, and the rebuild re-derives text
+    * row-locally from the spine ([[rebuildFromPositions]]), so the
+    * hash-keyed decision exchange carries ~40 bytes/paragraph instead of
+    * the paragraph bytes. */
+  private def liveParagraphMeta(docs: DataFrame, idCol: String,
+                                textCol: String, sep: String): DataFrame =
     docs
+      .select(col(idCol), posexplode(
+          split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .select(col(idCol), col("__pos"), md5(trim(col("__para"))).as("__h"))
+
+  /** Row-local positional rebuild against the doc spine: `kept` is the
+    * per-doc surviving-position set ((idCol, __kp array) — duplicate
+    * paragraphs only ever REMOVE positions, so it is small next to the
+    * corpus and AQE broadcast-joins it when it fits); survivors are
+    * re-sliced from the re-split text in position order. Totality comes
+    * from the spine left join — a doc with no surviving paragraph (or no
+    * live paragraph at all) reassembles to clean_text = "", n_kept = 0.
+    * This replaces the r12 flag-based single-scan reassembly, which
+    * shuffled every paragraph's TEXT through both the hash window and a
+    * corpus-sized collect_list groupBy; the second (projection-pruned)
+    * scan + row-local re-split is the cheaper side of that trade at any
+    * scale where text dwarfs (id, pos, hash) rows — the q112 rebuild
+    * measured the same trade at −29%. */
+  private def rebuildFromPositions(docs: DataFrame, idCol: String,
+                                   textCol: String, sep: String,
+                                   kept: DataFrame,
+                                   spine: Boolean): DataFrame = {
+    val joined = docs
       .select(col(idCol),
         split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__ps"))
-      .select(col(idCol),
-        size(filter(col("__ps"), p => trim(p) =!= "")).cast("long").as("n_paras"),
-        posexplode(col("__ps")).as(Seq("__pos", "__para")))
-      .filter(trim(col("__para")) =!= "" || col("__pos") === 0)
-      .withColumn("__live", trim(col("__para")) =!= "")
-      .withColumn("__h", when(col("__live"), md5(trim(col("__para"))))
-        .otherwise(concat(lit("~"), col(idCol).cast("string"))))
-
-  /** Per-doc reassembly of the flagged paragraph stream: survivors are
-    * collected conditionally (collect_list skips the NULL the `when`
-    * yields for dropped rows), so non-survivors keep the doc present in
-    * the group without a spine join. */
-  private def reassembleParagraphs(flagged: DataFrame, idCol: String,
-                                   sep: String): DataFrame =
-    flagged.groupBy(col(idCol), col("n_paras"))
-      .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
-        array_join(
-          transform(
-            sort_array(collect_list(
-              when(col("__keep"), struct(col("__pos"), col("__para"))))),
-            p => p.getField("__para")), sep).as("clean_text"))
-      .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
+      .join(kept, Seq(idCol), if (spine) "left" else "inner")
+    val kp = sort_array(coalesce(col("__kp"), array().cast("array<int>")))
+    joined.select(col(idCol),
+      array_join(transform(kp, p => element_at(col("__ps"), p + 1)), sep)
+        .as("clean_text"),
+      size(filter(col("__ps"), p => trim(p) =!= "")).cast("long").as("n_paras"),
+      when(col("__kp").isNotNull, size(col("__kp"))).otherwise(lit(0))
+        .cast("long").as("n_kept"))
+  }
 
   /** L1, sub-document granularity: cross-document paragraph-level exact
     * dedup — the Lee et al. "Deduplicating Training Data Makes Language
@@ -364,10 +415,15 @@ object Dedup {
     * repeated paragraph from all but its globally-first occurrence and
     * reassembles the surviving text.
     *
-    * Shape (ONE scan of the input, two key-partitioned exchanges, no
-    * driver state): split + posexplode with `n_paras` riding alongside →
-    * keep-first flag via one row_number window on the paragraph hash →
-    * per-doc conditional reassembly ([[reassembleParagraphs]]).
+    * Shape (r19 — two projection-pruned scans of the input, two
+    * METADATA-only key-partitioned exchanges, no driver state): split +
+    * posexplode to an (id, pos, hash) stream → keep-first via one
+    * row_number window on the paragraph hash → per-doc kept-position
+    * sets joined back to the doc spine → row-local positional re-split
+    * ([[rebuildFromPositions]]). Paragraph text never enters a shuffle;
+    * the r12 single-scan form moved every paragraph's bytes through both
+    * the hash window and a corpus-sized collect_list groupBy, which is
+    * the wrong side of the §8 payload/proxy trade.
     *
     * Returns one row per input doc: (idCol, clean_text, n_paras, n_kept)
     * — docs whose every paragraph lost keep-first come back with empty
@@ -385,29 +441,34 @@ object Dedup {
                       sep: String, withSpine: Boolean = true): DataFrame =
     if (withSpine) {
       // Totality form: keep-first as ONE row_number window over the
-      // paragraph hash (the q112 single-pass lesson) — the winner flag
-      // stays on the row stream, so losers still carry their doc to
-      // reassembly, and the old n_paras spine scan (a second pass over
-      // the input synthesis, VERDICT r11 #6) disappears. A
-      // mega-duplicated paragraph concentrates only its own occurrences
-      // in the (spillable) window sorter — the q112 stance on hash skew.
-      // A/B note (r14): the orderBy-free `min(struct)` full-partition
-      // window was measured SLOWER here (1.32 s vs 1.04 s best-of-4 at
-      // sf0.1) — the unordered window buffers every partition for its
-      // two-pass aggregate while row_number streams through the sorter.
+      // paragraph hash, on the METADATA stream only (r19 — see
+      // [[liveParagraphMeta]]): the window sorter buffers (id, pos, hash)
+      // rows, never paragraph bytes. A mega-duplicated paragraph
+      // concentrates only its own occurrences in the (spillable) window
+      // sorter — the q112 stance on hash skew. A/B note (r14): the
+      // orderBy-free `min(struct)` full-partition window was measured
+      // SLOWER here — the unordered window buffers every partition for
+      // its two-pass aggregate while row_number streams through the
+      // sorter.
       val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))
-      val flagged = paragraphRows(docs, idCol, textCol, sep)
-        .withColumn("__keep", col("__live") && row_number().over(w) === 1)
-      reassembleParagraphs(flagged, idCol, sep)
+      val kept = liveParagraphMeta(docs, idCol, textCol, sep)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__kp"))
+      rebuildFromPositions(docs, idCol, textCol, sep, kept, spine = true)
+        .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
     } else {
       // Survivors-only form (q95's flagship stage): `min(struct(id, pos,
       // para))` per hash — the winner row is self-contained, so there is
-      // no join back AND no spine: still ONE reference of the input, and
+      // no join back AND no spine: ONE reference of the input, and
       // partial aggregation collapses each hash's occurrences map-side
-      // before the shuffle (the W2 keep-first skew argument), which the
-      // window form above cannot do (it must stream every occurrence to
-      // flag losers). Only docs with a surviving paragraph return —
-      // exactly this form's contract.
+      // before the shuffle (the W2 keep-first skew argument). This form
+      // deliberately does NOT take the withSpine branch's r19
+      // metadata-only rebuild: its contract callers (q95) feed an
+      // UNMATERIALIZED synthesis DAG, and a second spine reference
+      // re-executes that whole subtree — measured +27% on q95 (2.13 →
+      // 2.71 s) against the text-shuffle savings. Single-reference
+      // stands; only docs with a surviving paragraph return.
       val paras = docs
         .select(col(idCol),
           posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
@@ -453,13 +514,15 @@ object Dedup {
   def dropCommonParagraphs(docs: DataFrame, idCol: String, textCol: String,
                            sep: String, maxDf: Long): DataFrame = {
     val byHash = Window.partitionBy(col("__h"))
-    val flagged = paragraphRows(docs, idCol, textCol, sep)
+    val kept = liveParagraphMeta(docs, idCol, textCol, sep)
       // distinct-doc count without count(distinct): ranks are dense over
       // the id order, so the partition max IS the number of distinct ids
       .withColumn("__dr", dense_rank().over(byHash.orderBy(col(idCol))))
       .withColumn("__df", max(col("__dr")).over(byHash))
-      .withColumn("__keep", col("__live") && col("__df") <= maxDf)
-    reassembleParagraphs(flagged, idCol, sep)
+      .filter(col("__df") <= maxDf)
+      .groupBy(col(idCol)).agg(collect_set(col("__pos")).as("__kp"))
+    rebuildFromPositions(docs, idCol, textCol, sep, kept, spine = true)
+      .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
   }
 
   /** Cross-document SUBSTRING-level exact dedup (the Lee et al. 2022
@@ -587,26 +650,35 @@ object Dedup {
         k.select(col("__h")).withColumn("__known", lit(true)), Seq("__h"), "left")
       case None => ranked.withColumn("__known", lit(null).cast("boolean"))
     }
+    // r19 rebuild (same rows out; guide §2.3 "shuffle keys, not
+    // payloads"): covered positions collapse to ONE per-doc set (dup
+    // windows only — small by the dedup premise), joined to the docs on
+    // the doc key; survivors are then rebuilt ROW-LOCALLY with
+    // array_except over the position range (hash-based, O(n_tok +
+    // n_cov), left-order-preserving). The old shape posexploded the
+    // whole corpus, shuffled every token row by (id, tpos) for the
+    // cover-mark join, and re-assembled through a corpus-sized
+    // collect_list sort — two full token-stream exchanges and a sort
+    // that all disappear; the one remaining exchange carries doc-keyed
+    // rows, and AQE broadcast-joins the covered side outright when the
+    // dup volume is small. Null/empty token arrays reproduce the old
+    // posexplode_outer totality exactly: n_tok = size() (-1 for null),
+    // n_kept = 0, clean_text = "".
     val covered = probed
       .filter(col("__rn") > 1 || col("__known").isNotNull)
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1)))
         .as("__tpos"))
-      .distinct()
-      .withColumn("__cov", lit(true))
-    val flagged = base
-      .select(col(idCol), col("__n").cast("long").as("n_tok"),
-        posexplode_outer(col("__toks")).as(Seq("__p0", "__tok")))
-      .withColumn("__tpos", col("__p0") + 1)
-      .join(covered, Seq(idCol, "__tpos"), "left")
-      .withColumn("__keep", col("__cov").isNull && col("__tok").isNotNull)
-    val cleaned = flagged.groupBy(col(idCol), col("n_tok"))
-      .agg(count(when(col("__keep"), lit(1))).as("n_kept"),
-        array_join(
-          transform(
-            sort_array(collect_list(
-              when(col("__keep"), struct(col("__tpos"), col("__tok"))))),
-            p => p.getField("__tok")), " ").as("clean_text"))
-      .select(col(idCol), col("clean_text"), col("n_tok"), col("n_kept"))
+      .groupBy(col(idCol)).agg(collect_set(col("__tpos")).as("__cov"))
+    val keptPos = array_except(sequence(lit(1), col("__n")),
+      coalesce(col("__cov"), array().cast("array<int>")))
+    val cleaned = base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__n") >= 1,
+          array_join(transform(keptPos, p => element_at(col("__toks"), p)), " "))
+          .otherwise(lit("")).as("clean_text"),
+        col("__n").cast("long").as("n_tok"),
+        when(col("__n") >= 1, size(keptPos)).otherwise(lit(0))
+          .cast("long").as("n_kept"))
     val novel = probed
       .filter(col("__rn") === 1 && col("__known").isNull)
       .select(col("__h")).distinct()

@@ -231,11 +231,23 @@ object TextStats {
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
       .withColumn("w1", substring_index(col("bg"), "_", 1))
       .withColumn("w2", substring_index(col("bg"), "_", -1))
+    // r19 (guide §2.3/§2.4): c1/c2 are UNIGRAM-vocab totals — a groupBy
+    // collapses them map-side to vocab-bounded tables that broadcast into
+    // the tf stream (the collocations "broadcast the unigram side"
+    // stance), where the old per-statistic window sums each re-exchanged
+    // AND re-sorted the full (doc, bigram) tf table (measured: 5
+    // full-stream exchanges + 3 sorts → 3 exchanges + 1 sort). cb stays
+    // a window: the bigram vocabulary is NOT broadcast-bounded at corpus
+    // scale, and its window shares the one bg-keyed exchange. N rides
+    // the bounded c1 table (Σ c1 = Σ tf — each bigram counts once under
+    // its left word).
+    val c1 = tf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    val c2 = tf.groupBy(col("w2")).agg(sum(col("tf")).as("c2"))
+    val n = c1.agg(sum(col("c1")).as("n"))
     val withC = tf
       .withColumn("cb", sum(col("tf")).over(Window.partitionBy(col("bg"))))
-      .withColumn("c1", sum(col("tf")).over(Window.partitionBy(col("w1"))))
-      .withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("w2"))))
-    val n = tf.agg(sum(col("tf")).as("n"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(c2), Seq("w2"))
     withC.crossJoin(broadcast(n))
       .withColumn("lp", round(log(
         lit(lam) * (col("cb").cast("double") / col("c1").cast("double")) +

@@ -265,8 +265,17 @@ class PlanLintSpec extends AnyFunSuite {
         s"$name scans parquet $n times (budget $maxScans):\n$plan")
     }
 
-  assertScanBudget("q106_paragraph_dedup", 1)
-  assertScanBudget("q114_boilerplate_df", 1)
+  // r19 rebuild trade (measured −27% each at sf0.1, q106 1.24 → 0.91 s,
+  // q114 1.21 → 0.88 s): the keep decision runs on an (id, pos, hash)
+  // METADATA stream and the rebuild re-splits text row-locally from a
+  // second projection-pruned scan — paragraph BYTES no longer cross the
+  // hash-window or reassembly exchanges (guide §8 payload/proxy). The
+  // r11-#6 single-scan demand was about duplicated SUBTREES re-executing,
+  // not scan count: the second scan here is a distinct pruned projection,
+  // and the two text shuffles it replaces are the expensive side at any
+  // scale where text dwarfs 40-byte meta rows.
+  assertScanBudget("q106_paragraph_dedup", 2)
+  assertScanBudget("q114_boilerplate_df", 2)
   // documented trade: windows stream + token re-explode (operator scaladoc;
   // the 100 TB path materializes tokens once via the W4 handoff)
   assertScanBudget("q112_substring_dedup", 2)
