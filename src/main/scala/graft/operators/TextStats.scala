@@ -404,13 +404,12 @@ object TextStats {
     * in both engines). Ties break on term asc.
     *
     * Scale shape (the q115 discipline): everything derives from ONE
-    * (doc, term) tf table — df as a vocab-bounded groupBy broadcast back
-    * into the stream (r19; the old term-keyed count window re-exchanged
-    * and buffered the full tf stream), N as a bounded 1-row broadcast
-    * (its own stats scan, the q28/q71 shape) — then one per-doc rank
-    * window that plans WindowGroupLimit (partial top-k before the
-    * exchange). Two corpus scans (tf + 1-row stats), no data-sized
-    * state (PlanLint-pinned via q157).
+    * (doc, term) tf table — df as a term-keyed count window over it, N
+    * as a bounded 1-row broadcast (its own stats scan, the q28/q71
+    * shape) — then one per-doc rank window that plans WindowGroupLimit
+    * (partial top-k before the exchange). Two corpus scans (tf +
+    * 1-row stats), three keyed exchanges, no data-sized state
+    * (PlanLint-pinned via q157).
     *
     * Output: (idCol, term, tf, df, score) for each kept keyword. */
   def tfidfKeywords(docs: DataFrame, idCol: String, toks: Column,
@@ -421,14 +420,8 @@ object TextStats {
     val tf = docs.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // r19 (the q115/bigramLogprob treatment): df is a unigram-vocab
-    // total — a groupBy collapses it map-side to a vocab-bounded table
-    // that broadcasts back into the tf stream, where the old term-keyed
-    // count window re-exchanged AND buffered the full (doc, term) tf
-    // stream just to attach one long per row.
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
-      .join(broadcast(dfTab), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(n)
       .withColumn("score",
         (col("tf") * col("__n_docs")).cast("double") / col("df"))
