@@ -17,7 +17,8 @@ object GraftSession {
   def build(master: String, shufflePartitions: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", shufflePartitions))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // isAdjustedToUTC=false µs columns (one events-corpus generation)
@@ -60,6 +61,21 @@ object GraftSession {
       .config("spark.sql.json.enablePartialResults", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE partition-coalescing knobs, env-parameterized for cluster
+      // deployments (guide §2.2: size partitions 100 MB–1 GB there).
+      // parallelismFirst deliberately KEEPS Spark's default (true):
+      // byte-sized coalescing (false + 64m advisory) was A/B'd r20 on
+      // the 12 hottest queries and lost consistently — best-of-4 10–40%
+      // slower (q22 1.75 vs 1.22 s, q120 1.48 vs 1.03, q119 3.39 vs
+      // 2.28) because a KB-scale stage coalesced to ONE reduce task
+      // serializes the md5/tokenize compute that still dominates it;
+      // defaultParallelism-floored coalescing keeps those stages wide.
+      // On a real cluster flip it false and raise the advisory target
+      // (OPTIMIZATION_r20.md records the trade).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

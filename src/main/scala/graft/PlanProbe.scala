@@ -45,12 +45,27 @@ object PlanProbe {
       val t7 = System.nanoTime()
       println(f"[probe] $name%-26s construct=${(t1 - t0) / 1e9}%.2f analyze=${(t2 - t1) / 1e9}%.2f optimize=${(t3 - t2) / 1e9}%.2f physical=${(t4 - t3) / 1e9}%.2f exec1=${(t5 - t4) / 1e9}%.2f rerun=${(t7 - t6) / 1e9}%.2f exprNodes analyzed=${exprNodes(analyzed)} optimized=${exprNodes(opt)}")
       if (sys.env.contains("SPARK_GRAFT_METRICS")) {
-        // AQE: unwrap to the final adaptively-executed tree
-        def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-          case other => other
+        // the noop write above plans its OWN QueryExecution, so df2's
+        // tree never ran and its metrics are all zero — execute df2's
+        // plan directly (toRdd materializes every column of every row)
+        // and read the metrics that execution populated
+        val df3 = fn(spark, sfDir)
+        df3.queryExecution.toRdd.foreach(_ => ())
+        // AQE final trees nest executed subtrees inside QueryStageExec
+        // LEAVES (ResultQueryStage/ShuffleQueryStage/BroadcastQueryStage
+        // in 4.1) — plain foreach stops at the stage boundary, so walk
+        // through each stage's wrapped plan explicitly
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+          f(p)
+          p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+            case s: QueryStageExec => walk(s.plan)(f)
+            case other => other.children.foreach(walk(_)(f))
+          }
         }
-        unwrap(df2.queryExecution.executedPlan).foreach { node =>
+        walk(df3.queryExecution.executedPlan) { node =>
           val interesting = node.metrics.filter { case (k, m) =>
             m.value > 0 && (k.contains("time") || k.contains("duration") ||
               k == "numOutputRows" || k.contains("Time"))

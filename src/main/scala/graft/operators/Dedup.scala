@@ -78,7 +78,21 @@ object Dedup {
     * 1-row aggregate, never a driver action. */
   private def cappedTokens(df: DataFrame, idCol: String, tokensCol: Column,
                            maxDfFrac: Double): DataFrame = {
-    val raw = tokens(df, idCol, tokensCol)
+    // r20 (guide §3.3 "materialising an intermediate truncates the
+    // plan"): the distinct (id, token) stream is referenced by EVERY
+    // downstream branch of the pair generators — the df-cap's corpus
+    // count and df table here, then sizes and both join sides in the
+    // caller — and Catalyst plans each reference as a full re-execution
+    // of scan → shingle explode → distinct (q119's static plan carried
+    // THREE full token-stream exchanges at ~2 s cumulative each, plus
+    // their Generates, before this). One localCheckpoint computes the
+    // stream once; all five references read the materialized blocks.
+    // This is decision METADATA (id + shingle), never document payloads,
+    // and it already crossed token-keyed exchanges whole — materializing
+    // it stores the same bytes once instead of recomputing them 3-9x.
+    // Blocks are MEMORY_AND_DISK (spill-safe) and freed by the
+    // ContextCleaner when the returned plan goes out of scope.
+    val raw = tokens(df, idCol, tokensCol).localCheckpoint()
     if (maxDfFrac >= 1.0) raw else {
       // countDistinct excludes a NULL id; callers pass a corpus PK, which
       // is non-null by contract (blank/NULL keys are dropped at C1 before
@@ -88,6 +102,11 @@ object Dedup {
         .crossJoin(broadcast(total))
         .filter(col("__df") <= col("__total") * maxDfFrac)
         .select("token")
+      // NOT checkpointed a second time: the capped stream's three caller
+      // references re-plan only the df-agg + broadcast semi-join over the
+      // checkpointed raw blocks, and a second materialization job was
+      // measured SLOWER than those replans (q119 1.99 vs 1.90 s, q50
+      // 0.53 vs 0.47, q60 0.96 vs 0.91 best-of-4, r20)
       raw.join(kept, Seq("token"))
     }
   }
@@ -710,8 +729,16 @@ object Dedup {
       s"bands must divide 64 and be >= 2 (got $bands)")
     val bw = 64 / bands
     val mask = if (bw == 64) -1L else (1L << bw) - 1
+    // r20: the hash table is joined against itself (a and b band sides),
+    // and each side re-executed the caller's full hash-production plan —
+    // for q108 that is the BMP synthesis + graft_dhash decode, measured
+    // as TWO ~1.2-1.8 s (cumulative) codegen pipelines over the same
+    // rows. Materialize (id, h) once — 16 bytes/row of decision
+    // metadata (guide §8: decode the payload once, move hashes) — and
+    // band both sides off the checkpointed blocks.
     val banded = df
       .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .localCheckpoint()
       .select(col("__id"), col("__h"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("__h"), b * bw)

@@ -283,14 +283,14 @@ object TextStats {
     * independence predicts; the phrase table for [[phraseMerge]] is a
     * threshold cut of this output.
     *
-    * Plan shape: two map+agg corpus passes (unigram tf, bigram tf — no
-    * per-doc windows, no row-position shuffle) into vocabulary-bounded
-    * count tables; N rides the unigram table as a single-partition window
-    * (vocab-bounded by definition — the q145 n_candidates shape); the
-    * pair scoring joins broadcast the unigram side. A production run
-    * materializes the vocab table once instead of re-deriving it per join
-    * branch — the plan's extra unigram scans are the in-plan rendering of
-    * that bounded table, never a data-sized state.
+    * Plan shape (r20): ONE map+agg corpus pass — a (w, next) adjacency
+    * stream aggregated to a vocabulary²-bounded pair table, materialized
+    * once; unigram counts are a second-level aggregation OVER that
+    * bounded table (Σ_next), bigram counts are its non-null-next rows.
+    * No per-doc windows, no row-position shuffle. N rides the unigram
+    * table as a single-partition window (vocab-bounded by definition —
+    * the q145 n_candidates shape); the pair scoring joins broadcast the
+    * unigram side.
     *
     * Tokens must not contain '_' (the [[bigrams]] marker — file-wide
     * contract). Counts-as-double stays exact below 2^53 per FACTOR (not
@@ -299,8 +299,34 @@ object TextStats {
   def collocations(df: DataFrame, tokensCol: Column, minCount: Long,
                    delta: Long = 2L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
-    scoreCollocations(unigramCounts(df, tokensCol),
-      bigramCounts(df, tokensCol).filter(col("c_ab") >= minCount), delta)
+    // r20 (guide §2.3 "aggregate before you shuffle"): unigram and bigram
+    // counts were TWO corpus explode+agg passes over the same tokens;
+    // both now derive from ONE (w, next) adjacency stream — each token
+    // occurrence emits exactly one row (next = the following token, null
+    // at document end), so
+    //   c(w)      = Σ over next of c(w, next)   (exact unigram counts)
+    //   c_ab(a,b) = c(a, b) with b non-null     (exact bigram counts)
+    // The (w, next) aggregate is vocabulary²-bounded (never data-sized);
+    // it is localCheckpoint'ed so the two second-level aggregations read
+    // the bounded table instead of re-running the corpus pass — identical
+    // counts to [[unigramCounts]]/[[bigramCounts]] (TextStatsSpec pins
+    // them; the streaming sink keeps using those epoch-additive forms).
+    val shifted = concat(
+      slice(tokensCol, lit(2), greatest(size(tokensCol) - 1, lit(0))),
+      array(lit(null).cast("string")))
+    val adjacency = when(size(tokensCol) >= 1,
+      zip_with(tokensCol, shifted,
+        (a, b) => struct(a.as("w"), b.as("next"))))
+      .otherwise(array().cast("array<struct<w:string,next:string>>"))
+    val pairs = df
+      .select(explode(adjacency).as("__p"))
+      .select(col("__p.w").as("w"), col("__p.next").as("next"))
+      .groupBy(col("w"), col("next")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uc = pairs.groupBy(col("w")).agg(sum(col("c")).as("c"))
+    val bc = pairs.filter(col("next").isNotNull)
+      .select(col("w").as("wa"), col("next").as("wb"), col("c").as("c_ab"))
+    scoreCollocations(uc, bc.filter(col("c_ab") >= minCount), delta)
   }
 
   /** Token occurrence counts `(w, c)` — one map+agg corpus pass. The

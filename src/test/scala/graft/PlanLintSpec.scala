@@ -265,6 +265,26 @@ class PlanLintSpec extends AnyFunSuite {
         s"$name scans parquet $n times (budget $maxScans):\n$plan")
     }
 
+  /** Scan budget for queries whose corpus pass is localCheckpoint'ed at
+    * construction (r20): the probed plan reads the materialized RDD, so
+    * the miswired-lint guard is "a checkpoint scan exists" rather than
+    * "a parquet scan exists". `maxScans` bounds any parquet scans that
+    * remain OUTSIDE the truncation. */
+  private def assertCheckpointedScanBudget(name: String, maxScans: Int): Unit =
+    test(s"$name reads its parquet source at most $maxScans time(s) " +
+        "beyond its checkpointed pass") {
+      System.setProperty(graft.queries.Q.NoOrderProp, "true")
+      val plan =
+        try SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        finally System.clearProperty(graft.queries.Q.NoOrderProp)
+      val n = "FileScan parquet".r.findAllMatchIn(plan).size
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name plans no checkpoint scan — lint is miswired:\n$plan")
+      assert(n <= maxScans,
+        s"$name scans parquet $n times (budget $maxScans):\n$plan")
+    }
+
   // r19 rebuild trade (measured −27% each at sf0.1, q106 1.24 → 0.91 s,
   // q114 1.21 → 0.88 s): the keep decision runs on an (id, pos, hash)
   // METADATA stream and the rebuild re-splits text row-locally from a
@@ -857,12 +877,14 @@ class PlanLintSpec extends AnyFunSuite {
   // plus the 1-row query side
   assertScanBudget("q146_sq8_ann", 4)
 
-  // Collocation mining: bigram tf scan + the vocab-bounded unigram table
-  // referenced twice (once per join role — production materializes the
-  // vocab table once; the in-plan copies are that bounded table, never
-  // data-sized state). Exchanges: 2 count aggs + the single-partition N
-  // window per unigram copy, broadcast joins add none.
-  assertScanBudget("q148_collocations", 3)
+  // Collocation mining (r20 one-pass form): the corpus is read ONCE at
+  // construction — the (w, next) adjacency aggregate (vocab²-bounded) is
+  // localCheckpoint'ed, so the probed plan derives unigram AND bigram
+  // counts from the materialized bounded table and plans NO parquet scan
+  // at all; the checkpoint scan must be present instead. Exchanges: the
+  // two second-level count aggs + the single-partition N window per
+  // unigram copy, broadcast joins add none.
+  assertCheckpointedScanBudget("q148_collocations", 0)
   assertShuffleBudget("q148_collocations", 7)
 
   // Phrase merge embeds the q148 learner as its broadcast phrase side
