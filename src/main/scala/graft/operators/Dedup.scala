@@ -285,7 +285,14 @@ object Dedup {
       explode(col("__gs")).as("__g"))
     val testG = test.select(explode(array_distinct(gramsCol)).as("__g")).distinct()
     val nTrain = tg.agg(count(lit(1)).cast("double").as("__n"))
-    val hit = trainG.join(broadcast(testG), Seq("__g"))
+    // r20: the matched stream feeds both the df-cap aggregation and the
+    // final per-doc overlap count — two references, each re-executing
+    // the full train-corpus explode + broadcast probe. The hits are
+    // test-bounded by the operator's contract (a small held-out set
+    // probing the corpus), so materializing them once is bounded state;
+    // the train corpus is scanned once for the probe (plus the 1-row
+    // pruned count for the df denominator).
+    val hit = trainG.join(broadcast(testG), Seq("__g")).localCheckpoint()
     val kept = hit.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(nTrain))
       .filter(col("__df") <= col("__n") * maxDfFrac)

@@ -144,12 +144,15 @@ object TextStats {
     * Returns (idCol, n_tok, mean_logprob). */
   def unigramLogprob(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
     val tok = df.select(col(idCol), explode(tokensCol).as("token"))
-    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // corpus token count c and total n both derive from the tf table —
     // per-token via a window sum, total via one aggregate over tf —
     // instead of re-exploding the corpus once per statistic (two extra
     // corpus scans + a distinct shuffle + a token join, the q28/q71
-    // plan-iteration lesson)
+    // plan-iteration lesson). r20: the tf table itself is checkpointed —
+    // its two references (window stream + 1-row total) re-executed the
+    // corpus explode+agg per reference in the static plan (guide §3.3).
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val withC = tf.withColumn("c",
       sum(col("tf")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
@@ -184,8 +187,12 @@ object TextStats {
   def sourceDrift(df: DataFrame, groupCol: Column, tokensCol: Column,
                   vocab: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r20: checkpointed for the same reason as [[unigramLogprob]]'s tf —
+    // the window stream and the 1-row total are two references, each
+    // re-executing the corpus explode+agg in the static plan
     val tf = df.select(groupCol.as("group"), explode(tokensCol).as("token"))
       .groupBy(col("group"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val withC = tf
       .withColumn("n_g", sum(col("tf")).over(Window.partitionBy(col("group"))))
       .withColumn("c_t", sum(col("tf")).over(Window.partitionBy(col("token"))))
@@ -227,10 +234,16 @@ object TextStats {
   def bigramLogprob(df: DataFrame, idCol: String, tokensCol: Column,
                     lam: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r20 (the wave-1 cappedTokens treatment, guide §3.3): the (doc,
+    // bigram) tf aggregate feeds c1, c2, N and the scored stream — four
+    // references, each re-executing the corpus explode+agg subtree in
+    // the static plan. One localCheckpoint of the metadata stream
+    // (id, bigram, tf — no document payloads) computes it once.
     val tf = df.select(col(idCol), explode(bigrams(tokensCol)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
       .withColumn("w1", substring_index(col("bg"), "_", 1))
       .withColumn("w2", substring_index(col("bg"), "_", -1))
+      .localCheckpoint()
     // r19 (guide §2.3/§2.4): c1/c2 are UNIGRAM-vocab totals — a groupBy
     // collapses them map-side to vocab-bounded tables that broadcast into
     // the tf stream (the collocations "broadcast the unigram side"
