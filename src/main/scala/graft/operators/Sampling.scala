@@ -173,8 +173,14 @@ object Sampling {
     * n_feats, logratio). */
   def importanceWeights(docs: DataFrame, idCol: String, toks: Column,
                         isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    // r20 (guide §3.3): the feature stream feeds BOTH the bucket-count
+    // aggregation and the per-doc scoring join — two references, each
+    // re-running the corpus tokenize + md5 featureBuckets explode (the
+    // expensive half of this operator). Materialize the (id, flag,
+    // bucket) metadata stream once.
     val feats = docs.select(col(idCol), isTarget.cast("boolean").as("__t"),
       explode(QualityModel.featureBuckets(toks, buckets)).as("bucket"))
+      .localCheckpoint()
     val allRows = org.apache.spark.sql.expressions.Window.partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
